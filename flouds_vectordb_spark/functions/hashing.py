@@ -1,0 +1,46 @@
+"""Cross-engine deterministic hashing primitives.
+
+Spark's builtin ``hash()`` (murmur3) and DuckDB's ``hash()`` are different
+functions, so every hash that feeds an oracle-checked operator is derived
+from md5 — identical hex output in both engines — truncated to 60 bits
+(15 hex chars, fits a signed BIGINT in both).
+
+Spark:  conv(substring(md5(s), 1, 15), 16, 10) :: bigint
+DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash64(col: Column, seed: int = 0) -> Column:
+    """60-bit deterministic hash of a string column (md5-derived)."""
+    s = F.concat(F.lit(f"{seed}|"), col) if seed else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def hash64_sql(expr: str, seed: int = 0) -> str:
+    s = f"('{seed}|' || {expr})" if seed else expr
+    return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token-array column, joined by a space.
+
+    Arrays shorter than n yield a single shingle of the whole text, so every
+    document has at least one shingle (matters for Jaccard denominators).
+    """
+    joined_all = F.array_join(tokens, " ")
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+
+
+def shingles_sql(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB twin: word n-grams over a list-of-words expression."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' '))"
+    )

@@ -1,0 +1,61 @@
+"""Parquet table loaders for the driver's synthetic testdata.
+
+Tables (see /root/repo/TESTDATA.md): region nation customer supplier part
+orders lineitem events documents embeddings. `documents` plays the role of
+the reference's `chunk` text corpus; `embeddings` (64-dim float) the role of
+the FLOAT_VECTOR column; their join is the vector-store "collection"
+(reference schema app/milvus/base_milvus.py:920-997).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-store collection: documents ⋈ embeddings on doc_id=vec_id.
+
+    Columns mirror the reference collection schema (base_milvus.py:920-997):
+      id (pk) | chunk | vector (array<float>) | meta (map<string,string>)
+    `meta` is built from the documents' lang/source attributes; the join is
+    inner — only rows that have both text and an embedding are searchable,
+    matching the reference where every entity carries both fields.
+    """
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    return (
+        docs.join(embs, docs.doc_id == embs.vec_id, "inner")
+        .select(
+            docs.doc_id.alias("id"),
+            docs.text.alias("chunk"),
+            embs.embedding.alias("vector"),
+            F.create_map(
+                F.lit("lang"), docs.lang,
+                F.lit("source"), docs.source,
+            ).alias("meta"),
+            docs.lang,
+            docs.source,
+            docs.n_chars,
+            embs.label,
+        )
+    )
+
+
+# DuckDB oracle twin (views `documents`, `embeddings` are pre-registered)
+COLLECTION_SQL = (
+    "(SELECT d.doc_id AS id, d.text AS chunk, e.embedding AS vector, "
+    "d.lang AS lang, d.source AS source, d.n_chars AS n_chars, e.label AS label "
+    "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)"
+)
