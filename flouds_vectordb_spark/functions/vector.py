@@ -11,9 +11,16 @@ left-fold over the element-wise products, exactly what DuckDB's
 ``list_sum(list_transform(...))`` computes, so both engines produce
 bit-identical doubles. Each builder has a ``*_sql`` twin that renders the
 equivalent DuckDB expression for the correctness oracle.
+
+Scale notes: for a constant query vector the query norm is precomputed
+driver-side (one scalar literal, not a per-row 64-element fold), and
+zero-norm documents score NULL in BOTH engines (nullif guard) instead of
+diverging (Spark non-ANSI div-by-zero -> NULL vs DuckDB IEEE -> inf).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -48,7 +55,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine_score(a: Column, b: Column) -> Column:
-    return dot_score(a, b) / (norm(a) * norm(b))
+    """Column-vs-column cosine; zero-norm on either side -> NULL (guarded)."""
+    return dot_score(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def normalize(a: Column) -> Column:
@@ -57,19 +65,41 @@ def normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
-def metric_score(metric: str, a: Column, b: Column) -> Column:
-    """Score column for a metric name, larger-is-better for all metrics."""
+def query_norm(q: list[float]) -> float:
+    """Driver-side L2 norm with the SAME sequential float64 fold both engines
+    use, so the spliced literal is bit-identical to what they would compute."""
+    acc = 0.0
+    for x in q:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def query_array(q: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def metric_score_q(metric: str, vec: Column, q: list[float]) -> Column:
+    """Score column against a constant query vector, larger-is-better for all
+    metrics. COSINE precomputes the query norm driver-side (one literal)."""
     m = metric.upper()
-    if m == "COSINE":
-        return cosine_score(a, b)
+    qa = query_array(q)
     if m == "IP":
-        return dot_score(a, b)
+        return dot_score(vec, qa)
     if m == "L2":
-        return l2_score(a, b)
+        return l2_score(vec, qa)
+    if m == "COSINE":
+        qn = query_norm(q)
+        return dot_score(vec, qa) / F.nullif(norm(vec) * F.lit(qn), F.lit(0.0))
     raise ValueError(f"unsupported metric {metric!r} (expected COSINE, L2, IP)")
 
 
 # --- DuckDB oracle twins -----------------------------------------------------
+
+def query_sql_literal(q: list[float]) -> str:
+    """Parenthesized DOUBLE[] literal — the parens are load-bearing: without
+    them `[...]::DOUBLE[][i]` parses as a nested array TYPE, not an index."""
+    return "([" + ",".join(repr(float(x)) for x in q) + "]::DOUBLE[])"
+
 
 def dot_sql(a: str, b: str) -> str:
     return (
@@ -90,7 +120,33 @@ def norm_sql(a: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+    return f"({dot_sql(a, b)} / nullif({norm_sql(a)} * {norm_sql(b)}, 0))"
+
+
+def metric_sql_q(metric: str, vec_expr: str, q: list[float]) -> str:
+    """DuckDB twin of metric_score_q (query vector spliced as a literal)."""
+    m = metric.upper()
+    qe = query_sql_literal(q)
+    if m == "IP":
+        return dot_sql(vec_expr, qe)
+    if m == "L2":
+        return l2_sql(vec_expr, qe)
+    if m == "COSINE":
+        qn = query_norm(q)
+        return f"({dot_sql(vec_expr, qe)} / nullif({norm_sql(vec_expr)} * ({qn!r}::DOUBLE), 0))"
+    raise ValueError(f"unsupported metric {metric!r}")
+
+
+def metric_score(metric: str, a: Column, b: Column) -> Column:
+    """Column-vs-column score for a metric name, larger-is-better."""
+    m = metric.upper()
+    if m == "COSINE":
+        return cosine_score(a, b)
+    if m == "IP":
+        return dot_score(a, b)
+    if m == "L2":
+        return l2_score(a, b)
+    raise ValueError(f"unsupported metric {metric!r} (expected COSINE, L2, IP)")
 
 
 def metric_sql(metric: str, a: str, b: str) -> str:

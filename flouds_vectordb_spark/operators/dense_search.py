@@ -3,21 +3,30 @@
 Reference behavior reproduced (citations into /root/reference):
 - metric ∈ {COSINE, L2, IP}; larger score = better for all
   (app/milvus/vector_store.py:445-517, search_request.py:202-220)
-- limit clamped to <=100 (vector_store.py:457), offset 0-100
-  (search_request.py:56-61)
-- over-fetch by `increase_limit_for_text_search` when a text filter is
-  present, trim back after filtering (vector_store.py:483-490, :579-582)
-- post-filters run AFTER the k-cut, in order: score_threshold -> text
-  filter -> meta_required -> meta_filter (vector_store.py:519-582);
-  a query may return fewer than `limit` rows
-- range search: radius / range_filter bounds on the score
-  (vector_store.py:501-503)
+- search limit = min(limit + text-search increase, 100) — the clamp applies
+  AFTER the over-fetch increase (vector_store.py:457, :483-490); final trim
+  back to the original limit (:579-582)
+- post-filters run AFTER the k-cut, in order: score_threshold -> empty-chunk
+  drop -> text filter -> meta_required -> meta_filter
+  (vector_store.py:519-582); a query may return fewer than `limit` rows
+- score_threshold compares against the round_decimal-rounded score Milvus
+  returns (vector_store.py:521-529 operate on hit.score post-rounding)
+- range search follows the Milvus similarity contract
+  radius < score <= range_filter; for L2 the bounds are on the raw DISTANCE
+  (range_filter <= distance < radius), translated here onto the negated
+  score (vector_store.py:501-503)
 - round_decimal applied to the reported score (search_request.py:70-75)
 
-Scale notes: the k-cut compiles to TakeOrderedAndProject (per-partition
-top-k, merge of <=fetch rows on the driver) — no global sort, no shuffle of
-the corpus. Post-filters and the rank window run over <=236 rows. With the
-IVF plan (plans/ivf.py) the scan itself is partition-pruned first.
+Scale notes (the 100 TB design):
+- The k-cut runs over (id, score) ONLY — late materialization. Payload
+  columns (chunk up to 60 KB, meta map) are joined back for the <=fetch
+  survivors via a broadcast hash join, so the corpus text never enters the
+  top-k sort/shuffle. At 1000 executors the scan is embarrassingly parallel,
+  each task keeps a k-row heap, and the driver merges <=fetch rows.
+- The k-cut compiles to TakeOrderedAndProject (per-partition top-k, bounded
+  merge) — no global sort. Rank windows run only over the <=fetch survivors.
+- With the IVF plan (plans/ivf.py) the scan itself is partition-pruned to
+  the nprobe nearest centroid cells first.
 
 Every builder has a *_sql twin emitting the equivalent DuckDB query so the
 correctness oracle shares one semantics definition with the engine.
@@ -63,8 +72,28 @@ class DenseSearchRequest:
 
     @property
     def fetch(self) -> int:
+        """Candidate-pool size: the reference clamps AFTER adding the text
+        over-fetch — min(limit + increase, 100) (vector_store.py:483-490,
+        then :457's clamp inside _build_base_search_params)."""
         extra = self.increase_limit_for_text_search if self.text_filter else 0
-        return self.effective_limit + extra
+        return min(self.limit + extra, MAX_LIMIT)
+
+    @property
+    def threshold_decimals(self) -> int:
+        return self.round_decimal if self.round_decimal >= 0 else RANK_DECIMALS
+
+    def score_bounds(self) -> tuple[float | None, float | None]:
+        """(lo, hi) in SCORE space with Milvus's contract lo < score <= hi.
+        COSINE/IP: radius < similarity <= range_filter. L2: bounds are on the
+        distance (range_filter <= dist < radius), i.e. -radius < score <=
+        -range_filter on the negated-distance score."""
+        if self.metric.upper() == "L2":
+            lo = -float(self.radius) if self.radius is not None else None
+            hi = -float(self.range_filter) if self.range_filter is not None else None
+        else:
+            lo = float(self.radius) if self.radius is not None else None
+            hi = float(self.range_filter) if self.range_filter is not None else None
+        return lo, hi
 
 
 def meta_filter_predicate(meta: Column, meta_filter: dict[str, str]) -> Column:
@@ -88,42 +117,69 @@ def dense_search(
 ) -> DataFrame:
     """Returns (id, rank, score [, chunk, extra...]) — rank 1-based after
     post-filtering, score rounded to round_decimal (or 6 for determinism)."""
-    score = V.metric_score(req.metric, F.col(vector_col), F.array(*[F.lit(float(x)) for x in req.query_vector]))
-    scored = df.withColumn("_score", score).withColumn("_score_r", F.round(F.col("_score"), RANK_DECIMALS))
+    if req.text_filter is not None and chunk_col is None:
+        raise ValueError("text_filter requires chunk_col")
+    if (req.meta_filter or req.meta_required) and meta_col is None:
+        raise ValueError("meta_filter/meta_required require meta_col")
 
-    # range search bounds apply inside the ANN scan (vector_store.py:501-503)
-    if req.radius is not None:
-        scored = scored.filter(F.col("_score_r") >= F.lit(float(req.radius)))
-    if req.range_filter is not None:
-        scored = scored.filter(F.col("_score_r") < F.lit(float(req.range_filter)))
+    # ---- phase 1: score + k-cut over (id, score) only ----
+    score = V.metric_score_q(req.metric, F.col(vector_col), req.query_vector)
+    slim = (
+        df.select(F.col(id_col).alias("_id"), score.alias("_score"))
+        .filter(F.col("_score").isNotNull())
+        .withColumn("_score_r", F.round(F.col("_score"), RANK_DECIMALS))
+    )
 
-    # k-cut: TakeOrderedAndProject, offset folded into the fetch
+    lo, hi = req.score_bounds()
+    if lo is not None:
+        slim = slim.filter(F.col("_score") > F.lit(lo))
+    if hi is not None:
+        slim = slim.filter(F.col("_score") <= F.lit(hi))
+
     fetch = req.fetch + req.offset
-    topk = scored.orderBy(F.col("_score_r").desc(), F.col(id_col).asc()).limit(fetch)
+    topk = slim.orderBy(F.col("_score_r").desc(), F.col("_id").asc()).limit(fetch)
     if req.offset:
-        w = Window.orderBy(F.col("_score_r").desc(), F.col(id_col).asc())
+        w = Window.orderBy(F.col("_score_r").desc(), F.col("_id").asc())
         topk = (
             topk.withColumn("_pre_rank", F.row_number().over(w))
             .filter(F.col("_pre_rank") > req.offset)
             .drop("_pre_rank")
         )
 
-    # post-filter pipeline (vector_store.py:519-582) — AFTER the k-cut
-    out = topk
+    # ---- phase 2: late materialization — payload only for survivors ----
+    need_meta = bool(req.meta_filter or req.meta_required)
+    payload = [c for c in (chunk_col, meta_col if need_meta else None, *extra_cols) if c]
+    if payload:
+        keep = list(dict.fromkeys([id_col, *payload]))
+        out = (
+            df.select(*keep)
+            .join(F.broadcast(topk), F.col(id_col) == F.col("_id"), "inner")
+            .drop("_id")
+        )
+    else:
+        out = topk.withColumnRenamed("_id", id_col)
+
+    # ---- phase 3: post-filter pipeline (vector_store.py:519-582) ----
     if req.score_threshold is not None:
-        out = out.filter(F.col("_score_r") >= F.lit(float(req.score_threshold)))
-    if req.text_filter is not None and chunk_col is not None:
+        rounded = F.round(F.col("_score"), req.threshold_decimals)
+        out = out.filter(rounded >= F.lit(float(req.score_threshold)))
+    if chunk_col is not None:
+        # reference drops hits with empty/null chunk before text/meta filters
+        # (vector_store.py: `if not chunk_content: continue`)
+        out = out.filter(F.col(chunk_col).isNotNull() & (F.col(chunk_col) != ""))
+    if req.text_filter is not None:
         out = out.filter(
             text_filter_predicate(
                 F.col(chunk_col), req.text_filter, req.minimum_words_match, req.include_stop_words
             )
         )
-    if req.meta_required and meta_col is not None:
+    if req.meta_required:
         out = out.filter(F.size(F.col(meta_col)) > 0)
-    if req.meta_filter and meta_col is not None:
+    if req.meta_filter:
         out = out.filter(meta_filter_predicate(F.col(meta_col), req.meta_filter))
 
-    # trim back to the original limit, assign final rank
+    # trim back to the original limit, assign final rank (<=fetch rows here,
+    # so the un-partitioned window is bounded — it must stay behind the limit)
     w = Window.orderBy(F.col("_score_r").desc(), F.col(id_col).asc())
     out = out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= req.effective_limit)
 
@@ -148,24 +204,31 @@ def dense_search_sql(
     """DuckDB oracle twin of dense_search. `table_sql` is a FROM-able
     subquery/view; `meta_exprs` maps meta_filter keys to SQL expressions
     (NULL-able); `meta_size_expr` is the meta-entry-count expression."""
-    qvec = "[" + ",".join(repr(float(x)) for x in req.query_vector) + "]::DOUBLE[]"
-    score = V.metric_sql(req.metric, vector_expr, qvec)
-    where = ["TRUE"]
-    if req.radius is not None:
-        where.append(f"_score_r >= {float(req.radius)!r}")
-    if req.range_filter is not None:
-        where.append(f"_score_r < {float(req.range_filter)!r}")
+    if req.text_filter is not None and chunk_expr is None:
+        raise ValueError("text_filter requires chunk_expr")
+    score = V.metric_sql_q(req.metric, vector_expr, req.query_vector)
+
+    where = ["_score IS NOT NULL"]
+    lo, hi = req.score_bounds()
+    if lo is not None:
+        where.append(f"_score > ({lo!r}::DOUBLE)")
+    if hi is not None:
+        where.append(f"_score <= ({hi!r}::DOUBLE)")
     fetch = req.fetch + req.offset
 
     post = ["TRUE"]
     if req.score_threshold is not None:
-        post.append(f"_score_r >= {float(req.score_threshold)!r}")
-    if req.text_filter is not None and chunk_expr is not None:
+        post.append(
+            f"round(_score, {req.threshold_decimals}) >= ({float(req.score_threshold)!r}::DOUBLE)"
+        )
+    if chunk_expr is not None:
+        post.append("(chunk IS NOT NULL AND chunk <> '')")
+    if req.text_filter is not None:
         post.append(
             text_filter_sql("chunk", req.text_filter, req.minimum_words_match, req.include_stop_words)
         )
-    if req.meta_required and meta_size_expr is not None:
-        post.append(f"({meta_size_expr}) > 0")
+    if req.meta_required:
+        post.append("_meta_n > 0")
     meta_sel = ""
     for i, (k, v) in enumerate((req.meta_filter or {}).items()):
         e = (meta_exprs or {})[k]
@@ -180,13 +243,14 @@ def dense_search_sql(
     extra_out = "".join(f", {name}" for name in (extra_exprs or {}))
     return f"""
 WITH scored AS (
-  SELECT {id_expr} AS id, {score} AS _score, round({score}, {RANK_DECIMALS}) AS _score_r
+  SELECT {id_expr} AS id, {score} AS _score
          {chunk_sel}{extra_sel}{meta_sel},
          {meta_size_expr if meta_size_expr is not None else '0'} AS _meta_n
   FROM {table_sql}
 ),
 topk AS (
-  SELECT * FROM scored WHERE {' AND '.join(where)}
+  SELECT *, round(_score, {RANK_DECIMALS}) AS _score_r FROM scored
+  WHERE {' AND '.join(where)}
   ORDER BY _score_r DESC, id ASC LIMIT {fetch - req.offset} OFFSET {req.offset}
 ),
 filtered AS (

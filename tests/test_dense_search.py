@@ -1,0 +1,109 @@
+"""dense_search semantics: range bounds, over-fetch clamp, offset, raises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.dense_search import (
+    DenseSearchRequest,
+    dense_search,
+)
+
+
+@pytest.fixture(scope="module")
+def coll(spark):
+    # ids 1..20, 2-dim vectors with descending cosine similarity to [1, 0]
+    rows = []
+    for i in range(1, 21):
+        rows.append((i, [1.0, float(i) / 10.0], f"chunk number {i}", {"k": f"v{i % 3}"}))
+    rows.append((99, [1.0, 0.0], "", {"k": "v0"}))  # empty chunk — must be dropped
+    return spark.createDataFrame(
+        rows, "id long, vector array<double>, chunk string, meta map<string,string>"
+    )
+
+
+def _ids(df):
+    return [r["id"] for r in df.orderBy("rank").collect()]
+
+
+def test_topk_order_and_limit(coll):
+    req = DenseSearchRequest(query_vector=[1.0, 0.0], metric="COSINE", limit=5)
+    out = dense_search(coll, req)
+    # id=99 has exact score 1.0 (best); then ids ascending by vector tilt
+    assert _ids(out) == [99, 1, 2, 3, 4]
+    assert [r["rank"] for r in out.orderBy("rank").collect()] == [1, 2, 3, 4, 5]
+
+
+def test_empty_chunk_dropped_when_chunk_selected(coll):
+    req = DenseSearchRequest(query_vector=[1.0, 0.0], metric="COSINE", limit=5)
+    out = dense_search(coll, req, chunk_col="chunk")
+    assert 99 not in _ids(out)  # empty chunk dropped post-k-cut
+
+
+def test_fetch_clamped_after_increase():
+    req = DenseSearchRequest(query_vector=[1.0], limit=95, text_filter="x",
+                             increase_limit_for_text_search=10)
+    assert req.fetch == 100  # min(95+10, 100) — clamp AFTER the increase
+    req2 = DenseSearchRequest(query_vector=[1.0], limit=10, text_filter="x")
+    assert req2.fetch == 20
+
+
+def test_range_bounds_exclusive_inclusive(coll):
+    # Milvus contract: radius < score <= range_filter
+    # score(id=99)=1.0 exactly; range_filter=1.0 keeps it, radius=1.0 drops all
+    req = DenseSearchRequest(query_vector=[1.0, 0.0], limit=100,
+                             radius=0.9, range_filter=1.0)
+    ids = _ids(dense_search(coll, req))
+    assert 99 in ids
+    req2 = DenseSearchRequest(query_vector=[1.0, 0.0], limit=100, radius=1.0)
+    assert _ids(dense_search(coll, req2)) == []
+
+
+def test_l2_range_bounds_on_distance(coll):
+    # L2: range_filter <= distance < radius; vectors at distance |i/10| from q
+    req = DenseSearchRequest(query_vector=[1.0, 0.0], metric="L2", limit=100,
+                             radius=0.35, range_filter=0.15)
+    ids = set(_ids(dense_search(coll, req)))
+    # distances: id i -> i/10 (id 99 -> 0.0); keep 0.15 <= d < 0.35 -> ids 2,3 drop id1(0.1)
+    assert ids == {2, 3}
+
+
+def test_offset_pagination(coll):
+    base = DenseSearchRequest(query_vector=[1.0, 0.0], limit=10)
+    all_ids = _ids(dense_search(coll, base))
+    paged = DenseSearchRequest(query_vector=[1.0, 0.0], limit=5, offset=3)
+    assert _ids(dense_search(coll, paged)) == all_ids[3:8]
+
+
+def test_score_threshold_applies_to_rounded_score(spark):
+    # raw score 0.09996 rounds to 0.1 at round_decimal=4 -> passes threshold 0.1
+    df = spark.createDataFrame([(1, [0.09996])], "id long, vector array<double>")
+    req = DenseSearchRequest(query_vector=[1.0], metric="IP", limit=10,
+                             score_threshold=0.1, round_decimal=4)
+    assert _ids(dense_search(df, req)) == [1]
+    req6 = DenseSearchRequest(query_vector=[1.0], metric="IP", limit=10,
+                              score_threshold=0.1, round_decimal=6)
+    assert _ids(dense_search(df, req6)) == []
+
+
+def test_missing_columns_raise(coll):
+    with pytest.raises(ValueError):
+        dense_search(coll, DenseSearchRequest(query_vector=[1.0, 0.0], text_filter="x"))
+    with pytest.raises(ValueError):
+        dense_search(coll, DenseSearchRequest(query_vector=[1.0, 0.0], meta_required=True))
+
+
+def test_meta_filter_substring_case_insensitive(coll):
+    req = DenseSearchRequest(query_vector=[1.0, 0.0], limit=100, meta_filter={"k": "V1"})
+    ids = set(_ids(dense_search(coll, req, meta_col="meta")))
+    assert ids == {1, 4, 7, 10, 13, 16, 19}
+
+
+def test_plan_is_take_ordered_no_payload_in_sort(coll):
+    """Scale guard: the k-cut must compile to TakeOrderedAndProject over
+    (id, score) only — payload joins back AFTER the limit."""
+    req = DenseSearchRequest(query_vector=[1.0, 0.0], limit=5)
+    plan = dense_search(coll, req, chunk_col="chunk")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,50 @@
+"""End-to-end parity: every registered query vs its DuckDB oracle at sf0.001.
+
+Mirrors the driver's correctness gate (rows, columns, values) so regressions
+surface in pytest before the round boundary.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from flouds_vectordb_spark.sources.tables import TABLE_NAMES
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLE_NAMES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, con, name):
+    q = entry_mod.queries()[name]
+    sdf = canon(q(spark, SF_SMALL).toPandas())
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        pytest.skip(f"{name}: rows-only (no oracle SQL)")
+    odf = canon(con.execute(oracles[name]).df())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf)
+    for c in sdf.columns:
+        a, b = sdf[c], odf[c]
+        eq = (a == b) | (a.isna() & b.isna())
+        assert bool(eq.all()), f"{name}.{c}: first mismatch at {(~eq).idxmax()}"
