@@ -1,0 +1,186 @@
+"""Tenant + collection catalog — the reference's DDL surface, Spark-native.
+
+Reference surface reproduced (citations into /root/reference):
+- S1 `set_vector_store` — tenant database setup
+  (app/milvus/milvus_helper.py:281-322, base_milvus.py:1478-1495,
+  db create :1511-1523). Here: a warehouse directory per tenant plus a row
+  in the `_catalog/tenants` table. User/role/grant handling is metadata the
+  reference stores in Milvus RBAC; we record the tenant row only (auth is an
+  API-layer concern, SURVEY.md §2.5).
+- S2 `generate_schema` — collection DDL + index params
+  (milvus_helper.py:324-403, base_milvus.py:1074-1136 custom schema,
+  :1190-1214 create, :1266-1310 index params). Here: a collection directory
+  (parquet) plus a row in `_catalog/collections` carrying dimension, metric,
+  nlist, index_type, metadata_length, drop_ratio_build. Index types
+  IVF_SQ8/IVF_PQ/HNSW are accepted but executed as IVF_FLAT (documented
+  divergence, SURVEY.md §4.1 — quantization/graph ANN have no faithful Spark
+  analogue; correctness is identical, speed differs).
+- S5 `describe_collection` (vector_store.py:207-263): schema read-back.
+- S6 existence checks (base_milvus.py:500-540).
+
+Validation mirrors app/models/generate_schema_request.py:27-64 and
+app/utils/input_validator.py:169-170: dimension 1..4096, nlist 1..65536,
+metric ∈ {COSINE, L2, IP}, index_type ∈ {IVF_FLAT, IVF_SQ8, IVF_PQ, HNSW},
+metadata_length 256..65535, drop_ratio_build 0..1.
+
+Design note (100 TB): the catalog itself is tiny metadata — stored as
+single-file parquet, read on the driver. Collection DATA lives in
+partitioned parquet under the warehouse; nothing here touches executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+VALID_METRICS = ("COSINE", "L2", "IP")
+VALID_INDEX_TYPES = ("IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW")
+
+
+def collection_name(tenant: str, model: str) -> str:
+    """Reference naming: vector_store_schema_for_{tenant}_{model}, lowercased,
+    '-'/'.' -> '_' (base_milvus.py:487-497)."""
+    raw = f"vector_store_schema_for_{tenant}_{model}".lower()
+    return re.sub(r"[-.]", "_", raw)
+
+
+def tenant_db_name(tenant: str) -> str:
+    """Reference naming: {tenant}_vectorstore (base_milvus.py:465-477)."""
+    return f"{tenant.lower()}_vectorstore"
+
+
+@dataclass
+class CollectionSpec:
+    """The generate_schema parameter surface (generate_schema_request.py:27-64)."""
+
+    tenant: str
+    model: str
+    dimension: int
+    metric_type: str = "COSINE"
+    nlist: int = 1024
+    index_type: str = "IVF_FLAT"
+    metadata_length: int = 4096
+    drop_ratio_build: float = 0.1
+
+    def validate(self) -> None:
+        if not (1 <= self.dimension <= 4096):
+            raise ValueError(f"dimension must be 1..4096, got {self.dimension}")
+        if not (1 <= self.nlist <= 65536):
+            raise ValueError(f"nlist must be 1..65536, got {self.nlist}")
+        if self.metric_type.upper() not in VALID_METRICS:
+            raise ValueError(f"metric_type must be one of {VALID_METRICS}")
+        if self.index_type.upper() not in VALID_INDEX_TYPES:
+            raise ValueError(f"index_type must be one of {VALID_INDEX_TYPES}")
+        if not (256 <= self.metadata_length <= 65535):
+            raise ValueError(f"metadata_length must be 256..65535")
+        if not (0.0 <= self.drop_ratio_build <= 1.0):
+            raise ValueError("drop_ratio_build must be 0..1")
+
+
+def collection_schema(dim: int) -> T.StructType:
+    """The one collection schema (base_milvus.py:920-997 -> SURVEY §1.2):
+    pk | chunk | dense vector | sparse vector | meta map | batch_ts."""
+    return T.StructType([
+        T.StructField("id", T.StringType(), False),
+        T.StructField("chunk", T.StringType(), True),
+        T.StructField("vector", T.ArrayType(T.FloatType()), False),
+        T.StructField("sparse_vector", T.MapType(T.LongType(), T.DoubleType()), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("batch_ts", T.LongType(), False),
+    ])
+
+
+class Catalog:
+    """File-backed tenant/collection catalog rooted at a warehouse dir."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---- paths -------------------------------------------------------------
+    def _meta_path(self, kind: str) -> str:
+        return os.path.join(self.warehouse, "_catalog", f"{kind}.json")
+
+    def collection_path(self, tenant: str, model: str) -> str:
+        return os.path.join(self.warehouse, tenant_db_name(tenant), collection_name(tenant, model))
+
+    # ---- tiny JSON metadata store (driver-side, atomic rename) -------------
+    def _read_meta(self, kind: str) -> dict:
+        p = self._meta_path(kind)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_meta(self, kind: str, data: dict) -> None:
+        p = self._meta_path(kind)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, p)
+
+    # ---- S1: tenant DDL ----------------------------------------------------
+    def set_vector_store(self, tenant: str) -> dict:
+        tenants = self._read_meta("tenants")
+        db = tenant_db_name(tenant)
+        created = tenant not in tenants
+        if created:
+            tenants[tenant] = {"db": db, "created_at": int(time.time())}
+            self._write_meta("tenants", tenants)
+            os.makedirs(os.path.join(self.warehouse, db), exist_ok=True)
+        return {"tenant": tenant, "db": db, "created": created}
+
+    def tenant_exists(self, tenant: str) -> bool:
+        return tenant in self._read_meta("tenants")
+
+    # ---- S2: collection DDL ------------------------------------------------
+    def generate_schema(self, spec: CollectionSpec) -> dict:
+        spec.validate()
+        if not self.tenant_exists(spec.tenant):
+            raise ValueError(f"unknown tenant {spec.tenant!r}; call set_vector_store first")
+        colls = self._read_meta("collections")
+        name = collection_name(spec.tenant, spec.model)
+        if name in colls:
+            raise ValueError(f"collection {name!r} already exists")
+        colls[name] = {**asdict(spec), "path": self.collection_path(spec.tenant, spec.model)}
+        self._write_meta("collections", colls)
+        os.makedirs(colls[name]["path"], exist_ok=True)
+        return {"collection": name, **colls[name]}
+
+    # ---- S5: describe ------------------------------------------------------
+    def describe_collection(self, tenant: str, model: str) -> dict:
+        name = collection_name(tenant, model)
+        colls = self._read_meta("collections")
+        if name not in colls:
+            raise ValueError(f"collection {name!r} does not exist")
+        return colls[name]
+
+    def vector_dimension(self, tenant: str, model: str) -> int:
+        """Reference `_get_vector_dimension` (vector_store.py:207-263)."""
+        return int(self.describe_collection(tenant, model)["dimension"])
+
+    # ---- S6: existence -----------------------------------------------------
+    def collection_exists(self, tenant: str, model: str) -> bool:
+        return collection_name(tenant, model) in self._read_meta("collections")
+
+    def list_collections(self, tenant: str | None = None) -> list[str]:
+        colls = self._read_meta("collections")
+        if tenant is None:
+            return sorted(colls)
+        return sorted(n for n, c in colls.items() if c["tenant"] == tenant)
+
+    # ---- data access -------------------------------------------------------
+    def read_collection(self, tenant: str, model: str) -> DataFrame:
+        meta = self.describe_collection(tenant, model)
+        path = meta["path"]
+        if not any(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
+            return self.spark.createDataFrame([], collection_schema(meta["dimension"]))
+        return self.spark.read.parquet(path)

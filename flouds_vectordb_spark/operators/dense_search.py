@@ -65,6 +65,19 @@ class DenseSearchRequest:
     increase_limit_for_text_search: int = 10
     meta_filter: dict[str, str] = field(default_factory=dict)
     meta_required: bool = False
+    # Q12: projection — default mirrors search_request.py:82-85
+    output_fields: tuple[str, ...] = ("chunk", "meta")
+    # Q13: accepted-and-ignored (Spark reads are snapshot-consistent;
+    # search_request.py:222-240, SURVEY §2.2-Q13)
+    consistency_level: str = "Bounded"
+
+    VALID_CONSISTENCY = ("Strong", "Session", "Bounded", "Eventually")
+
+    def __post_init__(self) -> None:
+        if self.consistency_level not in self.VALID_CONSISTENCY:
+            raise ValueError(
+                f"consistency_level must be one of {self.VALID_CONSISTENCY}"
+            )
 
     @property
     def effective_limit(self) -> int:
@@ -147,7 +160,8 @@ def dense_search(
         )
 
     # ---- phase 2: late materialization — payload only for survivors ----
-    need_meta = bool(req.meta_filter or req.meta_required)
+    meta_out = meta_col is not None and "meta" in req.output_fields
+    need_meta = bool(req.meta_filter or req.meta_required) or meta_out
     payload = [c for c in (chunk_col, meta_col if need_meta else None, *extra_cols) if c]
     if payload:
         keep = list(dict.fromkeys([id_col, *payload]))
@@ -185,8 +199,17 @@ def dense_search(
 
     dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
     cols = [F.col(id_col), F.col("rank"), F.round(F.col("_score"), dec).alias("score")]
-    if chunk_col:
+    # Q12 projection: output_fields picks the payload columns; the result
+    # row shape mirrors EmbeddedMeta = content + meta (embedded_meta.py:9-20)
+    if chunk_col and "chunk" in req.output_fields:
         cols.append(F.col(chunk_col))
+    if meta_out:
+        # canonical sorted k=v rendering — deterministic and hashable
+        kv = F.transform(
+            F.array_sort(F.map_entries(F.col(meta_col))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        )
+        cols.append(F.array_join(kv, ",").alias("meta_kv"))
     cols += [F.col(c) for c in extra_cols]
     return out.select(*cols)
 
@@ -199,11 +222,14 @@ def dense_search_sql(
     chunk_expr: str | None = None,
     meta_exprs: dict[str, str] | None = None,
     meta_size_expr: str | None = None,
+    meta_kv_expr: str | None = None,
     extra_exprs: dict[str, str] | None = None,
 ) -> str:
     """DuckDB oracle twin of dense_search. `table_sql` is a FROM-able
     subquery/view; `meta_exprs` maps meta_filter keys to SQL expressions
-    (NULL-able); `meta_size_expr` is the meta-entry-count expression."""
+    (NULL-able); `meta_size_expr` is the meta-entry-count expression;
+    `meta_kv_expr` renders the canonical sorted `k=v,...` meta string for
+    Q12 output (must match the engine's array_sort(map_entries) order)."""
     if req.text_filter is not None and chunk_expr is None:
         raise ValueError("text_filter requires chunk_expr")
     score = V.metric_sql_q(req.metric, vector_expr, req.query_vector)
@@ -237,14 +263,18 @@ def dense_search_sql(
         post.append(f"(_meta_{i} IS NOT NULL AND instr(lower(_meta_{i}), '{vv}') > 0)")
 
     dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    with_chunk = chunk_expr is not None and "chunk" in req.output_fields
+    with_meta = meta_kv_expr is not None and "meta" in req.output_fields
     chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""
+    meta_sel_out = f", {meta_kv_expr} AS meta_kv" if with_meta else ""
     extra_sel = "".join(f", {e} AS {name}" for name, e in (extra_exprs or {}).items())
-    chunk_out = ", chunk" if chunk_expr else ""
+    chunk_out = ", chunk" if with_chunk else ""
+    meta_out = ", meta_kv" if with_meta else ""
     extra_out = "".join(f", {name}" for name in (extra_exprs or {}))
     return f"""
 WITH scored AS (
   SELECT {id_expr} AS id, {score} AS _score
-         {chunk_sel}{extra_sel}{meta_sel},
+         {chunk_sel}{meta_sel_out}{extra_sel}{meta_sel},
          {meta_size_expr if meta_size_expr is not None else '0'} AS _meta_n
   FROM {table_sql}
 ),
@@ -256,9 +286,9 @@ topk AS (
 filtered AS (
   SELECT * FROM topk WHERE {' AND '.join(post)}
 )
-SELECT id, rank, score{chunk_out}{extra_out} FROM (
+SELECT id, rank, score{chunk_out}{meta_out}{extra_out} FROM (
   SELECT id, row_number() OVER (ORDER BY _score_r DESC, id ASC) AS rank,
-         round(_score, {dec}) AS score{chunk_out}{extra_out}
+         round(_score, {dec}) AS score{chunk_out}{meta_out}{extra_out}
   FROM filtered
 ) WHERE rank <= {req.effective_limit}
 """

@@ -1,0 +1,243 @@
+"""Hybrid dense+sparse search with Reciprocal Rank Fusion (Q4 + Q14).
+
+Reference behavior reproduced (citations into /root/reference):
+- `hybrid_search_store` (app/milvus/vector_store.py:594-670): per-branch
+  limit = min(limit, 50) (:609); dense branch runs the request's metric;
+  sparse branch runs ONLY when text_filter is non-empty — in hybrid mode
+  text_filter is the sparse QUERY, not a keyword post-filter.
+- `_combine_hybrid_results` (:694-795): 1-based ranks per branch; keys
+  unioned (dedup across branches = Q14); RRF(d) = Σ 1/(60 + rank)
+  (`_calculate_rrf_scores` :797-822, k=60); sort by RRF desc.
+- Post pipeline on the fused order: score_threshold compares the ORIGINAL
+  dense score — sparse-only hits bypass it (:766-770); empty-chunk drop;
+  meta_required / meta_filter; trim to the ORIGINAL limit (:791-795).
+- Tie-break: the reference relies on Python's stable sort (branch insertion
+  order); we use deterministic id-ascending instead — documented divergence
+  (SURVEY.md §4.3.6) required for cross-engine hash parity.
+
+Scale notes: each branch is an independent bounded top-k (<=50 rows); the
+fusion is a full outer join of two <=50-row DataFrames — broadcastable,
+trivially cheap. Payload (chunk/meta) joins back late, only for the fused
+survivors, so hybrid costs ~2 corpus scans (one per branch) regardless of
+payload width.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.functions import vector as V
+from flouds_vectordb_spark.operators.sparse_search import (
+    SparseSearchRequest,
+    sparse_scores_sql,
+    sparse_search,
+)
+
+RRF_K = 60  # reference vector_store.py:797-822
+HYBRID_BRANCH_LIMIT = 50  # reference vector_store.py:609
+RANK_DECIMALS = 6
+
+
+@dataclass
+class HybridSearchRequest:
+    """The hybrid surface of SearchEmbeddedRequest."""
+
+    query_vector: list[float]
+    text_filter: str
+    metric: str = "COSINE"
+    limit: int = 10
+    round_decimal: int = -1
+    score_threshold: float | None = None
+    meta_filter: dict[str, str] = field(default_factory=dict)
+    meta_required: bool = False
+    k1: float = 1.5
+    b: float = 0.75
+
+    @property
+    def branch_limit(self) -> int:
+        return min(self.limit, HYBRID_BRANCH_LIMIT)
+
+    @property
+    def threshold_decimals(self) -> int:
+        return self.round_decimal if self.round_decimal >= 0 else RANK_DECIMALS
+
+    def sparse_request(self) -> SparseSearchRequest:
+        return SparseSearchRequest(
+            query_text=self.text_filter,
+            limit=self.branch_limit,
+            k1=self.k1,
+            b=self.b,
+        )
+
+
+def _dense_branch(df: DataFrame, req: HybridSearchRequest, id_col: str,
+                  vector_col: str) -> DataFrame:
+    """(id, dense_rank_, dense_score) — bounded top-branch_limit."""
+    score = V.metric_score_q(req.metric, F.col(vector_col), req.query_vector)
+    slim = (
+        df.select(F.col(id_col).alias("id"), score.alias("_ds"))
+        .filter(F.col("_ds").isNotNull())
+        .withColumn("_ds_r", F.round(F.col("_ds"), RANK_DECIMALS))
+    )
+    topk = slim.orderBy(F.col("_ds_r").desc(), F.col("id").asc()).limit(req.branch_limit)
+    w = Window.orderBy(F.col("_ds_r").desc(), F.col("id").asc())
+    return topk.withColumn("dense_rank_", F.row_number().over(w)).select(
+        "id", "dense_rank_", F.col("_ds").alias("dense_score")
+    )
+
+
+def hybrid_search(
+    df: DataFrame,
+    postings: DataFrame,
+    req: HybridSearchRequest,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    chunk_col: str | None = None,
+    meta_col: str | None = None,
+) -> DataFrame:
+    """Returns (id, rank, rrf_score [, chunk]) fused across both branches."""
+    if (req.meta_filter or req.meta_required) and meta_col is None:
+        raise ValueError("meta_filter/meta_required require meta_col")
+
+    dense = _dense_branch(df, req, id_col, vector_col)
+    sparse = sparse_search(postings, req.sparse_request()).select(
+        F.col("id"), F.col("rank").alias("sparse_rank_")
+    )
+
+    fused = dense.join(sparse, "id", "full_outer")
+    kf = float(RRF_K)
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(kf) + F.col("dense_rank_").cast("double")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(kf) + F.col("sparse_rank_").cast("double")), F.lit(0.0))
+    )
+    fused = fused.withColumn("_rrf", rrf).withColumn("_rrf_r", F.round(F.col("_rrf"), RANK_DECIMALS))
+
+    # late materialization for the fused survivors (<=100 rows)
+    need_meta = bool(req.meta_filter or req.meta_required)
+    payload = [c for c in (chunk_col, meta_col if need_meta else None) if c]
+    if payload:
+        keep = list(dict.fromkeys([id_col, *payload]))
+        out = (
+            df.select(*[F.col(c) for c in keep])
+            .join(F.broadcast(fused.withColumnRenamed("id", "_fid")),
+                  F.col(id_col) == F.col("_fid"), "inner")
+            .drop("_fid")
+        )
+    else:
+        out = fused.withColumnRenamed("id", id_col)
+
+    # score_threshold on the ORIGINAL dense score; sparse-only hits bypass
+    if req.score_threshold is not None:
+        ds = F.round(F.col("dense_score"), req.threshold_decimals)
+        out = out.filter(
+            F.col("dense_rank_").isNull() | (ds >= F.lit(float(req.score_threshold)))
+        )
+    if chunk_col is not None:
+        out = out.filter(F.col(chunk_col).isNotNull() & (F.col(chunk_col) != ""))
+    if req.meta_required:
+        out = out.filter(F.size(F.col(meta_col)) > 0)
+    if req.meta_filter:
+        from flouds_vectordb_spark.operators.dense_search import meta_filter_predicate
+
+        out = out.filter(meta_filter_predicate(F.col(meta_col), req.meta_filter))
+
+    w = Window.orderBy(F.col("_rrf_r").desc(), F.col(id_col).asc())
+    out = out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= req.limit)
+    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    cols = [F.col(id_col), F.col("rank"), F.round(F.col("_rrf"), dec).alias("rrf_score")]
+    if chunk_col:
+        cols.append(F.col(chunk_col))
+    return out.select(*cols)
+
+
+def hybrid_search_sql(
+    req: HybridSearchRequest,
+    table_sql: str,
+    postings_sql: str,
+    id_expr: str,
+    vector_expr: str,
+    chunk_expr: str | None = None,
+    meta_exprs: dict[str, str] | None = None,
+    meta_size_expr: str | None = None,
+) -> str:
+    """DuckDB oracle twin of hybrid_search."""
+    score = V.metric_sql_q(req.metric, vector_expr, req.query_vector)
+    sparse_scores = sparse_scores_sql(req.sparse_request(), postings_sql)
+
+    post = ["TRUE"]
+    if req.score_threshold is not None:
+        post.append(
+            f"(dense_rank_ IS NULL OR round(dense_score, {req.threshold_decimals})"
+            f" >= ({float(req.score_threshold)!r}::DOUBLE))"
+        )
+    if chunk_expr is not None:
+        post.append("(chunk IS NOT NULL AND chunk <> '')")
+    if req.meta_required:
+        post.append("_meta_n > 0")
+    meta_join_sel = ""
+    for i, (k, v) in enumerate((req.meta_filter or {}).items()):
+        e = (meta_exprs or {})[k]
+        meta_join_sel += f", {e} AS _meta_{i}"
+        vv = v.lower().replace("'", "''")
+        post.append(f"(_meta_{i} IS NOT NULL AND instr(lower(_meta_{i}), '{vv}') > 0)")
+
+    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""
+    chunk_out = ", chunk" if chunk_expr else ""
+    need_payload = bool(chunk_expr or meta_join_sel or req.meta_required)
+    payload_join = (
+        f"JOIN (SELECT {id_expr} AS _pid {chunk_sel}{meta_join_sel}, "
+        f"{meta_size_expr if meta_size_expr is not None else '0'} AS _meta_n "
+        f"FROM {table_sql}) p ON f.id = p._pid"
+        if need_payload
+        else ""
+    )
+    return f"""
+WITH _dense_scored AS (
+  SELECT {id_expr} AS id, {score} AS _ds FROM {table_sql}
+),
+_dense_topk AS (
+  SELECT id, _ds, round(_ds, {RANK_DECIMALS}) AS _ds_r FROM _dense_scored
+  WHERE _ds IS NOT NULL
+  ORDER BY _ds_r DESC, id ASC LIMIT {req.branch_limit}
+),
+_dense AS (
+  SELECT id, row_number() OVER (ORDER BY _ds_r DESC, id ASC) AS dense_rank_,
+         _ds AS dense_score
+  FROM _dense_topk
+),
+_sparse_scored AS (
+  SELECT id, _score, round(_score, {RANK_DECIMALS}) AS _score_r
+  FROM ({sparse_scores})
+),
+_sparse_topk AS (
+  SELECT * FROM _sparse_scored ORDER BY _score_r DESC, id ASC LIMIT {req.branch_limit}
+),
+_sparse AS (
+  SELECT id, row_number() OVER (ORDER BY _score_r DESC, id ASC) AS sparse_rank_
+  FROM _sparse_topk
+),
+_fused AS (
+  SELECT coalesce(d.id, s.id) AS id, d.dense_rank_, d.dense_score, s.sparse_rank_,
+         coalesce(1.0 / ({RRF_K}.0 + d.dense_rank_::DOUBLE), 0.0)
+         + coalesce(1.0 / ({RRF_K}.0 + s.sparse_rank_::DOUBLE), 0.0) AS _rrf
+  FROM _dense d FULL OUTER JOIN _sparse s ON d.id = s.id
+),
+_hydrated AS (
+  SELECT f.*, round(f._rrf, {RANK_DECIMALS}) AS _rrf_r{chunk_out and ', p.chunk' or ''}
+         {"".join(f', p._meta_{i}' for i in range(len(req.meta_filter or {})))}
+         {', p._meta_n' if need_payload else ', 0 AS _meta_n'}
+  FROM _fused f {payload_join}
+),
+_filtered AS (
+  SELECT * FROM _hydrated WHERE {' AND '.join(post)}
+)
+SELECT id, rank, rrf_score{chunk_out} FROM (
+  SELECT id, row_number() OVER (ORDER BY _rrf_r DESC, id ASC) AS rank,
+         round(_rrf, {dec}) AS rrf_score{chunk_out}
+  FROM _filtered
+) WHERE rank <= {req.limit}
+"""

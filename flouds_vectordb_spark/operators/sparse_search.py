@@ -1,0 +1,252 @@
+"""Sparse BM25 search (Q3) + ingest-side BM25 document encoding (I1).
+
+Reference behavior reproduced (citations into /root/reference):
+- I1: on upsert the reference encodes chunks to sparse BM25 vectors via
+  pymilvus's BM25EmbeddingFunction (app/milvus/vector_store.py:164-191),
+  converted COO -> {col: weight} dicts (:148-162). Its corpus stats are
+  fit-on-first-batch (process-local, ingest-order-biased, :180-182); ours
+  are corpus-level and deterministic — a documented improvement
+  (SURVEY.md §4.3.7): correctness tests assert ranking behavior, not
+  weight equality with pymilvus.
+- Q3: sparse search runs metric IP over the sparse vectors
+  (vector_store.py:629-659); the query is encoded from `text_filter`
+  (:672-692). score(q, d) = Σ_t q_tf(t) · w(d, t).
+- Index params: SPARSE_INVERTED_INDEX with drop_ratio_build pruning
+  (base_milvus.py:1286-1310): the smallest `drop_ratio_build` fraction of
+  posting weights is dropped at build time.
+
+BM25 model (k1=1.5, b=0.75 — pymilvus defaults):
+  idf(t)    = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+  w(d, t)   = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  q_tf(t)   = term count in the tokenized query
+Tokenization is the engine-wide lowercase-whitespace split (the reference
+delegates to pymilvus's analyzer; divergence documented). Stop words are
+KEPT — BM25's idf already downweights them.
+
+Spark-first design (100 TB):
+- The BUILD is the classic inverted-index job: explode -> tf per (doc,
+  term) -> df per term -> weight; one shuffle on term for the df join. The
+  posting-list table is the index; at scale it is written bucketed by term
+  so query-time term lookups are pruned scans.
+- The SEARCH never explodes the corpus: query terms are a driver-side
+  constant (tiny), so matching postings are a pushed-down `term IN (...)`
+  filter; scoring aggregates per-doc with ONE sum per query term (each
+  summing at most one posting), then a fixed-order weighted add — fully
+  deterministic float math, identical in DuckDB (oracle parity).
+- Shuffle budget per query: one hash aggregation over the matched postings
+  (a tiny fraction of the corpus), then a TakeOrderedAndProject k-cut.
+
+Every builder has a *_sql twin emitting the equivalent DuckDB query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.functions.text import tokenize
+
+MAX_LIMIT = 100  # reference vector_store.py:457
+RANK_DECIMALS = 6
+
+K1_DEFAULT = 1.5
+B_DEFAULT = 0.75
+
+
+@dataclass
+class SparseSearchRequest:
+    """The sparse-search surface: text_filter is the query
+    (vector_store.py:629-692), limit/offset/round_decimal as dense."""
+
+    query_text: str
+    limit: int = 10
+    offset: int = 0
+    round_decimal: int = -1
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+    drop_ratio_build: float = 0.0
+
+    @property
+    def effective_limit(self) -> int:
+        return min(self.limit, MAX_LIMIT)
+
+    def query_term_counts(self) -> list[tuple[str, int]]:
+        """Tokenized query term -> count, sorted by term for a deterministic
+        fixed-order score summation in BOTH engines."""
+        counts: dict[str, int] = {}
+        for w in self.query_text.lower().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+        return sorted(counts.items())
+
+
+# --- I1: index build ---------------------------------------------------------
+
+def bm25_postings(
+    df: DataFrame,
+    id_col: str = "id",
+    chunk_col: str = "chunk",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    drop_ratio_build: float = 0.0,
+) -> DataFrame:
+    """Posting-list table (id, term, tf, dl, df, weight) — the Spark analogue
+    of Milvus's SPARSE_INVERTED_INDEX build. At scale, write this bucketed by
+    term (SURVEY.md §4.1)."""
+    docs = (
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
+        .withColumn("dl", F.size("terms"))
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )  # integer sums — exact, deterministic
+    tf = (
+        docs.select("id", "dl", F.explode("terms").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    post = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
+
+    n, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tfd = F.col("tf").cast("double")
+    tf_norm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    post = post.select("id", "term", "tf", "dl", "df", (idf * tf_norm).alias("weight"))
+
+    if drop_ratio_build > 0.0:
+        # Milvus drop_ratio_build: drop the smallest fraction of weights at
+        # build (base_milvus.py:1286-1310). Deterministic cutoff: global
+        # row_number over (weight, term, id) — exact same tie handling as the
+        # SQL twin. The global window is build-time-only (never per-query).
+        total = post.count()
+        cut = int(total * drop_ratio_build)
+        w = Window.orderBy(F.col("weight").asc(), F.col("term").asc(), F.col("id").asc())
+        post = post.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > cut).drop("_rn")
+    return post
+
+
+def bm25_postings_sql(
+    table_sql: str,
+    id_expr: str = "id",
+    chunk_expr: str = "chunk",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    drop_ratio_build: float = 0.0,
+) -> str:
+    """DuckDB oracle twin of bm25_postings (same tokenizer, same math)."""
+    base = f"""
+WITH _docs AS (
+  SELECT {id_expr} AS id,
+         list_filter(string_split_regex(lower({chunk_expr}), '\\s+'), x -> x <> '') AS terms
+  FROM {table_sql}
+),
+_docs2 AS (SELECT id, terms, len(terms) AS dl FROM _docs),
+_stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM _docs2),
+_tok AS (SELECT id, dl, unnest(terms) AS term FROM _docs2),
+_tf AS (SELECT id, dl, term, count(*) AS tf FROM _tok GROUP BY id, dl, term),
+_df AS (SELECT term, count(*) AS df FROM _tf GROUP BY term),
+_post AS (
+  SELECT _tf.id, _tf.term, _tf.tf, _tf.dl, _df.df,
+         ln(1.0 + (n_docs::DOUBLE - _df.df::DOUBLE + 0.5) / (_df.df::DOUBLE + 0.5))
+         * (_tf.tf::DOUBLE * {k1 + 1.0!r}) /
+           (_tf.tf::DOUBLE + {k1!r} * ({1.0 - b!r} + {b!r} * _tf.dl::DOUBLE
+              / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS weight
+  FROM _tf JOIN _df USING (term) CROSS JOIN _stats
+)"""
+    if drop_ratio_build > 0.0:
+        return base + f""",
+_cut AS (SELECT (count(*) * {drop_ratio_build!r})::BIGINT AS k FROM _post),
+_pruned AS (
+  SELECT id, term, tf, dl, df, weight FROM (
+    SELECT *, row_number() OVER (ORDER BY weight ASC, term ASC, id ASC) AS _rn FROM _post
+  ), _cut WHERE _rn > k
+)
+SELECT id, term, tf, dl, df, weight FROM _pruned"""
+    return base + "\nSELECT id, term, tf, dl, df, weight FROM _post"
+
+
+# --- Q3: sparse search -------------------------------------------------------
+
+def sparse_search(
+    postings: DataFrame,
+    req: SparseSearchRequest,
+) -> DataFrame:
+    """Top-k over the posting list: (id, rank, score). Empty query (no
+    tokens) returns no rows — a BM25 query needs at least one term."""
+    qterms = req.query_term_counts()
+    if not qterms:
+        return postings.sparkSession.createDataFrame([], "id long, rank int, score double")
+
+    matched = postings.filter(F.col("term").isin([t for t, _ in qterms]))
+    # one sum per query term (<=1 posting each per doc) -> deterministic
+    aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("weight"))).alias(f"_w{i}")
+        for i, (t, _) in enumerate(qterms)
+    ]
+    per_doc = matched.groupBy("id").agg(*aggs)
+    score = F.lit(0.0)
+    for i, (_, c) in enumerate(qterms):
+        score = score + F.coalesce(F.col(f"_w{i}"), F.lit(0.0)) * F.lit(float(c))
+    scored = per_doc.select("id", score.alias("_score")).withColumn(
+        "_score_r", F.round(F.col("_score"), RANK_DECIMALS)
+    )
+
+    fetch = req.effective_limit + req.offset
+    topk = scored.orderBy(F.col("_score_r").desc(), F.col("id").asc()).limit(fetch)
+    if req.offset:
+        w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
+        topk = (
+            topk.withColumn("_pre_rank", F.row_number().over(w))
+            .filter(F.col("_pre_rank") > req.offset)
+            .drop("_pre_rank")
+        )
+    w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
+    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("id", "rank", F.round(F.col("_score"), dec).alias("score"))
+    )
+
+
+def sparse_scores_sql(req: SparseSearchRequest, postings_sql: str) -> str:
+    """(id, _score) over a posting-list subquery — shared by Q3 and hybrid."""
+    qterms = req.query_term_counts()
+    if not qterms:
+        return "SELECT NULL::BIGINT AS id, NULL::DOUBLE AS _score WHERE FALSE"
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t, _ in qterms)
+    sums = "".join(
+        f", sum(CASE WHEN term = '{t.replace(chr(39), chr(39) * 2)}' THEN weight END) AS _w{i}"
+        for i, (t, _) in enumerate(qterms)
+    )
+    score = "0.0"
+    for i, (_, c) in enumerate(qterms):
+        score += f" + coalesce(_w{i}, 0.0) * {float(c)!r}"
+    return f"""
+SELECT id, ({score}) AS _score FROM (
+  SELECT id{sums} FROM ({postings_sql}) WHERE term IN ({in_list}) GROUP BY id
+)"""
+
+
+def sparse_search_sql(req: SparseSearchRequest, postings_sql: str) -> str:
+    """DuckDB oracle twin of sparse_search."""
+    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    fetch = req.effective_limit + req.offset
+    return f"""
+WITH _scored AS (
+  SELECT id, _score, round(_score, {RANK_DECIMALS}) AS _score_r
+  FROM ({sparse_scores_sql(req, postings_sql)})
+),
+_topk AS (
+  SELECT * FROM _scored
+  ORDER BY _score_r DESC, id ASC LIMIT {fetch - req.offset} OFFSET {req.offset}
+)
+SELECT id, row_number() OVER (ORDER BY _score_r DESC, id ASC) AS rank,
+       round(_score, {dec}) AS score
+FROM _topk
+"""

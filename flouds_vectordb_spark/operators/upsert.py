@@ -1,0 +1,123 @@
+"""Upsert sink + dimension validation + flush — the reference's ingest path.
+
+Reference behavior reproduced (citations into /root/reference):
+- S3 `insert_data` (app/milvus/vector_store.py:292-404): batch upsert with
+  primary-key latest-wins semantics (`client.upsert`, :358-362).
+- I2 dimension validation (vector_store.py:332-352): every vector length
+  must equal the collection dimension; violations raise with the offending
+  keys listed.
+- I3 auto-flush policy (vector_store.py:369-387, milvus_helper.py:121-130):
+  flush iff force_flush, or auto_flush_min_batch == 0, or
+  batch >= auto_flush_min_batch > 0; negative threshold = never.
+- S4 `flush` (vector_store.py:406-426): segment persistence.
+
+Spark-first design (100 TB): ingest APPENDS the batch as new parquet files
+stamped with a monotonically increasing batch_ts — an O(batch) write, never
+O(table). Reads resolve latest-wins lazily via the key-dedup window; `flush`
+is COMPACTION — it materializes the deduped state and swaps it in, exactly
+Milvus's buffered-segment + flush model re-expressed as append + compact.
+The dedup window shuffles on the primary key (hash-partitioned, no skew:
+keys are unique-ish), and AQE coalesces the output. On a cluster the rewrite
+would be an incremental MERGE (Delta/Iceberg); plain parquet is the
+lowest-common-denominator the driver environment supports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+AUTO_FLUSH_MIN_BATCH = 100  # appsettings.json auto_flush_min_batch
+
+
+def validate_dimensions(batch: DataFrame, dim: int, vector_col: str = "vector",
+                        key_col: str = "id") -> None:
+    """I2: reject wrong-dimension vectors, naming offending keys
+    (vector_store.py:332-352)."""
+    bad = (
+        batch.filter((F.col(vector_col).isNull()) | (F.size(F.col(vector_col)) != dim))
+        .select(key_col)
+        .limit(10)
+        .collect()
+    )
+    if bad:
+        keys = [r[key_col] for r in bad]
+        raise ValueError(f"vectors with dimension != {dim} for keys {keys}")
+
+
+def should_flush(batch_size: int, force_flush: bool = False,
+                 auto_flush_min_batch: int = AUTO_FLUSH_MIN_BATCH) -> bool:
+    """I3 flush policy (milvus_helper.py:121-130): 0 => always, <0 => never,
+    else flush when the batch reaches the threshold."""
+    if force_flush:
+        return True
+    if auto_flush_min_batch == 0:
+        return True
+    if auto_flush_min_batch < 0:
+        return False
+    return batch_size >= auto_flush_min_batch
+
+
+def upsert(current: DataFrame, batch: DataFrame, key_col: str = "id",
+           ts_col: str = "batch_ts") -> DataFrame:
+    """Latest-wins merge: union current+batch, keep the newest row per key
+    (ties broken toward the batch via ts ordering). The Spark MERGE-on-parquet
+    fallback from SURVEY §2.1-S3."""
+    unioned = current.unionByName(batch, allowMissingColumns=True)
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_sql(current_sql: str, batch_sql: str, cols: list[str],
+               key_expr: str = "id", ts_expr: str = "batch_ts") -> str:
+    """DuckDB oracle twin of upsert(): union + latest-wins window."""
+    col_list = ", ".join(cols)
+    return f"""
+SELECT {col_list} FROM (
+  SELECT {col_list}, row_number() OVER (PARTITION BY {key_expr} ORDER BY {ts_expr} DESC) AS _rn
+  FROM (SELECT {col_list} FROM {current_sql} UNION ALL SELECT {col_list} FROM {batch_sql})
+) WHERE _rn = 1
+"""
+
+
+class CollectionWriter:
+    """Catalog-backed ingest: append-on-insert, compact-on-flush."""
+
+    def __init__(self, catalog, tenant: str, model: str):
+        self.catalog = catalog
+        self.tenant = tenant
+        self.model = model
+        self.meta = catalog.describe_collection(tenant, model)
+
+    def insert_data(self, batch: DataFrame, batch_ts: int, force_flush: bool = False,
+                    auto_flush_min_batch: int = AUTO_FLUSH_MIN_BATCH) -> dict:
+        """S3: validate dims, append the stamped batch, apply flush policy."""
+        validate_dimensions(batch, int(self.meta["dimension"]))
+        stamped = batch.withColumn("batch_ts", F.lit(int(batch_ts)))
+        n = stamped.count()
+        stamped.write.mode("append").parquet(self.meta["path"])
+        flushed = should_flush(n, force_flush, auto_flush_min_batch)
+        if flushed:
+            self.flush()
+        return {"inserted": n, "flushed": flushed}
+
+    def read_latest(self) -> DataFrame:
+        """Latest-wins view over the appended segments."""
+        df = self.catalog.read_collection(self.tenant, self.model)
+        w = Window.partitionBy("id").orderBy(F.col("batch_ts").desc())
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    def flush(self) -> None:
+        """S4: compact appended segments to the deduped state (tmp + swap)."""
+        import shutil
+
+        path = self.meta["path"]
+        tmp = path + "__compacting"
+        self.read_latest().write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        import os
+        os.replace(tmp, path)

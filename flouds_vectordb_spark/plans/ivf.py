@@ -1,0 +1,171 @@
+"""IVF-style physical layout: centroid-partitioned storage + nprobe pruning.
+
+The Spark analogue of Milvus's IVF_FLAT index (reference
+app/milvus/base_milvus.py:1266-1284: nlist k-means cells at build, nprobe
+cells probed at query; nprobe clamp <=256 app/milvus/vector_store.py:495).
+IVF_SQ8/IVF_PQ/HNSW index requests are accepted but executed as IVF_FLAT —
+documented divergence (SURVEY.md §4.1): quantized/graph ANN has no faithful
+Spark analogue; correctness is identical, speed differs.
+
+Design (SURVEY.md §4.1 / Phase 3):
+- BUILD: train k-means centroids on a deterministic sample driver-side
+  (numpy, fixed seed — exactly how FAISS trains its coarse quantizer: the
+  sample fits in driver memory even at 100 TB corpus scale, e.g. 256k
+  vectors), assign every row its nearest-centroid id with a vectorized
+  Pandas UDF (Arrow-batched, build-path only), write the table PARTITIONED
+  BY centroid_id.
+- QUERY: compute query->centroid distances on the driver (nlist <= 65536
+  floats — trivial), shortlist the nprobe nearest cells, then scan with
+  `centroid_id IN (...)`: ordinary parquet partition pruning — Catalyst
+  reads only the probed directories. The pruned DataFrame feeds the exact
+  dense_search operator unchanged.
+- COSINE trains/probes on L2-normalized vectors (cosine NN == euclidean NN
+  on the unit sphere); L2/IP probe raw euclidean cells.
+
+Determinism: the sample is ordered by id, k-means uses a seeded RNG with
+k-means++ init, and ties in cell shortlists break by centroid index — the
+same build inputs always produce the same layout, so oracle-checked
+IVF queries are reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
+
+NPROBE_MAX = 256  # reference vector_store.py:495
+SAMPLE_CAP = 262144  # driver-side training sample bound (FAISS-style)
+
+
+def _kmeans(x: np.ndarray, k: int, iters: int = 25, seed: int = 42) -> np.ndarray:
+    """Deterministic k-means (k-means++ init, fixed seed). x: (n, d) f64."""
+    rng = np.random.RandomState(seed)
+    n = x.shape[0]
+    k = min(k, n)
+    # k-means++ seeding
+    centroids = np.empty((k, x.shape[1]), dtype=np.float64)
+    centroids[0] = x[rng.randint(n)]
+    d2 = np.sum((x - centroids[0]) ** 2, axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[i] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.sum((x - centroids[i]) ** 2, axis=1))
+    for _ in range(iters):
+        # assign
+        dists = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        # update; empty cluster keeps its previous centroid
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
+class IvfIndex:
+    """A built IVF layout: centroid-partitioned parquet + driver centroids."""
+
+    def __init__(self, path: str, centroids: np.ndarray, metric: str):
+        self.path = path
+        self.centroids = centroids
+        self.metric = metric.upper()
+
+    @property
+    def nlist(self) -> int:
+        return len(self.centroids)
+
+    def probe_cells(self, query_vector: list[float], nprobe: int) -> list[int]:
+        """Driver-side shortlist of the nprobe nearest cells."""
+        nprobe = max(1, min(int(nprobe), NPROBE_MAX, self.nlist))
+        q = np.asarray(query_vector, dtype=np.float64)
+        if self.metric == "COSINE":
+            n = np.linalg.norm(q)
+            q = q / n if n > 0 else q
+        d2 = np.sum((self.centroids - q) ** 2, axis=1)
+        order = np.lexsort((np.arange(self.nlist), d2))  # ties -> lower cell id
+        return [int(c) for c in order[:nprobe]]
+
+    def scan(self, spark: SparkSession, nprobe_cells: list[int]) -> DataFrame:
+        """Partition-pruned scan of the probed cells only."""
+        return spark.read.parquet(self.path).filter(F.col("centroid_id").isin(nprobe_cells))
+
+    def search(self, spark: SparkSession, req: DenseSearchRequest,
+               nprobe: int, **dense_kwargs) -> DataFrame:
+        """IVF-pruned exact search: probe cells, then the unchanged exact
+        dense_search over the pruned scan."""
+        cells = self.probe_cells(req.query_vector, nprobe)
+        return dense_search(self.scan(spark, cells), req, **dense_kwargs)
+
+
+def build_ivf(
+    df: DataFrame,
+    path: str,
+    nlist: int,
+    metric: str = "COSINE",
+    vector_col: str = "vector",
+    seed: int = 42,
+) -> IvfIndex:
+    """Train centroids on a deterministic sample, assign cells, write the
+    centroid-partitioned table. Persists centroids next to the data so a
+    later session can reopen the index without retraining."""
+    metric = metric.upper()
+    sample = (
+        df.select(F.col(vector_col)).orderBy(F.col(vector_col).cast("string"))
+        .limit(SAMPLE_CAP).collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    if metric == "COSINE":
+        x = _normalize_rows(x)
+    centroids = _kmeans(x, nlist, seed=seed)
+
+    cent = centroids  # closure capture for the assignment UDF
+    normalize = metric == "COSINE"
+
+    @F.pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        if normalize:
+            m = _normalize_rows(m)
+        # (batch, k) distances via ||a-b||^2 = ||a||^2 - 2ab + ||b||^2
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * m @ cent.T
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    (
+        df.withColumn("centroid_id", assign_cell(F.col(vector_col)))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    )
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump({"metric": metric, "centroids": centroids.tolist()}, f)
+    return IvfIndex(path, centroids, metric)
+
+
+def open_ivf(path: str) -> IvfIndex:
+    with open(os.path.join(path, "_centroids.json")) as f:
+        meta = json.load(f)
+    return IvfIndex(path, np.array(meta["centroids"], dtype=np.float64), meta["metric"])
+
+
+def get_or_build_ivf(df: DataFrame, path: str, nlist: int, metric: str = "COSINE",
+                     vector_col: str = "vector") -> IvfIndex:
+    if os.path.exists(os.path.join(path, "_centroids.json")):
+        idx = open_ivf(path)
+        if idx.nlist == min(nlist, idx.nlist) and idx.metric == metric.upper():
+            return idx
+    return build_ivf(df, path, nlist, metric, vector_col)

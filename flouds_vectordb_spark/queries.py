@@ -10,16 +10,61 @@ extensions).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.operators.dense_search import (
     DenseSearchRequest,
     dense_search,
     dense_search_sql,
 )
-from flouds_vectordb_spark.sources.tables import COLLECTION_SQL, collection
+from flouds_vectordb_spark.operators.hybrid_search import (
+    HybridSearchRequest,
+    hybrid_search,
+    hybrid_search_sql,
+)
+from flouds_vectordb_spark.operators.sparse_search import (
+    SparseSearchRequest,
+    bm25_postings,
+    bm25_postings_sql,
+    sparse_search,
+    sparse_search_sql,
+)
+from flouds_vectordb_spark.operators.ann import (
+    ann_lsh_topk,
+    ann_topk,
+    ann_topk_sql,
+    dedup_embedding_cosine,
+    dedup_embedding_cosine_sql,
+)
+from flouds_vectordb_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_sql,
+    dedup_minhash,
+    dedup_minhash_sql,
+    dedup_simhash,
+    dedup_simhash_sql,
+)
+from flouds_vectordb_spark.operators.multimodal import (
+    extract_features,
+    extract_features_sql,
+    with_binary_payload,
+)
+from flouds_vectordb_spark.operators.text_analysis import (
+    corpus_rollup,
+    corpus_rollup_sql,
+    text_stats,
+    text_stats_sql,
+)
+from flouds_vectordb_spark.operators.upsert import upsert, upsert_sql
+from flouds_vectordb_spark.plans.ivf import get_or_build_ivf
+from flouds_vectordb_spark.sources.tables import COLLECTION_SQL, collection, load
+
+IVF_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ivf_cache")
 
 
 def fixture_query_vector(dim: int = 64, seed: int = 1) -> list[float]:
@@ -31,6 +76,8 @@ def fixture_query_vector(dim: int = 64, seed: int = 1) -> list[float]:
 _META_EXPRS = {"lang": "lang", "source": "source"}
 # collection meta has exactly 2 entries per row (lang, source); none null
 _META_SIZE = "2"
+# canonical sorted k=v rendering of the collection meta map (lang < source)
+_META_KV = "('lang=' || lang || ',source=' || source)"
 
 
 def _dense_pair(req: DenseSearchRequest, with_chunk: bool = False):
@@ -52,6 +99,7 @@ def _dense_pair(req: DenseSearchRequest, with_chunk: bool = False):
         chunk_expr="chunk" if with_chunk else None,
         meta_exprs=_META_EXPRS,
         meta_size_expr=_META_SIZE,
+        meta_kv_expr=_META_KV,
     )
     return q, sql
 
@@ -109,6 +157,363 @@ _register("q10_pagination", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=8), metric="COSINE",
         limit=20, offset=15)))
+
+# --- Q12: projection — output_fields=() strips payload from the result ----------
+_register("q12_output_fields_none", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=15), metric="COSINE",
+        limit=10, output_fields=()),
+    with_chunk=True))
+
+# --- Q13: consistency level accepted-and-ignored (snapshot reads) ---------------
+_register("q13_consistency_level", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=16), metric="COSINE",
+        limit=10, consistency_level="Strong")))
+
+
+# --- Q9: meta_required + JSON-laxness (invalid JSON => {}) ----------------------
+# The reference parses the meta JSON string per hit; invalid JSON silently
+# becomes {} (vector_store.py:938-954), which meta_required then drops.
+def _q9_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    coll = collection(spark, sf_dir)
+    js = F.when(F.col("id") % 5 == 0, F.lit("{bad json")).otherwise(
+        F.concat(F.lit('{"lang":"'), F.col("lang"), F.lit('","source":"'),
+                 F.col("source"), F.lit('"}'))
+    )
+    lax = F.coalesce(
+        F.from_json(js, T.MapType(T.StringType(), T.StringType())),
+        F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType())),
+    )
+    coll = coll.withColumn("meta", lax)
+    req = DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=17), metric="COSINE",
+        limit=30, meta_required=True, meta_filter={"lang": "e"})
+    return dense_search(coll, req, meta_col="meta")
+
+
+_Q9_TABLE = (
+    f"(SELECT id, chunk, vector, lang, source, "
+    f"CASE WHEN id % 5 = 0 THEN '{{bad json' "
+    f"ELSE '{{\"lang\":\"' || lang || '\",\"source\":\"' || source || '\"}}' END AS js "
+    f"FROM {COLLECTION_SQL} t)"
+)
+_register("q9_meta_json_laxness", _q9_json_q, dense_search_sql(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=17), metric="COSINE",
+        limit=30, meta_required=True, meta_filter={"lang": "e"}),
+    _Q9_TABLE,
+    id_expr="id", vector_expr="vector",
+    meta_exprs={"lang": "CASE WHEN json_valid(js) THEN json_extract_string(js, '$.lang') END"},
+    meta_size_expr="CASE WHEN json_valid(js) THEN 2 ELSE 0 END",
+    meta_kv_expr=(
+        "CASE WHEN json_valid(js) THEN 'lang=' || lang || ',source=' || source ELSE '' END"
+    ),
+))
+
+
+# --- Q3 + I1: sparse BM25 ------------------------------------------------------
+POSTINGS_SQL = "(" + bm25_postings_sql(COLLECTION_SQL + " t") + ")"
+
+
+def _sparse_pair(req: SparseSearchRequest):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        posts = bm25_postings(
+            collection(spark, sf_dir), drop_ratio_build=req.drop_ratio_build,
+            k1=req.k1, b=req.b,
+        )
+        return sparse_search(posts, req)
+
+    return q, sparse_search_sql(req, POSTINGS_SQL)
+
+
+_register("q3_sparse_bm25", *_sparse_pair(
+    SparseSearchRequest(query_text="vector index scan merge", limit=10)))
+_register("q3_sparse_bm25_offset", *_sparse_pair(
+    SparseSearchRequest(query_text="hash join batch", limit=15, offset=5, round_decimal=4)))
+
+
+def _i1_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 checkpoint: the ingest-time BM25 encoding itself is oracle-checked —
+    posting rows for a deterministic slice of docs, weights rounded."""
+    posts = bm25_postings(collection(spark, sf_dir))
+    return (
+        posts.filter(F.col("id") % 97 == 0)
+        .select("id", "term", "tf", "dl", "df", F.round(F.col("weight"), 6).alias("weight_r"))
+    )
+
+
+_I1_SQL = f"""
+SELECT id, term, tf, dl, df, round(weight, 6) AS weight_r
+FROM {POSTINGS_SQL} WHERE id % 97 = 0
+"""
+_register("i1_bm25_doc_encoding", _i1_postings_q, _I1_SQL)
+
+
+# --- I1 with drop_ratio_build pruning (base_milvus.py:1286-1310) ---------------
+def _i1_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posts = bm25_postings(collection(spark, sf_dir), drop_ratio_build=0.1)
+    return (
+        posts.filter(F.col("id") % 97 == 0)
+        .select("id", "term", "tf", "dl", "df", F.round(F.col("weight"), 6).alias("weight_r"))
+    )
+
+
+_I1_PRUNED_SQL = f"""
+SELECT id, term, tf, dl, df, round(weight, 6) AS weight_r
+FROM ({bm25_postings_sql(COLLECTION_SQL + " t", drop_ratio_build=0.1)}) WHERE id % 97 = 0
+"""
+_register("i1_bm25_drop_ratio_build", _i1_pruned_q, _I1_PRUNED_SQL)
+
+
+# --- Q4 + Q14: hybrid RRF fusion -----------------------------------------------
+def _hybrid_pair(req: HybridSearchRequest, with_chunk: bool = False):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        coll = collection(spark, sf_dir)
+        posts = bm25_postings(coll, k1=req.k1, b=req.b)
+        return hybrid_search(
+            coll, posts, req,
+            chunk_col="chunk" if with_chunk else None,
+            meta_col="meta",
+        )
+
+    sql = hybrid_search_sql(
+        req, COLLECTION_SQL + " t", POSTINGS_SQL,
+        id_expr="id", vector_expr="vector",
+        chunk_expr="chunk" if with_chunk else None,
+        meta_exprs=_META_EXPRS, meta_size_expr=_META_SIZE,
+    )
+    return q, sql
+
+
+_register("q4_hybrid_rrf", *_hybrid_pair(
+    HybridSearchRequest(
+        query_vector=fixture_query_vector(seed=9), metric="COSINE",
+        text_filter="vector index scan merge", limit=20)))
+
+# hybrid threshold subtlety: applies to the dense branch only (sparse-only
+# hits bypass), vector_store.py:766-770
+_register("q4_hybrid_rrf_threshold", *_hybrid_pair(
+    HybridSearchRequest(
+        query_vector=fixture_query_vector(seed=10), metric="COSINE",
+        text_filter="hash join batch scan", limit=30, score_threshold=0.05),
+    with_chunk=True))
+
+_register("q4_hybrid_rrf_meta", *_hybrid_pair(
+    HybridSearchRequest(
+        query_vector=fixture_query_vector(seed=11), metric="IP",
+        text_filter="slow fast table", limit=25,
+        meta_filter={"lang": "e"}, meta_required=True)))
+
+
+# --- IVF physical plan (SURVEY Phase 3): centroid pruning, exact oracle --------
+def _ivf_pair(req: DenseSearchRequest, nlist: int, nprobe: int):
+    """IVF-pruned search checked against the EXACT brute-force oracle: the
+    probed cells must contain the true top-k (recall-safe fixture params,
+    verified empirically at the driver's sf). nprobe == nlist degenerates to
+    a full scan — plumbing check; nprobe < nlist is the scale path."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        coll = collection(spark, sf_dir)
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = os.path.join(IVF_CACHE_ROOT, f"{tag}_nlist{nlist}_{req.metric.lower()}")
+        idx = get_or_build_ivf(coll, path, nlist, req.metric)
+        return idx.search(spark, req, nprobe, id_col="id", vector_col="vector")
+
+    sql = dense_search_sql(req, COLLECTION_SQL, id_expr="id", vector_expr="vector")
+    return q, sql
+
+
+_register("q1_ivf_full_probe", *_ivf_pair(
+    DenseSearchRequest(query_vector=fixture_query_vector(seed=1), metric="COSINE", limit=10),
+    nlist=8, nprobe=8))
+_register("q1_ivf_pruned", *_ivf_pair(
+    DenseSearchRequest(query_vector=fixture_query_vector(seed=12), metric="COSINE", limit=10),
+    nlist=8, nprobe=7))
+
+
+# --- S3: upsert (latest-wins merge on the primary key) --------------------------
+_UPSERT_COLS = ["id", "chunk", "lang", "source", "batch_ts"]
+
+
+def _s3_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = (
+        collection(spark, sf_dir)
+        .select("id", "chunk", "lang", "source")
+        .withColumn("batch_ts", F.lit(0))
+    )
+    upd = (
+        cur.filter(F.col("id") % 7 == 0)
+        .withColumn("chunk", F.concat(F.lit("[updated] "), F.col("chunk")))
+        .withColumn("batch_ts", F.lit(1))
+    )
+    new = (
+        cur.filter(F.col("id") % 11 == 3)
+        .withColumn("id", F.col("id") + F.lit(1000000))
+        .withColumn("batch_ts", F.lit(1))
+    )
+    return upsert(cur, upd.unionByName(new)).select(*_UPSERT_COLS)
+
+
+_S3_CUR_SQL = f"(SELECT id, chunk, lang, source, 0 AS batch_ts FROM {COLLECTION_SQL} t)"
+_S3_BATCH_SQL = (
+    f"(SELECT id, '[updated] ' || chunk AS chunk, lang, source, 1 AS batch_ts "
+    f"FROM {COLLECTION_SQL} t WHERE id % 7 = 0 "
+    f"UNION ALL SELECT id + 1000000 AS id, chunk, lang, source, 1 AS batch_ts "
+    f"FROM {COLLECTION_SQL} t WHERE id % 11 = 3)"
+)
+_register("s3_upsert_merge", _s3_upsert_q,
+          upsert_sql(_S3_CUR_SQL, _S3_BATCH_SQL, _UPSERT_COLS))
+
+
+# =============================================================================
+# LLM-pipeline operators (beyond the reference surface, SURVEY.md §7 Phase 4)
+# =============================================================================
+
+# Seeded-duplicate fixtures: both engines union `documents` with derived
+# copies, so dedup operators have known positives on the synthetic corpus.
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(5000000))
+    )
+    return docs.unionByName(dups)
+
+
+_DOCS_EXACT_DUPS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0)"
+)
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(5000000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" perturbedsuffix")))
+    )
+    return docs.unionByName(dups)
+
+
+_DOCS_NEAR_DUPS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 5000000 AS doc_id, text || ' perturbedsuffix' AS text "
+    "FROM documents WHERE doc_id % 13 = 0)"
+)
+
+
+# --- exact dedup ----------------------------------------------------------------
+def _dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs_with_exact_dups(spark, sf_dir), id_col="doc_id")
+
+
+_register("dedup_exact_hash", _dedup_exact_q,
+          dedup_exact_sql(_DOCS_EXACT_DUPS_SQL, id_expr="doc_id"))
+
+
+# --- MinHash-LSH near dedup (banded candidates, Jaccard-verified) ---------------
+def _dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_minhash(_docs_with_near_dups(spark, sf_dir), id_col="doc_id",
+                         jaccard_threshold=0.5)
+
+
+_register("dedup_near_minhash_lsh", _dedup_minhash_q,
+          dedup_minhash_sql(_DOCS_NEAR_DUPS_SQL, id_expr="doc_id",
+                            jaccard_threshold=0.5))
+
+
+# --- SimHash near dedup (16-bit bands; exact for hamming<=3 by pigeonhole) ------
+def _dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_simhash(_docs_with_near_dups(spark, sf_dir), id_col="doc_id",
+                         max_hamming=3)
+
+
+_register("dedup_near_simhash", _dedup_simhash_q,
+          dedup_simhash_sql(_DOCS_NEAR_DUPS_SQL, id_expr="doc_id", max_hamming=3))
+
+
+# --- embedding-cosine near dedup (SRP-LSH buckets + exact verify) ---------------
+def _embs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = (
+        embs.filter(F.col("vec_id") % 17 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    )
+    return embs.unionByName(dups)
+
+
+_EMBS_DUPS_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 17 = 0)"
+)
+
+
+def _dedup_emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_embedding_cosine(_embs_with_dups(spark, sf_dir), tau=0.95,
+                                  id_col="vec_id")
+
+
+_register("dedup_near_embedding_cosine", _dedup_emb_q,
+          dedup_embedding_cosine_sql(_EMBS_DUPS_SQL, dim=64, tau=0.95,
+                                     id_expr="vec_id"))
+
+
+# --- similarity search over the embeddings table --------------------------------
+_register("ann_bruteforce_topk",
+          lambda spark, sf_dir: ann_topk(
+              load(spark, sf_dir, "embeddings"),
+              fixture_query_vector(seed=21), "COSINE", 10, id_col="vec_id"),
+          ann_topk_sql("embeddings", fixture_query_vector(seed=21), "COSINE", 10,
+                       id_expr="vec_id"))
+
+# approximate LSH top-k: rows-only (no oracle) — on uniform-random synthetic
+# vectors pruned-ANN recall is near-zero by construction (see operators/ann.py);
+# exact-recall behavior is unit-tested on clustered fixtures instead.
+_register("ann_lsh_topk",
+          lambda spark, sf_dir: ann_lsh_topk(
+              load(spark, sf_dir, "embeddings"),
+              fixture_query_vector(seed=21), "COSINE", 10, bits=12, radius=2,
+              id_col="vec_id"),
+          None)
+
+
+# --- text analysis --------------------------------------------------------------
+_register("text_stats_per_doc",
+          lambda spark, sf_dir: text_stats(
+              load(spark, sf_dir, "documents"), id_col="doc_id"),
+          text_stats_sql("documents", id_expr="doc_id"))
+
+_TEXT_STATS_SQL = text_stats_sql("documents", id_expr="doc_id")
+_register("text_quality_rollup",
+          lambda spark, sf_dir: corpus_rollup(
+              text_stats(load(spark, sf_dir, "documents"), id_col="doc_id"),
+              load(spark, sf_dir, "documents"), id_col="doc_id", group_col="source"),
+          corpus_rollup_sql(f"({_TEXT_STATS_SQL})", "documents", id_expr="doc_id",
+                            group_col="source"))
+
+
+# --- multimodal plumbing (mapInPandas; deterministic fake extractor) ------------
+def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), text_col="text")
+    feats = extract_features(docs, id_col="doc_id")
+    return feats.select(
+        "id", "media_type", "n_bytes", "content_hash",
+        *[F.round(F.col("feat")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
+
+
+_MM_BASE = extract_features_sql("documents", id_expr="doc_id")
+_register("multimodal_feature_extract", _multimodal_q, f"""
+SELECT id, media_type, n_bytes, content_hash,
+       round(feat[1], 6) AS f0, round(feat[2], 6) AS f1,
+       round(feat[3], 6) AS f2, round(feat[4], 6) AS f3
+FROM ({_MM_BASE})
+""")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

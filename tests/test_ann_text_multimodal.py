@@ -1,0 +1,105 @@
+"""ANN (brute force + LSH recall on clustered data), text stats, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.ann import ann_lsh_topk, ann_topk
+from flouds_vectordb_spark.operators.multimodal import (
+    extract_features,
+    fake_feature_extractor,
+    decode_media,
+    with_binary_payload,
+)
+from flouds_vectordb_spark.operators.text_analysis import corpus_rollup, text_stats
+
+
+def test_ann_topk_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    X = rng.standard_normal((50, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)], "id long, embedding array<double>")
+    q = [float(x) for x in rng.standard_normal(8)]
+    got = [r["id"] for r in ann_topk(df, q, "COSINE", 5).collect()]
+    qn = np.array(q)
+    cos = (X @ qn) / (np.linalg.norm(X, axis=1) * np.linalg.norm(qn))
+    want = list(np.argsort(-np.round(cos, 6) + np.arange(50) * 1e-12)[:5])
+    assert got == [int(w) for w in want]
+
+
+def test_ann_lsh_exact_recall_on_clustered_data(spark):
+    # clustered fixture: query sits inside a tight cluster -> the Hamming
+    # ball contains the true neighbors and LSH result == exact result
+    rng = np.random.RandomState(1)
+    center = rng.standard_normal(8) * 3
+    cluster = [center + rng.standard_normal(8) * 0.05 for _ in range(10)]
+    noise = [rng.standard_normal(8) for _ in range(100)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(cluster + noise)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    q = [float(x) for x in center]
+    exact = [r["id"] for r in ann_topk(df, q, "COSINE", 5).collect()]
+    approx = [r["id"] for r in ann_lsh_topk(df, q, "COSINE", 5, bits=10, radius=2).collect()]
+    assert approx == exact
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the the quick fox"), (2, "")], "id long, text string")
+    out = {r["id"]: r for r in text_stats(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["stopword_ratio_r"] == 0.5  # 'the' x2 of 4
+    assert r1["distinct_ratio_r"] == 0.75
+    assert r1["lang_guess"] == "en"
+    r2 = out[2]
+    assert r2["n_tokens"] == 0 and r2["quality_r"] == pytest.approx(0.2)
+    assert r2["lang_guess"] == "und"
+
+
+def test_text_stats_lang_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze"), (2, "le chat et la maison")],
+        "id long, text string")
+    out = {r["id"]: r["lang_guess"] for r in text_stats(df).collect()}
+    assert out[1] == "de" and out[2] == "fr"
+
+
+def test_corpus_rollup_deterministic_mean(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa bbb", "s1"), (2, "ccc ddd eee", "s1"), (3, "x", "s2")],
+        "id long, text string, source string")
+    stats = text_stats(df)
+    out = {r["source"]: r for r in corpus_rollup(stats, df).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["total_tokens"] == 5
+    assert out["s2"]["n_docs"] == 1
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "")], "id long, text string")
+    feats = extract_features(with_binary_payload(df), id_col="id")
+    rows = {r["id"]: r for r in feats.collect()}
+    n, h, f = fake_feature_extractor(b"hello world")
+    assert rows[1]["n_bytes"] == n == 11
+    assert rows[1]["content_hash"] == h == hashlib.md5(b"hello world").hexdigest()
+    assert rows[1]["feat"] == pytest.approx(f)
+    assert rows[2]["n_bytes"] == 0
+    assert rows[1]["media_type"] == "text/plain"
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
+
+
+def test_multimodal_custom_extractor_plugs_in(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+
+    def ext(payload: bytes):
+        return len(payload), "X", [1.0, 2.0, 3.0, 4.0]
+
+    out = extract_features(with_binary_payload(df), extractor=ext).first()
+    assert out["content_hash"] == "X" and out["feat"] == [1.0, 2.0, 3.0, 4.0]

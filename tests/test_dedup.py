@@ -1,0 +1,74 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, embedding-cosine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.ann import dedup_embedding_cosine
+from flouds_vectordb_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_simhash,
+    minhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  Quick Brown   Fox jumps over the lazy dog"),  # exact dup modulo case/ws
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines here"),
+        (5, "another unrelated document with its own words entirely"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(docs):
+    out = {r["id"]: r["keeper_id"] for r in dedup_exact(docs).collect()}
+    assert out[2] == 1  # dup of 1 after normalization
+    assert out[1] == 1 and out[3] == 3 and out[4] == 4
+
+
+def test_minhash_finds_near_dup_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_r"]
+             for r in dedup_minhash(docs, jaccard_threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_minhash_signature_is_order_insensitive_hash(spark):
+    # same text -> same signatures regardless of row order / partitioning
+    df1 = spark.createDataFrame([(1, "alpha beta gamma delta")], "id long, text string")
+    df2 = spark.createDataFrame([(9, "alpha beta gamma delta")], "id long, text string")
+    s1 = minhash_signatures(df1).drop("id", "shingles").first()
+    s2 = minhash_signatures(df2).drop("id", "shingles").first()
+    assert s1 == s2
+
+
+def test_simhash_exact_dup_and_near_dup(docs):
+    # banding guarantees candidates only for hamming <= 3 (pigeonhole over
+    # 4 x 16-bit bands); pairs farther apart may legitimately be missed
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup_simhash(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0  # identical token stream
+    assert all(h <= 10 for h in pairs.values())
+
+
+def test_simhash_candidates_complete_for_low_hamming(docs):
+    # pigeonhole: hamming<=3 pairs MUST be found (one of 4 16-bit bands equal)
+    found = dedup_simhash(docs, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in found} >= {(1, 2)}
+
+
+def test_embedding_cosine_dedup_finds_planted_dups(spark):
+    base = [(i, [float((i * 7 + j * 13) % 11) - 5.0 for j in range(8)]) for i in range(1, 21)]
+    dups = [(100 + i, v) for i, v in base[:3]]
+    df = spark.createDataFrame(base + dups, "id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_r"]
+             for r in dedup_embedding_cosine(df, tau=0.999, bits=8).collect()}
+    for i in (1, 2, 3):
+        assert pairs.get((i, 100 + i)) == 1.0

@@ -100,6 +100,42 @@ def test_meta_filter_substring_case_insensitive(coll):
     assert ids == {1, 4, 7, 10, 13, 16, 19}
 
 
+def test_output_fields_projection(coll):
+    # Q12: default exposes chunk+meta; () strips both
+    full = dense_search(coll, DenseSearchRequest(query_vector=[1.0, 0.0], limit=3),
+                        chunk_col="chunk", meta_col="meta")
+    assert full.columns == ["id", "rank", "score", "chunk", "meta_kv"]
+    bare = dense_search(
+        coll, DenseSearchRequest(query_vector=[1.0, 0.0], limit=3, output_fields=()),
+        chunk_col="chunk", meta_col="meta")
+    assert bare.columns == ["id", "rank", "score"]
+    row = full.orderBy("rank").first()
+    assert row["meta_kv"].startswith("k=v")
+
+
+def test_consistency_level_validated():
+    # Q13: accepted-and-ignored, but invalid values rejected
+    with pytest.raises(ValueError):
+        DenseSearchRequest(query_vector=[1.0], consistency_level="Linearizable")
+    DenseSearchRequest(query_vector=[1.0], consistency_level="Strong")
+
+
+def test_meta_json_laxness(spark):
+    # Q9: invalid JSON => {} => dropped by meta_required
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(1, [1.0], '{"a":"b"}'), (2, [0.9], "{bad")], "id long, vector array<double>, js string")
+    lax = F.coalesce(
+        F.from_json(F.col("js"), T.MapType(T.StringType(), T.StringType())),
+        F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType())),
+    )
+    coll = df.withColumn("meta", lax)
+    req = DenseSearchRequest(query_vector=[1.0], metric="IP", limit=10, meta_required=True)
+    out = dense_search(coll, req, meta_col="meta")
+    assert [r["id"] for r in out.collect()] == [1]
+
+
 def test_plan_is_take_ordered_no_payload_in_sort(coll):
     """Scale guard: the k-cut must compile to TakeOrderedAndProject over
     (id, score) only — payload joins back AFTER the limit."""

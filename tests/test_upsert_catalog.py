@@ -1,0 +1,102 @@
+"""Catalog DDL (S1/S2/S5/S6) + upsert/flush (S3/S4/I2/I3) end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.catalog import Catalog, CollectionSpec, collection_name
+from flouds_vectordb_spark.operators.upsert import (
+    CollectionWriter,
+    should_flush,
+    upsert,
+    validate_dimensions,
+)
+
+
+def test_collection_naming_matches_reference():
+    # base_milvus.py:487-497: lowercase, -/. -> _
+    assert collection_name("T1", "all-MiniLM-L6.v2") == \
+        "vector_store_schema_for_t1_all_minilm_l6_v2"
+
+
+def test_spec_validation_bounds():
+    with pytest.raises(ValueError):
+        CollectionSpec("t", "m", dimension=0).validate()
+    with pytest.raises(ValueError):
+        CollectionSpec("t", "m", dimension=5000).validate()
+    with pytest.raises(ValueError):
+        CollectionSpec("t", "m", 8, metric_type="HAMMING").validate()
+    with pytest.raises(ValueError):
+        CollectionSpec("t", "m", 8, index_type="ANNOY").validate()
+    CollectionSpec("t", "m", 8, index_type="HNSW").validate()  # accepted-as-IVF_FLAT
+
+
+def test_ddl_flow(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    assert not cat.tenant_exists("acme")
+    r = cat.set_vector_store("acme")
+    assert r["created"] and cat.tenant_exists("acme")
+    assert not cat.collection_exists("acme", "modelx")
+    with pytest.raises(ValueError):
+        cat.generate_schema(CollectionSpec("ghost", "m", 8))  # unknown tenant
+    cat.generate_schema(CollectionSpec("acme", "modelx", dimension=4))
+    assert cat.collection_exists("acme", "modelx")
+    assert cat.vector_dimension("acme", "modelx") == 4
+    with pytest.raises(ValueError):
+        cat.generate_schema(CollectionSpec("acme", "modelx", 4))  # duplicate
+
+
+def test_flush_policy_matches_reference():
+    # milvus_helper.py:121-130: 0 => always, <0 => never, else threshold
+    assert should_flush(1, force_flush=True, auto_flush_min_batch=-1)
+    assert should_flush(1, auto_flush_min_batch=0)
+    assert not should_flush(99, auto_flush_min_batch=100)
+    assert should_flush(100, auto_flush_min_batch=100)
+    assert not should_flush(10**6, auto_flush_min_batch=-1)
+
+
+def test_dimension_validation(spark):
+    ok = spark.createDataFrame([("a", [1.0, 2.0])], "id string, vector array<double>")
+    validate_dimensions(ok, 2)
+    bad = spark.createDataFrame([("a", [1.0, 2.0]), ("b", [1.0])],
+                                "id string, vector array<double>")
+    with pytest.raises(ValueError, match="b"):
+        validate_dimensions(bad, 2)
+
+
+def test_upsert_latest_wins(spark):
+    cur = spark.createDataFrame(
+        [("a", "old", 0), ("b", "keep", 0)], "id string, chunk string, batch_ts long")
+    batch = spark.createDataFrame(
+        [("a", "new", 1), ("c", "ins", 1)], "id string, chunk string, batch_ts long")
+    got = {r["id"]: r["chunk"] for r in upsert(cur, batch).collect()}
+    assert got == {"a": "new", "b": "keep", "c": "ins"}
+
+
+def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh2")))
+    cat.set_vector_store("t2")
+    cat.generate_schema(CollectionSpec("t2", "m", dimension=2))
+    w = CollectionWriter(cat, "t2", "m")
+
+    b1 = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
+                               "id string, chunk string, vector array<float>")
+    r1 = w.insert_data(b1, batch_ts=1, auto_flush_min_batch=-1)
+    assert r1 == {"inserted": 2, "flushed": False}
+
+    b2 = spark.createDataFrame([("a", "v2", [0.5, 0.5])],
+                               "id string, chunk string, vector array<float>")
+    r2 = w.insert_data(b2, batch_ts=2, force_flush=True)
+    assert r2["flushed"]
+
+    latest = {r["id"]: r["chunk"] for r in w.read_latest().collect()}
+    assert latest == {"a": "v2", "b": "v1"}
+    # after flush the compacted table IS the latest state (one row per key)
+    raw = cat.read_collection("t2", "m")
+    assert raw.count() == 2
+
+    bad = spark.createDataFrame([("z", "x", [1.0])],
+                                "id string, chunk string, vector array<float>")
+    with pytest.raises(ValueError):
+        w.insert_data(bad, batch_ts=3)
