@@ -42,6 +42,10 @@ def main() -> int:
         except Exception as e:  # a broken query must not hide the others
             print(f"bench error {name}: {e}", file=sys.stderr)
             times[name] = -1.0
+        finally:
+            # per-query isolation: operators that persist intermediates
+            # (dedup signature tables) must not squeeze later queries' memory
+            spark.catalog.clearCache()
     total = round(sum(t for t in times.values() if t >= 0), 4)
     print(json.dumps({
         "metric": "warm_wall_total",

@@ -55,8 +55,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine_score(a: Column, b: Column) -> Column:
-    """Column-vs-column cosine; zero-norm on either side -> NULL (guarded)."""
-    return dot_score(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+    """Column-vs-column cosine; zero-norm on either side -> NULL via
+    try_divide (single evaluation of the norm fold — nullif would duplicate
+    the operand expression into its equality branch; ANSI plain division
+    would throw). The DuckDB twin uses nullif because DuckDB follows IEEE
+    (/0 -> inf)."""
+    return F.try_divide(dot_score(a, b), norm(a) * norm(b))
 
 
 def normalize(a: Column) -> Column:
@@ -88,8 +92,9 @@ def metric_score_q(metric: str, vec: Column, q: list[float]) -> Column:
     if m == "L2":
         return l2_score(vec, qa)
     if m == "COSINE":
+        # try_divide: /0 -> NULL, one norm evaluation (see cosine_score)
         qn = query_norm(q)
-        return dot_score(vec, qa) / F.nullif(norm(vec) * F.lit(qn), F.lit(0.0))
+        return F.try_divide(dot_score(vec, qa), norm(vec) * F.lit(qn))
     raise ValueError(f"unsupported metric {metric!r} (expected COSINE, L2, IP)")
 
 

@@ -144,6 +144,62 @@ def ann_lsh_topk(
     return ann_topk(cand, query_vector, metric, limit, id_col, vector_col)
 
 
+# --- cross-collection similarity join ----------------------------------------
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    tau: float = 0.95,
+    bits: int = 12,
+    left_id: str = "id",
+    right_id: str = "id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """(left_id, right_id, cosine_r) pairs across TWO collections with
+    cosine >= tau — the LSH approxSimilarityJoin analogue: bucket both sides
+    on the SAME seeded hyperplane signature, join buckets, verify exactly.
+    Shuffles only bucket-colliding rows; never the cross product."""
+    planes = srp_planes_from(left, vector_col, bits)
+    lsig = left.select(
+        F.col(left_id).alias("lid"), F.col(vector_col).alias("lv"),
+        srp_signature(F.col(vector_col), planes).alias("sig"),
+    )
+    rsig = right.select(
+        F.col(right_id).alias("rid"), F.col(vector_col).alias("rv"),
+        srp_signature(F.col(vector_col), planes).alias("sig"),
+    )
+    cand = lsig.join(rsig, "sig")
+    cos = V.cosine_score(F.col("lv"), F.col("rv"))
+    return (
+        cand.withColumn("cosine_r", F.round(cos, 6))
+        .filter(F.col("cosine_r") >= F.lit(float(tau)))
+        .select(F.col("lid"), F.col("rid"), "cosine_r")
+    )
+
+
+def similarity_join_sql(
+    left_sql: str,
+    right_sql: str,
+    dim: int,
+    tau: float = 0.95,
+    bits: int = 12,
+    left_id: str = "id",
+    right_id: str = "id",
+    vector_expr: str = "embedding",
+) -> str:
+    planes = srp_planes(dim, bits)
+    sig = srp_signature_sql(vector_expr, planes)
+    return f"""
+WITH _l AS (SELECT {left_id} AS lid, {vector_expr} AS lv, {sig} AS sig FROM {left_sql}),
+_r AS (SELECT {right_id} AS rid, {vector_expr} AS rv, {sig} AS sig FROM {right_sql}),
+_pairs AS (
+  SELECT lid, rid, round({V.cosine_sql('lv', 'rv')}, 6) AS cosine_r
+  FROM _l JOIN _r USING (sig)
+)
+SELECT lid, rid, cosine_r FROM _pairs WHERE cosine_r >= {float(tau)!r}
+"""
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 def dedup_embedding_cosine(

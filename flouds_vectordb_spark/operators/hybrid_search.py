@@ -34,6 +34,7 @@ from flouds_vectordb_spark.operators.sparse_search import (
     SparseSearchRequest,
     sparse_scores_sql,
     sparse_search,
+    sparse_search_direct,
 )
 
 RRF_K = 60  # reference vector_store.py:797-822
@@ -91,21 +92,27 @@ def _dense_branch(df: DataFrame, req: HybridSearchRequest, id_col: str,
 
 def hybrid_search(
     df: DataFrame,
-    postings: DataFrame,
+    postings: DataFrame | None,
     req: HybridSearchRequest,
     id_col: str = "id",
     vector_col: str = "vector",
     chunk_col: str | None = None,
     meta_col: str | None = None,
+    sparse_chunk_col: str = "chunk",
 ) -> DataFrame:
-    """Returns (id, rank, rrf_score [, chunk]) fused across both branches."""
+    """Returns (id, rank, rrf_score [, chunk]) fused across both branches.
+    With postings=None the sparse branch scores directly off the collection
+    (sparse_search_direct) — bit-identical results, no posting build."""
     if (req.meta_filter or req.meta_required) and meta_col is None:
         raise ValueError("meta_filter/meta_required require meta_col")
 
     dense = _dense_branch(df, req, id_col, vector_col)
-    sparse = sparse_search(postings, req.sparse_request()).select(
-        F.col("id"), F.col("rank").alias("sparse_rank_")
-    )
+    if postings is None:
+        sbranch = sparse_search_direct(df, req.sparse_request(),
+                                       id_col=id_col, chunk_col=sparse_chunk_col)
+    else:
+        sbranch = sparse_search(postings, req.sparse_request())
+    sparse = sbranch.select(F.col("id"), F.col("rank").alias("sparse_rank_"))
 
     fused = dense.join(sparse, "id", "full_outer")
     kf = float(RRF_K)

@@ -121,13 +121,33 @@ def bm25_postings(
 
     if drop_ratio_build > 0.0:
         # Milvus drop_ratio_build: drop the smallest fraction of weights at
-        # build (base_milvus.py:1286-1310). Deterministic cutoff: global
-        # row_number over (weight, term, id) — exact same tie handling as the
-        # SQL twin. The global window is build-time-only (never per-query).
+        # build (base_milvus.py:1286-1310). Exact global rank over
+        # (weight, term, id) WITHOUT a single-partition window: range-
+        # partition on the sort key, count rows per partition, broadcast the
+        # cumulative offsets, then rank within partitions — the distributed
+        # exact-rank pattern, parallel at any scale. Tie handling matches
+        # the SQL twin's row_number ORDER BY weight, term, id.
         total = post.count()
         cut = int(total * drop_ratio_build)
-        w = Window.orderBy(F.col("weight").asc(), F.col("term").asc(), F.col("id").asc())
-        post = post.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > cut).drop("_rn")
+        order = [F.col("weight").asc(), F.col("term").asc(), F.col("id").asc()]
+        ranged = post.repartitionByRange(max(post.sparkSession.sparkContext.defaultParallelism, 1), *order)
+        # persist: the offsets below are valid only for THIS materialization's
+        # partition boundaries (range sampling), so the final plan must read
+        # the same partitions, not re-shuffle
+        ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+        sizes = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        off = F.create_map(*[x for pid in sorted(sizes)
+                             for x in (F.lit(pid), F.lit(offsets[pid]))])
+        w = Window.partitionBy("_pid").orderBy(*order)
+        post = (
+            ranged.withColumn("_rn", F.row_number().over(w) + off[F.col("_pid")])
+            .filter(F.col("_rn") > cut)
+            .drop("_rn", "_pid")
+        )
     return post
 
 
@@ -171,6 +191,95 @@ SELECT id, term, tf, dl, df, weight FROM _pruned"""
     return base + "\nSELECT id, term, tf, dl, df, weight FROM _post"
 
 
+# --- Q3 (index-free query path): direct BM25 scoring -------------------------
+
+def sparse_scores_direct(
+    df: DataFrame,
+    req: SparseSearchRequest,
+    id_col: str = "id",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """(id, _score) computed straight off the collection — no explode, no
+    posting shuffle. Query terms are a driver-side constant, so per-doc term
+    frequencies are plain higher-order-function expressions and the corpus
+    stats (N, Σdl, df per query term) are ONE tiny aggregate broadcast back.
+    Produces bit-identical scores to the posting-list path (same fixed-order
+    math); the posting-list build (bm25_postings) remains the I1/scale
+    artifact — at 100 TB a term-bucketed posting table turns query-term
+    lookup into a pruned scan, while this path is two cheap corpus scans."""
+    qterms = req.query_term_counts()
+    if not qterms:
+        return df.sparkSession.createDataFrame([], "id long, _score double")
+
+    toks = tokenize(F.col(chunk_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).withColumn(
+        "_dl", F.size("_toks")
+    )
+    def _tf(term: str):
+        # factory, not a default-arg lambda: a 2-arg lambda would make
+        # F.filter pass the element INDEX as the second argument
+        return F.size(F.filter(F.col("_toks"), lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"_tf{i}") for i, (term, _) in enumerate(qterms)]
+    per_doc = base.select("id", "_dl", *tf_cols)
+
+    stats_aggs = [F.count("*").alias("n_docs"), F.sum("_dl").alias("sum_dl")]
+    stats_aggs += [
+        F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}") for i in range(len(qterms))
+    ]
+    stats = per_doc.agg(*stats_aggs)
+
+    joined = per_doc.join(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    k1, b = req.k1, req.b
+    score = F.lit(0.0)
+    for i, (_, c) in enumerate(qterms):
+        dfc = F.col(f"_df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+        tfd = F.col(f"_tf{i}").cast("double")
+        tf_norm = (tfd * F.lit(k1 + 1.0)) / (
+            tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl)
+        )
+        # same shape as the posting path: coalesce(w_i, 0) * count — here
+        # w_i is 0.0 (not NULL) when tf=0, summing identically
+        score = score + (idf * tf_norm) * F.lit(float(c))
+    matched = sum((F.col(f"_tf{i}") for i in range(len(qterms))), F.lit(0))
+    return joined.filter(matched > 0).select("id", score.alias("_score"))
+
+
+def sparse_search_direct(
+    df: DataFrame,
+    req: SparseSearchRequest,
+    id_col: str = "id",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Top-k over the direct scorer: (id, rank, score) — same result shape
+    and values as sparse_search(bm25_postings(df), req)."""
+    scored = sparse_scores_direct(df, req, id_col, chunk_col).withColumn(
+        "_score_r", F.round(F.col("_score"), RANK_DECIMALS)
+    )
+    return _topk_ranked(scored, req)
+
+
+def _topk_ranked(scored: DataFrame, req: SparseSearchRequest) -> DataFrame:
+    fetch = req.effective_limit + req.offset
+    topk = scored.orderBy(F.col("_score_r").desc(), F.col("id").asc()).limit(fetch)
+    if req.offset:
+        w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
+        topk = (
+            topk.withColumn("_pre_rank", F.row_number().over(w))
+            .filter(F.col("_pre_rank") > req.offset)
+            .drop("_pre_rank")
+        )
+    w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
+    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("id", "rank", F.round(F.col("_score"), dec).alias("score"))
+    )
+
+
 # --- Q3: sparse search -------------------------------------------------------
 
 def sparse_search(
@@ -196,22 +305,7 @@ def sparse_search(
     scored = per_doc.select("id", score.alias("_score")).withColumn(
         "_score_r", F.round(F.col("_score"), RANK_DECIMALS)
     )
-
-    fetch = req.effective_limit + req.offset
-    topk = scored.orderBy(F.col("_score_r").desc(), F.col("id").asc()).limit(fetch)
-    if req.offset:
-        w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
-        topk = (
-            topk.withColumn("_pre_rank", F.row_number().over(w))
-            .filter(F.col("_pre_rank") > req.offset)
-            .drop("_pre_rank")
-        )
-    w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
-    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
-    return (
-        topk.withColumn("rank", F.row_number().over(w))
-        .select("id", "rank", F.round(F.col("_score"), dec).alias("score"))
-    )
+    return _topk_ranked(scored, req)
 
 
 def sparse_scores_sql(req: SparseSearchRequest, postings_sql: str) -> str:

@@ -31,15 +31,18 @@ from flouds_vectordb_spark.operators.sparse_search import (
     SparseSearchRequest,
     bm25_postings,
     bm25_postings_sql,
-    sparse_search,
+    sparse_search_direct,
     sparse_search_sql,
 )
+from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
 from flouds_vectordb_spark.operators.ann import (
     ann_lsh_topk,
     ann_topk,
     ann_topk_sql,
     dedup_embedding_cosine,
     dedup_embedding_cosine_sql,
+    similarity_join,
+    similarity_join_sql,
 )
 from flouds_vectordb_spark.operators.dedup import (
     dedup_exact,
@@ -219,12 +222,12 @@ POSTINGS_SQL = "(" + bm25_postings_sql(COLLECTION_SQL + " t") + ")"
 
 
 def _sparse_pair(req: SparseSearchRequest):
+    """Q3 runs the index-free direct scorer (two cheap corpus scans, no
+    posting shuffle) — bit-identical to the posting-list path, which the
+    oracle SQL still expresses and which I1 checks as the index artifact."""
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        posts = bm25_postings(
-            collection(spark, sf_dir), drop_ratio_build=req.drop_ratio_build,
-            k1=req.k1, b=req.b,
-        )
-        return sparse_search(posts, req)
+        return sparse_search_direct(collection(spark, sf_dir), req)
 
     return q, sparse_search_sql(req, POSTINGS_SQL)
 
@@ -272,9 +275,8 @@ _register("i1_bm25_drop_ratio_build", _i1_pruned_q, _I1_PRUNED_SQL)
 def _hybrid_pair(req: HybridSearchRequest, with_chunk: bool = False):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         coll = collection(spark, sf_dir)
-        posts = bm25_postings(coll, k1=req.k1, b=req.b)
         return hybrid_search(
-            coll, posts, req,
+            coll, None, req,  # postings=None -> direct sparse scorer
             chunk_col="chunk" if with_chunk else None,
             meta_col="meta",
         )
@@ -482,7 +484,95 @@ _register("ann_lsh_topk",
           None)
 
 
+# --- cross-collection similarity join -------------------------------------------
+# probes = a deterministic subset of embeddings under new ids; exact copies
+# guarantee bucket collisions (same signature), so the join provably finds them
+_PROBES_SQL = "(SELECT vec_id + 900000 AS vec_id, embedding FROM embeddings WHERE vec_id % 23 = 0)"
+
+
+def _simjoin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = (
+        embs.filter(F.col("vec_id") % 23 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(900000))
+    )
+    return similarity_join(embs, probes, tau=0.95, left_id="vec_id", right_id="vec_id")
+
+
+_register("similarity_join_collections", _simjoin_q,
+          similarity_join_sql("embeddings", _PROBES_SQL, dim=64, tau=0.95,
+                              left_id="vec_id", right_id="vec_id"))
+
+
+# --- S2 end-to-end: generate_schema -> insert -> flush -> search ----------------
+_FLOW_WH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".cache_flow_wh")
+
+
+def _s2_catalog_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's examples/model_specific_workflow.py flow, end to end:
+    tenant DDL -> collection DDL -> validated insert -> flush (compaction) ->
+    dense search over the STORED parquet — oracle-checked against the same
+    subset queried in place."""
+    import shutil
+
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    shutil.rmtree(_FLOW_WH, ignore_errors=True)
+    cat = Catalog(spark, _FLOW_WH)
+    cat.set_vector_store("demo")
+    cat.generate_schema(CollectionSpec("demo", "m64", dimension=64,
+                                       metric_type="COSINE", index_type="HNSW"))
+    writer = CollectionWriter(cat, "demo", "m64")
+    batch = (
+        collection(spark, sf_dir)
+        .filter(F.col("id") % 3 == 0)
+        .select(F.col("id").cast("string").alias("id"), "chunk", "vector")
+    )
+    writer.insert_data(batch, batch_ts=1, force_flush=True)
+    stored = writer.read_latest()
+    req = DenseSearchRequest(query_vector=fixture_query_vector(seed=31),
+                             metric="COSINE", limit=10, output_fields=())
+    return dense_search(stored, req)
+
+
+_S2_SUBSET_SQL = (
+    f"(SELECT id::VARCHAR AS id, chunk, vector FROM {COLLECTION_SQL} t WHERE id % 3 = 0)"
+)
+_register("s2_catalog_flow_search", _s2_catalog_flow_q, dense_search_sql(
+    DenseSearchRequest(query_vector=fixture_query_vector(seed=31),
+                       metric="COSINE", limit=10, output_fields=()),
+    _S2_SUBSET_SQL, id_expr="id", vector_expr="vector"))
+
+
 # --- text analysis --------------------------------------------------------------
+# token counting: whitespace + a BPE-ish regex segmentation estimate
+_BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _token_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.functions.text import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(tokenize(F.col("text")))
+    bpe = F.regexp_count(F.col("text"), F.lit(_BPE_RE))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(F.try_divide(F.length("text").cast("double"), bpe.cast("double")), 4)
+        .alias("chars_per_token_r"),
+    )
+
+
+_register("text_token_estimate", _token_estimate_q, f"""
+SELECT doc_id AS id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_ish_tokens,
+       round(length(text)::DOUBLE / nullif(len(regexp_extract_all(text, '{_BPE_RE}')), 0), 4)
+         AS chars_per_token_r
+FROM documents
+""")
 _register("text_stats_per_doc",
           lambda spark, sf_dir: text_stats(
               load(spark, sf_dir, "documents"), id_col="doc_id"),
