@@ -46,19 +46,25 @@ def _norm_sql(expr: str) -> str:
 
 def dedup_exact(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
     """(id, keeper_id, content_hash): every row mapped to the minimum id
-    holding identical (normalized) content. keeper_id == id -> survivor."""
+    holding identical (normalized) content. keeper_id == id -> survivor.
+    One hash-partitioned window = ONE shuffle (a groupBy+join plan would
+    shuffle twice); uniform 60-bit keys, no skew."""
+    from pyspark.sql import Window
+
     h = hash64(_norm(F.col(text_col)))
     hashed = df.select(F.col(id_col).alias("id"), h.alias("content_hash"))
-    keepers = hashed.groupBy("content_hash").agg(F.min("id").alias("keeper_id"))
-    return hashed.join(keepers, "content_hash").select("id", "keeper_id", "content_hash")
+    w = Window.partitionBy("content_hash")
+    return hashed.withColumn("keeper_id", F.min("id").over(w)).select(
+        "id", "keeper_id", "content_hash"
+    )
 
 
 def dedup_exact_sql(table_sql: str, id_expr: str = "id", text_expr: str = "text") -> str:
     h = hash64_sql(_norm_sql(text_expr))
     return f"""
-WITH _hashed AS (SELECT {id_expr} AS id, {h} AS content_hash FROM {table_sql}),
-_keep AS (SELECT content_hash, min(id) AS keeper_id FROM _hashed GROUP BY content_hash)
-SELECT id, keeper_id, content_hash FROM _hashed JOIN _keep USING (content_hash)
+WITH _hashed AS (SELECT {id_expr} AS id, {h} AS content_hash FROM {table_sql})
+SELECT id, min(id) OVER (PARTITION BY content_hash) AS keeper_id, content_hash
+FROM _hashed
 """
 
 

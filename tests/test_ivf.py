@@ -1,0 +1,65 @@
+"""IVF plan: determinism, partition pruning, exact-search equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
+from flouds_vectordb_spark.plans.ivf import IvfIndex, _kmeans, build_ivf, open_ivf
+
+
+@pytest.fixture(scope="module")
+def coll(spark):
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)], f"doc {i}")
+            for i in range(200)]
+    return spark.createDataFrame(rows, "id long, vector array<double>, chunk string")
+
+
+def test_kmeans_deterministic():
+    x = np.random.RandomState(0).standard_normal((100, 4))
+    c1 = _kmeans(x, 4, seed=42)
+    c2 = _kmeans(x, 4, seed=42)
+    assert np.array_equal(c1, c2)
+
+
+def test_build_open_roundtrip(spark, coll, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    idx = build_ivf(coll, path, nlist=4, metric="COSINE")
+    reopened = open_ivf(path)
+    assert np.array_equal(idx.centroids, reopened.centroids)
+    assert reopened.metric == "COSINE"
+    # every row got exactly one cell; all rows present
+    assert spark.read.parquet(path).count() == 200
+
+
+def test_probe_cells_orders_by_distance(spark, coll, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf2") / "idx")
+    idx = build_ivf(coll, path, nlist=4, metric="COSINE")
+    q = [1.0] * 8
+    cells = idx.probe_cells(q, nprobe=4)
+    assert sorted(cells) == [0, 1, 2, 3]
+    assert idx.probe_cells(q, nprobe=2) == cells[:2]
+
+
+def test_full_probe_equals_bruteforce(spark, coll, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf3") / "idx")
+    idx = build_ivf(coll, path, nlist=4, metric="COSINE")
+    req = DenseSearchRequest(query_vector=[0.5] * 8, metric="COSINE", limit=10,
+                             output_fields=())
+    exact = [(r["id"], r["score"]) for r in dense_search(coll, req).collect()]
+    via_ivf = [(r["id"], r["score"])
+               for r in idx.search(spark, req, nprobe=4).collect()]
+    assert via_ivf == exact
+
+
+def test_pruned_scan_reads_fewer_partitions(spark, coll, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf4") / "idx")
+    idx = build_ivf(coll, path, nlist=4, metric="COSINE")
+    pruned = idx.scan(spark, [0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter on centroid_id must reach the scan, not a post-filter
+    assert "centroid_id" in plan
+    assert pruned.select("centroid_id").distinct().count() <= 2
