@@ -54,6 +54,8 @@ class HybridSearchRequest:
     score_threshold: float | None = None
     meta_filter: dict[str, str] = field(default_factory=dict)
     meta_required: bool = False
+    # Q12 projection, mirrored from the dense surface (search_request.py:82-85)
+    output_fields: tuple[str, ...] = ("chunk", "meta")
     k1: float = 1.5
     b: float = 0.75
 
@@ -123,7 +125,8 @@ def hybrid_search(
     fused = fused.withColumn("_rrf", rrf).withColumn("_rrf_r", F.round(F.col("_rrf"), RANK_DECIMALS))
 
     # late materialization for the fused survivors (<=100 rows)
-    need_meta = bool(req.meta_filter or req.meta_required)
+    meta_out = meta_col is not None and "meta" in req.output_fields
+    need_meta = bool(req.meta_filter or req.meta_required) or meta_out
     payload = [c for c in (chunk_col, meta_col if need_meta else None) if c]
     if payload:
         keep = list(dict.fromkeys([id_col, *payload]))
@@ -155,8 +158,14 @@ def hybrid_search(
     out = out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= req.limit)
     dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
     cols = [F.col(id_col), F.col("rank"), F.round(F.col("_rrf"), dec).alias("rrf_score")]
-    if chunk_col:
+    if chunk_col and "chunk" in req.output_fields:
         cols.append(F.col(chunk_col))
+    if meta_out:
+        kv = F.transform(
+            F.array_sort(F.map_entries(F.col(meta_col))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        )
+        cols.append(F.array_join(kv, ",").alias("meta_kv"))
     return out.select(*cols)
 
 
@@ -169,6 +178,7 @@ def hybrid_search_sql(
     chunk_expr: str | None = None,
     meta_exprs: dict[str, str] | None = None,
     meta_size_expr: str | None = None,
+    meta_kv_expr: str | None = None,
 ) -> str:
     """DuckDB oracle twin of hybrid_search."""
     score = V.metric_sql_q(req.metric, vector_expr, req.query_vector)
@@ -192,11 +202,15 @@ def hybrid_search_sql(
         post.append(f"(_meta_{i} IS NOT NULL AND instr(lower(_meta_{i}), '{vv}') > 0)")
 
     dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    with_chunk = chunk_expr is not None and "chunk" in req.output_fields
+    with_meta = meta_kv_expr is not None and "meta" in req.output_fields
     chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""
-    chunk_out = ", chunk" if chunk_expr else ""
-    need_payload = bool(chunk_expr or meta_join_sel or req.meta_required)
+    meta_kv_sel = f", {meta_kv_expr} AS meta_kv" if with_meta else ""
+    chunk_out = ", chunk" if with_chunk else ""
+    meta_out = ", meta_kv" if with_meta else ""
+    need_payload = bool(chunk_expr or meta_join_sel or req.meta_required or with_meta)
     payload_join = (
-        f"JOIN (SELECT {id_expr} AS _pid {chunk_sel}{meta_join_sel}, "
+        f"JOIN (SELECT {id_expr} AS _pid {chunk_sel}{meta_kv_sel}{meta_join_sel}, "
         f"{meta_size_expr if meta_size_expr is not None else '0'} AS _meta_n "
         f"FROM {table_sql}) p ON f.id = p._pid"
         if need_payload
@@ -234,7 +248,7 @@ _fused AS (
   FROM _dense d FULL OUTER JOIN _sparse s ON d.id = s.id
 ),
 _hydrated AS (
-  SELECT f.*, round(f._rrf, {RANK_DECIMALS}) AS _rrf_r{chunk_out and ', p.chunk' or ''}
+  SELECT f.*, round(f._rrf, {RANK_DECIMALS}) AS _rrf_r{', p.chunk' if chunk_expr else ''}{', p.meta_kv' if with_meta else ''}
          {"".join(f', p._meta_{i}' for i in range(len(req.meta_filter or {})))}
          {', p._meta_n' if need_payload else ', 0 AS _meta_n'}
   FROM _fused f {payload_join}
@@ -242,9 +256,9 @@ _hydrated AS (
 _filtered AS (
   SELECT * FROM _hydrated WHERE {' AND '.join(post)}
 )
-SELECT id, rank, rrf_score{chunk_out} FROM (
+SELECT id, rank, rrf_score{chunk_out}{meta_out} FROM (
   SELECT id, row_number() OVER (ORDER BY _rrf_r DESC, id ASC) AS rank,
-         round(_rrf, {dec}) AS rrf_score{chunk_out}
+         round(_rrf, {dec}) AS rrf_score{chunk_out}{meta_out}
   FROM _filtered
 ) WHERE rank <= {req.limit}
 """

@@ -65,7 +65,7 @@ from flouds_vectordb_spark.operators.text_analysis import (
 )
 from flouds_vectordb_spark.operators.upsert import upsert, upsert_sql
 from flouds_vectordb_spark.plans.ivf import get_or_build_ivf
-from flouds_vectordb_spark.sources.tables import COLLECTION_SQL, collection, load
+from flouds_vectordb_spark.sources.tables import COLLECTION_SQL, collection, events, load
 
 IVF_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ivf_cache")
 
@@ -286,6 +286,7 @@ def _hybrid_pair(req: HybridSearchRequest, with_chunk: bool = False):
         id_expr="id", vector_expr="vector",
         chunk_expr="chunk" if with_chunk else None,
         meta_exprs=_META_EXPRS, meta_size_expr=_META_SIZE,
+        meta_kv_expr=_META_KV,
     )
     return q, sql
 
@@ -603,6 +604,29 @@ SELECT id, media_type, n_bytes, content_hash,
        round(feat[1], 6) AS f0, round(feat[2], 6) AS f1,
        round(feat[3], 6) AS f2, round(feat[4], 6) AS f3
 FROM ({_MM_BASE})
+""")
+
+
+# --- event-stream rollup (batch view of the streaming windowed agg) -------------
+def _events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            # fixed-point micro-units: integer sum is order-free/deterministic
+            (F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).cast("double") / 1e6)
+            .alias("sum_value_r"),
+        )
+        .select("day", "event_type", "n", F.round("sum_value_r", 4).alias("sum_value_r"))
+    )
+
+
+_register("events_daily_rollup", _events_rollup_q, """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type, count(*) AS n,
+       round(sum(round(value * 1e6, 0)::BIGINT)::DOUBLE / 1e6, 4) AS sum_value_r
+FROM events
+GROUP BY 1, 2
 """)
 
 

@@ -22,6 +22,9 @@ def get_spark(app_name: str = "flouds_vectordb_spark", shuffle_partitions: int |
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the testdata events table stores TIMESTAMP(NANOS) which the parquet
+        # reader otherwise rejects; read as long and convert explicitly
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

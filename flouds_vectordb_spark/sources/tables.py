@@ -24,6 +24,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream fixture with `ts` normalized to a TIMESTAMP column
+    (stored as TIMESTAMP(NANOS), surfaced as long nanos under
+    spark.sql.legacy.parquet.nanosAsLong)."""
+    # set defensively: a session built outside flouds session.py (e.g. the
+    # driver harness) would otherwise reject TIMESTAMP(NANOS) parquet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
 def collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vector-store collection: documents ⋈ embeddings on doc_id=vec_id.
 

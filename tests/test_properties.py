@@ -1,0 +1,108 @@
+"""Property-based parity tests (hypothesis): the Spark operators against
+pure-Python reimplementations of the reference semantics.
+
+Each property batches all generated cases into ONE DataFrame so a hypothesis
+example costs one Spark job, not one per case.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.functions.text import text_filter_predicate
+from flouds_vectordb_spark.operators.upsert import upsert
+from flouds_vectordb_spark.stopwords import DEFAULT_STOPWORDS
+
+WORDS = ["scan", "merge", "the", "of", "fast", "table", "zz1", "qq2", "batch"]
+chunk_st = st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join)
+filter_st = st.lists(st.sampled_from(WORDS), min_size=1, max_size=4).map(" ".join)
+
+
+def _ref_matches_text_filter(chunk: str, text_filter: str, minimum_words_match: int,
+                             include_stop_words: bool) -> bool:
+    """Pure-Python port of the reference `_matches_text_filter`
+    (vector_store.py:888-936)."""
+    words = [w for w in text_filter.lower().split() if w]
+    if not include_stop_words:
+        words = [w for w in words if w not in DEFAULT_STOPWORDS]
+    if not words:
+        return False
+    low = chunk.lower()
+    matches = sum(1 for w in words if w in low)
+    return matches >= min(len(words), minimum_words_match)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    cases=st.lists(
+        st.tuples(chunk_st, filter_st, st.integers(1, 4), st.booleans()),
+        min_size=1, max_size=25,
+    )
+)
+def test_text_filter_matches_reference_semantics(spark, cases):
+    rows = [(i, c) for i, (c, _, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, chunk string")
+    preds = [
+        text_filter_predicate(F.col("chunk"), tf, mwm, inc).alias(f"p{i}")
+        for i, (_, tf, mwm, inc) in enumerate(cases)
+    ]
+    got = {r["i"]: r for r in df.select("i", *preds).collect()}
+    for i, (chunk, tf, mwm, inc) in enumerate(cases):
+        expected = _ref_matches_text_filter(chunk, tf, mwm, inc)
+        assert got[i][f"p{i}"] == expected, (chunk, tf, mwm, inc)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    current=st.dictionaries(st.integers(0, 15), st.text("ab", min_size=1, max_size=3),
+                            min_size=0, max_size=10),
+    batch=st.dictionaries(st.integers(0, 15), st.text("cd", min_size=1, max_size=3),
+                          min_size=0, max_size=10),
+)
+def test_upsert_matches_dict_semantics(spark, current, batch):
+    expected = {**current, **batch}
+    cur_df = spark.createDataFrame(
+        [(k, v, 0) for k, v in current.items()], "id long, chunk string, batch_ts long")
+    b_df = spark.createDataFrame(
+        [(k, v, 1) for k, v in batch.items()], "id long, chunk string, batch_ts long")
+    got = {r["id"]: r["chunk"] for r in upsert(cur_df, b_df).collect()}
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=1, max_size=20,
+    ),
+    q=st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=4, max_size=4),
+)
+def test_metric_scores_match_python_fold(spark, vecs, q):
+    """Scores equal the driver-side sequential float64 fold bit-for-bit —
+    the determinism contract behind oracle hashing."""
+    from flouds_vectordb_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "i long, v array<double>")
+    got = {
+        r["i"]: (r["ip"], r["l2"])
+        for r in df.select(
+            "i",
+            V.metric_score_q("IP", F.col("v"), q).alias("ip"),
+            V.metric_score_q("L2", F.col("v"), q).alias("l2"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        acc = 0.0
+        for a, b in zip(v, q):
+            acc += float(a) * float(b)
+        assert got[i][0] == acc, "IP must equal the sequential fold exactly"
+        acc2 = 0.0
+        for a, b in zip(v, q):
+            acc2 += (float(a) - float(b)) * (float(a) - float(b))
+        assert got[i][1] == -math.sqrt(acc2)

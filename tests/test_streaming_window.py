@@ -1,0 +1,60 @@
+"""Structured Streaming windowed aggregation over the events fixture:
+watermark + tumbling window, availableNow trigger, checked against the
+equivalent batch aggregation.
+
+The events parquet stores TIMESTAMP(NANOS); the session reads it as long
+nanos (spark.sql.legacy.parquet.nanosAsLong) and sources.tables.events
+normalizes to a TIMESTAMP column — the stream does the same conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.sources.tables import events
+from tests.conftest import SF_SMALL
+
+
+def _windowed(df):
+    return (
+        df.groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def test_stream_tumbling_window_matches_batch(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    out_dir = str(tmp_path_factory.mktemp("out"))
+
+    raw_schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(SF_SMALL)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        _windowed(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out_dir)
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    batch = _windowed(events(spark, SF_SMALL))
+    g = {(r["ws"], r["event_type"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    b = {(r["ws"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch.collect()}
+    # append mode emits only windows closed by the watermark; every emitted
+    # window must match the batch result, and most windows should be closed
+    assert g, "stream produced no closed windows"
+    for k, v in g.items():
+        assert b[k] == v
+    # only the final (still-open) day may be withheld by the watermark:
+    # at most one window per event type
+    n_types = len({k[1] for k in b})
+    assert len(g) >= len(b) - n_types
