@@ -65,6 +65,10 @@ class DenseSearchRequest:
     increase_limit_for_text_search: int = 10
     meta_filter: dict[str, str] = field(default_factory=dict)
     meta_required: bool = False
+    # IVF probe count: request range 4-128 default 4, engine clamp <=256
+    # (search_request.py:63-68, vector_store.py:495); used by plans/ivf.py,
+    # accepted-and-ignored by the exact full-scan path
+    nprobe: int = 4
     # Q12: projection — default mirrors search_request.py:82-85
     output_fields: tuple[str, ...] = ("chunk", "meta")
     # Q13: accepted-and-ignored (Spark reads are snapshot-consistent;

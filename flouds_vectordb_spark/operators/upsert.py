@@ -113,11 +113,43 @@ class CollectionWriter:
 
     def flush(self) -> None:
         """S4: compact appended segments to the deduped state (tmp + swap)."""
+        import os
         import shutil
 
         path = self.meta["path"]
         tmp = path + "__compacting"
         self.read_latest().write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
-        import os
         os.replace(tmp, path)
+
+    # ---- index build + search (S2's index job + the reference search gate) --
+    def build_index(self):
+        """The generate_schema index-build job (base_milvus.py:1216-1310),
+        run over the flushed collection: IVF centroid layout from the spec's
+        nlist/metric. IVF_SQ8/IVF_PQ/HNSW execute as IVF_FLAT (SURVEY §4.1)."""
+        from flouds_vectordb_spark.plans.ivf import build_ivf
+
+        return build_ivf(
+            self.read_latest(),
+            self.meta["path"] + "__ivf",
+            nlist=int(self.meta["nlist"]),
+            metric=self.meta["metric_type"],
+        )
+
+    def search(self, req, use_index: bool = False, **dense_kwargs):
+        """Dense search over the stored collection, with the reference's
+        query-dimension validation (a wrong-dim query must RAISE, not return
+        an empty result set — input_validator.py:169-170, dim read
+        vector_store.py:207-263)."""
+        from flouds_vectordb_spark.operators.dense_search import dense_search
+        from flouds_vectordb_spark.plans.ivf import open_ivf
+
+        dim = int(self.meta["dimension"])
+        if len(req.query_vector) != dim:
+            raise ValueError(
+                f"query vector dimension {len(req.query_vector)} != collection dimension {dim}"
+            )
+        if use_index:
+            idx = open_ivf(self.meta["path"] + "__ivf")
+            return idx.search(self.catalog.spark, req, **dense_kwargs)
+        return dense_search(self.read_latest(), req, **dense_kwargs)

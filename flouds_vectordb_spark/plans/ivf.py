@@ -103,10 +103,12 @@ class IvfIndex:
         return spark.read.parquet(self.path).filter(F.col("centroid_id").isin(nprobe_cells))
 
     def search(self, spark: SparkSession, req: DenseSearchRequest,
-               nprobe: int, **dense_kwargs) -> DataFrame:
+               nprobe: int | None = None, **dense_kwargs) -> DataFrame:
         """IVF-pruned exact search: probe cells, then the unchanged exact
-        dense_search over the pruned scan."""
-        cells = self.probe_cells(req.query_vector, nprobe)
+        dense_search over the pruned scan. nprobe defaults to the request's
+        (search_request.py:63-68)."""
+        cells = self.probe_cells(req.query_vector,
+                                 req.nprobe if nprobe is None else nprobe)
         return dense_search(self.scan(spark, cells), req, **dense_kwargs)
 
 

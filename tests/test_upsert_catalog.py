@@ -100,3 +100,32 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
                                 "id string, chunk string, vector array<float>")
     with pytest.raises(ValueError):
         w.insert_data(bad, batch_ts=3)
+
+
+def test_collection_search_validates_query_dim(spark, tmp_path_factory):
+    from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh3")))
+    cat.set_vector_store("t3")
+    cat.generate_schema(CollectionSpec("t3", "m", dimension=2, nlist=2))
+    w = CollectionWriter(cat, "t3", "m")
+    batch = spark.createDataFrame(
+        [(f"k{i}", f"doc {i}", [float(i), 1.0 - i / 10.0]) for i in range(12)],
+        "id string, chunk string, vector array<float>")
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+
+    # wrong-dim query must raise, not silently return nothing
+    with pytest.raises(ValueError, match="dimension"):
+        w.search(DenseSearchRequest(query_vector=[1.0, 2.0, 3.0]))
+
+    req = DenseSearchRequest(query_vector=[1.0, 0.5], limit=3, output_fields=())
+    exact = [r["id"] for r in w.search(req).collect()]
+    assert len(exact) == 3
+
+    # index build + full-probe index search returns the exact result
+    w.build_index()
+    via_idx = [r["id"] for r in
+               w.search(DenseSearchRequest(query_vector=[1.0, 0.5], limit=3,
+                                           output_fields=(), nprobe=2),
+                        use_index=True).collect()]
+    assert via_idx == exact
