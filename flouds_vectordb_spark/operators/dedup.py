@@ -204,6 +204,102 @@ SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {float(jaccard_thres
 """
 
 
+# --- exact n-gram Jaccard (AllPairs prefix-filter join) ----------------------
+
+def _shingle_hashes(text_col: Column, shingle_n: int) -> Column:
+    """Canonically-ordered distinct shingle-hash set of a document."""
+    return F.array_sort(F.array_distinct(
+        F.transform(shingles(tokenize(text_col), n=shingle_n), lambda s: hash64(s))
+    ))
+
+
+def _shingle_hashes_sql(text_expr: str, shingle_n: int) -> str:
+    toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    return (
+        f"list_sort(list_distinct(list_transform({shingles_sql(toks, n=shingle_n)}, "
+        f"s -> {hash64_sql('s')})))"
+    )
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """EXACT near-duplicate pairs (id_a < id_b, jaccard_r >= t) by n-gram
+    Jaccard — no MinHash approximation in candidate generation.
+
+    Scale path: AllPairs prefix filtering (Bayardo/Ma/Srikant, WWW'07).
+    Each doc's distinct shingle hashes are sorted into one global canonical
+    order; any pair with Jaccard >= t shares >= ceil(t*|x|) elements, so it
+    MUST collide inside each side's first ``|x| - ceil(t*|x|) + 1`` hashes.
+    Candidates therefore come from an inverted-index self-join over those
+    short PREFIXES only — never all-pairs, and the prefix (hence shuffle)
+    shrinks as t grows. Exact: zero false negatives by construction
+    (unit-tested against brute-force all-pairs), then exact Jaccard on the
+    full sets verifies each candidate."""
+    t = float(jaccard_threshold)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _shingle_hashes(F.col(text_col), shingle_n).alias("hset"),
+    ).persist()
+    plen = (F.size("hset") - F.ceil(F.lit(t) * F.size("hset")) + F.lit(1)).cast("int")
+    entries = base.select(
+        "id", "hset", F.explode(F.slice("hset", 1, plen)).alias("h")
+    )
+    a = entries.select(F.col("id").alias("id_a"), F.col("hset").alias("hs_a"), "h")
+    b = entries.select(F.col("id").alias("id_b"), F.col("hset").alias("hs_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hs_a", "hs_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard_r", F.round(inter / union, 6))
+        .filter(F.col("jaccard_r") >= F.lit(t))
+        .select("id_a", "id_b", "jaccard_r")
+    )
+
+
+def dedup_ngram_jaccard_sql(
+    table_sql: str,
+    id_expr: str = "id",
+    text_expr: str = "text",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = SHINGLE_N,
+) -> str:
+    """DuckDB oracle twin of dedup_ngram_jaccard (same prefix-filter plan)."""
+    t = float(jaccard_threshold)
+    hset = _shingle_hashes_sql(text_expr, shingle_n)
+    return f"""
+WITH _h AS (SELECT {id_expr} AS id, {hset} AS hset FROM {table_sql}),
+_entries AS (
+  SELECT id, hset, unnest(list_slice(hset, 1,
+         (len(hset) - ceil({t!r} * len(hset)) + 1)::INT)) AS h
+  FROM _h
+),
+_cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM _entries a JOIN _entries b ON a.h = b.h AND a.id < b.id
+),
+_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.hset, sb.hset))::DOUBLE
+               / (len(sa.hset) + len(sb.hset)
+                  - len(list_intersect(sa.hset, sb.hset)))::DOUBLE, 6) AS jaccard_r
+  FROM _cand c
+  JOIN _h sa ON c.id_a = sa.id
+  JOIN _h sb ON c.id_b = sb.id
+)
+SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {t!r}
+"""
+
+
 # --- simhash near-dup --------------------------------------------------------
 
 SIMHASH_BITS = 64

@@ -49,6 +49,8 @@ from flouds_vectordb_spark.operators.dedup import (
     dedup_exact_sql,
     dedup_minhash,
     dedup_minhash_sql,
+    dedup_ngram_jaccard,
+    dedup_ngram_jaccard_sql,
     dedup_simhash,
     dedup_simhash_sql,
 )
@@ -427,6 +429,17 @@ def _dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("dedup_near_minhash_lsh", _dedup_minhash_q,
           dedup_minhash_sql(_DOCS_NEAR_DUPS_SQL, id_expr="doc_id",
                             jaccard_threshold=0.5))
+
+
+# --- exact n-gram Jaccard dedup (AllPairs prefix-filter join, no approximation) -
+def _dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ngram_jaccard(_docs_with_near_dups(spark, sf_dir), id_col="doc_id",
+                               jaccard_threshold=0.5)
+
+
+_register("dedup_near_ngram_jaccard", _dedup_ngram_q,
+          dedup_ngram_jaccard_sql(_DOCS_NEAR_DUPS_SQL, id_expr="doc_id",
+                                  jaccard_threshold=0.5))
 
 
 # --- SimHash near dedup (16-bit bands; exact for hamming<=3 by pigeonhole) ------

@@ -9,6 +9,7 @@ from flouds_vectordb_spark.operators.ann import dedup_embedding_cosine
 from flouds_vectordb_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash,
+    dedup_ngram_jaccard,
     dedup_simhash,
     minhash_signatures,
 )
@@ -62,6 +63,40 @@ def test_simhash_candidates_complete_for_low_hamming(docs):
     # pigeonhole: hamming<=3 pairs MUST be found (one of 4 16-bit bands equal)
     found = dedup_simhash(docs, max_hamming=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in found} >= {(1, 2)}
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_r"]
+             for r in dedup_ngram_jaccard(docs, jaccard_threshold=0.3).collect()}
+    assert pairs.get((1, 2)) == 1.0  # identical shingle sets
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_ngram_jaccard_prefix_filter_has_no_false_negatives(spark, threshold):
+    # the AllPairs prefix filter must find EXACTLY the brute-force all-pairs
+    # result — zero false negatives at any threshold
+    import itertools
+
+    rows = [(i, " ".join(f"w{(i * 3 + k) % 17}" for k in range(12))) for i in range(1, 16)]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def shingle_set(text, n=3):
+        toks = text.lower().split()
+        k = max(len(toks) - n + 1, 1)
+        return {" ".join(toks[i:i + n]) for i in range(k)}
+
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingle_set(ta), shingle_set(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 6) >= threshold:
+            expected[(ia, ib)] = round(j, 6)
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard_r"]
+           for r in dedup_ngram_jaccard(df, jaccard_threshold=threshold).collect()}
+    assert got == expected
 
 
 def test_embedding_cosine_dedup_finds_planted_dups(spark):
