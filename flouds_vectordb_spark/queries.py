@@ -635,6 +635,22 @@ def _events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- gap sessionization (batch twin of streaming/sessionize.py) ----------------
+def _events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(events(spark, sf_dir), gap_minutes=30)
+
+
+def _events_sessionize_sql() -> str:
+    from flouds_vectordb_spark.streaming.sessionize import sessionize_batch_sql
+
+    return sessionize_batch_sql("events", gap_minutes=30)
+
+
+_register("events_sessionize", _events_sessionize_q, _events_sessionize_sql())
+
+
 _register("events_daily_rollup", _events_rollup_q, """
 SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type, count(*) AS n,
        round(sum(round(value * 1e6, 0)::BIGINT)::DOUBLE / 1e6, 4) AS sum_value_r

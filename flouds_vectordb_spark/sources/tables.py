@@ -33,7 +33,10 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: exact ns->us truncation, matching DuckDB's
+        # TIMESTAMP_NS::TIMESTAMP cast (float division loses precision at
+        # 1e18-ns magnitudes -> off-by-one-us vs the oracle)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,81 @@
+"""Stateful streaming sessionization (applyInPandasWithState) vs its batch
+twin, plus batch-twin unit checks on a hand-built fixture."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.sources.tables import events
+from flouds_vectordb_spark.streaming.sessionize import (
+    sessionize_batch,
+    sessionize_stream,
+)
+from tests.conftest import SF_SMALL
+
+T0 = datetime(2025, 6, 1, 12, 0, 0)
+
+
+def _mk_events(spark):
+    rows = [
+        # user 1: two sessions split by a 45-min gap
+        (1, T0, 1.0), (1, T0 + timedelta(minutes=10), 2.5),
+        (1, T0 + timedelta(minutes=55), 4.0),
+        (1, T0 + timedelta(minutes=60), 0.5),
+        # user 2: one session, events exactly at the 30-min gap (inclusive)
+        (2, T0, 10.0), (2, T0 + timedelta(minutes=30), 20.0),
+        # user 3: single event
+        (3, T0 + timedelta(hours=3), 7.25),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_batch_sessionize_gap_semantics(spark):
+    out = {(r["user_id"], r["session_idx"]): r
+           for r in sessionize_batch(_mk_events(spark), gap_minutes=30).collect()}
+    assert len(out) == 4
+    s11, s12 = out[(1, 1)], out[(1, 2)]
+    assert s11["n_events"] == 2 and s11["sum_value_r"] == 3.5
+    assert s12["n_events"] == 2 and s12["sum_value_r"] == 4.5
+    assert s12["session_start"] == T0 + timedelta(minutes=55)
+    # gap is inclusive: exactly 30 min apart stays one session
+    assert out[(2, 1)]["n_events"] == 2
+    assert out[(3, 1)]["n_events"] == 1 and out[(3, 1)]["sum_value_r"] == 7.25
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    out_dir = str(tmp_path_factory.mktemp("out"))
+
+    raw_schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMALL)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .start(out_dir)
+    )
+    q.awaitTermination(180)
+
+    got = {(r["user_id"], r["session_idx"]):
+           (r["session_start"], r["session_end"], r["n_events"], r["sum_value_r"])
+           for r in spark.read.parquet(out_dir).collect()}
+    batch = {(r["user_id"], r["session_idx"]):
+             (r["session_start"], r["session_end"], r["n_events"], r["sum_value_r"])
+             for r in sessionize_batch(events(spark, SF_SMALL), gap_minutes=30).collect()}
+
+    # append mode: every emitted (closed) session must match the batch twin
+    assert got, "stream emitted no closed sessions"
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    # at most the final still-open session per user may be withheld
+    n_users = len({k[0] for k in batch})
+    assert len(got) >= len(batch) - n_users

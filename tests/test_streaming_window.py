@@ -32,7 +32,7 @@ def test_stream_tumbling_window_matches_batch(spark, tmp_path_factory):
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(SF_SMALL)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
     )
     q = (
