@@ -245,22 +245,32 @@ def dedup_ngram_jaccard(
         F.col(id_col).alias("id"),
         _shingle_hashes(F.col(text_col), shingle_n).alias("hset"),
     ).persist()
+    # prefix entries carry only (id, len, h) — the shingle ARRAYS never enter
+    # the inverted-index shuffle (they'd be duplicated x prefix_len); they are
+    # hash-joined back for the (small) surviving candidate set instead
     plen = (F.size("hset") - F.ceil(F.lit(t) * F.size("hset")) + F.lit(1)).cast("int")
     entries = base.select(
-        "id", "hset", F.explode(F.slice("hset", 1, plen)).alias("h")
+        "id", F.size("hset").alias("n"), F.explode(F.slice("hset", 1, plen)).alias("h")
     )
-    a = entries.select(F.col("id").alias("id_a"), F.col("hset").alias("hs_a"), "h")
-    b = entries.select(F.col("id").alias("id_b"), F.col("hset").alias("hs_b"), "h")
+    a = entries.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "h")
+    b = entries.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "h")
     cand = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hs_a", "hs_b")
+        # size-ratio prefilter: Jaccard >= t forces min|set| >= t * max|set|
+        .filter(F.least("n_a", "n_b").cast("double")
+                >= F.lit(t) * F.greatest("n_a", "n_b").cast("double"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("hset").alias("hs_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("hset").alias("hs_b")), "id_b")
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
     return (
-        cand.withColumn("jaccard_r", F.round(inter / union, 6))
+        pairs.withColumn("jaccard_r", F.round(inter / union, 6))
         .filter(F.col("jaccard_r") >= F.lit(t))
         .select("id_a", "id_b", "jaccard_r")
     )

@@ -26,7 +26,13 @@ def get_spark(app_name: str = "flouds_vectordb_spark", shuffle_partitions: int |
         # reader otherwise rejects; read as long and convert explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # codegen-heavy workload (37 bench queries; some generate very large
+        # classes — 16 minhash sigs, 60 simhash bit-votes): the JVM's default
+        # 240 MB JIT code cache fills mid-run, JIT compilation stops, and
+        # every later query runs interpreted (measured 10-40x slowdowns on
+        # late-registry bench queries). Same flag Spark's own build uses.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -49,28 +49,32 @@ def sessionize_batch(df: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES,
                      value_col: str = "value") -> DataFrame:
     """(user_id, session_idx, session_start, session_end, n_events,
     sum_value_r) — the batch view of the stream operator."""
-    gap_us = int(gap_minutes) * 60_000_000
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    # the running sum runs over the ALIASED frame (post-select names)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col(ts_col))
-    is_new = F.when(us - F.lag(us).over(w) <= gap_us, F.lit(0)).otherwise(F.lit(1))
-    sess = df.select(
-        F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"),
-        F.col(value_col).alias("value"), is_new.alias("_new"),
-    ).withColumn("session_idx", F.sum("_new").over(run))
-    return (
-        sess.groupBy("user_id", "session_idx")
+    # built-in session_window: ONE keyed shuffle over the events (vs the
+    # lag+running-sum formulation's sort-window PLUS aggregation). Spark's
+    # merge rule is strict (next_ts < prev_ts + gap); widening the gap by
+    # 1 microsecond (event-time resolution) makes it the inclusive
+    # `next - prev <= gap` contract shared with the stream operator and the
+    # SQL oracle.
+    sessions = (
+        df.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(F.col(ts_col), f"{int(gap_minutes)} minutes 1 microsecond"),
+        )
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
             F.count("*").alias("n_events"),
-            (F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).cast("double") / 1e6)
+            (F.sum(F.round(F.col(value_col) * 1e6, 0).cast("long")).cast("double") / 1e6)
             .alias("_sv"),
         )
-        .select("user_id", "session_idx", "session_start", "session_end",
-                "n_events", F.round("_sv", 4).alias("sum_value_r"))
+    )
+    # session ordinal: a window over SESSIONS (a few per user), not events
+    run = Window.partitionBy("user_id").orderBy("session_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(run).cast("long").alias("session_idx"),
+        "session_start", "session_end", "n_events",
+        F.round("_sv", 4).alias("sum_value_r"),
     )
 
 
