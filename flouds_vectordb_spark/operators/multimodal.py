@@ -87,6 +87,106 @@ def extract_features(df: DataFrame, id_col: str = "id",
     return df.select(id_col, payload_col, media_type_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "id long, media_type string, out_len int, resized_hash string"
+
+
+def fake_resize(chars: str, out_len: int) -> str:
+    """Deterministic nearest-neighbor resample of the payload's character
+    sequence to `out_len` — the real resize algorithm applied to the 1-D
+    stand-in signal (a decoder would hand pixel rows to the same logic)."""
+    n = len(chars)
+    if n == 0:
+        return ""
+    return "".join(chars[(i * n) // out_len] for i in range(out_len))
+
+
+def resize_media(df: DataFrame, out_len: int = 32, id_col: str = "id",
+                 payload_col: str = "payload",
+                 media_type_col: str = "media_type") -> DataFrame:
+    """mapInPandas resize step: per item, resample the payload to a fixed
+    target size and emit (id, media_type, out_len, md5-of-resized). Swap
+    `fake_resize` for a real interpolating resizer behind a decoder; the
+    Spark-side schema/batching is unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                resized = fake_resize(bytes(payload).decode("utf-8"), out_len)
+                hashes.append(hashlib.md5(resized.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "media_type": pdf[media_type_col],
+                "out_len": pd.array([out_len] * len(pdf), dtype="int32"),
+                "resized_hash": hashes,
+            })
+
+    return df.select(id_col, payload_col, media_type_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def resize_media_sql(table_sql: str, out_len: int = 32, id_expr: str = "id",
+                     text_expr: str = "text",
+                     media_type: str = "text/plain") -> str:
+    """DuckDB oracle twin: the same nearest-neighbor character resample."""
+    return f"""
+SELECT {id_expr} AS id, '{media_type}' AS media_type, {out_len}::INT AS out_len,
+       md5(array_to_string(list_transform(generate_series(0, {out_len - 1}),
+           i -> substr({text_expr}, ((i * strlen({text_expr})) // {out_len})::INT + 1, 1)), ''))
+         AS resized_hash
+FROM {table_sql}
+"""
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_len int, frame_hash string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_chars: int = 64,
+                  id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas frame sampling: treat the payload as a sequence of
+    fixed-size chunks ("frames") and emit `n_frames` uniformly-spaced ones
+    (frame j -> chunk floor(j*n_chunks/n_frames)) — the standard uniform
+    temporal sampling a video pipeline runs, over the stand-in signal.
+    One input item fans out to n_frames rows (mapInPandas handles the 1->N
+    shape natively; no explode of pre-built arrays)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                chars = bytes(payload).decode("utf-8")
+                n_chunks = max((len(chars) + frame_chars - 1) // frame_chars, 1)
+                for j in range(n_frames):
+                    c = (j * n_chunks) // n_frames
+                    frame = chars[c * frame_chars:(c + 1) * frame_chars]
+                    ids.append(rid)
+                    idxs.append(j)
+                    lens.append(len(frame))
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({
+                "id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame_len": pd.array(lens, dtype="int32"),
+                "frame_hash": hashes,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def sample_frames_sql(table_sql: str, n_frames: int = 4, frame_chars: int = 64,
+                      id_expr: str = "id", text_expr: str = "text") -> str:
+    """DuckDB oracle twin of sample_frames."""
+    return f"""
+SELECT {id_expr} AS id, j::INT AS frame_idx,
+       strlen(substr({text_expr}, (((j * _nc) // {n_frames}) * {frame_chars})::INT + 1,
+                     {frame_chars}))::INT AS frame_len,
+       md5(substr({text_expr}, (((j * _nc) // {n_frames}) * {frame_chars})::INT + 1,
+                  {frame_chars})) AS frame_hash
+FROM (SELECT *, greatest((strlen({text_expr}) + {frame_chars - 1}) // {frame_chars}, 1) AS _nc
+      FROM {table_sql}),
+     (SELECT unnest(generate_series(0, {n_frames - 1})) AS j)
+"""
+
+
 def extract_features_sql(table_sql: str, id_expr: str = "id",
                          text_expr: str = "text",
                          media_type: str = "text/plain") -> str:

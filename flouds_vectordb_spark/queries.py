@@ -57,6 +57,10 @@ from flouds_vectordb_spark.operators.dedup import (
 from flouds_vectordb_spark.operators.multimodal import (
     extract_features,
     extract_features_sql,
+    resize_media,
+    resize_media_sql,
+    sample_frames,
+    sample_frames_sql,
     with_binary_payload,
 )
 from flouds_vectordb_spark.operators.text_analysis import (
@@ -618,6 +622,21 @@ SELECT id, media_type, n_bytes, content_hash,
        round(feat[3], 6) AS f2, round(feat[4], 6) AS f3
 FROM ({_MM_BASE})
 """)
+
+
+# resize: nearest-neighbor resample to a fixed size (mapInPandas)
+_register("multimodal_resize",
+          lambda spark, sf_dir: resize_media(
+              with_binary_payload(load(spark, sf_dir, "documents"), text_col="text"),
+              out_len=32, id_col="doc_id"),
+          resize_media_sql("documents", out_len=32, id_expr="doc_id"))
+
+# frame sampling: n uniformly-spaced fixed-size chunks per item (1->N fan-out)
+_register("multimodal_frame_sample",
+          lambda spark, sf_dir: sample_frames(
+              with_binary_payload(load(spark, sf_dir, "documents"), text_col="text"),
+              n_frames=4, frame_chars=64, id_col="doc_id"),
+          sample_frames_sql("documents", n_frames=4, frame_chars=64, id_expr="doc_id"))
 
 
 # --- event-stream rollup (batch view of the streaming windowed agg) -------------

@@ -103,3 +103,32 @@ def test_multimodal_custom_extractor_plugs_in(spark):
 
     out = extract_features(with_binary_payload(df), extractor=ext).first()
     assert out["content_hash"] == "X" and out["feat"] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_multimodal_resize_nearest_neighbor(spark):
+    from flouds_vectordb_spark.operators.multimodal import fake_resize, resize_media
+
+    text = "abcdefghij"  # 10 chars -> 4: indices 0,2,5,7 = a c f h
+    assert fake_resize(text, 4) == "acfh"
+    assert fake_resize("x", 3) == "xxx"  # upsample repeats nearest
+    assert fake_resize("", 4) == ""
+
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    row = resize_media(with_binary_payload(df), out_len=4).first()
+    assert row["out_len"] == 4
+    assert row["resized_hash"] == hashlib.md5(b"acfh").hexdigest()
+
+
+def test_multimodal_frame_sampling(spark):
+    from flouds_vectordb_spark.operators.multimodal import sample_frames
+
+    text = "A" * 64 + "B" * 64 + "C" * 30  # 3 chunks of 64 (last short)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    rows = sorted(sample_frames(with_binary_payload(df), n_frames=4, frame_chars=64)
+                  .collect(), key=lambda r: r["frame_idx"])
+    # chunk index per frame j: (j*3)//4 -> 0,0,1,2
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["frame_len"] for r in rows] == [64, 64, 64, 30]
+    assert rows[0]["frame_hash"] == hashlib.md5(b"A" * 64).hexdigest()
+    assert rows[2]["frame_hash"] == hashlib.md5(b"B" * 64).hexdigest()
+    assert rows[3]["frame_hash"] == hashlib.md5(b"C" * 30).hexdigest()
