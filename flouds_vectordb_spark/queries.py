@@ -563,6 +563,53 @@ _register("s2_catalog_flow_search", _s2_catalog_flow_q, dense_search_sql(
     _S2_SUBSET_SQL, id_expr="id", vector_expr="vector"))
 
 
+# --- S3 via the JSON source: reference insert payload -> sink -> search ---------
+_JSON_WH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".cache_json_wh")
+
+
+def _s3_json_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ONLY ingest format (JSON EmbeddedVector records,
+    insert_request.py / embedded_vector.py) driven end to end: JSONL ->
+    schema-first read -> request validators -> CollectionWriter -> search."""
+    import shutil
+
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+    from flouds_vectordb_spark.sources.json_ingest import ingest_json
+
+    shutil.rmtree(_JSON_WH, ignore_errors=True)
+    jsonl_dir = os.path.join(_JSON_WH, "payload")
+    (
+        collection(spark, sf_dir)
+        .filter(F.col("id") % 5 == 1)
+        .select(
+            F.col("id").cast("string").alias("key"), F.col("chunk"),
+            F.lit("m64").alias("model"), F.col("meta").alias("metadata"),
+            F.col("vector"),
+        )
+        .write.json(jsonl_dir)
+    )
+    cat = Catalog(spark, os.path.join(_JSON_WH, "wh"))
+    cat.set_vector_store("jdemo")
+    cat.generate_schema(CollectionSpec("jdemo", "m64", dimension=64,
+                                       metric_type="COSINE"))
+    writer = CollectionWriter(cat, "jdemo", "m64")
+    ingest_json(spark, jsonl_dir, writer, batch_ts=1, force_flush=True,
+                enforce_request_caps=False)
+    req = DenseSearchRequest(query_vector=fixture_query_vector(seed=33),
+                             metric="COSINE", limit=10, output_fields=())
+    return writer.search(req)
+
+
+_S3_JSON_SUBSET_SQL = (
+    f"(SELECT id::VARCHAR AS id, chunk, vector FROM {COLLECTION_SQL} t WHERE id % 5 = 1)"
+)
+_register("s3_ingest_json_search", _s3_json_ingest_q, dense_search_sql(
+    DenseSearchRequest(query_vector=fixture_query_vector(seed=33),
+                       metric="COSINE", limit=10, output_fields=()),
+    _S3_JSON_SUBSET_SQL, id_expr="id", vector_expr="vector"))
+
+
 # --- text analysis --------------------------------------------------------------
 # token counting: whitespace + a BPE-ish regex segmentation estimate
 _BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"

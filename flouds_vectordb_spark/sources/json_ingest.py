@@ -1,0 +1,104 @@
+"""JSON ingest source — the reference's insert payload as a Spark source.
+
+The reference ingests exclusively via REST JSON: `InsertEmbeddedRequest`
+(`/root/reference/app/models/insert_request.py:19-36`) carries a list of
+`EmbeddedVector` records `{key, chunk, model, metadata, vector}`
+(`app/models/embedded_vector.py:26-33`). This module reads the same records
+as JSON-lines into the collection batch shape, re-expressing the request
+validators as Spark aggregations:
+
+- non-empty data, max 1000 vectors/request  (insert_request.py:66-70)
+- unique, non-empty primary keys            (insert_request.py:96-105)
+- chunk length <= 60000 chars               (insert_request.py:80-83)
+- vector dimension == collection dim        (I2, vector_store.py:332-352)
+
+Scale notes: the read uses an EXPLICIT schema — no inference pass over the
+data (inference samples the whole input; at 100 TB that is a full extra
+scan). All validations fold into ONE aggregation job over the batch. The
+per-request 1000-row cap is an API-contract artifact; `enforce_request_caps`
+keeps it for parity and turns it off for bulk loads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_VECTORS_PER_REQUEST = 1000  # insert_request.py:70
+MAX_CHUNK_CHARS = 60000  # insert_request.py:81
+
+EMBEDDED_VECTOR_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("chunk", T.StringType()),
+    T.StructField("model", T.StringType()),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("vector", T.ArrayType(T.FloatType())),
+])
+
+
+def read_embedded_vectors_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read EmbeddedVector JSON-lines with the explicit schema (no
+    inference scan); malformed lines fail loudly (FAILFAST) like the
+    reference's pydantic parse."""
+    return spark.read.schema(EMBEDDED_VECTOR_SCHEMA).option("mode", "FAILFAST").json(path)
+
+
+def to_collection_batch(df: DataFrame) -> DataFrame:
+    """EmbeddedVector records -> the collection batch shape
+    (id, chunk, vector, meta)."""
+    return df.select(
+        F.col("key").alias("id"),
+        F.col("chunk"),
+        F.col("vector"),
+        F.coalesce(
+            F.col("metadata"),
+            F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType())),
+        ).alias("meta"),
+    )
+
+
+def validate_insert_request(batch: DataFrame, dim: int,
+                            enforce_request_caps: bool = True) -> int:
+    """All reference insert validators in ONE aggregation pass; raises
+    ValueError with every violated rule listed. Returns the row count."""
+    stats = batch.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("id").alias("n_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("id").isNull() | (F.trim("id") == ""), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_empty_keys"),
+        F.coalesce(F.max(F.length("chunk")), F.lit(0)).alias("max_chunk"),
+        F.coalesce(
+            F.sum(F.when(F.col("vector").isNull() | (F.size("vector") != dim), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_bad_dim"),
+    ).first()
+    problems = []
+    if stats["n"] == 0:
+        problems.append("Data list cannot be empty")
+    if enforce_request_caps and stats["n"] > MAX_VECTORS_PER_REQUEST:
+        problems.append(f"Maximum {MAX_VECTORS_PER_REQUEST} vectors per request")
+    if stats["n_empty_keys"]:
+        problems.append(f"{stats['n_empty_keys']} empty primary keys")
+    if stats["n_keys"] != stats["n"] - stats["n_empty_keys"]:
+        problems.append("Duplicate primary keys found")
+    if stats["max_chunk"] > MAX_CHUNK_CHARS:
+        problems.append(
+            f"Chunk exceeds maximum length of {MAX_CHUNK_CHARS} characters")
+    if stats["n_bad_dim"]:
+        problems.append(f"{stats['n_bad_dim']} vectors with dimension != {dim}")
+    if problems:
+        raise ValueError("; ".join(problems))
+    return int(stats["n"])
+
+
+def ingest_json(spark: SparkSession, path: str, writer, batch_ts: int,
+                enforce_request_caps: bool = True, **insert_kwargs) -> dict:
+    """End-to-end source->sink: JSON-lines -> validated collection batch ->
+    `CollectionWriter.insert_data` (same path as every other arrival mode)."""
+    batch = to_collection_batch(read_embedded_vectors_json(spark, path))
+    validate_insert_request(batch, int(writer.meta["dimension"]),
+                            enforce_request_caps=enforce_request_caps)
+    return writer.insert_data(batch, batch_ts=batch_ts, **insert_kwargs)

@@ -99,6 +99,18 @@ def test_ngram_jaccard_prefix_filter_has_no_false_negatives(spark, threshold):
     assert got == expected
 
 
+def test_ngram_jaccard_plan_keeps_arrays_out_of_candidate_shuffle(docs):
+    """Scale guard: the inverted-index self-join must exchange only
+    (id, n, h) scalars; the shingle-hash ARRAYS join back post-candidates.
+    An hset column inside an Exchange means the corpus arrays are being
+    duplicated x prefix_len through the shuffle."""
+    plan = (dedup_ngram_jaccard(docs, jaccard_threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(h#" in line:
+            assert "hset" not in line, line
+
+
 def test_embedding_cosine_dedup_finds_planted_dups(spark):
     base = [(i, [float((i * 7 + j * 13) % 11) - 5.0 for j in range(8)]) for i in range(1, 21)]
     dups = [(100 + i, v) for i, v in base[:3]]

@@ -1,0 +1,85 @@
+"""JSON ingest source: reference insert-payload parity (schema, validators,
+end-to-end into a collection)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest
+from flouds_vectordb_spark.operators.upsert import CollectionWriter
+from flouds_vectordb_spark.sources.json_ingest import (
+    ingest_json,
+    read_embedded_vectors_json,
+    to_collection_batch,
+    validate_insert_request,
+)
+
+
+def _write_jsonl(tmp_path_factory, records, name="batch"):
+    d = tmp_path_factory.mktemp(name)
+    p = str(d / "data.jsonl")
+    with open(p, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return p
+
+
+def _rec(key, vec, chunk="some text", meta=None):
+    return {"key": key, "chunk": chunk, "model": "m", "metadata": meta,
+            "vector": vec}
+
+
+def test_read_and_normalize(spark, tmp_path_factory):
+    path = _write_jsonl(tmp_path_factory, [
+        _rec("a", [1.0, 2.0], meta={"lang": "en"}),
+        _rec("b", [3.0, 4.0]),  # metadata omitted -> {}
+    ])
+    batch = to_collection_batch(read_embedded_vectors_json(spark, path))
+    rows = {r["id"]: r for r in batch.collect()}
+    assert rows["a"]["meta"] == {"lang": "en"} and rows["a"]["vector"] == [1.0, 2.0]
+    assert rows["b"]["meta"] == {}
+    assert validate_insert_request(batch, dim=2) == 2
+
+
+@pytest.mark.parametrize("records,msg", [
+    ([], "empty"),
+    ([_rec("a", [1.0, 2.0]), _rec("a", [3.0, 4.0])], "Duplicate"),
+    ([_rec("", [1.0, 2.0])], "empty primary keys"),
+    ([_rec("a", [1.0, 2.0], chunk="x" * 60001)], "maximum length"),
+    ([_rec("a", [1.0, 2.0, 3.0])], "dimension"),
+])
+def test_validators_raise(spark, tmp_path_factory, records, msg):
+    path = _write_jsonl(tmp_path_factory, records) if records else \
+        _write_jsonl(tmp_path_factory, [])
+    batch = to_collection_batch(read_embedded_vectors_json(spark, path))
+    with pytest.raises(ValueError, match=msg):
+        validate_insert_request(batch, dim=2)
+
+
+def test_request_cap_enforced_and_liftable(spark, tmp_path_factory):
+    recs = [_rec(f"k{i}", [float(i), 1.0]) for i in range(1001)]
+    path = _write_jsonl(tmp_path_factory, recs)
+    batch = to_collection_batch(read_embedded_vectors_json(spark, path))
+    with pytest.raises(ValueError, match="1000 vectors"):
+        validate_insert_request(batch, dim=2)
+    assert validate_insert_request(batch, dim=2, enforce_request_caps=False) == 1001
+
+
+def test_ingest_json_end_to_end(spark, tmp_path_factory):
+    path = _write_jsonl(tmp_path_factory, [
+        _rec("a", [1.0, 0.0], chunk="alpha doc"),
+        _rec("b", [0.0, 1.0], chunk="beta doc"),
+        _rec("c", [0.7, 0.7], chunk="gamma doc"),
+    ])
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    cat.set_vector_store("t")
+    cat.generate_schema(CollectionSpec("t", "m", dimension=2, nlist=2))
+    w = CollectionWriter(cat, "t", "m")
+    res = ingest_json(spark, path, w, batch_ts=1, force_flush=True)
+    assert res == {"inserted": 3, "flushed": True}
+    hits = w.search(DenseSearchRequest(query_vector=[1.0, 0.1], limit=2,
+                                       output_fields=())).collect()
+    assert [h["id"] for h in hits] == ["a", "c"]

@@ -44,6 +44,16 @@ def test_batch_sessionize_gap_semantics(spark):
     assert out[(3, 1)]["n_events"] == 1 and out[(3, 1)]["sum_value_r"] == 7.25
 
 
+def test_batch_sessionize_single_event_shuffle(spark):
+    """Scale guard: the session aggregation must shuffle the EVENTS exactly
+    once (one hashpartitioning exchange on user_id feeding the session
+    window sort); the ordinal window shuffles only the session rows."""
+    plan = (sessionize_batch(_mk_events(spark), gap_minutes=30)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SessionWindow" in plan or "session_window" in plan
+
+
 def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("ckpt"))
     out_dir = str(tmp_path_factory.mktemp("out"))
