@@ -151,6 +151,68 @@ def bm25_postings(
     return post
 
 
+# --- incremental index maintenance (SURVEY "hard parts" #3) ------------------
+#
+# BM25 weights depend on GLOBAL stats (idf, avgdl): any ingest changes every
+# stored weight. The scale answer (Lucene/ES model) is to store only the
+# IMMUTABLE per-document facts (tf, dl) in the index and keep the global
+# stats additively mergeable — weights are derived from current stats, so an
+# ingest is O(batch): append tf rows, merge term dfs, bump two counters.
+# Nothing previously written is rewritten.
+
+def bm25_tf(df: DataFrame, id_col: str = "id", chunk_col: str = "chunk") -> DataFrame:
+    """Immutable per-batch index rows (id, term, tf, dl) — append-only."""
+    docs = (
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
+        .withColumn("dl", F.size("terms"))
+    )
+    return (
+        docs.select("id", "dl", F.explode("terms").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_doc_stats(df: DataFrame, id_col: str = "id",
+                   chunk_col: str = "chunk") -> tuple[int, int]:
+    """(n_docs, sum_dl) for a batch — includes empty documents, which the
+    exploded tf table cannot see."""
+    row = (
+        df.select(tokenize(F.col(chunk_col)).alias("terms"))
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("s"))
+        .first()
+    )
+    return int(row["n"]), int(row["s"])
+
+
+def bm25_term_stats(tf: DataFrame) -> DataFrame:
+    """(term, df) from a tf table; df is exact (tf rows are unique per
+    (id, term))."""
+    return tf.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def merge_term_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of term stats from DISJOINT doc sets — one shuffle on
+    term, O(distinct terms)."""
+    return a.unionByName(b).groupBy("term").agg(F.sum("df").alias("df"))
+
+
+def bm25_weights(tf: DataFrame, term_stats: DataFrame, n_docs: int, sum_dl: int,
+                 k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> DataFrame:
+    """Derive the posting weights from CURRENT global stats — the query-time
+    (or view-time) step that makes the immutable tf rows a BM25 index.
+    Bit-identical to bm25_postings when given the same corpus stats."""
+    post = tf.join(term_stats, "term")
+    n, dfc = F.lit(float(n_docs)), F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
+    tfd = F.col("tf").cast("double")
+    tf_norm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    return post.select("id", "term", "tf", "dl", "df", (idf * tf_norm).alias("weight"))
+
+
 def bm25_postings_sql(
     table_sql: str,
     id_expr: str = "id",

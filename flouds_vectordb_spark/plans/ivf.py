@@ -75,6 +75,26 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / norms
 
 
+def _assign_udf(centroids: np.ndarray, normalize: bool):
+    """Vectorized nearest-centroid assignment (Arrow-batched; build/append
+    path only — never in the query path)."""
+
+    @F.pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        if normalize:
+            m = _normalize_rows(m)
+        # (batch, k) distances via ||a-b||^2 = ||a||^2 - 2ab + ||b||^2
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * m @ centroids.T
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return assign_cell
+
+
 class IvfIndex:
     """A built IVF layout: centroid-partitioned parquet + driver centroids."""
 
@@ -111,6 +131,22 @@ class IvfIndex:
                                  req.nprobe if nprobe is None else nprobe)
         return dense_search(self.scan(spark, cells), req, **dense_kwargs)
 
+    def append(self, batch: DataFrame, vector_col: str = "vector") -> None:
+        """Incremental maintenance — the standard IVF add path (FAISS add /
+        Milvus growing segment): assign ONLY the new rows to the EXISTING
+        centroids and append into their partitions. O(batch) work: no
+        retrain, no table rewrite; identical assignments to what a full
+        rebuild with these centroids would produce (unit-tested). For
+        UPDATED keys a rebuild is required (stale rows are not removed) —
+        the same contract as Milvus's delete+compact."""
+        (
+            batch.withColumn(
+                "centroid_id",
+                _assign_udf(self.centroids, self.metric == "COSINE")(F.col(vector_col)),
+            )
+            .write.mode("append").partitionBy("centroid_id").parquet(self.path)
+        )
+
 
 def build_ivf(
     df: DataFrame,
@@ -133,24 +169,9 @@ def build_ivf(
         x = _normalize_rows(x)
     centroids = _kmeans(x, nlist, seed=seed)
 
-    cent = centroids  # closure capture for the assignment UDF
-    normalize = metric == "COSINE"
-
-    @F.pandas_udf("int")
-    def assign_cell(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        if normalize:
-            m = _normalize_rows(m)
-        # (batch, k) distances via ||a-b||^2 = ||a||^2 - 2ab + ||b||^2
-        d2 = (
-            (m * m).sum(axis=1)[:, None]
-            - 2.0 * m @ cent.T
-            + (cent * cent).sum(axis=1)[None, :]
-        )
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
-
     (
-        df.withColumn("centroid_id", assign_cell(F.col(vector_col)))
+        df.withColumn("centroid_id",
+                      _assign_udf(centroids, metric == "COSINE")(F.col(vector_col)))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     )
     with open(os.path.join(path, "_centroids.json"), "w") as f:

@@ -63,3 +63,31 @@ def test_pruned_scan_reads_fewer_partitions(spark, coll, tmp_path_factory):
     # partition filter on centroid_id must reach the scan, not a post-filter
     assert "centroid_id" in plan
     assert pruned.select("centroid_id").distinct().count() <= 2
+
+
+def test_incremental_append_matches_full_rebuild(spark, coll, tmp_path_factory):
+    """append() must route new rows to exactly the cells a rebuild with the
+    SAME centroids would choose, and searches over the appended index must
+    equal brute force over the full data."""
+    path = str(tmp_path_factory.mktemp("ivf5") / "idx")
+    first = coll.filter(F.col("id") < 150)
+    rest = coll.filter(F.col("id") >= 150)
+    idx = build_ivf(first, path, nlist=4, metric="COSINE")
+    idx.append(rest)
+
+    appended = spark.read.parquet(path)
+    assert appended.count() == 200
+    # assignment parity: rebuild the full table with the same centroids
+    path2 = str(tmp_path_factory.mktemp("ivf6") / "idx")
+    from flouds_vectordb_spark.plans.ivf import _assign_udf
+    expected = {r["id"]: r["cid"] for r in coll.select(
+        "id", _assign_udf(idx.centroids, True)(F.col("vector")).alias("cid")).collect()}
+    got = {r["id"]: r["centroid_id"] for r in appended.select("id", "centroid_id").collect()}
+    assert got == expected
+
+    req = DenseSearchRequest(query_vector=[0.5] * 8, metric="COSINE", limit=10,
+                             output_fields=())
+    exact = [(r["id"], r["score"]) for r in dense_search(coll, req).collect()]
+    via_ivf = [(r["id"], r["score"])
+               for r in idx.search(spark, req, nprobe=4).collect()]
+    assert via_ivf == exact

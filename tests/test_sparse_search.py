@@ -79,3 +79,39 @@ def test_drop_ratio_build_prunes_smallest(spark):
     dropped = nf - np_
     lowest = [r["weight"] for r in full.orderBy("weight").limit(dropped).collect()]
     assert all(w <= kept_min + 1e-12 for w in lowest)
+
+
+def test_incremental_stats_merge_matches_full_build(spark):
+    """The O(batch) incremental path (immutable tf rows + additive term-stat
+    merge + weight derivation from merged stats) must produce EXACTLY the
+    postings a full rebuild computes — including bit-identical weights."""
+    from flouds_vectordb_spark.operators.sparse_search import (
+        bm25_doc_stats,
+        bm25_term_stats,
+        bm25_tf,
+        bm25_weights,
+        merge_term_stats,
+    )
+
+    df = spark.createDataFrame(DOCS, "id long, chunk string")
+    a = df.filter(F.col("id") <= 2)
+    b = df.filter(F.col("id") > 2)
+
+    tf_a, tf_b = bm25_tf(a), bm25_tf(b)
+    stats = merge_term_stats(bm25_term_stats(tf_a), bm25_term_stats(tf_b))
+    na, sa = bm25_doc_stats(a)
+    nb, sb = bm25_doc_stats(b)
+    merged = bm25_weights(tf_a.unionByName(tf_b), stats, na + nb, sa + sb)
+
+    full = bm25_postings(df)
+    key = lambda r: (r["id"], r["term"])
+    got = {key(r): (r["tf"], r["dl"], r["df"], r["weight"]) for r in merged.collect()}
+    want = {key(r): (r["tf"], r["dl"], r["df"], r["weight"]) for r in full.collect()}
+    assert got == want  # exact equality, weights included
+
+
+def test_incremental_stats_counts_empty_docs(spark):
+    from flouds_vectordb_spark.operators.sparse_search import bm25_doc_stats
+
+    df = spark.createDataFrame([(1, "a b"), (2, "")], "id long, chunk string")
+    assert bm25_doc_stats(df) == (2, 2)
