@@ -44,15 +44,32 @@ def _norm_sql(expr: str) -> str:
     return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
 
 
-def dedup_exact(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+def dedup_exact(df: DataFrame, id_col: str = "id", text_col: str = "text",
+                skew_safe: bool = False) -> DataFrame:
     """(id, keeper_id, content_hash): every row mapped to the minimum id
     holding identical (normalized) content. keeper_id == id -> survivor.
-    One hash-partitioned window = ONE shuffle (a groupBy+join plan would
-    shuffle twice); uniform 60-bit keys, no skew."""
+
+    Default plan: one hash-partitioned window = ONE shuffle (a groupBy+join
+    plan shuffles twice). The hash KEY space is uniform, but the VALUE
+    distribution follows the content: a 100 TB corpus where 1% of documents
+    are the same boilerplate puts all of them in one window partition that
+    no optimizer can split (windows admit no partial aggregation).
+
+    skew_safe=True is the 100 TB plan: keeper = min(id) per hash via
+    groupBy — partial (map-side) aggregation shrinks even a
+    billion-duplicate key to one row per map task before the shuffle — then
+    a join back, where AQE's skew-join splitting handles the hot hash on
+    the probe side. Two shuffles, but no single-task hotspot at any
+    duplication ratio. Identical output (unit-tested equal)."""
     from pyspark.sql import Window
 
     h = hash64(_norm(F.col(text_col)))
     hashed = df.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+    if skew_safe:
+        keepers = hashed.groupBy("content_hash").agg(F.min("id").alias("keeper_id"))
+        return hashed.join(keepers, "content_hash").select(
+            "id", "keeper_id", "content_hash"
+        )
     w = Window.partitionBy("content_hash")
     return hashed.withColumn("keeper_id", F.min("id").over(w)).select(
         "id", "keeper_id", "content_hash"

@@ -33,6 +33,13 @@ def test_exact_dedup_normalizes_case_and_whitespace(docs):
     assert out[1] == 1 and out[3] == 3 and out[4] == 4
 
 
+def test_exact_dedup_skew_safe_path_identical(docs):
+    # the AQE-splittable groupBy+join plan must equal the one-window plan
+    base = sorted(map(tuple, dedup_exact(docs).collect()))
+    safe = sorted(map(tuple, dedup_exact(docs, skew_safe=True).collect()))
+    assert base == safe
+
+
 def test_minhash_finds_near_dup_pair(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard_r"]
              for r in dedup_minhash(docs, jaccard_threshold=0.3).collect()}
