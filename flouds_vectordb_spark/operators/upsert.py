@@ -136,20 +136,69 @@ class CollectionWriter:
             metric=self.meta["metric_type"],
         )
 
+    def _check_query_dim(self, query_vector) -> None:
+        """The reference's query-dimension validation: a wrong-dim query must
+        RAISE, not return an empty result set (input_validator.py:169-170,
+        dim read vector_store.py:207-263)."""
+        dim = int(self.meta["dimension"])
+        if len(query_vector) != dim:
+            raise ValueError(
+                f"query vector dimension {len(query_vector)} != collection dimension {dim}"
+            )
+
     def search(self, req, use_index: bool = False, **dense_kwargs):
-        """Dense search over the stored collection, with the reference's
-        query-dimension validation (a wrong-dim query must RAISE, not return
-        an empty result set — input_validator.py:169-170, dim read
-        vector_store.py:207-263)."""
+        """Dense search over the stored collection (with query-dim check)."""
         from flouds_vectordb_spark.operators.dense_search import dense_search
         from flouds_vectordb_spark.plans.ivf import open_ivf
 
-        dim = int(self.meta["dimension"])
-        if len(req.query_vector) != dim:
-            raise ValueError(
-                f"query vector dimension {len(req.query_vector)} != collection dimension {dim}"
-            )
+        self._check_query_dim(req.query_vector)
         if use_index:
             idx = open_ivf(self.meta["path"] + "__ivf")
             return idx.search(self.catalog.spark, req, **dense_kwargs)
         return dense_search(self.read_latest(), req, **dense_kwargs)
+
+    # ---- sparse + hybrid over the stored collection (vector_store.py:594-692)
+    def build_sparse_index(self, drop_ratio_build: float = 0.0):
+        """I1's index artifact over the flushed collection: the posting-list
+        table (SPARSE_INVERTED_INDEX analogue, base_milvus.py:1286-1310),
+        written as its own parquet so query-time term lookups are
+        filter-pushed scans of the index — never the corpus."""
+        from flouds_vectordb_spark.operators.sparse_search import bm25_postings
+
+        out = self.meta["path"] + "__postings"
+        bm25_postings(self.read_latest(), drop_ratio_build=drop_ratio_build) \
+            .write.mode("overwrite").parquet(out)
+        return out
+
+    def _stored_postings(self):
+        import os
+
+        path = self.meta["path"] + "__postings"
+        return self.catalog.spark.read.parquet(path) if os.path.isdir(path) else None
+
+    def search_sparse(self, req, use_index: bool = False):
+        """Sparse BM25 over the stored collection; use_index=True reads the
+        built posting table (term-IN pushdown), else the index-free direct
+        scorer — bit-identical results either way."""
+        from flouds_vectordb_spark.operators.sparse_search import (
+            sparse_search,
+            sparse_search_direct,
+        )
+
+        if use_index:
+            postings = self._stored_postings()
+            if postings is None:
+                raise ValueError("no sparse index built; call build_sparse_index()")
+            return sparse_search(postings, req)
+        return sparse_search_direct(self.read_latest(), req)
+
+    def search_hybrid(self, req, use_index: bool = False, **hybrid_kwargs):
+        """Hybrid RRF over the stored collection; with use_index the sparse
+        branch reads the posting table."""
+        from flouds_vectordb_spark.operators.hybrid_search import hybrid_search
+
+        self._check_query_dim(req.query_vector)
+        postings = self._stored_postings() if use_index else None
+        if use_index and postings is None:
+            raise ValueError("no sparse index built; call build_sparse_index()")
+        return hybrid_search(self.read_latest(), postings, req, **hybrid_kwargs)

@@ -102,6 +102,46 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
         w.insert_data(bad, batch_ts=3)
 
 
+def test_collection_sparse_and_hybrid_search(spark, tmp_path_factory):
+    from flouds_vectordb_spark.operators.hybrid_search import HybridSearchRequest
+    from flouds_vectordb_spark.operators.sparse_search import SparseSearchRequest
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh4")))
+    cat.set_vector_store("t4")
+    cat.generate_schema(CollectionSpec("t4", "m", dimension=2, nlist=2))
+    w = CollectionWriter(cat, "t4", "m")
+    batch = spark.createDataFrame(
+        [("a", "spark merge join", [1.0, 0.0]),
+         ("b", "spark spark scan", [0.0, 1.0]),
+         ("c", "hash join probe build", [0.7, 0.7]),
+         ("d", "scan scan scan scan", [0.5, 0.1])],
+        "id string, chunk string, vector array<float>")
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+
+    sreq = SparseSearchRequest(query_text="spark join", limit=3)
+    direct = [(r["id"], r["score"]) for r in w.search_sparse(sreq).collect()]
+    assert len(direct) == 3 and {i for i, _ in direct} <= {"a", "b", "c"}
+
+    # posting-table path: identical results, and the term filter must be
+    # PUSHED into the parquet scan of the index (not a post-scan filter)
+    with pytest.raises(ValueError, match="no sparse index"):
+        w.search_sparse(sreq, use_index=True)
+    w.build_sparse_index()
+    via_idx_df = w.search_sparse(sreq, use_index=True)
+    assert [(r["id"], r["score"]) for r in via_idx_df.collect()] == direct
+    plan = via_idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan
+
+    hreq = HybridSearchRequest(query_vector=[1.0, 0.2], text_filter="spark join",
+                               limit=4, output_fields=())
+    fused = [r["id"] for r in w.search_hybrid(hreq).collect()]
+    fused_idx = [r["id"] for r in w.search_hybrid(hreq, use_index=True).collect()]
+    assert fused and fused == fused_idx
+    with pytest.raises(ValueError, match="dimension"):
+        w.search_hybrid(HybridSearchRequest(query_vector=[1.0, 0.2, 3.0],
+                                            text_filter="spark"))
+
+
 def test_collection_search_validates_query_dim(spark, tmp_path_factory):
     from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest
 
