@@ -134,6 +134,14 @@ _register("q2_range_search", *_dense_pair(
         query_vector=fixture_query_vector(seed=4), metric="COSINE",
         limit=100, radius=0.05, range_filter=0.5)))
 
+# L2 range semantics: Milvus bounds apply to the raw DISTANCE
+# (range_filter <= dist < radius), translated onto the negated-distance
+# score (ADVICE round 1; dense_search.py score_bounds)
+_register("q2_range_search_l2", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=18), metric="L2",
+        limit=100, radius=4.5, range_filter=3.0)))
+
 # --- Q5+Q11: score threshold post-filter + round_decimal ----------------------
 _register("q5_score_threshold", *_dense_pair(
     DenseSearchRequest(
@@ -145,6 +153,16 @@ _register("q6_text_filter", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=6), metric="COSINE",
         limit=10, text_filter="spark vector merge", minimum_words_match=2,
+        increase_limit_for_text_search=10),
+    with_chunk=True))
+
+# Q7 clamp edge (ADVICE round 1): limit 95 + increase 10 must fetch 100
+# candidates (min(limit+increase, 100)), not 105 — the survivor set after
+# the text filter differs if the clamp order is wrong
+_register("q7_overfetch_clamp_edge", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=19), metric="COSINE",
+        limit=95, text_filter="vector scan", minimum_words_match=1,
         increase_limit_for_text_search=10),
     with_chunk=True))
 
