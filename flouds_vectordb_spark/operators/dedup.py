@@ -90,31 +90,47 @@ FROM _hashed
 MINHASH_SIGS = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 SHINGLE_N = 3
+# universal-hash family over the 32-bit shingle hashes: sig_i =
+# min((a_i*h32 + b_i) mod P). One md5 per shingle TOTAL (vs one per shingle
+# PER SIGNATURE with seeded md5s — measured 16x less hash work, 5.6 s ->
+# ~1 s signatures at sf0.1). a_i*h32 < 2^57: no int64 overflow; identical
+# integer math in DuckDB.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 
-def _minhash_sig(sh: Column, seed: int) -> Column:
-    return F.array_min(F.transform(sh, lambda s: hash64(s, seed=seed)))
+def _perm_params(i: int) -> tuple[int, int]:
+    return 976369 * i + 1234567, 104729 * i + 7919
 
 
-def _minhash_sig_sql(sh_expr: str, seed: int) -> str:
-    return f"list_min(list_transform({sh_expr}, s -> {hash64_sql('s', seed=seed)}))"
+def _minhash_sig(h32: Column, i: int) -> Column:
+    a, b = _perm_params(i)
+    return F.array_min(F.transform(
+        h32, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)))
+
+
+def _minhash_sig_sql(h32_expr: str, i: int) -> str:
+    a, b = _perm_params(i)
+    return (f"list_min(list_transform({h32_expr}, "
+            f"x -> (x * {a} + {b}) % {MINHASH_PRIME}))")
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "id", text_col: str = "text",
                        n_sigs: int = MINHASH_SIGS, shingle_n: int = SHINGLE_N) -> DataFrame:
     """(id, shingles, sig0..sig{n-1}) — one pass, no shuffle.
 
-    The shingle array is PERSISTED before the signature projection:
-    Catalyst collapses adjacent Projects, so without the materialization
-    boundary every one of the n_sigs signature expressions re-inlines the
-    full tokenize->shingle->distinct pipeline (and a self-join doubles it) —
-    measured 160 s vs ~2 s at sf0.01. At scale this materialization IS the
-    signature-index build step (write once, bucket-join many)."""
+    The shingle array AND the per-shingle 32-bit hashes are PERSISTED before
+    the signature projection: Catalyst collapses adjacent Projects, so
+    without the materialization boundary every one of the n_sigs signature
+    expressions re-inlines the full tokenize->shingle->hash pipeline (and a
+    self-join doubles it) — measured 160 s vs ~2 s at sf0.01. At scale this
+    materialization IS the signature-index build step (write once,
+    bucket-join many)."""
     sh = F.array_distinct(shingles(tokenize(F.col(text_col)), n=shingle_n))
-    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).persist()
+    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
+        "_h32", F.transform("shingles", lambda s: hash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+    ).persist()
     cols = [F.col("id"), F.col("shingles")]
-    cols += [_minhash_sig(F.col("shingles"), seed=i + 1).alias(f"sig{i}")
-             for i in range(n_sigs)]
+    cols += [_minhash_sig(F.col("_h32"), i).alias(f"sig{i}") for i in range(n_sigs)]
     return base.select(*cols)
 
 
@@ -140,33 +156,38 @@ def dedup_minhash(
         parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
                  for r in range(rows_per_band)]
         band_hashes.append(hash64(F.concat_ws("|", *parts), seed=1000 + b).alias(f"band{b}"))
-    banded = sigs.select("id", "shingles", *band_hashes)
+    banded = sigs.select("id", *band_hashes).persist()
 
-    # explode to (id, band_idx, band_hash); bucket self-join
+    # explode to (id, band_idx, band_hash) SCALARS only — the shingle arrays
+    # never ride the bucket shuffle (x n_bands duplication); they join back
+    # for the small candidate set
     entries = banded.select(
-        "id", "shingles",
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
             for b in range(n_bands)
         ])).alias("e"),
-    ).select("id", "shingles", "e.band_idx", "e.band_hash")
+    ).select("id", "e.band_idx", "e.band_hash")
 
-    a = entries.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
-                       "band_idx", "band_hash")
-    b_ = entries.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
-                        "band_idx", "band_hash")
+    a = entries.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    b_ = entries.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
     cand = (
         a.join(b_, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sigs.select("id", "shingles")
+    pairs = (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).cast("double") - inter
     jac = inter / union
     return (
-        cand.withColumn("jaccard_r", F.round(jac, 6))
+        pairs.withColumn("jaccard_r", F.round(jac, 6))
         .filter(F.col("jaccard_r") >= F.lit(float(jaccard_threshold)))
         .select("id_a", "id_b", "jaccard_r")
     )
@@ -185,8 +206,9 @@ def dedup_minhash_sql(
     rows_per_band = n_sigs // n_bands
     toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
     sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
+    h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
     sig_sel = "".join(
-        f", {_minhash_sig_sql('shingles', seed=i + 1)} AS sig{i}" for i in range(n_sigs)
+        f", {_minhash_sig_sql('_h32', i)} AS sig{i}" for i in range(n_sigs)
     )
     band_sel = ""
     for b in range(n_bands):
@@ -200,7 +222,8 @@ def dedup_minhash_sql(
     )
     return f"""
 WITH _sh AS (SELECT {id_expr} AS id, {sh} AS shingles FROM {table_sql}),
-_sigs AS (SELECT id, shingles{sig_sel} FROM _sh),
+_hashed AS (SELECT id, shingles, {h32} AS _h32 FROM _sh),
+_sigs AS (SELECT id, shingles{sig_sel} FROM _hashed),
 _banded AS (SELECT *{band_sel} FROM _sigs),
 _entries AS ({union_entries}),
 _cand AS (
