@@ -1,0 +1,23 @@
+"""The runnable example must keep working (it is the switch-over guide for
+users of the reference)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_model_workflow_example_runs(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("example_wh"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "model_workflow.py"), wh],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for marker in ("step 1", "step 2", "step 3", "step 4a dense",
+                   "step 4b sparse", "step 4c hybrid"):
+        assert marker in out.stdout
