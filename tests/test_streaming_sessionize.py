@@ -54,6 +54,52 @@ def test_batch_sessionize_single_event_shuffle(spark):
     assert "SessionWindow" in plan or "session_window" in plan
 
 
+def test_batch_sessionize_matches_python_reference_on_random_events(spark):
+    """Randomized equivalence: the session_window plan must agree with a
+    direct pure-Python sessionizer on arbitrary event layouts (including
+    duplicate timestamps and exact-gap boundaries)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(600):
+        user = rng.randint(1, 15)
+        # offsets in whole minutes with occasional exact-30 gaps and ties
+        minute = rng.choice([0, 1, 5, 29, 30, 31, 60, 90, 90, 180])
+        base = rng.randint(0, 40) * 37
+        rows.append((user, T0 + timedelta(minutes=base + minute),
+                     round(rng.uniform(-5, 5), 3)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    got = {(r["user_id"], r["session_idx"]):
+           (r["session_start"], r["session_end"], r["n_events"], r["sum_value_r"])
+           for r in sessionize_batch(df, gap_minutes=30).collect()}
+
+    per_user: dict[int, list] = {}
+    for u, ts, v in rows:
+        per_user.setdefault(u, []).append((ts, v))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort(key=lambda e: e[0])
+        idx = 0
+        cur = None
+        for ts, v in evs:
+            if cur is None or (ts - cur["end"]).total_seconds() > 30 * 60:
+                if cur is not None:
+                    want[(u, idx)] = (cur["start"], cur["end"], cur["n"],
+                                      round(cur["sum_micro"] / 1e6, 4))
+                idx += 1
+                cur = {"start": ts, "end": ts, "n": 1,
+                       "sum_micro": round(v * 1e6)}
+            else:
+                cur["end"] = max(cur["end"], ts)
+                cur["n"] += 1
+                cur["sum_micro"] += round(v * 1e6)
+        want[(u, idx)] = (cur["start"], cur["end"], cur["n"],
+                          round(cur["sum_micro"] / 1e6, 4))
+    assert got == want
+
+
 def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("ckpt"))
     out_dir = str(tmp_path_factory.mktemp("out"))
