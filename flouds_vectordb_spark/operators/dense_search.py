@@ -82,6 +82,9 @@ class DenseSearchRequest:
             raise ValueError(
                 f"consistency_level must be one of {self.VALID_CONSISTENCY}"
             )
+        # search_request.py:63-68 rejects nprobe outside 4-128 at the API
+        if not 4 <= self.nprobe <= 128:
+            raise ValueError("nprobe must be between 4 and 128")
 
     @property
     def effective_limit(self) -> int:

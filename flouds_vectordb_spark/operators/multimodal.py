@@ -127,11 +127,13 @@ def resize_media(df: DataFrame, out_len: int = 32, id_col: str = "id",
 def resize_media_sql(table_sql: str, out_len: int = 32, id_expr: str = "id",
                      text_expr: str = "text",
                      media_type: str = "text/plain") -> str:
-    """DuckDB oracle twin: the same nearest-neighbor character resample."""
+    """DuckDB oracle twin: the same nearest-neighbor character resample.
+    length() (CHARACTERS, like the Python side's decoded string) — strlen
+    counts BYTES and diverges on any multi-byte UTF-8 payload."""
     return f"""
 SELECT {id_expr} AS id, '{media_type}' AS media_type, {out_len}::INT AS out_len,
        md5(array_to_string(list_transform(generate_series(0, {out_len - 1}),
-           i -> substr({text_expr}, ((i * strlen({text_expr})) // {out_len})::INT + 1, 1)), ''))
+           i -> substr({text_expr}, ((i * length({text_expr})) // {out_len})::INT + 1, 1)), ''))
          AS resized_hash
 FROM {table_sql}
 """
@@ -174,14 +176,15 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_chars: int = 64,
 
 def sample_frames_sql(table_sql: str, n_frames: int = 4, frame_chars: int = 64,
                       id_expr: str = "id", text_expr: str = "text") -> str:
-    """DuckDB oracle twin of sample_frames."""
+    """DuckDB oracle twin of sample_frames (length() = CHARACTERS to match
+    the Python side's decoded string; strlen counts bytes)."""
     return f"""
 SELECT {id_expr} AS id, j::INT AS frame_idx,
-       strlen(substr({text_expr}, (((j * _nc) // {n_frames}) * {frame_chars})::INT + 1,
+       length(substr({text_expr}, (((j * _nc) // {n_frames}) * {frame_chars})::INT + 1,
                      {frame_chars}))::INT AS frame_len,
        md5(substr({text_expr}, (((j * _nc) // {n_frames}) * {frame_chars})::INT + 1,
                   {frame_chars})) AS frame_hash
-FROM (SELECT *, greatest((strlen({text_expr}) + {frame_chars - 1}) // {frame_chars}, 1) AS _nc
+FROM (SELECT *, greatest((length({text_expr}) + {frame_chars - 1}) // {frame_chars}, 1) AS _nc
       FROM {table_sql}),
      (SELECT unnest(generate_series(0, {n_frames - 1})) AS j)
 """

@@ -94,30 +94,13 @@ def bm25_postings(
 ) -> DataFrame:
     """Posting-list table (id, term, tf, dl, df, weight) — the Spark analogue
     of Milvus's SPARSE_INVERTED_INDEX build. At scale, write this bucketed by
-    term (SURVEY.md §4.1)."""
-    docs = (
-        df.select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
-        .withColumn("dl", F.size("terms"))
-    )
-    stats = docs.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )  # integer sums — exact, deterministic
-    tf = (
-        docs.select("id", "dl", F.explode("terms").alias("term"))
-        .groupBy("id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    post = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
-
-    n, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
-    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    tfd = F.col("tf").cast("double")
-    tf_norm = (tfd * F.lit(k1 + 1.0)) / (
-        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
-    )
-    post = post.select("id", "term", "tf", "dl", "df", (idf * tf_norm).alias("weight"))
+    term (SURVEY.md §4.1). The build IS the incremental path run once:
+    immutable tf rows + term stats + weight derivation (bm25_tf /
+    bm25_term_stats / bm25_weights below), so a full rebuild and a
+    merge-of-batches are the same code — they cannot drift."""
+    tf = bm25_tf(df, id_col, chunk_col)
+    n_docs, sum_dl = bm25_doc_stats(df, id_col, chunk_col)
+    post = bm25_weights(tf, bm25_term_stats(tf), n_docs, sum_dl, k1, b)
 
     if drop_ratio_build > 0.0:
         # Milvus drop_ratio_build: drop the smallest fraction of weights at

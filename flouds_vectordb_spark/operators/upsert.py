@@ -94,9 +94,13 @@ class CollectionWriter:
         self.meta = catalog.describe_collection(tenant, model)
 
     def insert_data(self, batch: DataFrame, batch_ts: int, force_flush: bool = False,
-                    auto_flush_min_batch: int = AUTO_FLUSH_MIN_BATCH) -> dict:
-        """S3: validate dims, append the stamped batch, apply flush policy."""
-        validate_dimensions(batch, int(self.meta["dimension"]))
+                    auto_flush_min_batch: int = AUTO_FLUSH_MIN_BATCH,
+                    skip_dim_validation: bool = False) -> dict:
+        """S3: validate dims, append the stamped batch, apply flush policy.
+        skip_dim_validation is for callers that already ran the check in
+        their own validation pass (sources/json_ingest.py)."""
+        if not skip_dim_validation:
+            validate_dimensions(batch, int(self.meta["dimension"]))
         stamped = batch.withColumn("batch_ts", F.lit(int(batch_ts)))
         n = stamped.count()
         stamped.write.mode("append").parquet(self.meta["path"])

@@ -62,9 +62,12 @@ def validate_insert_request(batch: DataFrame, dim: int,
                             enforce_request_caps: bool = True) -> int:
     """All reference insert validators in ONE aggregation pass; raises
     ValueError with every violated rule listed. Returns the row count."""
+    nonempty_id = F.when(F.col("id").isNotNull() & (F.trim("id") != ""), F.col("id"))
     stats = batch.agg(
         F.count("*").alias("n"),
-        F.count_distinct("id").alias("n_keys"),
+        # distinct over NON-EMPTY keys only: empty keys are their own rule
+        # and must not mask or fake duplicates among the real keys
+        F.count_distinct(nonempty_id).alias("n_keys"),
         F.coalesce(
             F.sum(F.when(F.col("id").isNull() | (F.trim("id") == ""), 1).otherwise(0)),
             F.lit(0),
@@ -97,8 +100,12 @@ def validate_insert_request(batch: DataFrame, dim: int,
 def ingest_json(spark: SparkSession, path: str, writer, batch_ts: int,
                 enforce_request_caps: bool = True, **insert_kwargs) -> dict:
     """End-to-end source->sink: JSON-lines -> validated collection batch ->
-    `CollectionWriter.insert_data` (same path as every other arrival mode)."""
+    `CollectionWriter.insert_data` (same path as every other arrival mode).
+    Dimensions are already checked by validate_insert_request's single
+    aggregation, so the sink's per-batch dim scan is skipped (one less job
+    over the unpersisted source)."""
     batch = to_collection_batch(read_embedded_vectors_json(spark, path))
     validate_insert_request(batch, int(writer.meta["dimension"]),
                             enforce_request_caps=enforce_request_caps)
-    return writer.insert_data(batch, batch_ts=batch_ts, **insert_kwargs)
+    return writer.insert_data(batch, batch_ts=batch_ts,
+                              skip_dim_validation=True, **insert_kwargs)

@@ -38,10 +38,12 @@ _OUT_SCHEMA = (
     "user_id bigint, session_idx bigint, session_start timestamp, "
     "session_end timestamp, n_events bigint, sum_value_r double"
 )
-# state: open session per user (micros are exact; no float time math)
-_STATE_SCHEMA = (
-    "session_idx bigint, start_us bigint, end_us bigint, n bigint, sum_micro bigint"
-)
+# state: emitted-session counter + the BUFFERED events still inside the
+# watermark horizon (micros/fixed-point — no float time math). Buffering
+# until the watermark passes end+gap is what makes out-of-order arrival
+# across micro-batches correct: a session is only final once no in-watermark
+# event can still join or split it.
+_STATE_SCHEMA = "session_idx bigint, ts_us array<bigint>, val_micro array<bigint>"
 
 
 def sessionize_batch(df: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES,
@@ -116,9 +118,14 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = SESSION_GAP_MINUT
     """Stateful streaming sessionization via applyInPandasWithState.
 
     `stream_df` needs (user_id, ts, value) with event-time `ts`. Emits one
-    row per CLOSED session (same schema as sessionize_batch). A session
-    closes either when a later in-key event arrives past the gap, or when
-    the watermark passes session_end + gap (timeout path)."""
+    row per session (same schema and semantics as sessionize_batch), once
+    the watermark passes the session's end + gap — only then can no
+    in-watermark event still join or split it, so out-of-order arrival
+    across micro-batches cannot produce wrong session boundaries, and the
+    per-user ordinal survives quiet periods (the counter stays in state;
+    sessions finalize in chronological order, so ordinals match the batch
+    twin's time order). State per user: the counter + events not yet
+    finalized, bounded by the watermark horizon."""
     import pandas as pd  # local: executors import lazily
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -129,34 +136,60 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = SESSION_GAP_MINUT
            state: GroupState) -> Iterator["pd.DataFrame"]:
         (user_id,) = key
         if state.exists:
-            sidx, start_us, end_us, n, sum_micro = state.get
+            sidx, ts_buf, val_buf = state.get
+            ts_buf, val_buf = list(ts_buf), list(val_buf)
         else:
-            sidx, start_us, end_us, n, sum_micro = 0, None, None, 0, 0
+            sidx, ts_buf, val_buf = 0, [], []
 
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            ts_buf += (batch["ts"].astype("int64") // 1000).tolist()  # ns -> us
+            val_buf += (batch["value"] * 1e6).round().astype("int64").tolist()
+
+        # sessionize the full buffer in time order (late events slot in)
+        order = sorted(range(len(ts_buf)), key=lambda i: ts_buf[i])
+        sessions: list[list[int]] = []  # [start, end, n, sum, first_buf_pos]
+        for i in order:
+            t, v = ts_buf[i], val_buf[i]
+            if sessions and t - sessions[-1][1] <= gap_us:
+                s = sessions[-1]
+                s[1] = max(s[1], t)
+                s[2] += 1
+                s[3] += v
+            else:
+                sessions.append([t, t, 1, v, i])
+
+        # final = watermark strictly past end + gap (no event >= watermark
+        # can join: its ts - end > gap by construction)
+        wm_us = state.getCurrentWatermarkMs() * 1000
         out: list[tuple] = []
+        keep_ts: list[int] = []
+        keep_val: list[int] = []
+        open_ends: list[int] = []
+        for s in sessions:
+            start, end, n, sm, _ = s
+            if end + gap_us < wm_us:
+                sidx += 1
+                out.append((user_id, sidx, start, end, n, sm / 1e6))
+            else:
+                open_ends.append(end)
+        if open_ends:
+            cutoff = min(s[0] for s in sessions if s[1] + gap_us >= wm_us)
+            for t, v in zip(ts_buf, val_buf):
+                if t >= cutoff:
+                    keep_ts.append(t)
+                    keep_val.append(v)
 
-        def close() -> None:
-            out.append((user_id, sidx, start_us, end_us, n, sum_micro / 1e6))
-
-        if state.hasTimedOut:
-            # watermark passed end + gap: the open session is final
-            if start_us is not None:
-                close()
-            state.remove()
+        if keep_ts:
+            state.update((sidx, keep_ts, keep_val))
+            # fire once the earliest open session COULD finalize; ceil to ms
+            # so the timeout never lands a fraction early
+            state.setTimeoutTimestamp((min(open_ends) + gap_us) // 1000 + 1)
         else:
-            batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-            ts_us = batch["ts"].astype("int64") // 1000  # pandas ns -> us
-            vals = (batch["value"] * 1e6).round().astype("int64")
-            for t, v in zip(ts_us.tolist(), vals.tolist()):
-                if start_us is None:
-                    sidx, start_us, end_us, n, sum_micro = sidx + 1, t, t, 1, v
-                elif t - end_us <= gap_us:
-                    end_us, n, sum_micro = max(end_us, t), n + 1, sum_micro + v
-                else:
-                    close()
-                    sidx, start_us, end_us, n, sum_micro = sidx + 1, t, t, 1, v
-            state.update((sidx, start_us, end_us, n, sum_micro))
-            state.setTimeoutTimestamp((end_us + gap_us) // 1000)  # ms
+            # keep the ordinal counter (dormant, no timeout): the per-user
+            # session numbering must survive quiet periods — O(users) state,
+            # inherent to the ordinal contract
+            state.update((sidx, [], []))
 
         if out:
             df = pd.DataFrame(out, columns=[

@@ -101,15 +101,38 @@ def test_batch_sessionize_matches_python_reference_on_random_events(spark):
 
 
 def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
+    """Multi-micro-batch run with OUT-OF-ORDER arrival: events land in 4
+    files split round-robin (so each micro-batch interleaves the full time
+    range) processed one file per trigger. Every emitted session must match
+    the batch twin — boundaries, ordinals, sums — and every session old
+    enough to finalize must actually be emitted."""
     ckpt = str(tmp_path_factory.mktemp("ckpt"))
     out_dir = str(tmp_path_factory.mktemp("out"))
+    src_dir = str(tmp_path_factory.mktemp("src") / "events")
 
-    raw_schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    ev = events(spark, SF_SMALL)
+    # 4 time-sliced files; events in the 30 min before each slice boundary
+    # are shifted into the NEXT file — cross-batch out-of-order arrival that
+    # stays inside the 1 h watermark tolerance (later-than-watermark rows
+    # would be legitimately dropped by any streaming engine)
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    span = (hi - lo) // 4 + 1
+    x = F.unix_micros("ts") - F.lit(lo)
+    k = F.floor(x / span)
+    late = (F.lit(span) * (k + 1) - x) <= F.lit(30 * 60 * 1_000_000)
+    tagged = ev.withColumn("_f", F.when(late, k + 1).otherwise(k))
+    # sequential appends -> increasing mtimes -> the file source (ordered by
+    # modification time) replays the slices in time order
+    import time as _time
+    for slice_no in range(5):
+        tagged.filter(F.col("_f") == slice_no).drop("_f") \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+        _time.sleep(1.1)
+
     stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_SMALL)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
     )
     q = (
         sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
@@ -119,19 +142,23 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
         .format("parquet")
         .start(out_dir)
     )
-    q.awaitTermination(180)
+    q.awaitTermination(300)
 
     got = {(r["user_id"], r["session_idx"]):
            (r["session_start"], r["session_end"], r["n_events"], r["sum_value_r"])
            for r in spark.read.parquet(out_dir).collect()}
     batch = {(r["user_id"], r["session_idx"]):
              (r["session_start"], r["session_end"], r["n_events"], r["sum_value_r"])
-             for r in sessionize_batch(events(spark, SF_SMALL), gap_minutes=30).collect()}
+             for r in sessionize_batch(ev, gap_minutes=30).collect()}
 
-    # append mode: every emitted (closed) session must match the batch twin
-    assert got, "stream emitted no closed sessions"
+    # append mode: every emitted session must match the batch twin exactly
+    assert got, "stream emitted no sessions"
     for k, v in got.items():
         assert batch[k] == v, (k, v, batch[k])
-    # at most the final still-open session per user may be withheld
-    n_users = len({k[0] for k in batch})
-    assert len(got) >= len(batch) - n_users
+    # completeness: any session whose end + gap is older than the final
+    # watermark (max_ts - 1h) must have been emitted
+    from datetime import timedelta
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - timedelta(hours=1) - timedelta(minutes=30)
+    must_emit = {k for k, v in batch.items() if v[1] < horizon}
+    assert must_emit <= set(got), f"missing {len(must_emit - set(got))} finalizable sessions"

@@ -164,8 +164,11 @@ def test_collection_search_validates_query_dim(spark, tmp_path_factory):
 
     # index build + full-probe index search returns the exact result
     w.build_index()
+    # nprobe=4 > nlist=2 clamps to a full probe (probe_cells min(nprobe, nlist))
     via_idx = [r["id"] for r in
                w.search(DenseSearchRequest(query_vector=[1.0, 0.5], limit=3,
-                                           output_fields=(), nprobe=2),
+                                           output_fields=(), nprobe=4),
                         use_index=True).collect()]
     assert via_idx == exact
+    with pytest.raises(ValueError, match="nprobe"):
+        DenseSearchRequest(query_vector=[1.0, 0.5], nprobe=2)
