@@ -17,6 +17,15 @@ for 100 TB corpora. Three tiers:
 All hashes are md5-derived (functions/hashing.py) so DuckDB computes
 bit-identical values — every operator here is oracle-checkable. All logic
 is pure Column expressions (JVM codegen, no Python in the hot path).
+
+Persist lifecycle: the near-dup operators persist() intermediates
+(signature/shingle tables) because their plans read them 2-3 times and
+Catalyst's project collapse would otherwise recompute the expensive
+expressions per consumer. The returned DataFrames are lazy, so the
+operators cannot unpersist for you — callers running many operators in one
+session should `spark.catalog.clearCache()` after materializing results
+(bench.py does), or persist-to-parquet the signature tables as the real
+index artifact at scale.
 """
 
 from __future__ import annotations
