@@ -116,6 +116,17 @@ class DenseSearchRequest:
         return lo, hi
 
 
+def meta_kv_column(meta_col: str) -> Column:
+    """Canonical sorted `k=v,...` rendering of the meta map — deterministic
+    and hashable. THE single definition: dense and hybrid output both use
+    it, and the oracle twins' meta_kv_expr must match this order."""
+    kv = F.transform(
+        F.array_sort(F.map_entries(F.col(meta_col))),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+    return F.array_join(kv, ",").alias("meta_kv")
+
+
 def meta_filter_predicate(meta: Column, meta_filter: dict[str, str]) -> Column:
     """Reference `_matches_meta_filter` (vector_store.py:871-886): each key
     must exist and the expected value must be a case-insensitive substring."""
@@ -211,12 +222,7 @@ def dense_search(
     if chunk_col and "chunk" in req.output_fields:
         cols.append(F.col(chunk_col))
     if meta_out:
-        # canonical sorted k=v rendering — deterministic and hashable
-        kv = F.transform(
-            F.array_sort(F.map_entries(F.col(meta_col))),
-            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-        )
-        cols.append(F.array_join(kv, ",").alias("meta_kv"))
+        cols.append(meta_kv_column(meta_col))
     cols += [F.col(c) for c in extra_cols]
     return out.select(*cols)
 

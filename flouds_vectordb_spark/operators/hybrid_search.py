@@ -102,9 +102,18 @@ def hybrid_search(
     meta_col: str | None = None,
     sparse_chunk_col: str = "chunk",
 ) -> DataFrame:
-    """Returns (id, rank, rrf_score [, chunk]) fused across both branches.
-    With postings=None the sparse branch scores directly off the collection
-    (sparse_search_direct) — bit-identical results, no posting build."""
+    """Returns (id, rank, rrf_score [, chunk, meta_kv]) fused across both
+    branches. With postings=None the sparse branch scores directly off the
+    collection (sparse_search_direct) — bit-identical results, no posting
+    build.
+
+    Projection contract (mirrors the reference: requested output_fields
+    that the collection doesn't materialize are silently omitted, like
+    Milvus returning only existing fields): `chunk`/`meta_kv` appear in the
+    output iff BOTH the field is in req.output_fields AND chunk_col /
+    meta_col is provided. When pairing with hybrid_search_sql for oracle
+    checks, pass chunk_expr/meta_kv_expr symmetrically — one side gating on
+    a column the other doesn't have shows up as a column-set mismatch."""
     if (req.meta_filter or req.meta_required) and meta_col is None:
         raise ValueError("meta_filter/meta_required require meta_col")
 
@@ -161,11 +170,9 @@ def hybrid_search(
     if chunk_col and "chunk" in req.output_fields:
         cols.append(F.col(chunk_col))
     if meta_out:
-        kv = F.transform(
-            F.array_sort(F.map_entries(F.col(meta_col))),
-            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-        )
-        cols.append(F.array_join(kv, ",").alias("meta_kv"))
+        from flouds_vectordb_spark.operators.dense_search import meta_kv_column
+
+        cols.append(meta_kv_column(meta_col))
     return out.select(*cols)
 
 

@@ -28,7 +28,7 @@ def test_stream_ingest_lands_in_collection(spark, tmp_path_factory):
         .parquet(str(src_dir / "data"))
     )
     q = stream_ingest(stream, writer, str(src_dir / "ckpt"), auto_flush_min_batch=1)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in time"
 
     latest = {r["id"]: r["chunk"] for r in writer.read_latest().collect()}
     assert latest == {"a": "hello", "b": "world"}

@@ -142,7 +142,7 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
         .format("parquet")
         .start(out_dir)
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in time"
 
     got = {(r["user_id"], r["session_idx"]):
            (r["session_start"], r["session_end"], r["n_events"], r["sum_value_r"])

@@ -18,8 +18,16 @@ from tests.conftest import SF_SMALL
 def _windowed(df):
     return (
         df.groupBy(F.window("ts", "1 day"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value")
+        .agg(
+            F.count("*").alias("n"),
+            # fixed-point micro-units: float sums are accumulation-order
+            # dependent between the streaming state store and the batch
+            # hash aggregate; integer sums are exact either way
+            (F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).cast("double") / 1e6)
+            .alias("_sv"),
+        )
+        .select(F.col("window.start").alias("ws"), "event_type", "n",
+                F.round("_sv", 4).alias("sum_value"))
     )
 
 
@@ -43,18 +51,21 @@ def test_stream_tumbling_window_matches_batch(spark, tmp_path_factory):
         .format("parquet")
         .start(out_dir)
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream did not finish in time"
 
     got = spark.read.parquet(out_dir)
     batch = _windowed(events(spark, SF_SMALL))
     g = {(r["ws"], r["event_type"]): (r["n"], r["sum_value"]) for r in got.collect()}
     b = {(r["ws"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch.collect()}
     # append mode emits only windows closed by the watermark; every emitted
-    # window must match the batch result, and most windows should be closed
+    # window must match the batch result
     assert g, "stream produced no closed windows"
     for k, v in g.items():
         assert b[k] == v
-    # only the final (still-open) day may be withheld by the watermark:
-    # at most one window per event type
-    n_types = len({k[1] for k in b})
-    assert len(g) >= len(b) - n_types
+    # completeness by the watermark contract (not fixture-timing luck): any
+    # day window ENDING before the final watermark (max ts - 1 h) must be out
+    from datetime import timedelta
+    max_ts = events(spark, SF_SMALL).agg(F.max("ts")).first()[0]
+    horizon = max_ts - timedelta(hours=1)
+    must_emit = {k for k in b if k[0] + timedelta(days=1) < horizon}
+    assert must_emit <= set(g), f"missing {len(must_emit - set(g))} closed windows"
