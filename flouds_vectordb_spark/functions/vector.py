@@ -37,9 +37,13 @@ def dot_score(a: Column, b: Column) -> Column:
 
 
 def l2_score(a: Column, b: Column) -> Column:
-    """Negative euclidean distance — sort DESC == nearest-first, matching the
-    reference's convention that larger score is better for every metric."""
-    sq = _fold_sum(
+    """Negative SQUARED euclidean distance. Milvus's L2 metric returns the
+    squared distance (no sqrt) with smaller-is-better; negating it makes
+    sort-DESC nearest-first so one ranking convention serves every metric,
+    while staying in the reference's distance UNIT so radius/range_filter/
+    score_threshold values calibrated against Milvus carry over as bounds
+    on -score (documented divergence: sign only, never the unit)."""
+    return -_fold_sum(
         F.zip_with(
             a,
             b,
@@ -47,7 +51,6 @@ def l2_score(a: Column, b: Column) -> Column:
             * (x.cast("double") - y.cast("double")),
         )
     )
-    return -F.sqrt(sq)
 
 
 def norm(a: Column) -> Column:
@@ -114,9 +117,10 @@ def dot_sql(a: str, b: str) -> str:
 
 
 def l2_sql(a: str, b: str) -> str:
+    # negative SQUARED distance — the Milvus L2 unit, negated (see l2_score)
     return (
-        f"(-sqrt(list_sum(list_transform(generate_series(1, len({a})), "
-        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))))"
+        f"(-list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))))"
     )
 
 

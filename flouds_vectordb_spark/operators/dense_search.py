@@ -56,7 +56,10 @@ class DenseSearchRequest:
     limit: int = 10
     offset: int = 0
     round_decimal: int = -1
-    score_threshold: float | None = None
+    # the reference's Field(0.0, ge=0, le=1): NEVER None, so a default
+    # search drops negative-similarity hits (score < 0.0). None = an
+    # explicit engine extension meaning "skip the threshold entirely".
+    score_threshold: float | None = 0.0
     radius: float | None = None
     range_filter: float | None = None
     text_filter: str | None = None
@@ -91,22 +94,39 @@ class DenseSearchRequest:
         return min(self.limit, MAX_LIMIT)
 
     @property
+    def effective_text_filter(self) -> str | None:
+        """The reference gates every text-filter behavior on
+        `text_filter and text_filter.strip()` (vector_store.py:486-488,
+        :544): empty/whitespace-only filters mean NO filter."""
+        if self.text_filter and self.text_filter.strip():
+            return self.text_filter
+        return None
+
+    @property
     def fetch(self) -> int:
         """Candidate-pool size: the reference clamps AFTER adding the text
         over-fetch — min(limit + increase, 100) (vector_store.py:483-490,
         then :457's clamp inside _build_base_search_params)."""
-        extra = self.increase_limit_for_text_search if self.text_filter else 0
+        extra = self.increase_limit_for_text_search if self.effective_text_filter else 0
         return min(self.limit + extra, MAX_LIMIT)
 
     @property
+    def effective_round_decimal(self) -> int:
+        """`request.round_decimal or -1` (vector_store.py:459): the falsy 0
+        collapses to -1 (no rounding) in the reference."""
+        return self.round_decimal if self.round_decimal > 0 else -1
+
+    @property
     def threshold_decimals(self) -> int:
-        return self.round_decimal if self.round_decimal >= 0 else RANK_DECIMALS
+        rd = self.effective_round_decimal
+        return rd if rd > 0 else RANK_DECIMALS
 
     def score_bounds(self) -> tuple[float | None, float | None]:
         """(lo, hi) in SCORE space with Milvus's contract lo < score <= hi.
         COSINE/IP: radius < similarity <= range_filter. L2: bounds are on the
-        distance (range_filter <= dist < radius), i.e. -radius < score <=
-        -range_filter on the negated-distance score."""
+        (squared, Milvus-unit) distance (range_filter <= dist < radius),
+        i.e. -radius < score <= -range_filter on the negated-distance
+        score."""
         if self.metric.upper() == "L2":
             lo = -float(self.radius) if self.radius is not None else None
             hi = -float(self.range_filter) if self.range_filter is not None else None
@@ -147,8 +167,19 @@ def dense_search(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Returns (id, rank, score [, chunk, extra...]) — rank 1-based after
-    post-filtering, score rounded to round_decimal (or 6 for determinism)."""
-    if req.text_filter is not None and chunk_col is None:
+    post-filtering, score rounded to round_decimal (or 6 for determinism).
+
+    Documented divergences from the reference, both deliberate:
+    - L2 scores are returned NEGATED (larger-is-better for every metric);
+      the unit is Milvus's squared distance, so thresholds/bounds carry
+      over with a sign flip only (score_bounds handles it).
+    - Post-filters evaluate against the STORED chunk/meta columns, not the
+      returned entity: the reference drops every hit when output_fields
+      excludes 'chunk' (entity.get('chunk') is None -> continue) or fails
+      meta filters when it excludes 'meta' — projection there silently
+      disables/empties results; here projection only affects output shape.
+    """
+    if req.effective_text_filter is not None and chunk_col is None:
         raise ValueError("text_filter requires chunk_col")
     if (req.meta_filter or req.meta_required) and meta_col is None:
         raise ValueError("meta_filter/meta_required require meta_col")
@@ -193,16 +224,21 @@ def dense_search(
 
     # ---- phase 3: post-filter pipeline (vector_store.py:519-582) ----
     if req.score_threshold is not None:
-        rounded = F.round(F.col("_score"), req.threshold_decimals)
+        # the reference compares the RAW Milvus score (rounded by Milvus to
+        # round_decimal) against the threshold: similarity for COSINE/IP,
+        # (squared) distance for L2 — i.e. -score in our convention
+        milvus_score = -F.col("_score") if req.metric.upper() == "L2" else F.col("_score")
+        rounded = F.round(milvus_score, req.threshold_decimals)
         out = out.filter(rounded >= F.lit(float(req.score_threshold)))
     if chunk_col is not None:
         # reference drops hits with empty/null chunk before text/meta filters
         # (vector_store.py: `if not chunk_content: continue`)
         out = out.filter(F.col(chunk_col).isNotNull() & (F.col(chunk_col) != ""))
-    if req.text_filter is not None:
+    if req.effective_text_filter is not None:
         out = out.filter(
             text_filter_predicate(
-                F.col(chunk_col), req.text_filter, req.minimum_words_match, req.include_stop_words
+                F.col(chunk_col), req.effective_text_filter,
+                req.minimum_words_match, req.include_stop_words
             )
         )
     if req.meta_required:
@@ -215,7 +251,8 @@ def dense_search(
     w = Window.orderBy(F.col("_score_r").desc(), F.col(id_col).asc())
     out = out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= req.effective_limit)
 
-    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    rd = req.effective_round_decimal
+    dec = rd if rd > 0 else RANK_DECIMALS
     cols = [F.col(id_col), F.col("rank"), F.round(F.col("_score"), dec).alias("score")]
     # Q12 projection: output_fields picks the payload columns; the result
     # row shape mirrors EmbeddedMeta = content + meta (embedded_meta.py:9-20)
@@ -243,7 +280,7 @@ def dense_search_sql(
     (NULL-able); `meta_size_expr` is the meta-entry-count expression;
     `meta_kv_expr` renders the canonical sorted `k=v,...` meta string for
     Q12 output (must match the engine's array_sort(map_entries) order)."""
-    if req.text_filter is not None and chunk_expr is None:
+    if req.effective_text_filter is not None and chunk_expr is None:
         raise ValueError("text_filter requires chunk_expr")
     score = V.metric_sql_q(req.metric, vector_expr, req.query_vector)
 
@@ -257,14 +294,16 @@ def dense_search_sql(
 
     post = ["TRUE"]
     if req.score_threshold is not None:
+        ms = "(-_score)" if req.metric.upper() == "L2" else "_score"
         post.append(
-            f"round(_score, {req.threshold_decimals}) >= ({float(req.score_threshold)!r}::DOUBLE)"
+            f"round({ms}, {req.threshold_decimals}) >= ({float(req.score_threshold)!r}::DOUBLE)"
         )
     if chunk_expr is not None:
         post.append("(chunk IS NOT NULL AND chunk <> '')")
-    if req.text_filter is not None:
+    if req.effective_text_filter is not None:
         post.append(
-            text_filter_sql("chunk", req.text_filter, req.minimum_words_match, req.include_stop_words)
+            text_filter_sql("chunk", req.effective_text_filter,
+                            req.minimum_words_match, req.include_stop_words)
         )
     if req.meta_required:
         post.append("_meta_n > 0")
@@ -275,7 +314,8 @@ def dense_search_sql(
         vv = v.lower().replace("'", "''")
         post.append(f"(_meta_{i} IS NOT NULL AND instr(lower(_meta_{i}), '{vv}') > 0)")
 
-    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    rd = req.effective_round_decimal
+    dec = rd if rd > 0 else RANK_DECIMALS
     with_chunk = chunk_expr is not None and "chunk" in req.output_fields
     with_meta = meta_kv_expr is not None and "meta" in req.output_fields
     chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""

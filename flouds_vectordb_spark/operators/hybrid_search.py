@@ -50,8 +50,13 @@ class HybridSearchRequest:
     text_filter: str
     metric: str = "COSINE"
     limit: int = 10
+    # reference passes request.offset into BOTH branch searches via
+    # _build_base_search_params (vector_store.py:458): each branch skips
+    # its first `offset` hits before rank assignment
+    offset: int = 0
     round_decimal: int = -1
-    score_threshold: float | None = None
+    # reference Field(0.0) — never None; see DenseSearchRequest
+    score_threshold: float | None = 0.0
     meta_filter: dict[str, str] = field(default_factory=dict)
     meta_required: bool = False
     # Q12 projection, mirrored from the dense surface (search_request.py:82-85)
@@ -64,13 +69,21 @@ class HybridSearchRequest:
         return min(self.limit, HYBRID_BRANCH_LIMIT)
 
     @property
+    def effective_round_decimal(self) -> int:
+        """`round_decimal or -1` (vector_store.py:459): 0 collapses to -1."""
+        return self.round_decimal if self.round_decimal > 0 else -1
+
+    @property
     def threshold_decimals(self) -> int:
-        return self.round_decimal if self.round_decimal >= 0 else RANK_DECIMALS
+        rd = self.effective_round_decimal
+        return rd if rd > 0 else RANK_DECIMALS
 
     def sparse_request(self) -> SparseSearchRequest:
         return SparseSearchRequest(
             query_text=self.text_filter,
             limit=self.branch_limit,
+            offset=self.offset,
+            round_decimal=self.round_decimal,
             k1=self.k1,
             b=self.b,
         )
@@ -78,17 +91,26 @@ class HybridSearchRequest:
 
 def _dense_branch(df: DataFrame, req: HybridSearchRequest, id_col: str,
                   vector_col: str) -> DataFrame:
-    """(id, dense_rank_, dense_score) — bounded top-branch_limit."""
+    """(id, dense_rank_, dense_score) — bounded top-branch_limit; the first
+    `offset` hits are skipped BEFORE rank assignment (rank 1 = hit
+    offset+1), as Milvus does when offset rides the branch params."""
     score = V.metric_score_q(req.metric, F.col(vector_col), req.query_vector)
     slim = (
         df.select(F.col(id_col).alias("id"), score.alias("_ds"))
         .filter(F.col("_ds").isNotNull())
         .withColumn("_ds_r", F.round(F.col("_ds"), RANK_DECIMALS))
     )
-    topk = slim.orderBy(F.col("_ds_r").desc(), F.col("id").asc()).limit(req.branch_limit)
+    topk = (
+        slim.orderBy(F.col("_ds_r").desc(), F.col("id").asc())
+        .limit(req.branch_limit + req.offset)
+    )
     w = Window.orderBy(F.col("_ds_r").desc(), F.col("id").asc())
-    return topk.withColumn("dense_rank_", F.row_number().over(w)).select(
-        "id", "dense_rank_", F.col("_ds").alias("dense_score")
+    ranked = topk.withColumn("_pre", F.row_number().over(w))
+    if req.offset:
+        ranked = ranked.filter(F.col("_pre") > req.offset)
+    return ranked.select(
+        "id", (F.col("_pre") - F.lit(req.offset)).alias("dense_rank_"),
+        F.col("_ds").alias("dense_score")
     )
 
 
@@ -148,9 +170,13 @@ def hybrid_search(
     else:
         out = fused.withColumnRenamed("id", id_col)
 
-    # score_threshold on the ORIGINAL dense score; sparse-only hits bypass
+    # score_threshold on the ORIGINAL dense score; sparse-only hits bypass.
+    # Compared in Milvus score space: similarity, or (squared) distance
+    # = -dense_score for L2 (vector_store.py:766-770)
     if req.score_threshold is not None:
-        ds = F.round(F.col("dense_score"), req.threshold_decimals)
+        ms = (-F.col("dense_score") if req.metric.upper() == "L2"
+              else F.col("dense_score"))
+        ds = F.round(ms, req.threshold_decimals)
         out = out.filter(
             F.col("dense_rank_").isNull() | (ds >= F.lit(float(req.score_threshold)))
         )
@@ -165,7 +191,8 @@ def hybrid_search(
 
     w = Window.orderBy(F.col("_rrf_r").desc(), F.col(id_col).asc())
     out = out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= req.limit)
-    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    rd = req.effective_round_decimal
+    dec = rd if rd > 0 else RANK_DECIMALS
     cols = [F.col(id_col), F.col("rank"), F.round(F.col("_rrf"), dec).alias("rrf_score")]
     if chunk_col and "chunk" in req.output_fields:
         cols.append(F.col(chunk_col))
@@ -193,8 +220,9 @@ def hybrid_search_sql(
 
     post = ["TRUE"]
     if req.score_threshold is not None:
+        ms = "(-dense_score)" if req.metric.upper() == "L2" else "dense_score"
         post.append(
-            f"(dense_rank_ IS NULL OR round(dense_score, {req.threshold_decimals})"
+            f"(dense_rank_ IS NULL OR round({ms}, {req.threshold_decimals})"
             f" >= ({float(req.score_threshold)!r}::DOUBLE))"
         )
     if chunk_expr is not None:
@@ -208,7 +236,8 @@ def hybrid_search_sql(
         vv = v.lower().replace("'", "''")
         post.append(f"(_meta_{i} IS NOT NULL AND instr(lower(_meta_{i}), '{vv}') > 0)")
 
-    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    rd = req.effective_round_decimal
+    dec = rd if rd > 0 else RANK_DECIMALS
     with_chunk = chunk_expr is not None and "chunk" in req.output_fields
     with_meta = meta_kv_expr is not None and "meta" in req.output_fields
     chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""
@@ -230,7 +259,7 @@ WITH _dense_scored AS (
 _dense_topk AS (
   SELECT id, _ds, round(_ds, {RANK_DECIMALS}) AS _ds_r FROM _dense_scored
   WHERE _ds IS NOT NULL
-  ORDER BY _ds_r DESC, id ASC LIMIT {req.branch_limit}
+  ORDER BY _ds_r DESC, id ASC LIMIT {req.branch_limit} OFFSET {req.offset}
 ),
 _dense AS (
   SELECT id, row_number() OVER (ORDER BY _ds_r DESC, id ASC) AS dense_rank_,
@@ -242,7 +271,8 @@ _sparse_scored AS (
   FROM ({sparse_scores})
 ),
 _sparse_topk AS (
-  SELECT * FROM _sparse_scored ORDER BY _score_r DESC, id ASC LIMIT {req.branch_limit}
+  SELECT * FROM _sparse_scored ORDER BY _score_r DESC, id ASC
+  LIMIT {req.branch_limit} OFFSET {req.offset}
 ),
 _sparse AS (
   SELECT id, row_number() OVER (ORDER BY _score_r DESC, id ASC) AS sparse_rank_

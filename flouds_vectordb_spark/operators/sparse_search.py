@@ -226,7 +226,7 @@ _post AS (
 )"""
     if drop_ratio_build > 0.0:
         return base + f""",
-_cut AS (SELECT (count(*) * {drop_ratio_build!r})::BIGINT AS k FROM _post),
+_cut AS (SELECT floor(count(*) * {drop_ratio_build!r})::BIGINT AS k FROM _post),
 _pruned AS (
   SELECT id, term, tf, dl, df, weight FROM (
     SELECT *, row_number() OVER (ORDER BY weight ASC, term ASC, id ASC) AS _rn FROM _post
@@ -318,7 +318,7 @@ def _topk_ranked(scored: DataFrame, req: SparseSearchRequest) -> DataFrame:
             .drop("_pre_rank")
         )
     w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
-    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    dec = req.round_decimal if req.round_decimal > 0 else RANK_DECIMALS
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("id", "rank", F.round(F.col("_score"), dec).alias("score"))
@@ -374,7 +374,7 @@ SELECT id, ({score}) AS _score FROM (
 
 def sparse_search_sql(req: SparseSearchRequest, postings_sql: str) -> str:
     """DuckDB oracle twin of sparse_search."""
-    dec = req.round_decimal if req.round_decimal >= 0 else RANK_DECIMALS
+    dec = req.round_decimal if req.round_decimal > 0 else RANK_DECIMALS
     fetch = req.effective_limit + req.offset
     return f"""
 WITH _scored AS (

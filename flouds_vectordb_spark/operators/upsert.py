@@ -60,9 +60,14 @@ def should_flush(batch_size: int, force_flush: bool = False,
 
 def upsert(current: DataFrame, batch: DataFrame, key_col: str = "id",
            ts_col: str = "batch_ts") -> DataFrame:
-    """Latest-wins merge: union current+batch, keep the newest row per key
-    (ties broken toward the batch via ts ordering). The Spark MERGE-on-parquet
-    fallback from SURVEY §2.1-S3."""
+    """Latest-wins merge: union current+batch, keep the newest row per key.
+    The Spark MERGE-on-parquet fallback from SURVEY §2.1-S3.
+
+    Precondition: ts values are distinct per key across inputs (the batch
+    carries a ts newer than anything stored). Duplicate keys WITHIN a batch
+    share one ts and would tie nondeterministically — the reference rejects
+    them at the request layer (insert_request.py:96-105) and insert_data
+    enforces the same."""
     unioned = current.unionByName(batch, allowMissingColumns=True)
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
     return (
@@ -102,7 +107,14 @@ class CollectionWriter:
         if not skip_dim_validation:
             validate_dimensions(batch, int(self.meta["dimension"]))
         stamped = batch.withColumn("batch_ts", F.lit(int(batch_ts)))
-        n = stamped.count()
+        counts = stamped.agg(F.count("*").alias("n"),
+                             F.count_distinct("id").alias("nk")).first()
+        n = int(counts["n"])
+        # duplicate keys within one batch share a batch_ts and would make
+        # the latest-wins merge nondeterministic; the reference rejects them
+        # per request (insert_request.py:96-105)
+        if int(counts["nk"]) != n:
+            raise ValueError("duplicate primary keys in batch")
         stamped.write.mode("append").parquet(self.meta["path"])
         flushed = should_flush(n, force_flush, auto_flush_min_batch)
         if flushed:

@@ -134,13 +134,13 @@ _register("q2_range_search", *_dense_pair(
         query_vector=fixture_query_vector(seed=4), metric="COSINE",
         limit=100, radius=0.05, range_filter=0.5)))
 
-# L2 range semantics: Milvus bounds apply to the raw DISTANCE
-# (range_filter <= dist < radius), translated onto the negated-distance
-# score (ADVICE round 1; dense_search.py score_bounds)
+# L2 range semantics: Milvus bounds apply to the raw DISTANCE in Milvus's
+# unit (SQUARED euclidean; range_filter <= dist < radius), translated onto
+# the negated-distance score (ADVICE round 1; dense_search.py score_bounds)
 _register("q2_range_search_l2", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=18), metric="L2",
-        limit=100, radius=4.5, range_filter=3.0)))
+        limit=100, radius=20.25, range_filter=9.0)))
 
 # --- Q5+Q11: score threshold post-filter + round_decimal ----------------------
 _register("q5_score_threshold", *_dense_pair(
@@ -333,6 +333,13 @@ _register("q4_hybrid_rrf_meta", *_hybrid_pair(
         query_vector=fixture_query_vector(seed=11), metric="IP",
         text_filter="slow fast table", limit=25,
         meta_filter={"lang": "e"}, meta_required=True)))
+
+# hybrid pagination: offset rides BOTH branch searches (vector_store.py:458),
+# shifting per-branch ranks before RRF fusion
+_register("q4_hybrid_rrf_offset", *_hybrid_pair(
+    HybridSearchRequest(
+        query_vector=fixture_query_vector(seed=13), metric="COSINE",
+        text_filter="vector index scan merge", limit=20, offset=7)))
 
 
 # --- IVF physical plan (SURVEY Phase 3): centroid pruning, exact oracle --------

@@ -61,11 +61,12 @@ def test_range_bounds_exclusive_inclusive(coll):
 
 
 def test_l2_range_bounds_on_distance(coll):
-    # L2: range_filter <= distance < radius; vectors at distance |i/10| from q
+    # L2: range_filter <= distance < radius, in Milvus's SQUARED unit;
+    # vectors sit at euclidean distance i/10 from q -> squared (i/10)^2
     req = DenseSearchRequest(query_vector=[1.0, 0.0], metric="L2", limit=100,
-                             radius=0.35, range_filter=0.15)
+                             radius=0.35**2, range_filter=0.15**2)
     ids = set(_ids(dense_search(coll, req)))
-    # distances: id i -> i/10 (id 99 -> 0.0); keep 0.15 <= d < 0.35 -> ids 2,3 drop id1(0.1)
+    # keep 0.0225 <= d2 < 0.1225 -> ids 2 (0.04), 3 (0.09); id 1 (0.01) drops
     assert ids == {2, 3}
 
 
@@ -85,6 +86,39 @@ def test_score_threshold_applies_to_rounded_score(spark):
     req6 = DenseSearchRequest(query_vector=[1.0], metric="IP", limit=10,
                               score_threshold=0.1, round_decimal=6)
     assert _ids(dense_search(df, req6)) == []
+
+
+def test_default_threshold_drops_negative_scores(spark):
+    # reference score_threshold = Field(0.0), never None: a default search
+    # drops hits with similarity < 0 (search_request.py:87-93)
+    df = spark.createDataFrame([(1, [1.0]), (2, [-1.0])], "id long, vector array<double>")
+    req = DenseSearchRequest(query_vector=[1.0], metric="IP", limit=10)
+    assert _ids(dense_search(df, req)) == [1]
+    keep_all = DenseSearchRequest(query_vector=[1.0], metric="IP", limit=10,
+                                  score_threshold=None)
+    assert _ids(dense_search(df, keep_all)) == [1, 2]
+    # L2: threshold compares the (squared) DISTANCE, always >= 0 -> keeps all
+    l2 = DenseSearchRequest(query_vector=[1.0], metric="L2", limit=10)
+    assert _ids(dense_search(df, l2)) == [1, 2]
+
+
+def test_round_decimal_zero_means_no_rounding(spark):
+    # reference collapses falsy 0 to -1: `request.round_decimal or -1`
+    # (vector_store.py:459) -> score must NOT be rounded to integers
+    df = spark.createDataFrame([(1, [0.73])], "id long, vector array<double>")
+    req = DenseSearchRequest(query_vector=[1.0], metric="IP", limit=10,
+                             round_decimal=0)
+    assert dense_search(df, req).first()["score"] == 0.73
+
+
+def test_blank_text_filter_means_no_filter(coll):
+    # reference gates on `text_filter and text_filter.strip()`
+    # (vector_store.py:486-488, :544): "" / "  " filter nothing, add no
+    # over-fetch, and need no chunk column
+    base = DenseSearchRequest(query_vector=[1.0, 0.0], limit=5)
+    blank = DenseSearchRequest(query_vector=[1.0, 0.0], limit=5, text_filter="  ")
+    assert _ids(dense_search(coll, blank)) == _ids(dense_search(coll, base))
+    assert blank.fetch == base.fetch
 
 
 def test_missing_columns_raise(coll):

@@ -105,4 +105,5 @@ def test_metric_scores_match_python_fold(spark, vecs, q):
         acc2 = 0.0
         for a, b in zip(v, q):
             acc2 += (float(a) - float(b)) * (float(a) - float(b))
-        assert got[i][1] == -math.sqrt(acc2)
+        # Milvus L2 unit: squared distance, negated
+        assert got[i][1] == -acc2

@@ -35,8 +35,10 @@ def test_dot_matches_numpy(vec_df):
 
 
 def test_l2_matches_numpy(vec_df):
+    # Milvus L2 unit: SQUARED distance, negated for larger-is-better
     got = _collect_scores(vec_df, V.metric_score_q("L2", F.col("v"), Q))
-    assert got[1] == pytest.approx(-np.linalg.norm(np.array([1.0, 2.0, 3.0]) - np.array(Q)))
+    assert got[1] == pytest.approx(
+        -float(np.sum((np.array([1.0, 2.0, 3.0]) - np.array(Q)) ** 2)))
 
 
 def test_cosine_matches_numpy(vec_df):
