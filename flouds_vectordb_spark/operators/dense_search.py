@@ -88,6 +88,19 @@ class DenseSearchRequest:
         # search_request.py:63-68 rejects nprobe outside 4-128 at the API
         if not 4 <= self.nprobe <= 128:
             raise ValueError("nprobe must be between 4 and 128")
+        # remaining Pydantic field ranges (search_request.py:49-131)
+        if not 1 <= self.limit <= 100:
+            raise ValueError("limit must be between 1 and 100")
+        if not 0 <= self.offset <= 100:
+            raise ValueError("offset must be between 0 and 100")
+        if not -1 <= self.round_decimal <= 6:
+            raise ValueError("round_decimal must be between -1 and 6")
+        if self.score_threshold is not None and not 0.0 <= self.score_threshold <= 1.0:
+            raise ValueError("score_threshold must be between 0.0 and 1.0")
+        if self.minimum_words_match < 1:
+            raise ValueError("minimum_words_match must be >= 1")
+        if not 0 <= self.increase_limit_for_text_search <= 100:
+            raise ValueError("increase_limit_for_text_search must be between 0 and 100")
 
     @property
     def effective_limit(self) -> int:

@@ -121,6 +121,19 @@ def test_blank_text_filter_means_no_filter(coll):
     assert blank.fetch == base.fetch
 
 
+@pytest.mark.parametrize("kwargs", [
+    {"limit": 0}, {"limit": 101}, {"offset": -1}, {"offset": 101},
+    {"round_decimal": -2}, {"round_decimal": 7}, {"score_threshold": 1.5},
+    {"score_threshold": -0.1}, {"minimum_words_match": 0},
+    {"increase_limit_for_text_search": 101}, {"nprobe": 3}, {"nprobe": 129},
+    {"consistency_level": "Nope"},
+])
+def test_request_field_ranges_rejected(kwargs):
+    # the reference's Pydantic ranges (search_request.py:49-131)
+    with pytest.raises(ValueError):
+        DenseSearchRequest(query_vector=[1.0], **kwargs)
+
+
 def test_missing_columns_raise(coll):
     with pytest.raises(ValueError):
         dense_search(coll, DenseSearchRequest(query_vector=[1.0, 0.0], text_filter="x"))
