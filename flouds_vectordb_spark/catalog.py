@@ -43,6 +43,39 @@ VALID_METRICS = ("COSINE", "L2", "IP")
 VALID_INDEX_TYPES = ("IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW")
 
 
+def validate_tenant_code(tenant: str) -> str:
+    """Reference validate_tenant_code (input_validator.py:65-99): strip +
+    lowercase; [a-z0-9_], 3-50 chars — or exactly 2 chars containing a
+    digit (the reference's short-tenant special case). Returns the
+    NORMALIZED code; all catalog keys/paths use it, so ACME and acme are
+    the same tenant, as in the reference."""
+    if not tenant or not isinstance(tenant, str):
+        raise ValueError("Tenant code must be a non-empty string")
+    clean = tenant.strip().lower()
+    if len(clean) == 2:
+        if not re.match(r"^[a-z0-9_]{2}$", clean) or not re.search(r"\d", clean):
+            raise ValueError(
+                "Tenant code must be 3-50 characters, alphanumeric and underscores only")
+    elif not re.match(r"^[a-z0-9_]{3,50}$", clean):
+        raise ValueError(
+            "Tenant code must be 3-50 characters, alphanumeric and underscores only")
+    return clean
+
+
+def validate_model_name(model: str) -> str:
+    """Reference validate_model_name (input_validator.py:129-153): strip +
+    lowercase; [a-z0-9_.-], 1-100 chars (no path separators can get into
+    collection_path)."""
+    if not model or not isinstance(model, str):
+        raise ValueError("Model name must be a non-empty string")
+    clean = model.strip().lower()
+    if not re.match(r"^[a-z0-9_.-]{1,100}$", clean):
+        raise ValueError(
+            "Model name must be 1-100 characters, alphanumeric, underscores, "
+            "hyphens, and dots only")
+    return clean
+
+
 def collection_name(tenant: str, model: str) -> str:
     """Reference naming: vector_store_schema_for_{tenant}_{model}, lowercased,
     '-'/'.' -> '_' (base_milvus.py:487-497)."""
@@ -129,6 +162,7 @@ class Catalog:
 
     # ---- S1: tenant DDL ----------------------------------------------------
     def set_vector_store(self, tenant: str) -> dict:
+        tenant = validate_tenant_code(tenant)
         tenants = self._read_meta("tenants")
         db = tenant_db_name(tenant)
         created = tenant not in tenants
@@ -139,25 +173,29 @@ class Catalog:
         return {"tenant": tenant, "db": db, "created": created}
 
     def tenant_exists(self, tenant: str) -> bool:
-        return tenant in self._read_meta("tenants")
+        return validate_tenant_code(tenant) in self._read_meta("tenants")
 
     # ---- S2: collection DDL ------------------------------------------------
     def generate_schema(self, spec: CollectionSpec) -> dict:
         spec.validate()
+        spec.tenant = validate_tenant_code(spec.tenant)
+        spec.model = validate_model_name(spec.model)
         if not self.tenant_exists(spec.tenant):
             raise ValueError(f"unknown tenant {spec.tenant!r}; call set_vector_store first")
         colls = self._read_meta("collections")
         name = collection_name(spec.tenant, spec.model)
         if name in colls:
-            raise ValueError(f"collection {name!r} already exists")
+            # idempotent like the reference: an existing collection is
+            # reported, not an error (base_milvus.py:1203-1214)
+            return {"collection": name, **colls[name], "schema_exists": True}
         colls[name] = {**asdict(spec), "path": self.collection_path(spec.tenant, spec.model)}
         self._write_meta("collections", colls)
         os.makedirs(colls[name]["path"], exist_ok=True)
-        return {"collection": name, **colls[name]}
+        return {"collection": name, **colls[name], "schema_exists": False}
 
     # ---- S5: describe ------------------------------------------------------
     def describe_collection(self, tenant: str, model: str) -> dict:
-        name = collection_name(tenant, model)
+        name = collection_name(validate_tenant_code(tenant), validate_model_name(model))
         colls = self._read_meta("collections")
         if name not in colls:
             raise ValueError(f"collection {name!r} does not exist")
@@ -169,7 +207,8 @@ class Catalog:
 
     # ---- S6: existence -----------------------------------------------------
     def collection_exists(self, tenant: str, model: str) -> bool:
-        return collection_name(tenant, model) in self._read_meta("collections")
+        name = collection_name(validate_tenant_code(tenant), validate_model_name(model))
+        return name in self._read_meta("collections")
 
     def list_collections(self, tenant: str | None = None) -> list[str]:
         colls = self._read_meta("collections")

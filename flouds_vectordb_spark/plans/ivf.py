@@ -20,7 +20,10 @@ Design (SURVEY.md §4.1 / Phase 3):
   reads only the probed directories. The pruned DataFrame feeds the exact
   dense_search operator unchanged.
 - COSINE trains/probes on L2-normalized vectors (cosine NN == euclidean NN
-  on the unit sphere); L2/IP probe raw euclidean cells.
+  on the unit sphere); L2 probes raw euclidean cells; IP assigns AND probes
+  by max inner product (the coarse quantizer must use the search metric,
+  as FAISS IVF-IP does — L2 cells would strand large-norm vectors in cells
+  the query never probes).
 
 Determinism: the sample is ordered by id, k-means uses a seeded RNG with
 k-means++ init, and ties in cell shortlists break by centroid index — the
@@ -44,8 +47,22 @@ NPROBE_MAX = 256  # reference vector_store.py:495
 SAMPLE_CAP = 262144  # driver-side training sample bound (FAISS-style)
 
 
+def _pairwise_d2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances via ||a||^2 - 2ab + ||b||^2 — NEVER the
+    (n, k, d) broadcast intermediate: at the documented scale (sample
+    262144 x nlist 1024 x dim 768) that 3-D array is ~1.6 PB and OOMs the
+    driver; this stays at n*k*8 bytes (~2 GB worst case)."""
+    return (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * x @ c.T
+        + (c * c).sum(axis=1)[None, :]
+    )
+
+
 def _kmeans(x: np.ndarray, k: int, iters: int = 25, seed: int = 42) -> np.ndarray:
     """Deterministic k-means (k-means++ init, fixed seed). x: (n, d) f64."""
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("cannot build an IVF index on an empty collection")
     rng = np.random.RandomState(seed)
     n = x.shape[0]
     k = min(k, n)
@@ -58,9 +75,7 @@ def _kmeans(x: np.ndarray, k: int, iters: int = 25, seed: int = 42) -> np.ndarra
         centroids[i] = x[rng.choice(n, p=probs)]
         d2 = np.minimum(d2, np.sum((x - centroids[i]) ** 2, axis=1))
     for _ in range(iters):
-        # assign
-        dists = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = dists.argmin(axis=1)
+        assign = _pairwise_d2(x, centroids).argmin(axis=1)
         # update; empty cluster keeps its previous centroid
         for c in range(k):
             members = x[assign == c]
@@ -75,22 +90,24 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / norms
 
 
-def _assign_udf(centroids: np.ndarray, normalize: bool):
-    """Vectorized nearest-centroid assignment (Arrow-batched; build/append
-    path only — never in the query path)."""
+def _assign_udf(centroids: np.ndarray, metric: str):
+    """Vectorized best-centroid assignment (Arrow-batched; build/append
+    path only — never in the query path). COSINE assigns by L2 on
+    normalized vectors; L2 by L2; IP by MAX INNER PRODUCT — the coarse
+    quantizer must use the search metric (as FAISS's IVF-IP does), else
+    large-norm vectors land in cells the query never probes."""
+    metric = metric.upper()
 
     @F.pandas_udf("int")
     def assign_cell(vecs: pd.Series) -> pd.Series:
         m = np.array(vecs.tolist(), dtype=np.float64)
-        if normalize:
-            m = _normalize_rows(m)
-        # (batch, k) distances via ||a-b||^2 = ||a||^2 - 2ab + ||b||^2
-        d2 = (
-            (m * m).sum(axis=1)[:, None]
-            - 2.0 * m @ centroids.T
-            + (centroids * centroids).sum(axis=1)[None, :]
-        )
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
+        if metric == "IP":
+            best = (m @ centroids.T).argmax(axis=1)
+        else:
+            if metric == "COSINE":
+                m = _normalize_rows(m)
+            best = _pairwise_d2(m, centroids).argmin(axis=1)
+        return pd.Series(best.astype("int32"))
 
     return assign_cell
 
@@ -108,14 +125,19 @@ class IvfIndex:
         return len(self.centroids)
 
     def probe_cells(self, query_vector: list[float], nprobe: int) -> list[int]:
-        """Driver-side shortlist of the nprobe nearest cells."""
+        """Driver-side shortlist of the nprobe best cells — by the SEARCH
+        metric (max inner product for IP, euclidean otherwise), matching
+        how rows were assigned."""
         nprobe = max(1, min(int(nprobe), NPROBE_MAX, self.nlist))
         q = np.asarray(query_vector, dtype=np.float64)
-        if self.metric == "COSINE":
-            n = np.linalg.norm(q)
-            q = q / n if n > 0 else q
-        d2 = np.sum((self.centroids - q) ** 2, axis=1)
-        order = np.lexsort((np.arange(self.nlist), d2))  # ties -> lower cell id
+        if self.metric == "IP":
+            key = -(self.centroids @ q)  # ascending sort on -IP = best first
+        else:
+            if self.metric == "COSINE":
+                n = np.linalg.norm(q)
+                q = q / n if n > 0 else q
+            key = np.sum((self.centroids - q) ** 2, axis=1)
+        order = np.lexsort((np.arange(self.nlist), key))  # ties -> lower cell id
         return [int(c) for c in order[:nprobe]]
 
     def scan(self, spark: SparkSession, nprobe_cells: list[int]) -> DataFrame:
@@ -142,7 +164,7 @@ class IvfIndex:
         (
             batch.withColumn(
                 "centroid_id",
-                _assign_udf(self.centroids, self.metric == "COSINE")(F.col(vector_col)),
+                _assign_udf(self.centroids, self.metric)(F.col(vector_col)),
             )
             .write.mode("append").partitionBy("centroid_id").parquet(self.path)
         )
@@ -171,11 +193,12 @@ def build_ivf(
 
     (
         df.withColumn("centroid_id",
-                      _assign_udf(centroids, metric == "COSINE")(F.col(vector_col)))
+                      _assign_udf(centroids, metric)(F.col(vector_col)))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     )
     with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump({"metric": metric, "centroids": centroids.tolist()}, f)
+        json.dump({"metric": metric, "nlist_requested": int(nlist),
+                   "centroids": centroids.tolist()}, f)
     return IvfIndex(path, centroids, metric)
 
 
@@ -187,8 +210,15 @@ def open_ivf(path: str) -> IvfIndex:
 
 def get_or_build_ivf(df: DataFrame, path: str, nlist: int, metric: str = "COSINE",
                      vector_col: str = "vector") -> IvfIndex:
-    if os.path.exists(os.path.join(path, "_centroids.json")):
-        idx = open_ivf(path)
-        if idx.nlist == min(nlist, idx.nlist) and idx.metric == metric.upper():
-            return idx
+    """Reuse the cached index only when it was built for the SAME requested
+    nlist and metric (trained cells can be fewer than requested when the
+    corpus is small — that is fine; a DIFFERENT request is not)."""
+    meta_p = os.path.join(path, "_centroids.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if (meta.get("nlist_requested") == int(nlist)
+                and meta["metric"] == metric.upper()):
+            return IvfIndex(path, np.array(meta["centroids"], dtype=np.float64),
+                            meta["metric"])
     return build_ivf(df, path, nlist, metric, vector_col)

@@ -73,6 +73,13 @@ def validate_insert_request(batch: DataFrame, dim: int,
             F.lit(0),
         ).alias("n_empty_keys"),
         F.coalesce(F.max(F.length("chunk")), F.lit(0)).alias("max_chunk"),
+        # chunk is a REQUIRED EmbeddedVector field (pydantic Field(...)) —
+        # a missing chunk must be rejected here, not silently inserted as a
+        # row every search later drops via the empty-chunk post-filter
+        F.coalesce(
+            F.sum(F.when(F.col("chunk").isNull() | (F.col("chunk") == ""), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_missing_chunk"),
         F.coalesce(
             F.sum(F.when(F.col("vector").isNull() | (F.size("vector") != dim), 1).otherwise(0)),
             F.lit(0),
@@ -90,6 +97,8 @@ def validate_insert_request(batch: DataFrame, dim: int,
     if stats["max_chunk"] > MAX_CHUNK_CHARS:
         problems.append(
             f"Chunk exceeds maximum length of {MAX_CHUNK_CHARS} characters")
+    if stats["n_missing_chunk"]:
+        problems.append(f"{stats['n_missing_chunk']} records with missing chunk")
     if stats["n_bad_dim"]:
         problems.append(f"{stats['n_bad_dim']} vectors with dimension != {dim}")
     if problems:

@@ -30,13 +30,28 @@ def stream_ingest(
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Attach a streaming source to a collection. `stream_df` must match the
-    collection schema (id, chunk, vector[, sparse_vector, meta]); batch_ts is
-    stamped per micro-batch from the epoch id."""
+    collection schema (id, chunk, vector[, sparse_vector, meta]).
+
+    batch_ts is stamped `base + epoch_id`, where base is read ONCE at
+    attach time as (current max batch_ts in the collection) + 1. A raw
+    epoch_id would restart at 0 on a fresh checkpoint and lose latest-wins
+    to rows written earlier with higher ts; anchoring to the stored maximum
+    keeps stream rows newer than everything already stored, while replays
+    of the SAME epoch (failure recovery within one run) still reuse one ts
+    — duplicates stay harmless."""
+    from pyspark.sql import functions as F
+
+    try:
+        row = writer.catalog.read_collection(writer.tenant, writer.model) \
+            .agg(F.max("batch_ts")).first()
+        base = (int(row[0]) if row[0] is not None else -1) + 1
+    except Exception:
+        base = 0
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        writer.insert_data(batch, batch_ts=epoch_id,
+        writer.insert_data(batch, batch_ts=base + epoch_id,
                            auto_flush_min_batch=auto_flush_min_batch)
 
     out = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)

@@ -142,9 +142,15 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = SESSION_GAP_MINUT
             sidx, ts_buf, val_buf = 0, [], []
 
         if not state.hasTimedOut:
+            import numpy as np
+
             batch = pd.concat(list(pdfs), ignore_index=True)
             ts_buf += (batch["ts"].astype("int64") // 1000).tolist()  # ns -> us
-            val_buf += (batch["value"] * 1e6).round().astype("int64").tolist()
+            # HALF_UP (away from zero), matching Spark F.round and DuckDB
+            # round — pandas .round() is half-to-even and diverges on .5
+            x = (batch["value"] * 1e6).to_numpy()
+            val_buf += np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)) \
+                .astype("int64").tolist()
 
         # sessionize the full buffer in time order (late events slot in)
         order = sorted(range(len(ts_buf)), key=lambda i: ts_buf[i])

@@ -81,7 +81,7 @@ def test_incremental_append_matches_full_rebuild(spark, coll, tmp_path_factory):
     path2 = str(tmp_path_factory.mktemp("ivf6") / "idx")
     from flouds_vectordb_spark.plans.ivf import _assign_udf
     expected = {r["id"]: r["cid"] for r in coll.select(
-        "id", _assign_udf(idx.centroids, True)(F.col("vector")).alias("cid")).collect()}
+        "id", _assign_udf(idx.centroids, "COSINE")(F.col("vector")).alias("cid")).collect()}
     got = {r["id"]: r["centroid_id"] for r in appended.select("id", "centroid_id").collect()}
     assert got == expected
 
@@ -91,3 +91,21 @@ def test_incremental_append_matches_full_rebuild(spark, coll, tmp_path_factory):
     via_ivf = [(r["id"], r["score"])
                for r in idx.search(spark, req, nprobe=4).collect()]
     assert via_ivf == exact
+
+
+def test_ip_metric_assigns_and_probes_by_inner_product(spark, tmp_path_factory):
+    """IP must use max-inner-product cells end to end: a large-norm vector
+    that is the true IP top-1 must be found even at nprobe=1, which L2
+    cell assignment would miss."""
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)]
+    # plant the IP winner: huge norm, pointing along the query
+    q = [1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows.append((999, [50.0 * v for v in q]))
+    coll2 = spark.createDataFrame(rows, "id long, vector array<double>")
+    path = str(tmp_path_factory.mktemp("ivf_ip") / "idx")
+    idx = build_ivf(coll2, path, nlist=4, metric="IP")
+    req = DenseSearchRequest(query_vector=q, metric="IP", limit=1,
+                             output_fields=(), score_threshold=None)
+    hit = idx.search(spark, req, nprobe=1).first()
+    assert hit["id"] == 999

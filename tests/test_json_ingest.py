@@ -75,9 +75,9 @@ def test_ingest_json_end_to_end(spark, tmp_path_factory):
         _rec("c", [0.7, 0.7], chunk="gamma doc"),
     ])
     cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
-    cat.set_vector_store("t")
-    cat.generate_schema(CollectionSpec("t", "m", dimension=2, nlist=2))
-    w = CollectionWriter(cat, "t", "m")
+    cat.set_vector_store("t1")
+    cat.generate_schema(CollectionSpec("t1", "m", dimension=2, nlist=2))
+    w = CollectionWriter(cat, "t1", "m")
     res = ingest_json(spark, path, w, batch_ts=1, force_flush=True)
     assert res == {"inserted": 3, "flushed": True}
     hits = w.search(DenseSearchRequest(query_vector=[1.0, 0.1], limit=2,

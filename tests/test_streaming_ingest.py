@@ -12,9 +12,9 @@ from flouds_vectordb_spark.streaming.ingest import stream_ingest
 def test_stream_ingest_lands_in_collection(spark, tmp_path_factory):
     wh = tmp_path_factory.mktemp("wh_stream")
     cat = Catalog(spark, str(wh))
-    cat.set_vector_store("st")
-    cat.generate_schema(CollectionSpec("st", "m", dimension=2))
-    writer = CollectionWriter(cat, "st", "m")
+    cat.set_vector_store("s1")
+    cat.generate_schema(CollectionSpec("s1", "m", dimension=2))
+    writer = CollectionWriter(cat, "s1", "m")
 
     src_dir = tmp_path_factory.mktemp("stream_src")
     batch = spark.createDataFrame(

@@ -43,8 +43,8 @@ def test_ddl_flow(spark, tmp_path_factory):
     cat.generate_schema(CollectionSpec("acme", "modelx", dimension=4))
     assert cat.collection_exists("acme", "modelx")
     assert cat.vector_dimension("acme", "modelx") == 4
-    with pytest.raises(ValueError):
-        cat.generate_schema(CollectionSpec("acme", "modelx", 4))  # duplicate
+    # duplicate generate_schema is idempotent like the reference
+    assert cat.generate_schema(CollectionSpec("acme", "modelx", 4))["schema_exists"]
 
 
 def test_flush_policy_matches_reference():
@@ -100,6 +100,25 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
                                 "id string, chunk string, vector array<float>")
     with pytest.raises(ValueError):
         w.insert_data(bad, batch_ts=3)
+
+
+def test_catalog_name_validation_and_idempotency(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh5")))
+    # normalization: ACME and acme are the same tenant (input_validator.py:65-99)
+    cat.set_vector_store("  ACME  ")
+    assert cat.tenant_exists("acme") and cat.tenant_exists("ACME")
+    # invalid names rejected like the reference validators
+    for bad in ("", "ab", "a", "x" * 51, "bad-tenant", "has space"):
+        with pytest.raises(ValueError):
+            cat.set_vector_store(bad)
+    with pytest.raises(ValueError):
+        cat.generate_schema(CollectionSpec("acme", "model/with/slash", 8))
+    # generate_schema is idempotent (base_milvus.py:1203-1214), not an error
+    first = cat.generate_schema(CollectionSpec("acme", "ModelX", 8))
+    assert first["schema_exists"] is False
+    again = cat.generate_schema(CollectionSpec("ACME", "modelx", 8))
+    assert again["schema_exists"] is True
+    assert again["collection"] == first["collection"]
 
 
 def test_collection_sparse_and_hybrid_search(spark, tmp_path_factory):
