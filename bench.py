@@ -6,9 +6,18 @@ timed pass per query, and prints ONE JSON line:
   {"metric": "...", "value": <total warm sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-Results are materialized with a full collect() of the (small) result sets —
-every query here returns bounded output (top-k caps / aggregate rows), so
-collect measures the whole plan without driver blowup.
+Measurement rules (each one was a measured distortion before it was a rule):
+- Materialize through the `noop` sink, not collect(): several entries
+  return corpus-sized outputs (per-doc stats, the upsert table), and
+  collect() would time driver-side row pickling — or OOM — instead of the
+  Spark plan.
+- clearCache() BETWEEN the warm-up and the timed pass: operators that
+  persist() intermediates would otherwise serve the timed run from the
+  warm-up's InMemoryRelation (measured 18 s -> 0.8 s distortion), so the
+  timed number would not include the work the operator actually does.
+- A failed query reports -1.0 AND forces the headline value to -1.0 with
+  an `errors` list — a crashing slow query must never make the total look
+  faster than the previous round.
 """
 
 from __future__ import annotations
@@ -31,29 +40,38 @@ def main() -> int:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("bench")
 
+    def materialize(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
     qs = entry_mod.queries()
     times: dict[str, float] = {}
+    errors: list[str] = []
     for name, q in qs.items():
         try:
-            q(spark, sf_dir).collect()  # warm-up: JIT, codegen, file listing
+            materialize(q(spark, sf_dir))  # warm-up: JIT, codegen, file listing
+            spark.catalog.clearCache()  # timed pass must redo persisted work
             t0 = time.perf_counter()
-            q(spark, sf_dir).collect()
+            materialize(q(spark, sf_dir))
             times[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # a broken query must not hide the others
             print(f"bench error {name}: {e}", file=sys.stderr)
             times[name] = -1.0
+            errors.append(name)
         finally:
             # per-query isolation: operators that persist intermediates
             # (dedup signature tables) must not squeeze later queries' memory
             spark.catalog.clearCache()
-    total = round(sum(t for t in times.values() if t >= 0), 4)
-    print(json.dumps({
+    total = -1.0 if errors else round(sum(times.values()), 4)
+    out = {
         "metric": "warm_wall_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -133,17 +133,24 @@ def cosine_sql(a: str, b: str) -> str:
 
 
 def metric_sql_q(metric: str, vec_expr: str, q: list[float]) -> str:
-    """DuckDB twin of metric_score_q (query vector spliced as a literal)."""
+    """DuckDB twin of metric_score_q (query vector spliced as a literal).
+
+    Wrapped in a length guard: Spark's zip_with NULL-pads a wrong-length
+    vector so the fold (and the score) is NULL and the row drops; DuckDB's
+    list_sum SKIPS NULLs, which would silently score a ragged vector from
+    its prefix — the twins must disagree on nothing, including bad data."""
     m = metric.upper()
     qe = query_sql_literal(q)
     if m == "IP":
-        return dot_sql(vec_expr, qe)
-    if m == "L2":
-        return l2_sql(vec_expr, qe)
-    if m == "COSINE":
+        score = dot_sql(vec_expr, qe)
+    elif m == "L2":
+        score = l2_sql(vec_expr, qe)
+    elif m == "COSINE":
         qn = query_norm(q)
-        return f"({dot_sql(vec_expr, qe)} / nullif({norm_sql(vec_expr)} * ({qn!r}::DOUBLE), 0))"
-    raise ValueError(f"unsupported metric {metric!r}")
+        score = f"({dot_sql(vec_expr, qe)} / nullif({norm_sql(vec_expr)} * ({qn!r}::DOUBLE), 0))"
+    else:
+        raise ValueError(f"unsupported metric {metric!r}")
+    return f"(CASE WHEN len({vec_expr}) = {len(q)} THEN {score} ELSE NULL END)"
 
 
 def metric_score(metric: str, a: Column, b: Column) -> Column:

@@ -11,6 +11,7 @@ extensions).
 from __future__ import annotations
 
 import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,7 +74,13 @@ from flouds_vectordb_spark.operators.upsert import upsert, upsert_sql
 from flouds_vectordb_spark.plans.ivf import get_or_build_ivf
 from flouds_vectordb_spark.sources.tables import COLLECTION_SQL, collection, events, load
 
-IVF_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".ivf_cache")
+# Scratch roots are PER-PROCESS (pid-keyed, under the system temp dir):
+# a shared on-disk IVF cache could serve STALE indexes if the driver
+# regenerates testdata between rounds, and shared flow dirs race when two
+# gate processes (bench + oracle check) run the same entry concurrently.
+# In-process reuse (warm-up -> timed pass) still works.
+_SCRATCH = os.path.join(tempfile.gettempdir(), f"flouds_gate_scratch_{os.getpid()}")
+IVF_CACHE_ROOT = os.path.join(_SCRATCH, "ivf_cache")
 
 
 def fixture_query_vector(dim: int = 64, seed: int = 1) -> list[float]:
@@ -548,8 +555,7 @@ _register("similarity_join_collections", _simjoin_q,
 
 
 # --- S2 end-to-end: generate_schema -> insert -> flush -> search ----------------
-_FLOW_WH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        ".cache_flow_wh")
+_FLOW_WH = os.path.join(_SCRATCH, "flow_wh")
 
 
 def _s2_catalog_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,8 +595,7 @@ _register("s2_catalog_flow_search", _s2_catalog_flow_q, dense_search_sql(
 
 
 # --- S3 via the JSON source: reference insert payload -> sink -> search ---------
-_JSON_WH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        ".cache_json_wh")
+_JSON_WH = os.path.join(_SCRATCH, "json_wh")
 
 
 def _s3_json_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:

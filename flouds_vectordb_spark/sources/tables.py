@@ -29,8 +29,11 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stored as TIMESTAMP(NANOS), surfaced as long nanos under
     spark.sql.legacy.parquet.nanosAsLong)."""
     # set defensively: a session built outside flouds session.py (e.g. the
-    # driver harness) would otherwise reject TIMESTAMP(NANOS) parquet
+    # driver harness) would otherwise reject TIMESTAMP(NANOS) parquet —
+    # and a non-UTC session timezone would shift day-truncation/session
+    # boundaries vs the tz-naive DuckDB oracle
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = load(spark, sf_dir, "events")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
         # integer division: exact ns->us truncation, matching DuckDB's

@@ -48,6 +48,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # the dedup operators' persist lifecycle (operators/dedup.py):
+            # drop cached intermediates so 40+ entries in one session don't
+            # accumulate storage pressure or cross-entry plan substitution
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows")
             continue
