@@ -180,6 +180,16 @@ _register("q6_text_filter_all_stopwords", *_dense_pair(
         limit=10, text_filter="the a of and", minimum_words_match=1),
     with_chunk=True))
 
+# include_stop_words=True keeps stop words as filter terms
+# (search_request.py / stopwords_util.py): the same all-stopword filter now
+# matches rows containing them as substrings
+_register("q6_text_filter_include_stopwords", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=6), metric="COSINE",
+        limit=10, text_filter="the a of and", minimum_words_match=2,
+        include_stop_words=True),
+    with_chunk=True))
+
 # --- Q8+Q9: metadata post-filter + meta_required -------------------------------
 _register("q8_meta_filter", *_dense_pair(
     DenseSearchRequest(

@@ -21,3 +21,15 @@ def test_model_workflow_example_runs(tmp_path_factory):
     for marker in ("step 1", "step 2", "step 3", "step 4a dense",
                    "step 4b sparse", "step 4c hybrid"):
         assert marker in out.stdout
+
+
+def test_tenant_setup_example_runs(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("example_wh2"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "tenant_setup.py"), wh],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "schema_exists=True" in out.stdout
+    assert "acme document 0" in out.stdout and "globex document 0" in out.stdout
