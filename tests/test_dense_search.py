@@ -121,6 +121,29 @@ def test_blank_text_filter_means_no_filter(coll):
     assert blank.fetch == base.fetch
 
 
+def test_scan_prunes_payload_columns(spark, tmp_path_factory):
+    """Scale guard: the scoring scan must read ONLY (id, vector) from
+    parquet — chunk/meta reach the plan solely through the post-limit
+    payload join. A scan whose ReadSchema drags the text corpus through
+    the k-cut is the round-1 9-17x regression."""
+    p = str(tmp_path_factory.mktemp("prune") / "t")
+    spark.createDataFrame(
+        [(i, f"chunk {i}", "x" * 100, [float(i), 1.0]) for i in range(50)],
+        "id long, chunk string, big_payload string, vector array<double>",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    req = DenseSearchRequest(query_vector=[1.0, 0.0], limit=5)
+    plan = (dense_search(df, req, chunk_col="chunk")
+            ._jdf.queryExecution().executedPlan().toString())
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, "no parquet scan in plan"
+    scoring_scans = [ln for ln in scans if "vector" in ln]
+    assert scoring_scans and all("big_payload" not in ln for ln in scoring_scans)
+    # the payload scan (chunk fetch-back) must not read the vector column
+    payload_scans = [ln for ln in scans if "chunk" in ln]
+    assert payload_scans and all("vector" not in ln for ln in payload_scans)
+
+
 @pytest.mark.parametrize("kwargs", [
     {"limit": 0}, {"limit": 101}, {"offset": -1}, {"offset": 101},
     {"round_decimal": -2}, {"round_decimal": 7}, {"score_threshold": 1.5},
