@@ -279,6 +279,20 @@ _register("q3_sparse_bm25_offset", *_sparse_pair(
     SparseSearchRequest(query_text="hash join batch", limit=15, offset=5, round_decimal=4)))
 
 
+# the POSTING-TABLE path (the index the reference actually searches) gated
+# directly: build postings, then term-IN search over them — must equal the
+# same oracle SQL the direct scorer matches
+def _q3_posting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sparse_search import sparse_search
+
+    req = SparseSearchRequest(query_text="vector index scan merge", limit=10)
+    return sparse_search(bm25_postings(collection(spark, sf_dir)), req)
+
+
+_register("q3_sparse_bm25_posting_path", _q3_posting_q, sparse_search_sql(
+    SparseSearchRequest(query_text="vector index scan merge", limit=10), POSTINGS_SQL))
+
+
 def _i1_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1 checkpoint: the ingest-time BM25 encoding itself is oracle-checked —
     posting rows for a deterministic slice of docs, weights rounded."""
