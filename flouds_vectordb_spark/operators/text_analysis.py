@@ -155,7 +155,7 @@ def corpus_rollup(stats: DataFrame, df: DataFrame, id_col: str = "id",
 def corpus_rollup_sql(stats_sql: str, table_sql: str, id_expr: str = "id",
                       group_col: str = "source") -> str:
     return f"""
-SELECT {group_col}, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT {group_col}, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
        round((sum(round(quality_r * 1e6, 0)::BIGINT)::DOUBLE / 1e6) / count(*)::DOUBLE, 6)
          AS mean_quality_r
 FROM ({stats_sql}) s JOIN (SELECT {id_expr} AS id, {group_col} FROM {table_sql}) t USING (id)

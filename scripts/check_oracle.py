@@ -29,6 +29,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_hash_divergence(s: pd.DataFrame, o: pd.DataFrame) -> list[str]:
+    """The driver's value-hash STRINGIFIES cells, so int64 1540 vs float64
+    1540.0 hash-differently even though `==` passes (the round-2 red cell).
+    Flag any column where the two engines disagree on integer-vs-float."""
+    bad = []
+    for c in s.columns:
+        a, b = s[c].dtype, o[c].dtype
+        if (pd.api.types.is_integer_dtype(a) != pd.api.types.is_integer_dtype(b)
+                and pd.api.types.is_numeric_dtype(a) and pd.api.types.is_numeric_dtype(b)):
+            bad.append(f"{c}: spark={a} oracle={b}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -83,6 +96,11 @@ def main() -> int:
                 mism.append((c, a[bad], b[bad]))
         if mism:
             print(f"FAIL {name}: value mismatch {mism[:3]}")
+            failures += 1
+            continue
+        dt = dtype_hash_divergence(s, o)
+        if dt:
+            print(f"FAIL {name}: dtype hash divergence {dt}")
             failures += 1
         else:
             print(f"OK   {name}: {len(s)} rows")
