@@ -97,14 +97,24 @@ class DenseSearchRequest:
             raise ValueError("round_decimal must be between -1 and 6")
         if self.score_threshold is not None and not 0.0 <= self.score_threshold <= 1.0:
             raise ValueError("score_threshold must be between 0.0 and 1.0")
-        if self.minimum_words_match < 1:
-            raise ValueError("minimum_words_match must be >= 1")
+        # search_request.py: Field(2, ge=1, le=10)
+        if not 1 <= self.minimum_words_match <= 10:
+            raise ValueError("minimum_words_match must be between 1 and 10")
         if not 0 <= self.increase_limit_for_text_search <= 100:
             raise ValueError("increase_limit_for_text_search must be between 0 and 100")
 
     @property
     def effective_limit(self) -> int:
         return min(self.limit, MAX_LIMIT)
+
+    @property
+    def effective_output_fields(self) -> tuple[str, ...]:
+        """`request.output_fields or ["chunk", "meta"]` (vector_store.py:460):
+        a falsy/EMPTY list collapses to the full default payload in the
+        reference — same falsy-collapse family as effective_round_decimal.
+        To strip the payload, request a field list without chunk/meta
+        (e.g. ("id",)), which the reference honors as-is."""
+        return tuple(self.output_fields) or ("chunk", "meta")
 
     @property
     def effective_text_filter(self) -> str | None:
@@ -222,7 +232,7 @@ def dense_search(
         )
 
     # ---- phase 2: late materialization — payload only for survivors ----
-    meta_out = meta_col is not None and "meta" in req.output_fields
+    meta_out = meta_col is not None and "meta" in req.effective_output_fields
     need_meta = bool(req.meta_filter or req.meta_required) or meta_out
     payload = [c for c in (chunk_col, meta_col if need_meta else None, *extra_cols) if c]
     if payload:
@@ -269,7 +279,7 @@ def dense_search(
     cols = [F.col(id_col), F.col("rank"), F.round(F.col("_score"), dec).alias("score")]
     # Q12 projection: output_fields picks the payload columns; the result
     # row shape mirrors EmbeddedMeta = content + meta (embedded_meta.py:9-20)
-    if chunk_col and "chunk" in req.output_fields:
+    if chunk_col and "chunk" in req.effective_output_fields:
         cols.append(F.col(chunk_col))
     if meta_out:
         cols.append(meta_kv_column(meta_col))
@@ -329,8 +339,8 @@ def dense_search_sql(
 
     rd = req.effective_round_decimal
     dec = rd if rd > 0 else RANK_DECIMALS
-    with_chunk = chunk_expr is not None and "chunk" in req.output_fields
-    with_meta = meta_kv_expr is not None and "meta" in req.output_fields
+    with_chunk = chunk_expr is not None and "chunk" in req.effective_output_fields
+    with_meta = meta_kv_expr is not None and "meta" in req.effective_output_fields
     chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""
     meta_sel_out = f", {meta_kv_expr} AS meta_kv" if with_meta else ""
     extra_sel = "".join(f", {e} AS {name}" for name, e in (extra_exprs or {}).items())

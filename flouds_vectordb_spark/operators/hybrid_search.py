@@ -69,6 +69,13 @@ class HybridSearchRequest:
         return min(self.limit, HYBRID_BRANCH_LIMIT)
 
     @property
+    def effective_output_fields(self) -> tuple[str, ...]:
+        """`request.output_fields or ["chunk", "meta"]` (vector_store.py:460):
+        a falsy/empty list collapses to the full default payload. Strip the
+        payload with a non-empty list without chunk/meta, e.g. ("id",)."""
+        return tuple(self.output_fields) or ("chunk", "meta")
+
+    @property
     def effective_round_decimal(self) -> int:
         """`round_decimal or -1` (vector_store.py:459): 0 collapses to -1."""
         return self.round_decimal if self.round_decimal > 0 else -1
@@ -132,7 +139,7 @@ def hybrid_search(
     Projection contract (mirrors the reference: requested output_fields
     that the collection doesn't materialize are silently omitted, like
     Milvus returning only existing fields): `chunk`/`meta_kv` appear in the
-    output iff BOTH the field is in req.output_fields AND chunk_col /
+    output iff BOTH the field is in req.effective_output_fields AND chunk_col /
     meta_col is provided. When pairing with hybrid_search_sql for oracle
     checks, pass chunk_expr/meta_kv_expr symmetrically — one side gating on
     a column the other doesn't have shows up as a column-set mismatch."""
@@ -156,7 +163,7 @@ def hybrid_search(
     fused = fused.withColumn("_rrf", rrf).withColumn("_rrf_r", F.round(F.col("_rrf"), RANK_DECIMALS))
 
     # late materialization for the fused survivors (<=100 rows)
-    meta_out = meta_col is not None and "meta" in req.output_fields
+    meta_out = meta_col is not None and "meta" in req.effective_output_fields
     need_meta = bool(req.meta_filter or req.meta_required) or meta_out
     payload = [c for c in (chunk_col, meta_col if need_meta else None) if c]
     if payload:
@@ -194,7 +201,7 @@ def hybrid_search(
     rd = req.effective_round_decimal
     dec = rd if rd > 0 else RANK_DECIMALS
     cols = [F.col(id_col), F.col("rank"), F.round(F.col("_rrf"), dec).alias("rrf_score")]
-    if chunk_col and "chunk" in req.output_fields:
+    if chunk_col and "chunk" in req.effective_output_fields:
         cols.append(F.col(chunk_col))
     if meta_out:
         from flouds_vectordb_spark.operators.dense_search import meta_kv_column
@@ -238,8 +245,8 @@ def hybrid_search_sql(
 
     rd = req.effective_round_decimal
     dec = rd if rd > 0 else RANK_DECIMALS
-    with_chunk = chunk_expr is not None and "chunk" in req.output_fields
-    with_meta = meta_kv_expr is not None and "meta" in req.output_fields
+    with_chunk = chunk_expr is not None and "chunk" in req.effective_output_fields
+    with_meta = meta_kv_expr is not None and "meta" in req.effective_output_fields
     chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""
     meta_kv_sel = f", {meta_kv_expr} AS meta_kv" if with_meta else ""
     chunk_out = ", chunk" if with_chunk else ""

@@ -202,8 +202,18 @@ _register("q10_pagination", *_dense_pair(
         query_vector=fixture_query_vector(seed=8), metric="COSINE",
         limit=20, offset=15)))
 
-# --- Q12: projection — output_fields=() strips payload from the result ----------
+# --- Q12: projection — a payload-free field list strips chunk/meta --------------
+# ("id",) is non-falsy so the reference honors it as-is; a FALSY/empty list
+# collapses to the full default payload (vector_store.py:460,
+# `request.output_fields or ["chunk", "meta"]`) — gated separately below.
 _register("q12_output_fields_none", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=15), metric="COSINE",
+        limit=10, output_fields=("id",)),
+    with_chunk=True))
+
+# falsy-collapse: output_fields=() behaves exactly like the default payload
+_register("q12_output_fields_empty_default", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=15), metric="COSINE",
         limit=10, output_fields=()),

@@ -168,6 +168,19 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = SESSION_GAP_MINUT
         # final = watermark strictly past end + gap (no event >= watermark
         # can join: its ts - end > gap by construction)
         wm_us = state.getCurrentWatermarkMs() * 1000
+        # Spark F.round(double, 4) = BigDecimal.valueOf(d) (Double.toString
+        # shortest repr) quantized HALF_UP. Python repr() is the same
+        # shortest round-trip string, so this is bit-identical to the batch
+        # twin's F.round("_sv", 4) — numpy/pandas .round(4) is half-to-even
+        # over the raw binary double and can differ on 4th-decimal ties
+        # (150 micros -> '1.5E-4' -> 0.0002 HALF_UP vs 0.0001 half-even).
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def round4(micros: int) -> float:
+            d = micros / 1e6
+            return float(Decimal(repr(d)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
         out: list[tuple] = []
         keep_ts: list[int] = []
         keep_val: list[int] = []
@@ -176,7 +189,7 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = SESSION_GAP_MINUT
             start, end, n, sm, _ = s
             if end + gap_us < wm_us:
                 sidx += 1
-                out.append((user_id, sidx, start, end, n, sm / 1e6))
+                out.append((user_id, sidx, start, end, n, round4(sm)))
             else:
                 open_ends.append(end)
         if open_ends:
@@ -203,7 +216,6 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = SESSION_GAP_MINUT
                 "n_events", "sum_value_r"])
             df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
             df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
-            df["sum_value_r"] = df["sum_value_r"].round(4)
             yield df
 
     return (

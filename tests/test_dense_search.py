@@ -171,16 +171,26 @@ def test_meta_filter_substring_case_insensitive(coll):
 
 
 def test_output_fields_projection(coll):
-    # Q12: default exposes chunk+meta; () strips both
+    # Q12: default exposes chunk+meta; a payload-free list strips both
     full = dense_search(coll, DenseSearchRequest(query_vector=[1.0, 0.0], limit=3),
                         chunk_col="chunk", meta_col="meta")
     assert full.columns == ["id", "rank", "score", "chunk", "meta_kv"]
     bare = dense_search(
-        coll, DenseSearchRequest(query_vector=[1.0, 0.0], limit=3, output_fields=()),
+        coll, DenseSearchRequest(query_vector=[1.0, 0.0], limit=3,
+                                 output_fields=("id",)),
         chunk_col="chunk", meta_col="meta")
     assert bare.columns == ["id", "rank", "score"]
     row = full.orderBy("rank").first()
     assert row["meta_kv"].startswith("k=v")
+
+
+def test_output_fields_empty_collapses_to_default(coll):
+    # vector_store.py:460: `request.output_fields or ["chunk", "meta"]` —
+    # a falsy/empty list means the FULL default payload, not "strip all"
+    collapsed = dense_search(
+        coll, DenseSearchRequest(query_vector=[1.0, 0.0], limit=3, output_fields=()),
+        chunk_col="chunk", meta_col="meta")
+    assert collapsed.columns == ["id", "rank", "score", "chunk", "meta_kv"]
 
 
 def test_consistency_level_validated():
