@@ -25,10 +25,13 @@ Design (SURVEY.md §4.1 / Phase 3):
   as FAISS IVF-IP does — L2 cells would strand large-norm vectors in cells
   the query never probes).
 
-Determinism: the sample is ordered by id, k-means uses a seeded RNG with
-k-means++ init, and ties in cell shortlists break by centroid index — the
-same build inputs always produce the same layout, so oracle-checked
-IVF queries are reproducible.
+Determinism: the training sample is a hash-stride filter
+(pmod(hash(vector), ceil(n/cap)) = 0 — one column-pruned scan, NO global
+sort) whose survivors are put in a canonical row order driver-side before
+k-means; k-means uses a seeded RNG with k-means++ init, and ties in cell
+shortlists break by centroid index — the same build inputs always produce
+the same layout regardless of partitioning, so oracle-checked IVF queries
+are reproducible.
 """
 
 from __future__ import annotations
@@ -182,11 +185,22 @@ def build_ivf(
     centroid-partitioned table. Persists centroids next to the data so a
     later session can reopen the index without retraining."""
     metric = metric.upper()
+    # Deterministic hash-stride sample: ONE column-pruned scan, no sort.
+    # (The previous orderBy(vector.cast("string")).limit(cap) was a
+    # corpus-wide TakeOrdered over stringified vectors — a scale wart at
+    # 100 TB.) Expected survivors n/stride <= cap; the canonical driver-side
+    # row sort below makes the k-means input order independent of
+    # partitioning, preserving build determinism.
+    n = df.count()
+    stride = max(1, -(-n // SAMPLE_CAP))
     sample = (
-        df.select(F.col(vector_col)).orderBy(F.col(vector_col).cast("string"))
-        .limit(SAMPLE_CAP).collect()
+        df.select(F.col(vector_col))
+        .filter(F.pmod(F.hash(F.col(vector_col)), F.lit(stride)) == 0)
+        .collect()
     )
     x = np.array([r[0] for r in sample], dtype=np.float64)
+    if x.shape[0] > 1:
+        x = x[np.lexsort(x.T[::-1])][:SAMPLE_CAP]
     if metric == "COSINE":
         x = _normalize_rows(x)
     centroids = _kmeans(x, nlist, seed=seed)

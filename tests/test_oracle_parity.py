@@ -36,10 +36,8 @@ NAMES = sorted(entry_mod.queries().keys())
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, con, name):
-    if name == "q1_ivf_pruned":
-        # ANN recall params (nprobe) are tuned per corpus; this entry is
-        # recall-verified at the driver's sf0.01, not at the sf0.001 used here
-        pytest.skip("nprobe tuned for sf0.01 (driver correctness sf)")
+    # (the old q1_ivf_pruned skip is gone: pruned-IVF gates now run on the
+    # clustered fixture, recall-safe at any sf by construction)
     q = entry_mod.queries()[name]
     sdf = canon(q(spark, SF_SMALL).toPandas())
     oracles = entry_mod.oracle_sql()
