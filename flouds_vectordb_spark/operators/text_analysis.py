@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
 from flouds_vectordb_spark.functions.text import tokenize
-from flouds_vectordb_spark.stopwords import DEFAULT_STOPWORDS
+from flouds_vectordb_spark.stopwords import NLTK_ENGLISH
 
 # tiny per-language function-word lists for the n-gram/function-word
 # language-ID heuristic (public common-word lists; the fixture corpus is
@@ -29,7 +29,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
 }
 
-_STOPWORDS_SORTED = tuple(sorted(DEFAULT_STOPWORDS))
+# Quality ratios use the compact 179-word NLTK core, NOT the full Q6
+# union (stopwords.DEFAULT_STOPWORDS, ~1.8k words): per-token membership
+# against an inline array is O(tokens x words) inside codegen, and the
+# custom list's junk entries ("a1", "10", phrases) add cost without
+# signal. Q6 text-filter parity is unaffected — it has its own path.
+_STOPWORDS_SORTED = tuple(sorted(NLTK_ENGLISH))
 
 
 def _ratio(n: Column, d: Column) -> Column:

@@ -190,6 +190,22 @@ _register("q6_text_filter_include_stopwords", *_dense_pair(
         include_stop_words=True),
     with_chunk=True))
 
+# words ONLY in the reference's custom list (app/config/stopwords.json —
+# "index", "join" are not NLTK stopwords) must behave as stop words:
+# an all-custom-stopword filter rejects every row...
+_register("q6_text_filter_custom_stopword", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=6), metric="COSINE",
+        limit=10, text_filter="index join", minimum_words_match=1),
+    with_chunk=True))
+# ...and a mixed filter drops the custom word from the term set, so
+# minimum_words_match=1 counts only the non-stopword term
+_register("q6_text_filter_custom_mixed", *_dense_pair(
+    DenseSearchRequest(
+        query_vector=fixture_query_vector(seed=23), metric="COSINE",
+        limit=10, text_filter="index merge", minimum_words_match=1),
+    with_chunk=True))
+
 # --- Q8+Q9: metadata post-filter + meta_required -------------------------------
 _register("q8_meta_filter", *_dense_pair(
     DenseSearchRequest(

@@ -11,6 +11,11 @@ validators as Spark aggregations:
 - unique, non-empty primary keys            (insert_request.py:96-105)
 - chunk length <= 60000 chars               (insert_request.py:80-83)
 - vector dimension == collection dim        (I2, vector_store.py:332-352)
+- vector element bound |x| <= 1e6           (input_validator.py:241-249)
+- serialized metadata length <= collection
+  metadata_length                           (base_milvus.py VARCHAR
+  max_length on the meta field; the reference stores
+  `dumps(metadata)` per vector_store.py:286)
 
 Scale notes: the read uses an EXPLICIT schema — no inference pass over the
 data (inference samples the whole input; at 100 TB that is a full extra
@@ -27,6 +32,8 @@ from pyspark.sql import types as T
 
 MAX_VECTORS_PER_REQUEST = 1000  # insert_request.py:70
 MAX_CHUNK_CHARS = 60000  # insert_request.py:81
+MAX_VECTOR_ELEMENT = 1e6  # input_validator.py:247-248: abs(val) > 1e6 rejected
+DEFAULT_METADATA_LENGTH = 4096  # base_milvus.py:1001 generate-schema default
 
 EMBEDDED_VECTOR_SCHEMA = T.StructType([
     T.StructField("key", T.StringType()),
@@ -59,10 +66,23 @@ def to_collection_batch(df: DataFrame) -> DataFrame:
 
 
 def validate_insert_request(batch: DataFrame, dim: int,
-                            enforce_request_caps: bool = True) -> int:
+                            enforce_request_caps: bool = True,
+                            metadata_length: int = DEFAULT_METADATA_LENGTH) -> int:
     """All reference insert validators in ONE aggregation pass; raises
-    ValueError with every violated rule listed. Returns the row count."""
+    ValueError with every violated rule listed. Returns the row count.
+
+    The metadata bound measures what the reference actually stores: the
+    `json.dumps(metadata)` string (vector_store.py:286) checked against the
+    meta field's VARCHAR max_length. Spark's to_json is the compact form,
+    so the dumps length = to_json length + 2*entries - 1 (": " and ", "
+    separators) for non-empty maps. Exact for ASCII meta; non-ASCII chars
+    count 1 here vs 6 (\\uXXXX) under dumps(ensure_ascii=True) — a
+    documented approximation, not a semantics change."""
     nonempty_id = F.when(F.col("id").isNotNull() & (F.trim("id") != ""), F.col("id"))
+    dumps_len = F.when(
+        F.col("meta").isNotNull() & (F.size("meta") > 0),
+        F.length(F.to_json(F.col("meta"))) + F.size("meta") * 2 - 1,
+    ).otherwise(F.lit(2))  # falsy metadata stores the literal "{}"
     stats = batch.agg(
         F.count("*").alias("n"),
         # distinct over NON-EMPTY keys only: empty keys are their own rule
@@ -84,6 +104,15 @@ def validate_insert_request(batch: DataFrame, dim: int,
             F.sum(F.when(F.col("vector").isNull() | (F.size("vector") != dim), 1).otherwise(0)),
             F.lit(0),
         ).alias("n_bad_dim"),
+        # |x| <= 1e6 (input_validator.py:247-248); NaN passes abs()>bound
+        # as in the reference (isinstance check only)
+        F.coalesce(
+            F.sum(F.when(
+                F.exists(F.col("vector"), lambda x: F.abs(x) > F.lit(MAX_VECTOR_ELEMENT)),
+                1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_big_elem"),
+        F.coalesce(F.max(dumps_len), F.lit(0)).alias("max_meta_len"),
     ).first()
     problems = []
     if stats["n"] == 0:
@@ -101,6 +130,13 @@ def validate_insert_request(batch: DataFrame, dim: int,
         problems.append(f"{stats['n_missing_chunk']} records with missing chunk")
     if stats["n_bad_dim"]:
         problems.append(f"{stats['n_bad_dim']} vectors with dimension != {dim}")
+    if stats["n_big_elem"]:
+        problems.append(
+            f"{stats['n_big_elem']} vectors with an element larger than "
+            f"{MAX_VECTOR_ELEMENT:g}")
+    if stats["max_meta_len"] > metadata_length:
+        problems.append(
+            f"Metadata exceeds maximum length of {metadata_length} characters")
     if problems:
         raise ValueError("; ".join(problems))
     return int(stats["n"])
@@ -114,7 +150,10 @@ def ingest_json(spark: SparkSession, path: str, writer, batch_ts: int,
     aggregation, so the sink's per-batch dim scan is skipped (one less job
     over the unpersisted source)."""
     batch = to_collection_batch(read_embedded_vectors_json(spark, path))
-    validate_insert_request(batch, int(writer.meta["dimension"]),
-                            enforce_request_caps=enforce_request_caps)
+    validate_insert_request(
+        batch, int(writer.meta["dimension"]),
+        enforce_request_caps=enforce_request_caps,
+        metadata_length=int(writer.meta.get("metadata_length",
+                                            DEFAULT_METADATA_LENGTH)))
     return writer.insert_data(batch, batch_ts=batch_ts,
                               skip_dim_validation=True, **insert_kwargs)

@@ -1,13 +1,16 @@
 """Pinned stop-word set.
 
 The reference combines the NLTK english list with a large custom list
-(reference: app/utils/stopwords_util.py:18-60, app/config/stopwords.json).
-For deterministic, oracle-checkable behavior we pin the standard 179-word
-NLTK english snapshot; callers may pass any extra set (the reference's
-custom list included) to the text-filter / BM25 builders.
+(reference: app/utils/stopwords_util.py:18-60 unions
+nltk.corpus.stopwords.words('english') with the lowercased
+app/config/stopwords.json entries). DEFAULT_STOPWORDS pins exactly that
+union (both snapshots are data files, deterministic and oracle-checkable);
+callers may still pass their own set to the text-filter builders.
 """
 
 from __future__ import annotations
+
+from flouds_vectordb_spark.stopwords_extra import ADDITIONAL_STOPWORDS
 
 # NLTK english stopwords snapshot (public list, nltk.corpus.stopwords.words('english')).
 NLTK_ENGLISH: tuple[str, ...] = (
@@ -35,7 +38,10 @@ NLTK_ENGLISH: tuple[str, ...] = (
     "won", "won't", "wouldn", "wouldn't",
 )
 
-DEFAULT_STOPWORDS: frozenset[str] = frozenset(NLTK_ENGLISH)
+# the reference's effective set: NLTK ∪ custom (stopwords_util.py:55)
+DEFAULT_STOPWORDS: frozenset[str] = frozenset(NLTK_ENGLISH) | frozenset(
+    ADDITIONAL_STOPWORDS
+)
 
 
 def sql_string_list(words) -> str:

@@ -50,6 +50,9 @@ def test_read_and_normalize(spark, tmp_path_factory):
     ([_rec("", [1.0, 2.0])], "empty primary keys"),
     ([_rec("a", [1.0, 2.0], chunk="x" * 60001)], "maximum length"),
     ([_rec("a", [1.0, 2.0, 3.0])], "dimension"),
+    # |x| <= 1e6 element bound (input_validator.py:247-248)
+    ([_rec("a", [1.0, 2000000.5])], "element larger than"),
+    ([_rec("a", [-2000000.5, 1.0])], "element larger than"),
 ])
 def test_validators_raise(spark, tmp_path_factory, records, msg):
     path = _write_jsonl(tmp_path_factory, records) if records else \
@@ -57,6 +60,41 @@ def test_validators_raise(spark, tmp_path_factory, records, msg):
     batch = to_collection_batch(read_embedded_vectors_json(spark, path))
     with pytest.raises(ValueError, match=msg):
         validate_insert_request(batch, dim=2)
+
+
+def test_vector_element_bound_is_inclusive(spark, tmp_path_factory):
+    # reference rejects only abs(val) > 1e6 — exactly 1e6 is accepted
+    path = _write_jsonl(tmp_path_factory, [_rec("a", [1e6, -1e6])])
+    batch = to_collection_batch(read_embedded_vectors_json(spark, path))
+    assert validate_insert_request(batch, dim=2) == 1
+
+
+def test_metadata_length_bound_matches_dumps(spark, tmp_path_factory):
+    # the reference stores json.dumps(metadata) (vector_store.py:286) in a
+    # VARCHAR(metadata_length) field; dumps('{"k": "vvvv"}') = 13 chars
+    meta = {"k": "vvvv"}
+    assert len(json.dumps(meta)) == 13
+    path = _write_jsonl(tmp_path_factory, [_rec("a", [1.0, 2.0], meta=meta)])
+    batch = to_collection_batch(read_embedded_vectors_json(spark, path))
+    # metadata_length has a 256 floor in the schema; the validator itself is
+    # exact at any bound — check the dumps-length boundary directly
+    assert validate_insert_request(batch, dim=2, metadata_length=13) == 1
+    with pytest.raises(ValueError, match="Metadata exceeds maximum length"):
+        validate_insert_request(batch, dim=2, metadata_length=12)
+
+
+def test_metadata_length_from_collection_spec(spark, tmp_path_factory):
+    # end-to-end: ingest_json reads the bound from the collection schema
+    wh = str(tmp_path_factory.mktemp("wh_metalen"))
+    cat = Catalog(spark, wh)
+    cat.set_vector_store("t1")
+    cat.generate_schema(CollectionSpec("t1", "m", dimension=2,
+                                       metadata_length=256))
+    w = CollectionWriter(cat, "t1", "m")
+    big = {"k": "v" * 300}
+    path = _write_jsonl(tmp_path_factory, [_rec("a", [1.0, 2.0], meta=big)])
+    with pytest.raises(ValueError, match="Metadata exceeds maximum length"):
+        ingest_json(spark, path, w, batch_ts=1)
 
 
 def test_request_cap_enforced_and_liftable(spark, tmp_path_factory):

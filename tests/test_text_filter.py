@@ -65,3 +65,27 @@ def test_sql_twin_matches(spark):
             f"SELECT {sql} FROM (VALUES ('{chunk}')) t(c)"
         ).fetchone()[0]
         assert spark_hit == bool(oracle_hit), (chunk, tf)
+
+
+def test_custom_stopword_union_pins_reference_set():
+    # the reference unions NLTK with app/config/stopwords.json
+    # (stopwords_util.py:18-60); these words are ONLY in the custom list
+    from flouds_vectordb_spark.stopwords import DEFAULT_STOPWORDS, NLTK_ENGLISH
+
+    for w in ("index", "join", "able", "zero"):
+        assert w in DEFAULT_STOPWORDS
+        assert w not in NLTK_ENGLISH
+    # and NLTK-only contractions are still present
+    assert "shouldn't" in DEFAULT_STOPWORDS
+
+
+def test_custom_stopword_filters_like_reference(spark):
+    # "index" must be dropped from the term set: an all-custom-stopword
+    # filter rejects everything, a mixed one counts only the real term
+    assert not _matches(spark, "the index of joins", "index join",
+                        minimum_words_match=1)
+    assert _matches(spark, "merge results", "index merge", minimum_words_match=1)
+    assert not _matches(spark, "index only", "index merge", minimum_words_match=1)
+    # include_stop_words restores them as substring terms
+    assert _matches(spark, "the index of joins", "index join",
+                    minimum_words_match=1, include_stop_words=True)
