@@ -22,10 +22,12 @@ Persist lifecycle: the near-dup operators persist() intermediates
 (signature/shingle tables) because their plans read them 2-3 times and
 Catalyst's project collapse would otherwise recompute the expensive
 expressions per consumer. The returned DataFrames are lazy, so the
-operators cannot unpersist for you — callers running many operators in one
-session should `spark.catalog.clearCache()` after materializing results
-(bench.py does), or persist-to-parquet the signature tables as the real
-index artifact at scale.
+operators cannot unpersist for you. Callers have two clean options:
+wrap the call + materialization in `lifecycle.persist_scope()` (releases
+exactly the intermediates these operators persisted, nothing else), or
+`spark.catalog.clearCache()` after materializing (the blunt session-wide
+version; bench.py does this between queries). At scale, persist-to-parquet
+the signature tables as the real index artifact instead.
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ from flouds_vectordb_spark.functions.hashing import (
     shingles_sql,
 )
 from flouds_vectordb_spark.functions.text import tokenize
+from flouds_vectordb_spark.lifecycle import tracked_persist as _persist
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -137,7 +140,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "id", text_col: str = "text"
     sh = F.array_distinct(shingles(tokenize(F.col(text_col)), n=shingle_n))
     base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
         "_h32", F.transform("shingles", lambda s: hash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
-    ).persist()
+    ).transform(_persist)
     cols = [F.col("id"), F.col("shingles")]
     cols += [_minhash_sig(F.col("_h32"), i).alias(f"sig{i}") for i in range(n_sigs)]
     return base.select(*cols)
@@ -165,7 +168,7 @@ def dedup_minhash(
         parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
                  for r in range(rows_per_band)]
         band_hashes.append(hash64(F.concat_ws("|", *parts), seed=1000 + b).alias(f"band{b}"))
-    banded = sigs.select("id", *band_hashes).persist()
+    banded = sigs.select("id", *band_hashes).transform(_persist)
 
     # explode to (id, band_idx, band_hash) SCALARS only — the shingle arrays
     # never ride the bucket shuffle (x n_bands duplication); they join back
@@ -293,7 +296,7 @@ def dedup_ngram_jaccard(
     base = df.select(
         F.col(id_col).alias("id"),
         _shingle_hashes(F.col(text_col), shingle_n).alias("hset"),
-    ).persist()
+    ).transform(_persist)
     # prefix entries carry only (id, len, h) — the shingle ARRAYS never enter
     # the inverted-index shuffle (they'd be duplicated x prefix_len); they are
     # hash-joined back for the (small) surviving candidate set instead
@@ -424,10 +427,10 @@ def dedup_simhash(df: DataFrame, id_col: str = "id", text_col: str = "text",
     # votes read one cached array instead of re-hashing 60x; (2) the
     # fingerprints, so the self-join reads them instead of recomputing
     th = F.transform(tokenize(F.col(text_col)), lambda t: hash64(t))
-    hashed = df.select(F.col(id_col).alias("id"), th.alias("_th")).persist()
+    hashed = df.select(F.col(id_col).alias("id"), th.alias("_th")).transform(_persist)
     sdf = hashed.select(
         "id", simhash_from_hashes(F.col("_th")).alias("simhash")
-    ).persist()
+    ).transform(_persist)
     entries = sdf.select(
         "id", "simhash",
         F.explode(F.array(*[

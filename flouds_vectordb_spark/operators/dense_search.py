@@ -77,6 +77,20 @@ class DenseSearchRequest:
     # Q13: accepted-and-ignored (Spark reads are snapshot-consistent;
     # search_request.py:222-240, SURVEY §2.2-Q13)
     consistency_level: str = "Bounded"
+    # OPTIONAL_SEARCH_KEYS pass-throughs (vector_store.py:63-71): the
+    # reference forwards these verbatim to Milvus. Accepted + validated,
+    # then ignored — Spark reads are snapshot-consistent (the timestamp
+    # knobs), synchronous (_async/_callback), and partition selection is
+    # the IVF plan's cell pruning, not an API surface. `async_`/`callback`
+    # mirror Milvus's `_async`/`_callback` (leading underscore would make
+    # them non-init dataclass fields).
+    partition_names: tuple[str, ...] | None = None
+    timeout: float | None = None
+    async_: bool = False
+    callback: object | None = None
+    guarantee_timestamp: int | None = None
+    graceful_time: int | None = None
+    travel_timestamp: int | None = None
 
     VALID_CONSISTENCY = ("Strong", "Session", "Bounded", "Eventually")
 
@@ -102,6 +116,18 @@ class DenseSearchRequest:
             raise ValueError("minimum_words_match must be between 1 and 10")
         if not 0 <= self.increase_limit_for_text_search <= 100:
             raise ValueError("increase_limit_for_text_search must be between 0 and 100")
+        self._validate_optional_search_keys()
+
+    def _validate_optional_search_keys(self) -> None:
+        if self.timeout is not None and not self.timeout > 0:
+            raise ValueError("timeout must be positive")
+        for name in ("guarantee_timestamp", "graceful_time", "travel_timestamp"):
+            v = getattr(self, name)
+            if v is not None and v < 0:
+                raise ValueError(f"{name} must be non-negative")
+        if self.partition_names is not None and not all(
+                isinstance(p, str) and p for p in self.partition_names):
+            raise ValueError("partition_names must be non-empty strings")
 
     @property
     def effective_limit(self) -> int:

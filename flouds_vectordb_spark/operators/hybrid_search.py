@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions import vector as V
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest
 from flouds_vectordb_spark.operators.sparse_search import (
     SparseSearchRequest,
     sparse_scores_sql,
@@ -63,6 +64,18 @@ class HybridSearchRequest:
     output_fields: tuple[str, ...] = ("chunk", "meta")
     k1: float = 1.5
     b: float = 0.75
+    # OPTIONAL_SEARCH_KEYS pass-throughs (vector_store.py:63-71), accepted
+    # and validated then ignored — see DenseSearchRequest for the rationale
+    partition_names: tuple[str, ...] | None = None
+    timeout: float | None = None
+    async_: bool = False
+    callback: object | None = None
+    guarantee_timestamp: int | None = None
+    graceful_time: int | None = None
+    travel_timestamp: int | None = None
+
+    def __post_init__(self) -> None:
+        DenseSearchRequest._validate_optional_search_keys(self)
 
     @property
     def branch_limit(self) -> int:

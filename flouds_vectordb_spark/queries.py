@@ -399,6 +399,47 @@ _register("q4_hybrid_rrf_offset", *_hybrid_pair(
         text_filter="vector index scan merge", limit=20, offset=7)))
 
 
+# --- Q4 through the stored-collection posting index (upsert.py search_hybrid) ---
+_HYBRID_IDX_WH = os.path.join(_SCRATCH, "hybrid_idx_wh")
+_Q4_IDX_REQ = HybridSearchRequest(
+    query_vector=fixture_query_vector(seed=14), metric="COSINE",
+    text_filter="vector scan merge batch", limit=20)
+
+
+def _q4_posting_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-collection hybrid path with use_index=True
+    (operators/upsert.py search_hybrid): catalog DDL -> insert -> flush ->
+    build_sparse_index -> hybrid RRF whose sparse branch reads the posting
+    table (term-IN pushdown) instead of the direct scorer."""
+    import shutil
+
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    shutil.rmtree(_HYBRID_IDX_WH, ignore_errors=True)
+    cat = Catalog(spark, _HYBRID_IDX_WH)
+    cat.set_vector_store("hdemo")
+    cat.generate_schema(CollectionSpec("hdemo", "m64", dimension=64,
+                                       metric_type="COSINE"))
+    w = CollectionWriter(cat, "hdemo", "m64")
+    batch = (
+        collection(spark, sf_dir)
+        .filter(F.col("id") % 4 == 1)
+        .select(F.col("id").cast("string").alias("id"), "chunk", "vector")
+    )
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+    w.build_sparse_index()
+    return w.search_hybrid(_Q4_IDX_REQ, use_index=True)
+
+
+_Q4_IDX_SUBSET_SQL = (
+    f"(SELECT id::VARCHAR AS id, chunk, vector FROM {COLLECTION_SQL} t WHERE id % 4 = 1)"
+)
+_register("q4_hybrid_posting_path", _q4_posting_path_q, hybrid_search_sql(
+    _Q4_IDX_REQ, _Q4_IDX_SUBSET_SQL + " s",
+    "(" + bm25_postings_sql(_Q4_IDX_SUBSET_SQL + " p") + ")",
+    id_expr="id", vector_expr="vector"))
+
+
 # --- IVF physical plan (SURVEY Phase 3): centroid pruning, exact oracle --------
 def _ivf_pair(req: DenseSearchRequest, nlist: int, nprobe: int):
     """IVF-pruned search checked against the EXACT brute-force oracle: the

@@ -126,3 +126,29 @@ def test_embedding_cosine_dedup_finds_planted_dups(spark):
              for r in dedup_embedding_cosine(df, tau=0.999, bits=8).collect()}
     for i in (1, 2, 3):
         assert pairs.get((i, 100 + i)) == 1.0
+
+
+def test_persist_scope_releases_operator_storage(spark):
+    # the persist_scope contract: intermediates persisted by dedup operators
+    # inside the block are unpersisted on exit — and ONLY those (a caller's
+    # own persisted frame survives)
+    from flouds_vectordb_spark.lifecycle import persist_scope
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 3} with words") for i in range(30)],
+        "id long, text string")
+    mine = spark.createDataFrame([(1,)], "x long").persist()
+    mine.count()
+    with persist_scope() as tracked:
+        dedup_minhash(docs).collect()
+        dedup_simhash(docs).collect()
+        dedup_ngram_jaccard(docs).collect()
+        assert len(tracked) >= 4  # minhash(2) + simhash(2) + ngram(1)
+        assert all(df.storageLevel.useMemory or df.storageLevel.useDisk
+                   for df in tracked)
+    # released: storage level reset to NONE on every tracked frame
+    assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+               for df in tracked)
+    # the caller's own cache is untouched
+    assert mine.storageLevel.useMemory
+    mine.unpersist()

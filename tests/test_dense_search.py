@@ -223,3 +223,24 @@ def test_plan_is_take_ordered_no_payload_in_sort(coll):
     plan = dense_search(coll, req, chunk_col="chunk")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_optional_search_keys_accepted_and_ignored(coll):
+    # OPTIONAL_SEARCH_KEYS (vector_store.py:63-71): a ported client request
+    # carrying the Milvus pass-throughs must be accepted; results unchanged
+    base = dense_search(coll, DenseSearchRequest(query_vector=[1.0, 0.0], limit=3))
+    keyed = dense_search(coll, DenseSearchRequest(
+        query_vector=[1.0, 0.0], limit=3,
+        partition_names=("p0", "p1"), timeout=10.0, async_=True,
+        callback=object(), guarantee_timestamp=1, graceful_time=100,
+        travel_timestamp=0))
+    assert [r.asDict() for r in base.collect()] == [r.asDict() for r in keyed.collect()]
+
+
+def test_optional_search_keys_validated():
+    with pytest.raises(ValueError, match="timeout"):
+        DenseSearchRequest(query_vector=[1.0], timeout=0)
+    with pytest.raises(ValueError, match="guarantee_timestamp"):
+        DenseSearchRequest(query_vector=[1.0], guarantee_timestamp=-1)
+    with pytest.raises(ValueError, match="partition_names"):
+        DenseSearchRequest(query_vector=[1.0], partition_names=("", "x"))
