@@ -218,8 +218,12 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = SESSION_GAP_MINUT
             df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
             yield df
 
+    # event-time watermarks require TIMESTAMP; parquet sources with naive
+    # timestamps arrive as TIMESTAMP_NTZ, which the cast interprets in the
+    # session timezone (pinned UTC by build_session) — wall-clock-preserving
     return (
-        stream_df.select("user_id", "ts", "value")
+        stream_df.select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                         "value")
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(

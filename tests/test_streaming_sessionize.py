@@ -115,9 +115,13 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
     # are shifted into the NEXT file — cross-batch out-of-order arrival that
     # stays inside the 1 h watermark tolerance (later-than-watermark rows
     # would be legitimately dropped by any streaming engine)
-    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    # testdata parquet stores naive timestamps (TIMESTAMP_NTZ after Spark's
+    # NTZ inference); unix_micros requires TIMESTAMP, so cast first — the
+    # micros feed only the relative file-slicing arithmetic below
+    _micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(_micros), F.max(_micros)).first()
     span = (hi - lo) // 4 + 1
-    x = F.unix_micros("ts") - F.lit(lo)
+    x = _micros - F.lit(lo)
     k = F.floor(x / span)
     late = (F.lit(span) * (k + 1) - x) <= F.lit(30 * 60 * 1_000_000)
     tagged = ev.withColumn("_f", F.when(late, k + 1).otherwise(k))
