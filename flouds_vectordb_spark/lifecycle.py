@@ -23,20 +23,34 @@ and scripts/check_oracle.py do).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 
-_ACTIVE_SCOPES: list[list[DataFrame]] = []
+# per-thread scope stack: concurrent driver threads (e.g. parallel query
+# submission against one SparkSession) each see only their own scopes, so
+# one thread's scope exit can never unpersist frames another thread is
+# still consuming
+_SCOPES = threading.local()
+
+
+def _stack() -> list[list[DataFrame]]:
+    try:
+        return _SCOPES.stack
+    except AttributeError:
+        _SCOPES.stack = []
+        return _SCOPES.stack
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() that registers with the innermost active persist_scope
-    (no-op registration when no scope is active)."""
+    on THIS thread (no-op registration when no scope is active)."""
     df = df.persist()
-    if _ACTIVE_SCOPES:
-        _ACTIVE_SCOPES[-1].append(df)
+    stack = _stack()
+    if stack:
+        stack[-1].append(df)
     return df
 
 
@@ -47,10 +61,11 @@ def persist_scope() -> Iterator[list[DataFrame]]:
     Yields the tracking list (mostly for tests/diagnostics). Unpersist is
     non-blocking; Spark drops the storage asynchronously."""
     tracked: list[DataFrame] = []
-    _ACTIVE_SCOPES.append(tracked)
+    stack = _stack()
+    stack.append(tracked)
     try:
         yield tracked
     finally:
-        _ACTIVE_SCOPES.pop()
+        stack.pop()
         for df in tracked:
             df.unpersist()

@@ -119,15 +119,10 @@ class DenseSearchRequest:
         self._validate_optional_search_keys()
 
     def _validate_optional_search_keys(self) -> None:
-        if self.timeout is not None and not self.timeout > 0:
-            raise ValueError("timeout must be positive")
-        for name in ("guarantee_timestamp", "graceful_time", "travel_timestamp"):
-            v = getattr(self, name)
-            if v is not None and v < 0:
-                raise ValueError(f"{name} must be non-negative")
-        if self.partition_names is not None and not all(
-                isinstance(p, str) and p for p in self.partition_names):
-            raise ValueError("partition_names must be non-empty strings")
+        """OPTIONAL_SEARCH_KEYS are accepted VERBATIM, matching the
+        reference: vector_store.py:63-71 forwards them to Milvus with no
+        validation, so timeout=0 or a negative guarantee_timestamp succeeds
+        there and must succeed here (accepted-and-ignored, like Q13)."""
 
     @property
     def effective_limit(self) -> int:
@@ -139,8 +134,9 @@ class DenseSearchRequest:
         a falsy/EMPTY list collapses to the full default payload in the
         reference — same falsy-collapse family as effective_round_decimal.
         To strip the payload, request a field list without chunk/meta
-        (e.g. ("id",)), which the reference honors as-is."""
-        return tuple(self.output_fields) or ("chunk", "meta")
+        (e.g. ("id",)), which the reference honors as-is. None is part of
+        the falsy family (the reference field is Optional)."""
+        return tuple(self.output_fields or ()) or ("chunk", "meta")
 
     @property
     def effective_text_filter(self) -> str | None:

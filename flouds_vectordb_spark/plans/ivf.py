@@ -192,12 +192,21 @@ def build_ivf(
     # row sort below makes the k-means input order independent of
     # partitioning, preserving build determinism.
     n = df.count()
+    if n == 0:
+        raise ValueError("cannot build an IVF index on an empty collection")
     stride = max(1, -(-n // SAMPLE_CAP))
     sample = (
         df.select(F.col(vector_col))
         .filter(F.pmod(F.hash(F.col(vector_col)), F.lit(stride)) == 0)
         .collect()
     )
+    if not sample:
+        # degenerate corpora (e.g. dominated by one duplicate vector) can
+        # land every hash off-stride — equal vectors survive or die
+        # together. Fall back to a plain bounded scan so a non-empty
+        # collection always trains; the lexsort below keeps the k-means
+        # input canonical regardless of scan order.
+        sample = df.select(F.col(vector_col)).limit(SAMPLE_CAP).collect()
     x = np.array([r[0] for r in sample], dtype=np.float64)
     if x.shape[0] > 1:
         x = x[np.lexsort(x.T[::-1])][:SAMPLE_CAP]

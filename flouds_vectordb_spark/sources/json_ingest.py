@@ -104,11 +104,14 @@ def validate_insert_request(batch: DataFrame, dim: int,
             F.sum(F.when(F.col("vector").isNull() | (F.size("vector") != dim), 1).otherwise(0)),
             F.lit(0),
         ).alias("n_bad_dim"),
-        # |x| <= 1e6 (input_validator.py:247-248); NaN passes abs()>bound
-        # as in the reference (isinstance check only)
+        # |x| <= 1e6 (input_validator.py:247-248). NaN must be ACCEPTED to
+        # match the reference (Python abs(nan) > 1e6 is False); Spark orders
+        # NaN above every number, so abs(NaN) > bound would be TRUE without
+        # the explicit isnan guard
         F.coalesce(
             F.sum(F.when(
-                F.exists(F.col("vector"), lambda x: F.abs(x) > F.lit(MAX_VECTOR_ELEMENT)),
+                F.exists(F.col("vector"),
+                         lambda x: ~F.isnan(x) & (F.abs(x) > F.lit(MAX_VECTOR_ELEMENT))),
                 1).otherwise(0)),
             F.lit(0),
         ).alias("n_big_elem"),

@@ -152,3 +152,32 @@ def test_persist_scope_releases_operator_storage(spark):
     # the caller's own cache is untouched
     assert mine.storageLevel.useMemory
     mine.unpersist()
+
+
+def test_persist_scope_is_per_thread(spark):
+    # scope stacks live in threading.local: a scope opened on one thread
+    # must not capture (or later unpersist) frames persisted on another
+    import threading
+
+    from flouds_vectordb_spark.lifecycle import persist_scope, tracked_persist
+
+    other_df = spark.createDataFrame([(1,)], "x long")
+    done = threading.Event()
+    release = threading.Event()
+
+    def worker():
+        tracked_persist(other_df).count()
+        done.set()
+        release.wait(30)
+
+    with persist_scope() as tracked:
+        t = threading.Thread(target=worker)
+        t.start()
+        assert done.wait(30)
+        # the worker's persist registered nowhere near this thread's scope
+        assert other_df not in tracked
+    release.set()
+    t.join(30)
+    # scope exit on the main thread left the worker's frame cached
+    assert other_df.storageLevel.useMemory or other_df.storageLevel.useDisk
+    other_df.unpersist()

@@ -237,10 +237,17 @@ def test_optional_search_keys_accepted_and_ignored(coll):
     assert [r.asDict() for r in base.collect()] == [r.asDict() for r in keyed.collect()]
 
 
-def test_optional_search_keys_validated():
-    with pytest.raises(ValueError, match="timeout"):
-        DenseSearchRequest(query_vector=[1.0], timeout=0)
-    with pytest.raises(ValueError, match="guarantee_timestamp"):
-        DenseSearchRequest(query_vector=[1.0], guarantee_timestamp=-1)
-    with pytest.raises(ValueError, match="partition_names"):
-        DenseSearchRequest(query_vector=[1.0], partition_names=("", "x"))
+def test_optional_search_keys_verbatim():
+    # the reference forwards OPTIONAL_SEARCH_KEYS to Milvus with NO
+    # validation (vector_store.py:63-71) — values a strict check would
+    # reject must be accepted verbatim here too
+    DenseSearchRequest(query_vector=[1.0], timeout=0)
+    DenseSearchRequest(query_vector=[1.0], guarantee_timestamp=-1)
+    DenseSearchRequest(query_vector=[1.0], partition_names=("", "x"))
+
+
+def test_output_fields_none_collapses_to_default():
+    # Optional[...] in the reference: None is falsy and collapses to the
+    # default payload exactly like [] (vector_store.py:460)
+    req = DenseSearchRequest(query_vector=[1.0], output_fields=None)
+    assert req.effective_output_fields == ("chunk", "meta")

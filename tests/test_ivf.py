@@ -109,3 +109,32 @@ def test_ip_metric_assigns_and_probes_by_inner_product(spark, tmp_path_factory):
                              output_fields=(), score_threshold=None)
     hit = idx.search(spark, req, nprobe=1).first()
     assert hit["id"] == 999
+
+
+def test_build_empty_collection_raises_distinct_message(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    empty = spark.createDataFrame([], "id long, vector array<double>, chunk string")
+    with pytest.raises(ValueError, match="empty collection"):
+        build_ivf(empty, path, nlist=4, metric="COSINE")
+
+
+def test_build_duplicate_dominated_corpus_falls_back(spark, tmp_path_factory, monkeypatch):
+    """A corpus of one repeated vector can land its shared hash off-stride
+    (equal vectors survive or die together); the build must fall back to a
+    bounded scan instead of failing with a misleading empty-collection
+    error."""
+    import flouds_vectordb_spark.plans.ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "SAMPLE_CAP", 4)
+    # find a constant vector whose Spark hash is off-stride for stride=3
+    # (n=12, cap=4) — deterministic: Spark's hash seed is fixed
+    probe = spark.range(1).select(
+        *[F.pmod(F.hash(F.array(*[F.lit(float(v))] * 8)), F.lit(3)).alias(f"h{v}")
+          for v in range(1, 6)]).first()
+    v = next(val for val in range(1, 6) if probe[f"h{val}"] != 0)
+    rows = [(i, [float(v)] * 8, f"doc {i}") for i in range(12)]
+    dupes = spark.createDataFrame(rows, "id long, vector array<double>, chunk string")
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    idx = build_ivf(dupes, path, nlist=2, metric="L2")
+    assert idx.centroids.shape[1] == 8
+    assert spark.read.parquet(path).count() == 12

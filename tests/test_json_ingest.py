@@ -69,6 +69,16 @@ def test_vector_element_bound_is_inclusive(spark, tmp_path_factory):
     assert validate_insert_request(batch, dim=2) == 1
 
 
+def test_vector_nan_elements_accepted(spark):
+    # reference parity: Python abs(nan) > 1e6 is False, so NaN elements
+    # pass the bound check (input_validator.py:241-249). Spark orders NaN
+    # above all numbers — the validator must isnan-guard to match.
+    batch = spark.createDataFrame(
+        [("a", "text", [float("nan"), 1.0], {"k": "v"})],
+        "id string, chunk string, vector array<float>, meta map<string,string>")
+    assert validate_insert_request(batch, dim=2) == 1
+
+
 def test_metadata_length_bound_matches_dumps(spark, tmp_path_factory):
     # the reference stores json.dumps(metadata) (vector_store.py:286) in a
     # VARCHAR(metadata_length) field; dumps('{"k": "vvvv"}') = 13 chars
