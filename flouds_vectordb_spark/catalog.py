@@ -12,9 +12,11 @@ Reference surface reproduced (citations into /root/reference):
   :1190-1214 create, :1266-1310 index params). Here: a collection directory
   (parquet) plus a row in `_catalog/collections` carrying dimension, metric,
   nlist, index_type, metadata_length, drop_ratio_build. Index types
-  IVF_SQ8/IVF_PQ/HNSW are accepted but executed as IVF_FLAT (documented
-  divergence, SURVEY.md §4.1 — quantization/graph ANN have no faithful Spark
-  analogue; correctness is identical, speed differs).
+  IVF_SQ8 and IVF_PQ EXECUTE as real scalar/product quantization
+  (plans/sq8.py, plans/pq.py — coded tables partitioned by IVF cell);
+  HNSW executes as IVF_FLAT (documented divergence, SURVEY.md §4.1 —
+  graph ANN has no faithful Spark analogue; correctness is identical,
+  speed differs).
 - S5 `describe_collection` (vector_store.py:207-263): schema read-back.
 - S6 existence checks (base_milvus.py:500-540).
 

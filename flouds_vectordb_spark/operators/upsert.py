@@ -141,16 +141,40 @@ class CollectionWriter:
     # ---- index build + search (S2's index job + the reference search gate) --
     def build_index(self):
         """The generate_schema index-build job (base_milvus.py:1216-1310),
-        run over the flushed collection: IVF centroid layout from the spec's
-        nlist/metric. IVF_SQ8/IVF_PQ/HNSW execute as IVF_FLAT (SURVEY §4.1)."""
+        run over the flushed collection, dispatched on the spec's
+        index_type (generate_schema_request.py:129):
+        - IVF_FLAT: centroid-partitioned layout (plans/ivf.py).
+        - IVF_SQ8: IVF layout + per-dimension uint8 codes (plans/sq8.py),
+          partitioned by centroid_id — probed scans read 1 byte/dim.
+        - IVF_PQ: IVF layout + product codes (plans/pq.py, kmeans codebook,
+          m = largest divisor of dim <= 16, k = 256).
+        - HNSW: executes as IVF_FLAT (documented divergence, SURVEY §4.1 —
+          graph ANN has no faithful Spark analogue)."""
         from flouds_vectordb_spark.plans.ivf import build_ivf
 
-        return build_ivf(
+        ivf_path = self.meta["path"] + "__ivf"
+        idx = build_ivf(
             self.read_latest(),
-            self.meta["path"] + "__ivf",
+            ivf_path,
             nlist=int(self.meta["nlist"]),
             metric=self.meta["metric_type"],
         )
+        itype = str(self.meta["index_type"]).upper()
+        spark = self.catalog.spark
+        dim = int(self.meta["dimension"])
+        if itype == "IVF_SQ8":
+            from flouds_vectordb_spark.plans.sq8 import build_sq8
+
+            build_sq8(spark.read.parquet(ivf_path), self.meta["path"] + "__sq8",
+                      dim=dim, extra_cols=("centroid_id",))
+        elif itype == "IVF_PQ":
+            from flouds_vectordb_spark.plans.pq import build_pq
+
+            m = next(m for m in (16, 8, 4, 2, 1) if dim % m == 0)
+            build_pq(spark.read.parquet(ivf_path), self.meta["path"] + "__pq",
+                     m=m, k=256, metric=self.meta["metric_type"],
+                     extra_cols=("centroid_id",))
+        return idx
 
     def _check_query_dim(self, query_vector) -> None:
         """The reference's query-dimension validation: a wrong-dim query must
@@ -163,15 +187,51 @@ class CollectionWriter:
             )
 
     def search(self, req, use_index: bool = False, **dense_kwargs):
-        """Dense search over the stored collection (with query-dim check)."""
+        """Dense search over the stored collection (with query-dim check).
+        With use_index, dispatches on the built index: IVF_FLAT/HNSW probe
+        the exact layout; IVF_SQ8/IVF_PQ probe the coded table (partition
+        pruning on centroid_id), rebuild the decoded/reconstructed vector
+        JVM-side, join the payload back by id (late materialization: the
+        scoring scan reads only id+codes) and run the unchanged
+        dense_search request pipeline over it — approximate scores, the
+        Milvus quantized-search contract."""
+        from pyspark.sql import functions as F
+
         from flouds_vectordb_spark.operators.dense_search import dense_search
         from flouds_vectordb_spark.plans.ivf import open_ivf
 
         self._check_query_dim(req.query_vector)
-        if use_index:
-            idx = open_ivf(self.meta["path"] + "__ivf")
+        if not use_index:
+            return dense_search(self.read_latest(), req, **dense_kwargs)
+
+        idx = open_ivf(self.meta["path"] + "__ivf")
+        itype = str(self.meta["index_type"]).upper()
+        if itype not in ("IVF_SQ8", "IVF_PQ"):
             return idx.search(self.catalog.spark, req, **dense_kwargs)
-        return dense_search(self.read_latest(), req, **dense_kwargs)
+
+        spark = self.catalog.spark
+        vector_col = dense_kwargs.get("vector_col", "vector")
+        id_col = dense_kwargs.get("id_col", "id")
+        cells = idx.probe_cells(req.query_vector, req.nprobe)
+        if itype == "IVF_SQ8":
+            from flouds_vectordb_spark.plans.sq8 import open_sq8, sq8_decoded_column
+
+            path = self.meta["path"] + "__sq8"
+            mins, steps = open_sq8(path)
+            decoded = sq8_decoded_column(F.col("codes"), mins, steps)
+        else:
+            from flouds_vectordb_spark.plans.pq import open_pq, pq_decoded_column
+
+            path = self.meta["path"] + "__pq"
+            decoded = pq_decoded_column(F.col("codes"), open_pq(path))
+        coded = (
+            spark.read.parquet(path)
+            .filter(F.col("centroid_id").isin(cells))
+            .select(id_col, decoded.alias(vector_col))
+        )
+        payload = self.read_latest().drop(vector_col)
+        return dense_search(coded.join(payload, id_col, "inner"),
+                            req, **dense_kwargs)
 
     # ---- sparse + hybrid over the stored collection (vector_store.py:594-692)
     def build_sparse_index(self, drop_ratio_build: float = 0.0):

@@ -3,9 +3,11 @@
 The Spark analogue of Milvus's IVF_FLAT index (reference
 app/milvus/base_milvus.py:1266-1284: nlist k-means cells at build, nprobe
 cells probed at query; nprobe clamp <=256 app/milvus/vector_store.py:495).
-IVF_SQ8/IVF_PQ/HNSW index requests are accepted but executed as IVF_FLAT —
-documented divergence (SURVEY.md §4.1): quantized/graph ANN has no faithful
-Spark analogue; correctness is identical, speed differs.
+IVF_SQ8 and IVF_PQ compose with this layout as REAL quantized execution
+(plans/sq8.py, plans/pq.py: coded tables carry centroid_id, so probes are
+partition-pruned scans of 1-byte codes). HNSW requests execute as IVF_FLAT
+— documented divergence (SURVEY.md §4.1): graph ANN has no faithful Spark
+analogue; correctness is identical, speed differs.
 
 Design (SURVEY.md §4.1 / Phase 3):
 - BUILD: train k-means centroids on a deterministic sample driver-side

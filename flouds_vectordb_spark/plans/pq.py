@@ -1,0 +1,498 @@
+"""IVF_PQ — real product-quantized execution (ADC) for index_type=IVF_PQ.
+
+Reference contract: `generate_schema` accepts index_type IVF_PQ
+(app/models/generate_schema_request.py:129); the reference delegates
+execution to Milvus, whose PQ splits each vector into m subspaces, encodes
+each subvector as the id of its nearest codebook centroid (1 byte for
+k<=256), and scores with ADC — a per-query lookup table of
+subspace-contribution values gathered by code, never reconstructing the
+vector. This module reproduces that Spark-first (replacing the earlier
+accepted-as-IVF_FLAT divergence for PQ):
+
+- CODEBOOK, two strategies:
+  * `kmeans` (default, the Milvus/FAISS way): per-subspace k-means on the
+    driver-side hash-stride sample — k x dsub floats per subspace, driver
+    state comparable to IVF centroids.
+  * `anchors` (oracle strategy): the codebook is the hash64-ranked
+    deterministic sample of the corpus itself (k rows by (md5-hash, id)).
+    Fully SQL-expressible, so the WHOLE pipeline — codebook, encode, ADC,
+    top-k — runs under the exact DuckDB oracle. Same machinery, weaker
+    centroids; it exists to gate the distributed execution bit-for-bit.
+- ENCODE: argmin over the codebook per subspace, tie -> lower code.
+  Anchors path: pure Column expressions (a fold per (subspace, code) and
+  an array_sort(struct(dist, code)) argmin — whole-stage codegen, k is
+  small). Kmeans path (k=256: 2048 fold exprs would overflow codegen):
+  Arrow-batched pandas encode to a BINARY column of m bytes — build path
+  only, like the IVF assignment UDF.
+- QUERY (ADC): the per-query LUT (m x k doubles: subspace contribution of
+  code c to the score) is computed driver-side with the same sequential
+  float64 folds as functions/vector.py and spliced as a nested array
+  literal; the score is a fold over subspaces gathering
+  LUT[j][code_j] — element_at only, no UDF, no reconstruction.
+- METRICS: IP = sum of subspace dots; L2 = negated sum of subspace squared
+  distances (the engine's larger-is-better convention); COSINE = IP over
+  L2-normalized data/query/codebook — the Milvus/FAISS PQ-cosine
+  convention (reconstruction norm ~= 1, scores approximate cosine).
+
+Determinism/oracle: every float is produced by the same sequential fold in
+both engines (assignment distances, LUT entries, the per-subspace-subtotal
+association of the ADC sum), ties break (dist, code) ascending in both, so
+`pq_adc_search_sql` (anchors codebook) is bit-identical to the Spark plan.
+
+At 100 TB: codes are m bytes/row at rest (vs 4*dim float32); the scan that
+feeds top-k reads (id, codes) only; the LUT is O(m*k) driver state and the
+score is m array-gathers + m adds per row inside codegen. Composes with
+IVF cell pruning exactly like SQ8 (carry centroid_id through the encode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
+from flouds_vectordb_spark.operators.dense_search import RANK_DECIMALS
+
+from .ivf import SAMPLE_CAP, _kmeans
+
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _seq_norm(a) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+@dataclass(frozen=True)
+class PqCodebook:
+    """sub[j][c] = dsub-float centroid of code c in subspace j."""
+
+    sub: tuple[tuple[tuple[float, ...], ...], ...]  # (m, k, dsub)
+    metric: str
+    dim: int
+
+    @property
+    def m(self) -> int:
+        return len(self.sub)
+
+    @property
+    def k(self) -> int:
+        return len(self.sub[0])
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.m
+
+    @staticmethod
+    def from_rows(rows: list[list[float]], m: int, metric: str) -> "PqCodebook":
+        """Split k full-dim codebook rows into m subspace codebooks."""
+        dim = len(rows[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        d = dim // m
+        sub = tuple(
+            tuple(tuple(float(x) for x in row[j * d:(j + 1) * d]) for row in rows)
+            for j in range(m)
+        )
+        return PqCodebook(sub=sub, metric=metric.upper(), dim=dim)
+
+
+def train_pq_anchors(df: DataFrame, m: int, k: int, metric: str = "COSINE",
+                     id_col: str = "id", vector_col: str = "vector") -> PqCodebook:
+    """Deterministic SQL-expressible codebook: the k corpus rows ranked by
+    (hash64(id), id). COSINE normalizes them (sequential fold — identical
+    to the SQL twin's normalize)."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vector_col).alias("_v"))
+        .withColumn("_h", hash64(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"anchors codebook needs >= {k} rows, got {len(rows)}")
+    vecs = [[float(x) for x in r["_v"]] for r in rows]
+    if metric.upper() == "COSINE":
+        vecs = [[x / n if (n := _seq_norm(v)) > 0 else 0.0 for x in v] for v in vecs]
+    return PqCodebook.from_rows(vecs, m, metric)
+
+
+def train_pq_kmeans(df: DataFrame, m: int, k: int = 256, metric: str = "COSINE",
+                    vector_col: str = "vector", seed: int = 42) -> PqCodebook:
+    """Per-subspace k-means on the deterministic hash-stride sample (the
+    IVF build's sampling scheme — one column-pruned scan, no sort)."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot train a PQ codebook on an empty collection")
+    stride = max(1, -(-n // SAMPLE_CAP))
+    sample = (
+        df.select(F.col(vector_col))
+        .filter(F.pmod(F.hash(F.col(vector_col)), F.lit(stride)) == 0)
+        .collect()
+    )
+    if not sample:
+        sample = df.select(F.col(vector_col)).limit(SAMPLE_CAP).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    if x.shape[0] > 1:
+        x = x[np.lexsort(x.T[::-1])][:SAMPLE_CAP]
+    if metric.upper() == "COSINE":
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = x / norms
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    sub = []
+    for j in range(m):
+        cents = _kmeans(x[:, j * d:(j + 1) * d], min(k, x.shape[0]), seed=seed + j)
+        sub.append(tuple(tuple(float(v) for v in c) for c in cents))
+    return PqCodebook(sub=tuple(sub), metric=metric.upper(), dim=dim)
+
+
+def _bind(col: Column, fn) -> Column:
+    """Evaluate `col` ONCE and pass it to `fn` as a lambda-bound value
+    (single-element transform). Expression evaluation re-computes shared
+    subtrees per reference (no CSE outside codegen); binding turns an
+    O(refs * cost) evaluation into O(cost)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _normalized_vector(vector_col: Column) -> Column:
+    """L2-normalize with NULL on zero norm (Spark double div-by-zero ->
+    NULL; the SQL twin uses nullif to match). The norm is lambda-bound so
+    it is computed once per row, not once per element."""
+    n = F.sqrt(F.aggregate(
+        F.transform(vector_col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return _bind(n, lambda nv: F.transform(vector_col,
+                                           lambda x: x.cast("double") / nv))
+
+
+def pq_encode_column(vector_col: Column, cb: PqCodebook) -> Column:
+    """codes as array<int> computed entirely JVM-side: per subspace, the
+    argmin code by (squared distance, code) over the spliced codebook.
+    Intended for small k (the anchors oracle path); k=256 belongs to the
+    pandas encode."""
+    v_expr = (_normalized_vector(vector_col) if cb.metric == "COSINE"
+              else F.transform(vector_col, lambda x: x.cast("double")))
+    d = cb.dsub
+    # expression-tree + evaluation discipline: iterate the codebook with
+    # transform() (anchor bound to a lambda variable — one fold subtree per
+    # subspace, not k*d copies of the normalization fold), and compute the
+    # distance as fold(zip_with(...)): zip_with MATERIALIZES the subvector
+    # once per candidate, where an element_at-based fold would re-evaluate
+    # slice(normalize(vector)) on every element access (measured ~90 ms/row
+    # interpreted). Fold order matches the SQL twin's list_sum exactly.
+    def _codes_j(j: int, v: Column) -> Column:
+        xj = F.slice(v, j * d + 1, d)
+        books = F.array(*[F.array(*[F.lit(x) for x in cb.sub[j][c]])
+                          for c in range(cb.k)])
+
+        def d2(a: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(xj, a, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, t: acc + t)
+
+        cands = F.zip_with(
+            F.transform(books, d2),
+            F.sequence(F.lit(0), F.lit(cb.k - 1)),
+            lambda dist, c: F.struct(dist.alias("d"), c.cast("int").alias("c")),
+        )
+        return F.element_at(F.array_sort(cands), 1)["c"]
+
+    # bind the (normalized) vector once per row — every subspace slices the
+    # materialized value instead of re-running the normalization fold
+    return _bind(v_expr,
+                 lambda v: F.array(*[_codes_j(j, v) for j in range(cb.m)]))
+
+
+def pq_encode_udf(cb: PqCodebook):
+    """Arrow-batched encode to BINARY codes (m bytes) — the build path for
+    k up to 256 (kmeans codebooks)."""
+    subs = [np.array(s, dtype=np.float64) for s in cb.sub]  # (k, dsub) each
+    d = cb.dsub
+    is_cos = cb.metric == "COSINE"
+
+    @F.pandas_udf("binary")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if is_cos:
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            x = x / norms
+        out = np.empty((x.shape[0], len(subs)), dtype=np.uint8)
+        for j, cents in enumerate(subs):
+            xj = x[:, j * d:(j + 1) * d]
+            d2 = ((xj * xj).sum(1)[:, None] - 2.0 * xj @ cents.T
+                  + (cents * cents).sum(1)[None, :])
+            out[:, j] = d2.argmin(axis=1)  # np argmin: first min -> lowest code
+        return pd.Series([r.tobytes() for r in out])
+
+    return encode
+
+
+def pq_lut(cb: PqCodebook, query: list[float]) -> list[list[float]]:
+    """LUT[j][c] = larger-is-better contribution of code c in subspace j,
+    computed with the engines' sequential folds (bit-identical literals)."""
+    q = [float(x) for x in query]
+    if cb.metric == "COSINE":
+        n = _seq_norm(q)
+        q = [x / n for x in q] if n > 0 else q
+    d = cb.dsub
+    lut: list[list[float]] = []
+    for j in range(cb.m):
+        qj = q[j * d:(j + 1) * d]
+        row = []
+        for c in range(cb.k):
+            a = cb.sub[j][c]
+            if cb.metric == "L2":
+                acc = 0.0
+                for x, y in zip(qj, a):
+                    acc += (x - y) * (x - y)
+                row.append(-acc)
+            else:  # IP, or COSINE-as-IP-on-normalized
+                row.append(_seq_dot(qj, a))
+        lut.append(row)
+    return lut
+
+
+def pq_adc_scores(codes_col: Column, cb: PqCodebook, query: list[float],
+                  codes_are_binary: bool = False) -> Column:
+    """ADC score column: sequential fold over subspaces of LUT gathers."""
+    lut = pq_lut(cb, query)
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    if codes_are_binary:
+        hx = F.hex(codes_col)
+
+        def code_at(j: Column) -> Column:
+            return F.conv(F.substr(hx, j * 2 - 1, F.lit(2)), 16, 10).cast("int")
+    else:
+        def code_at(j: Column) -> Column:
+            return F.element_at(codes_col, j.cast("int"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(cb.m)), F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at(lut_lit, j.cast("int")), code_at(j) + 1),
+    )
+
+
+def pq_decoded_column(codes_col: Column, cb: PqCodebook,
+                      codes_are_binary: bool = True) -> Column:
+    """Reconstructed vector x̂ (concatenation of the chosen codebook
+    subvectors) as array<double> — lets stored PQ codes feed the UNCHANGED
+    dense_search request pipeline (score thresholds, text/meta post-filters,
+    output projection) on the catalog path. pq_adc_scores stays the lean
+    (id, score) execution; reconstruction trades m extra gathers for full
+    request semantics. For COSINE codebooks the reconstruction norm is ~1
+    (codebook trained on normalized vectors — the Milvus/FAISS PQ-cosine
+    convention), and dense_search's cosine renormalizes, which is exact."""
+    books = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in c]) for c in s]) for s in cb.sub])
+    if codes_are_binary:
+        hx = F.hex(codes_col)
+
+        def code_at(j: Column) -> Column:
+            return F.conv(F.substr(hx, j * 2 - 1, F.lit(2)), 16, 10).cast("int")
+    else:
+        def code_at(j: Column) -> Column:
+            return F.element_at(codes_col, j.cast("int"))
+
+    return F.flatten(F.transform(
+        F.sequence(F.lit(1), F.lit(cb.m)),
+        lambda j: F.element_at(F.element_at(books, j.cast("int")),
+                               code_at(j) + 1)))
+
+
+def pq_search(df: DataFrame, cb: PqCodebook, query: list[float], limit: int,
+              id_col: str = "id", vector_col: str | None = "vector",
+              codes_col: str | None = None) -> DataFrame:
+    """(id, rank, score) top-k by ADC. Either encode inline from
+    `vector_col` (anchors/oracle path) or score stored codes (`codes_col`,
+    binary — the kmeans/storage path)."""
+    if codes_col is not None:
+        scored = df.select(
+            F.col(id_col).alias("id"),
+            pq_adc_scores(F.col(codes_col), cb, query,
+                          codes_are_binary=True).alias("_score"))
+    else:
+        codes = pq_encode_column(F.col(vector_col), cb)
+        scored = df.select(
+            F.col(id_col).alias("id"),
+            pq_adc_scores(codes, cb, query).alias("_score"))
+    scored = (
+        scored.filter(F.col("_score").isNotNull())
+        .withColumn("_score_r", F.round("_score", RANK_DECIMALS))
+        .orderBy(F.col("_score_r").desc(), F.col("id").asc())
+        .limit(limit)
+    )
+    w = Window.orderBy(F.col("_score_r").desc(), F.col("id").asc())
+    return scored.select(
+        "id", F.row_number().over(w).alias("rank"),
+        F.round("_score", RANK_DECIMALS).alias("score"))
+
+
+def pq_pack_codes(codes: Column, m: int) -> Column:
+    """array<int> -> BINARY (1 byte per code), pure JVM: per-code
+    hex -> lpad(2) -> unhex -> concat. Lets the deterministic Column-expr
+    encode feed the honest at-rest layout without a Python packing UDF."""
+    return F.concat(*[
+        F.unhex(F.lpad(F.hex(F.element_at(codes, j + 1)), 2, "0"))
+        for j in range(m)
+    ])
+
+
+def build_pq_anchors(df: DataFrame, path: str, m: int, k: int,
+                     metric: str = "COSINE", id_col: str = "id",
+                     vector_col: str = "vector",
+                     extra_cols: tuple[str, ...] = ()) -> PqCodebook:
+    """Anchors-codebook build: JVM encode (bit-identical to the SQL twin's
+    inline encode) packed to binary codes at rest. Inline per-query encode
+    would re-pay ~m*k fold evaluations per row per query (higher-order
+    functions stay outside whole-stage codegen — measured ~5 ms/row); the
+    coded table pays it once at build, and queries do m byte-gathers."""
+    cb = train_pq_anchors(df, m, k, metric, id_col, vector_col)
+    codes = pq_pack_codes(pq_encode_column(F.col(vector_col), cb), m)
+    enc = df.select(id_col, vector_col, *extra_cols) \
+        .withColumn("codes", codes).drop(vector_col)
+    writer = enc.write.mode("overwrite")
+    if "centroid_id" in extra_cols:
+        writer = writer.partitionBy("centroid_id")
+    writer.parquet(path)
+    with open(os.path.join(path, "_pq_meta.json"), "w") as f:
+        json.dump({"metric": cb.metric, "dim": cb.dim, "m": cb.m,
+                   "strategy": "anchors", "k": cb.k,
+                   "sub": [[list(c) for c in s] for s in cb.sub]}, f)
+    return cb
+
+
+def get_or_build_pq_anchors(df: DataFrame, path: str, m: int, k: int,
+                            metric: str = "COSINE", id_col: str = "id",
+                            vector_col: str = "vector") -> PqCodebook:
+    if os.path.exists(os.path.join(path, "_pq_meta.json")):
+        return open_pq(path)
+    return build_pq_anchors(df, path, m, k, metric, id_col, vector_col)
+
+
+# --- DuckDB oracle twin (anchors codebook) ---------------------------------
+
+def _norm_expr_sql(v: str) -> str:
+    return (f"sqrt(list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE)))")
+
+
+def pq_adc_search_sql(table_sql: str, query: list[float], metric: str,
+                      limit: int, m: int, k: int, dim: int,
+                      id_expr: str = "id", vector_expr: str = "vector") -> str:
+    """Full inline train(anchors)+encode+ADC+top-k in DuckDB — the exact
+    arithmetic and tie-breaks of the Spark anchors path."""
+    metric = metric.upper()
+    d = dim // m
+    q = [float(x) for x in query]
+    if metric == "COSINE":
+        n = _seq_norm(q)
+        q = [x / n for x in q] if n > 0 else q
+    qlit = "([" + ",".join(repr(x) for x in q) + "]::DOUBLE[])"
+    # normalized (or cast) data vector
+    if metric == "COSINE":
+        vec = (f"list_transform({vector_expr}, x -> x::DOUBLE / "
+               f"nullif({_norm_expr_sql(vector_expr)}, 0))")
+    else:
+        vec = f"list_transform({vector_expr}, x -> x::DOUBLE)"
+    anchor_vec = "av"  # anchors CTE column, already normalized/cast
+    # DuckDB lambdas cannot contain subqueries, so the chosen-anchor
+    # expression is substituted textually into the contribution formula
+    _anch = "_anchors.books[codes[_j + 1] + 1]"
+    if metric == "L2":
+        contrib = (f"(-list_sum(list_transform(range(1, {d + 1}), i -> "
+                   f"({qlit}[_j*{d} + i] - {_anch}[_j*{d} + i]) "
+                   f"* ({qlit}[_j*{d} + i] - {_anch}[_j*{d} + i]))))")
+    else:
+        contrib = (f"list_sum(list_transform(range(1, {d + 1}), i -> "
+                   f"{qlit}[_j*{d} + i] * {_anch}[_j*{d} + i]))")
+    return f"""
+WITH _anchors AS (
+  SELECT list({anchor_vec} ORDER BY _h, _id) AS books FROM (
+    SELECT {id_expr} AS _id, {vec} AS {anchor_vec},
+           {hash64_sql(f"({id_expr})::VARCHAR")} AS _h
+    FROM {table_sql}
+    ORDER BY _h, _id LIMIT {k})
+),
+_coded AS (
+  SELECT {id_expr} AS id,
+         list_transform(range(0, {m}), _j ->
+           (list_sort(list_transform(range(0, {k}), c ->
+              {{'d': list_sum(list_transform(range(1, {d + 1}), i ->
+                     (_v[_j*{d} + i] - _anchors.books[c + 1][_j*{d} + i])
+                   * (_v[_j*{d} + i] - _anchors.books[c + 1][_j*{d} + i]))),
+                'c': c}}))[1]).c) AS codes
+  FROM (SELECT {id_expr}, {vec} AS _v FROM {table_sql}), _anchors
+),
+_scored AS (
+  SELECT id,
+         list_sum(list_transform(range(0, {m}), _j -> {contrib})) AS _score
+  FROM _coded, _anchors
+),
+_topk AS (
+  SELECT id, round(_score, {RANK_DECIMALS}) AS _score_r, _score FROM _scored
+  WHERE _score IS NOT NULL
+  ORDER BY _score_r DESC, id ASC LIMIT {limit}
+)
+SELECT id, row_number() OVER (ORDER BY _score_r DESC, id ASC) AS rank,
+       round(_score, {RANK_DECIMALS}) AS score
+FROM _topk
+"""
+
+
+# --- storage path (kmeans codebook) ----------------------------------------
+
+def build_pq(df: DataFrame, path: str, m: int, k: int = 256,
+             metric: str = "COSINE", id_col: str = "id",
+             vector_col: str = "vector",
+             extra_cols: tuple[str, ...] = ()) -> PqCodebook:
+    """Train the kmeans codebook, write (id, codes binary [, extras]) —
+    partitioned by centroid_id when composed with IVF — and persist the
+    codebook sidecar."""
+    cb = train_pq_kmeans(df, m, k, metric, vector_col)
+    enc = df.select(id_col, vector_col, *extra_cols).withColumn(
+        "codes", pq_encode_udf(cb)(F.col(vector_col))).drop(vector_col)
+    writer = enc.write.mode("overwrite")
+    if "centroid_id" in extra_cols:
+        writer = writer.partitionBy("centroid_id")
+    writer.parquet(path)
+    with open(os.path.join(path, "_pq_meta.json"), "w") as f:
+        json.dump({"metric": cb.metric, "dim": cb.dim, "m": cb.m,
+                   "sub": [[list(c) for c in s] for s in cb.sub]}, f)
+    return cb
+
+
+def open_pq(path: str) -> PqCodebook:
+    with open(os.path.join(path, "_pq_meta.json")) as f:
+        meta = json.load(f)
+    sub = tuple(tuple(tuple(float(x) for x in c) for c in s) for s in meta["sub"])
+    return PqCodebook(sub=sub, metric=meta["metric"], dim=meta["dim"])
+
+
+def get_or_build_pq(df: DataFrame, path: str, m: int, k: int = 256,
+                    metric: str = "COSINE", id_col: str = "id",
+                    vector_col: str = "vector",
+                    extra_cols: tuple[str, ...] = ()) -> PqCodebook:
+    if os.path.exists(os.path.join(path, "_pq_meta.json")):
+        return open_pq(path)
+    return build_pq(df, path, m, k, metric, id_col, vector_col, extra_cols)

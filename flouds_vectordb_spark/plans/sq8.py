@@ -1,0 +1,209 @@
+"""IVF_SQ8 — real scalar-quantized execution for index_type=IVF_SQ8.
+
+Reference contract: `generate_schema` accepts index_type IVF_SQ8
+(app/models/generate_schema_request.py:129); the reference delegates
+execution to Milvus, whose SQ8 index stores each FLOAT_VECTOR dimension as
+one uint8 code (4x smaller at rest than float32) and searches ON the
+quantized values — no refine step, approximate scores. This module
+reproduces that contract Spark-first (it replaces the earlier
+accepted-as-IVF_FLAT divergence for SQ8):
+
+- TRAIN: per-dimension [min, max] over the corpus — ONE column-pruned scan
+  of 2*dim partial aggregates (map-side combined; dim <= 4096 by the
+  reference schema contract, app/utils/input_validator.py:169-170, so at
+  most 8192 agg expressions — no shuffle beyond the final P-row combine).
+- ENCODE (build path): code_j = clamp(floor((x_j - min_j)/step_j + 0.5),
+  0, 255) with step_j = (max_j - min_j)/255, packed into ONE BINARY column
+  of exactly dim bytes — the honest at-rest layout (parquet has no 8-bit
+  physical type; an array<tinyint> column would store 4-byte INT32s).
+  Packing runs as an Arrow-batched mapInPandas — build path only, the same
+  budget class as the IVF assignment UDF.
+- QUERY: pure JVM decode — hex(codes), then per-dimension
+  conv(substr(hex, 2j-1, 2), 16, 10) inside a transform() rebuilding
+  x̂_j = min_j + code_j*step_j as an array<double> Column. The decoded
+  column feeds the UNCHANGED dense_search operator: same fold-based
+  scoring, top-k, offset, rounding and post-filter semantics. No Python in
+  the query path.
+- SCALE path: `sq8_scores_arrow` is a vectorized Pandas-UDF scorer (one
+  numpy decode + matmul per Arrow batch) for wide-dim/throughput scans
+  where 2*dim string ops per row lose to Arrow transfer. Unit-tested equal
+  to the JVM path; the JVM path stays the oracle-gated default because its
+  float64 fold order is bit-identical to the DuckDB twin.
+
+Determinism/oracle: codes are exact integers in both engines (same IEEE
+float64 quantization expression), and decode + scoring reuse the
+sequential-fold convention of functions/vector.py, so `sq8_table_sql`
+(train+encode+decode inlined in SQL over the raw table) composed with
+dense_search_sql is bit-identical to the Spark plan.
+
+At 100 TB: the coded table is ~1/4 the scan bytes of float32 vectors; the
+training scan aggregates map-side to P*2*dim doubles; bounds+steps are the
+only driver state (2*dim floats). Composes with the IVF layout by carrying
+`centroid_id` through the encode (partitioned write -> partition-pruned
+probes over 1-byte-per-dim codes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SQ8_LEVELS = 255
+
+
+def train_sq8_bounds(df: DataFrame, dim: int,
+                     vector_col: str = "vector") -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, steps); step 0 marks a constant dimension
+    (encoded as code 0, decoded back to its min)."""
+    aggs = []
+    for j in range(dim):
+        e = F.col(vector_col)[j].cast("double")
+        aggs.append(F.min(e).alias(f"_mn{j}"))
+        aggs.append(F.max(e).alias(f"_mx{j}"))
+    row = df.agg(*aggs).first()
+    if row[0] is None:
+        raise ValueError("cannot train SQ8 bounds on an empty collection")
+    mins, steps = [], []
+    for j in range(dim):
+        mn, mx = float(row[f"_mn{j}"]), float(row[f"_mx{j}"])
+        mins.append(mn)
+        steps.append((mx - mn) / 255.0 if mx > mn else 0.0)
+    return mins, steps
+
+
+def encode_sq8(df: DataFrame, mins: list[float], steps: list[float],
+               id_col: str = "id", vector_col: str = "vector",
+               extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, codes binary [, extras]) — Arrow-batched encode (build path)."""
+    mn = np.asarray(mins, dtype=np.float64)
+    st = np.asarray(steps, dtype=np.float64)
+    safe = np.where(st > 0, st, 1.0)
+    cols = [id_col, "codes", *extra_cols]
+
+    def encode(it):
+        for pdf in it:
+            m = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            c = np.floor((m - mn) / safe + 0.5)
+            c = np.clip(np.where(st > 0, c, 0.0), 0, SQ8_LEVELS).astype(np.uint8)
+            res = pd.DataFrame({id_col: pdf[id_col],
+                                "codes": [r.tobytes() for r in c]})
+            for e in extra_cols:
+                res[e] = pdf[e]
+            yield res[cols]
+
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}", "codes binary"]
+        + [f"{e} {dtypes[e]}" for e in extra_cols])
+    return df.select(id_col, vector_col, *extra_cols).mapInPandas(encode, schema)
+
+
+def build_sq8(df: DataFrame, path: str, dim: int, id_col: str = "id",
+              vector_col: str = "vector",
+              extra_cols: tuple[str, ...] = ()) -> tuple[list[float], list[float]]:
+    """Train bounds, write the coded table (partitioned by centroid_id when
+    carried through — IVF composition), persist the bounds sidecar."""
+    mins, steps = train_sq8_bounds(df, dim, vector_col)
+    enc = encode_sq8(df, mins, steps, id_col, vector_col, extra_cols)
+    writer = enc.write.mode("overwrite")
+    if "centroid_id" in extra_cols:
+        writer = writer.partitionBy("centroid_id")
+    writer.parquet(path)
+    with open(os.path.join(path, "_sq8_meta.json"), "w") as f:
+        json.dump({"dim": dim, "mins": mins, "steps": steps}, f)
+    return mins, steps
+
+
+def open_sq8(path: str) -> tuple[list[float], list[float]]:
+    with open(os.path.join(path, "_sq8_meta.json")) as f:
+        meta = json.load(f)
+    return list(meta["mins"]), list(meta["steps"])
+
+
+def get_or_build_sq8(df: DataFrame, path: str, dim: int, id_col: str = "id",
+                     vector_col: str = "vector",
+                     extra_cols: tuple[str, ...] = ()) -> tuple[list[float], list[float]]:
+    if os.path.exists(os.path.join(path, "_sq8_meta.json")):
+        return open_sq8(path)
+    return build_sq8(df, path, dim, id_col, vector_col, extra_cols)
+
+
+def sq8_decoded_column(codes_col: Column, mins: list[float],
+                       steps: list[float]) -> Column:
+    """x̂ as array<double>, decoded entirely JVM-side (hex + conv + substr
+    stay inside whole-stage codegen — no UDF in the query path)."""
+    dim = len(mins)
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    st = F.array(*[F.lit(float(v)) for v in steps])
+    hx = F.hex(codes_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.element_at(mn, j.cast("int"))
+        + F.conv(F.substr(hx, j * 2 - 1, F.lit(2)), 16, 10).cast("double")
+        * F.element_at(st, j.cast("int")),
+    )
+
+
+def sq8_table_sql(table_sql: str, dim: int, id_expr: str = "id",
+                  vector_expr: str = "vector") -> str:
+    """DuckDB derived table `(id, vector)` where vector is the SQ8
+    decode(encode(x)) of the raw vectors — train+encode+decode inlined, the
+    exact integer codes and float64 arithmetic of the Spark build. Feed to
+    dense_search_sql as its table_sql."""
+    v = f"{vector_expr}[j]::DOUBLE"
+    return f"""(
+WITH _sq8_b AS (
+  SELECT list(mn ORDER BY j) AS mns, list(stp ORDER BY j) AS stps
+  FROM (
+    SELECT j, min({v}) AS mn,
+           CASE WHEN max({v}) > min({v})
+                THEN (max({v}) - min({v})) / 255.0 ELSE 0.0 END AS stp
+    FROM {table_sql}, range(1, {dim + 1}) t(j)
+    GROUP BY j)
+)
+SELECT {id_expr} AS id,
+       list_transform(range(1, {dim + 1}), j ->
+         _sq8_b.mns[j]
+         + (CASE WHEN _sq8_b.stps[j] > 0
+                 THEN least(greatest(floor(({vector_expr}[j]::DOUBLE - _sq8_b.mns[j])
+                                           / _sq8_b.stps[j] + 0.5), 0.0), 255.0)
+                 ELSE 0.0 END) * _sq8_b.stps[j]) AS vector
+FROM {table_sql}, _sq8_b
+)"""
+
+
+def sq8_scores_arrow(mins: list[float], steps: list[float],
+                     query: list[float], metric: str):
+    """Vectorized scale-path scorer: one numpy decode + matmul per Arrow
+    batch over the binary codes. Same larger-is-better score convention as
+    functions/vector.py (L2 negated squared distance; COSINE NULL on a
+    zero-norm decode). Returns a pandas_udf(double) to apply to `codes`."""
+    mn = np.asarray(mins, dtype=np.float64)
+    st = np.asarray(steps, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    m = metric.upper()
+    if m not in ("COSINE", "L2", "IP"):
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    @F.pandas_udf("double")
+    def score(codes: pd.Series) -> pd.Series:
+        mat = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes])
+        x = mn + mat.astype(np.float64) * st
+        if m == "IP":
+            s = x @ q
+        elif m == "L2":
+            d = x - q
+            s = -np.einsum("ij,ij->i", d, d)
+        else:
+            nx = np.sqrt(np.einsum("ij,ij->i", x, x))
+            denom = nx * np.linalg.norm(q)
+            s = np.where(denom > 0, (x @ q) / np.where(denom > 0, denom, 1.0),
+                         np.nan)
+        return pd.Series(s)
+
+    return score

@@ -726,6 +726,111 @@ _register("q1_ivf_pruned", *_ivf_clustered_pair(nlist=8, nprobe=4))
 _register("q1_ivf_pruned_deep", *_ivf_clustered_pair(nlist=64, nprobe=4))
 
 
+# --- real quantized execution: IVF_SQ8 / IVF_PQ (SURVEY §4.1 upgrade) ----------
+# index_type IVF_SQ8/IVF_PQ (generate_schema_request.py:129) now EXECUTE as
+# scalar/product quantization (plans/sq8.py, plans/pq.py) instead of the
+# earlier accepted-as-IVF_FLAT divergence. Every gate derives the coded
+# table deterministically in both engines, so the exact hash oracle applies
+# to the APPROXIMATE search results themselves.
+SQ8_CACHE_ROOT = os.path.join(_SCRATCH, "sq8_cache")
+PQ_CACHE_ROOT = os.path.join(_SCRATCH, "pq_cache")
+
+_EMBS_SQL = "(SELECT vec_id AS id, embedding AS vector FROM embeddings)"
+
+
+def _sq8_pair(metric: str):
+    from flouds_vectordb_spark.plans.sq8 import (
+        get_or_build_sq8,
+        sq8_decoded_column,
+        sq8_table_sql,
+    )
+
+    req = DenseSearchRequest(query_vector=fixture_query_vector(seed=1),
+                             metric=metric, limit=10)
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        embs = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = os.path.join(SQ8_CACHE_ROOT, f"{tag}_embs")  # bounds are metric-free
+        mins, steps = get_or_build_sq8(embs, path, dim=64)
+        coded = spark.read.parquet(path)
+        dec = coded.withColumn(
+            "vector", sq8_decoded_column(F.col("codes"), mins, steps))
+        return dense_search(dec, req, id_col="id", vector_col="vector")
+
+    sql = dense_search_sql(req, sq8_table_sql(_EMBS_SQL, 64),
+                           id_expr="id", vector_expr="vector")
+    return q, sql
+
+
+_register("q1_sq8_topk", *_sq8_pair("COSINE"))
+_register("q1_sq8_l2_topk", *_sq8_pair("L2"))
+
+
+def _ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF pruning COMPOSED with SQ8 scoring on the clustered fixture: codes
+    carry centroid_id through the encode, so the probe is a partition-pruned
+    scan of 1-byte-per-dim codes. Recall-safe by construction: all cluster
+    points share the query's cell (assignment on raw vectors) and dominate
+    the quantized ranking, so the pruned quantized top-10 equals the
+    full-scan quantized top-10 the oracle computes."""
+    from flouds_vectordb_spark.plans.sq8 import get_or_build_sq8, sq8_decoded_column
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    ivf_path = os.path.join(IVF_CACHE_ROOT, f"{tag}_clustered_nlist8_cosine")
+    idx = get_or_build_ivf(_clustered_embs(spark, sf_dir), ivf_path, 8, "COSINE")
+    sq8_path = os.path.join(SQ8_CACHE_ROOT, f"{tag}_clustered")
+    mins, steps = get_or_build_sq8(
+        spark.read.parquet(ivf_path), sq8_path, 64, extra_cols=("centroid_id",))
+    req = DenseSearchRequest(query_vector=_CLUSTER_Q, metric="COSINE",
+                             limit=10, nprobe=4)
+    cells = idx.probe_cells(_CLUSTER_Q, req.nprobe)
+    coded = spark.read.parquet(sq8_path).filter(F.col("centroid_id").isin(cells))
+    dec = coded.withColumn(
+        "vector", sq8_decoded_column(F.col("codes"), mins, steps))
+    return dense_search(dec, req, id_col="id", vector_col="vector")
+
+
+def _ivf_sq8_sql() -> str:
+    from flouds_vectordb_spark.plans.sq8 import sq8_table_sql
+
+    req = DenseSearchRequest(query_vector=_CLUSTER_Q, metric="COSINE",
+                             limit=10, nprobe=4)
+    return dense_search_sql(req, sq8_table_sql(_CLUSTERED_EMBS_SQL, 64),
+                            id_expr="id", vector_expr="vector")
+
+
+_register("q1_ivf_sq8_pruned", _ivf_sq8_q, _ivf_sq8_sql())
+
+
+def _pq_pair(metric: str):
+    from flouds_vectordb_spark.plans.pq import (
+        get_or_build_pq_anchors,
+        pq_adc_search_sql,
+        pq_search,
+    )
+
+    qv = fixture_query_vector(seed=1)
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        embs = load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = os.path.join(PQ_CACHE_ROOT, f"{tag}_anchors_{metric.lower()}")
+        cb = get_or_build_pq_anchors(embs, path, m=8, k=16, metric=metric)
+        coded = spark.read.parquet(path)
+        return pq_search(coded, cb, qv, 10, codes_col="codes")
+
+    sql = pq_adc_search_sql("embeddings", qv, metric, 10, m=8, k=16, dim=64,
+                            id_expr="vec_id", vector_expr="embedding")
+    return q, sql
+
+
+_register("q1_pq_adc_topk", *_pq_pair("COSINE"))
+_register("q1_pq_adc_l2", *_pq_pair("L2"))
+
+
 # --- cross-collection similarity join -------------------------------------------
 # probes = a deterministic subset of embeddings under new ids; exact copies
 # guarantee bucket collisions (same signature), so the join provably finds them

@@ -1,0 +1,215 @@
+"""SQ8/PQ quantized execution: encode invariants, scoring equivalence,
+storage round-trips, and the catalog IVF_SQ8/IVF_PQ index dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
+from flouds_vectordb_spark.plans.pq import (
+    PqCodebook,
+    build_pq,
+    get_or_build_pq_anchors,
+    open_pq,
+    pq_adc_scores,
+    pq_decoded_column,
+    pq_encode_column,
+    pq_encode_udf,
+    pq_lut,
+    pq_search,
+    train_pq_anchors,
+    train_pq_kmeans,
+)
+from flouds_vectordb_spark.plans.sq8 import (
+    build_sq8,
+    encode_sq8,
+    open_sq8,
+    sq8_decoded_column,
+    sq8_scores_arrow,
+    train_sq8_bounds,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def coll(spark):
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.uniform(-2, 2, DIM)]) for i in range(300)]
+    # one constant dimension exercises the step=0 path
+    rows = [(i, v[:-1] + [1.25]) for i, v in rows]
+    return spark.createDataFrame(rows, "id long, vector array<double>")
+
+
+def test_sq8_codes_shape_and_reconstruction_error(spark, coll):
+    mins, steps = train_sq8_bounds(coll, DIM)
+    assert steps[-1] == 0.0  # constant dimension
+    enc = encode_sq8(coll, mins, steps)
+    rows = enc.collect()
+    assert all(len(r["codes"]) == DIM for r in rows)  # 1 byte per dim at rest
+    dec = {r["id"]: r["vector"] for r in enc.withColumn(
+        "vector", sq8_decoded_column(F.col("codes"), mins, steps)).collect()}
+    orig = {r["id"]: r["vector"] for r in coll.collect()}
+    for i, v in orig.items():
+        for j, (x, xhat) in enumerate(zip(v, dec[i])):
+            tol = steps[j] / 2 + 1e-12  # max quantization error
+            assert abs(x - xhat) <= tol, (i, j, x, xhat)
+        assert dec[i][-1] == mins[-1]  # constant dim decodes to its min
+
+
+def test_sq8_arrow_scorer_matches_jvm_path(spark, coll):
+    from flouds_vectordb_spark.functions.vector import metric_score_q
+
+    mins, steps = train_sq8_bounds(coll, DIM)
+    enc = encode_sq8(coll, mins, steps)
+    q = [0.3, -1.2, 0.8, 0.0, 1.5, -0.4, 0.9, 1.0]
+    for metric in ("COSINE", "L2", "IP"):
+        jvm = {r["id"]: r["s"] for r in enc.select(
+            "id", F.round(metric_score_q(
+                metric, sq8_decoded_column(F.col("codes"), mins, steps), q),
+                9).alias("s")).collect()}
+        arw = {r["id"]: r["s"] for r in enc.select(
+            "id", F.round(sq8_scores_arrow(mins, steps, q, metric)(
+                F.col("codes")), 9).alias("s")).collect()}
+        assert jvm == arw, metric
+
+
+def test_sq8_build_open_roundtrip(spark, coll, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sq8") / "idx")
+    mins, steps = build_sq8(coll, path, DIM)
+    assert (mins, steps) == open_sq8(path)
+    assert spark.read.parquet(path).count() == 300
+
+
+def test_pq_jvm_codes_match_numpy_argmin(spark, coll):
+    cb = train_pq_anchors(coll, m=4, k=8, metric="L2")
+    got = {r["id"]: list(r["codes"]) for r in coll.select(
+        "id", pq_encode_column(F.col("vector"), cb).alias("codes")).collect()}
+    subs = [np.array(s) for s in cb.sub]
+    d = cb.dsub
+    for r in coll.collect():
+        x = np.array(r["vector"], dtype=np.float64)
+        want = [int(((subs[j] - x[j * d:(j + 1) * d]) ** 2).sum(axis=1).argmin())
+                for j in range(cb.m)]
+        assert got[r["id"]] == want, r["id"]
+
+
+def test_pq_adc_equals_reconstruction_dot(spark, coll):
+    """ADC gathers per-subspace LUT contributions; summed they must equal
+    the score of the reconstructed vector (same math, different float
+    association -> tolerance, not bit-equality)."""
+    q = [0.3, -1.2, 0.8, 0.0, 1.5, -0.4, 0.9, 1.0]
+    cb = train_pq_anchors(coll, m=4, k=8, metric="IP")
+    codes = pq_encode_column(F.col("vector"), cb)
+    rows = coll.select(
+        "id", pq_adc_scores(codes, cb, q).alias("adc"),
+        pq_decoded_column(codes, cb, codes_are_binary=False).alias("rec"),
+    ).collect()
+    for r in rows:
+        want = float(np.dot(np.array(r["rec"]), np.array(q)))
+        assert abs(r["adc"] - want) < 1e-9
+
+
+def test_pq_binary_pack_roundtrip(spark, coll, tmp_path_factory):
+    from flouds_vectordb_spark.plans.pq import pq_pack_codes
+
+    cb = train_pq_anchors(coll, m=4, k=8, metric="L2")
+    arr = pq_encode_column(F.col("vector"), cb)
+    both = coll.select("id", arr.alias("a"),
+                       pq_pack_codes(arr, cb.m).alias("b")).collect()
+    for r in both:
+        assert list(r["b"]) == list(r["a"])  # bytes == int codes
+        assert len(r["b"]) == cb.m  # m bytes at rest
+
+
+def test_pq_anchors_build_matches_inline(spark, coll, tmp_path_factory):
+    q = [0.3, -1.2, 0.8, 0.0, 1.5, -0.4, 0.9, 1.0]
+    path = str(tmp_path_factory.mktemp("pq") / "idx")
+    cb = get_or_build_pq_anchors(coll, path, m=4, k=8, metric="COSINE")
+    coded = spark.read.parquet(path)
+    stored = [(r["id"], r["rank"], r["score"]) for r in
+              pq_search(coded, cb, q, 10, codes_col="codes").collect()]
+    inline = [(r["id"], r["rank"], r["score"]) for r in
+              pq_search(coll, cb, q, 10).collect()]
+    assert stored == inline
+    # reopen from sidecar gives the same codebook
+    assert open_pq(path) == cb
+
+
+def test_pq_kmeans_recall_on_separable_data(spark):
+    """kmeans-codebook PQ must rank an exact duplicate of the query first:
+    with well-separated clusters the query's codes equal its duplicate's
+    codes and the ADC score dominates."""
+    rng = np.random.RandomState(5)
+    centers = rng.uniform(-10, 10, (6, DIM))
+    rows = []
+    for i in range(240):
+        c = centers[i % 6]
+        rows.append((i, [float(x) for x in c + rng.normal(0, 0.05, DIM)]))
+    target = [float(x) for x in centers[2]]
+    rows.append((999, target))
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    cb = train_pq_kmeans(df, m=4, k=16, metric="L2")
+    top = pq_search(df, cb, target, 3).collect()
+    # ADC L2 score of the duplicate = -(query-to-centroid residual)^2:
+    # near zero (cluster spread 0.05), never exactly zero
+    assert top[0]["id"] == 999 and top[0]["score"] > -0.1
+
+
+def test_pq_kmeans_storage_roundtrip(spark, tmp_path_factory):
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, DIM)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    path = str(tmp_path_factory.mktemp("pqk") / "idx")
+    cb = build_pq(df, path, m=4, k=16, metric="IP")
+    coded = spark.read.parquet(path)
+    assert coded.count() == 120
+    # stored binary codes equal a fresh UDF encode
+    fresh = {r["id"]: bytes(r["c"]) for r in df.select(
+        "id", pq_encode_udf(cb)(F.col("vector")).alias("c")).collect()}
+    stored = {r["id"]: bytes(r["codes"]) for r in coded.collect()}
+    assert fresh == stored
+    assert open_pq(path) == cb
+
+
+def test_catalog_quantized_index_dispatch(spark, tmp_path_factory):
+    """generate_schema(index_type=IVF_SQ8/IVF_PQ) builds real coded tables
+    and search(use_index=True) runs the quantized path: approximate scores,
+    exact nearest neighbor still first on separated data, payload intact."""
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    rng = np.random.RandomState(3)
+    for itype in ("IVF_SQ8", "IVF_PQ"):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp(f"wh_{itype}")))
+        cat.set_vector_store("tquant")
+        cat.generate_schema(CollectionSpec("tquant", "m", dimension=DIM, nlist=4,
+                                           metric_type="L2", index_type=itype))
+        w = CollectionWriter(cat, "tquant", "m")
+        rows = [(f"k{i}", f"chunk {i}",
+                 [float(x) for x in rng.uniform(-5, 5, DIM)])
+                for i in range(150)]
+        target = [float(x) + 20.0 for x in range(DIM)]  # far-out easy NN
+        rows.append(("hit", "the needle", target))
+        b = spark.createDataFrame(rows, "id string, chunk string, vector array<float>")
+        w.insert_data(b, batch_ts=1, force_flush=True)
+        w.build_index()
+        req = DenseSearchRequest(query_vector=target, metric="L2", limit=3,
+                                 nprobe=4)
+        got = w.search(req, use_index=True, id_col="id", vector_col="vector",
+                       chunk_col="chunk").collect()
+        assert got[0]["id"] == "hit" and got[0]["chunk"] == "the needle", itype
+        # quantized scores approximate the exact ones
+        exact = dense_search(w.read_latest(), req, id_col="id",
+                             vector_col="vector").collect()
+        assert abs(got[0]["score"] - exact[0]["score"]) < 1.0, itype
+
+
+def test_pq_codebook_validation():
+    with pytest.raises(ValueError, match="not divisible"):
+        PqCodebook.from_rows([[1.0, 2.0, 3.0]], m=2, metric="IP")
+    lut = pq_lut(PqCodebook.from_rows([[1.0, 2.0], [3.0, 4.0]], m=2,
+                                      metric="L2"), [0.0, 0.0])
+    assert lut[0][0] == -1.0 and lut[1][1] == -16.0

@@ -2,9 +2,10 @@
 watermark + tumbling window, availableNow trigger, checked against the
 equivalent batch aggregation.
 
-The events parquet stores TIMESTAMP(NANOS); the session reads it as long
-nanos (spark.sql.legacy.parquet.nanosAsLong) and sources.tables.events
-normalizes to a TIMESTAMP column — the stream does the same conversion.
+The events parquet has stored TIMESTAMP(NANOS) (read as long nanos under
+spark.sql.legacy.parquet.nanosAsLong) or plain microsecond timestamps
+(read as TIMESTAMP_NTZ); the stream normalizes either to TIMESTAMP the
+same way sources.tables.events / streaming.sessionize do.
 """
 
 from __future__ import annotations
@@ -40,9 +41,16 @@ def test_stream_tumbling_window_matches_batch(spark, tmp_path_factory):
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(SF_SMALL)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
     )
+    # normalize ts to TIMESTAMP whatever the testdata generation stored:
+    # long nanos (nanosAsLong sessions) -> exact integer truncation;
+    # TIMESTAMP_NTZ (plain us parquet) -> session-tz cast (UTC session, so
+    # wall-clock preserving). Watermarks accept only TIMESTAMP.
+    if dict(stream.dtypes)["ts"] in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream.withWatermark("ts", "1 hour")
     q = (
         _windowed(stream)
         .writeStream.outputMode("append")
