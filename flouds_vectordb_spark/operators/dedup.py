@@ -43,6 +43,7 @@ from flouds_vectordb_spark.functions.hashing import (
 )
 from flouds_vectordb_spark.functions.text import tokenize
 from flouds_vectordb_spark.lifecycle import tracked_persist as _persist
+from flouds_vectordb_spark.sources.tables import spread_small_input as _spread
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -138,7 +139,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "id", text_col: str = "text"
     materialization IS the signature-index build step (write once,
     bucket-join many)."""
     sh = F.array_distinct(shingles(tokenize(F.col(text_col)), n=shingle_n))
-    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
+    base = _spread(df).select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
         "_h32", F.transform("shingles", lambda s: hash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
     ).transform(_persist)
     cols = [F.col("id"), F.col("shingles")]
@@ -293,25 +294,39 @@ def dedup_ngram_jaccard(
     (unit-tested against brute-force all-pairs), then exact Jaccard on the
     full sets verifies each candidate."""
     t = float(jaccard_threshold)
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         _shingle_hashes(F.col(text_col), shingle_n).alias("hset"),
     ).transform(_persist)
-    # prefix entries carry only (id, len, h) — the shingle ARRAYS never enter
-    # the inverted-index shuffle (they'd be duplicated x prefix_len); they are
-    # hash-joined back for the (small) surviving candidate set instead
+    # prefix entries carry only (id, len, prefix-position, h) — the shingle
+    # ARRAYS never enter the inverted-index shuffle (they'd be duplicated
+    # x prefix_len); they are hash-joined back for the (small) surviving
+    # candidate set instead
     plen = (F.size("hset") - F.ceil(F.lit(t) * F.size("hset")) + F.lit(1)).cast("int")
     entries = base.select(
-        "id", F.size("hset").alias("n"), F.explode(F.slice("hset", 1, plen)).alias("h")
+        "id", F.size("hset").alias("n"),
+        F.posexplode(F.slice("hset", 1, plen)).alias("p", "h"),
     )
-    a = entries.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "h")
-    b = entries.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "h")
+    a = entries.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                       F.col("p").alias("p_a"), "h")
+    b = entries.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                       F.col("p").alias("p_b"), "h")
+    # PPJoin positional filter (Xiao/Wang/Lin/Yu, WWW'08): Jaccard >= t
+    # forces overlap >= t/(1+t) * (|a|+|b|); a collision at 0-based prefix
+    # positions (p_a, p_b) bounds the achievable overlap by
+    # 1 + min(|a|-p_a, |b|-p_b) - 1 elements remaining after it. Exact:
+    # only provably-failing pairs are pruned (brute-force equivalence
+    # tests cover it); the 1e-9 slack keeps float rounding conservative.
+    alpha = F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")).cast("double")
+    reach = F.lit(1) + F.least(F.col("n_a") - F.col("p_a") - 1,
+                               F.col("n_b") - F.col("p_b") - 1)
     cand = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         # size-ratio prefilter: Jaccard >= t forces min|set| >= t * max|set|
         .filter(F.least("n_a", "n_b").cast("double")
                 >= F.lit(t) * F.greatest("n_a", "n_b").cast("double"))
+        .filter(reach.cast("double") >= alpha - F.lit(1e-9))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -427,7 +442,8 @@ def dedup_simhash(df: DataFrame, id_col: str = "id", text_col: str = "text",
     # votes read one cached array instead of re-hashing 60x; (2) the
     # fingerprints, so the self-join reads them instead of recomputing
     th = F.transform(tokenize(F.col(text_col)), lambda t: hash64(t))
-    hashed = df.select(F.col(id_col).alias("id"), th.alias("_th")).transform(_persist)
+    hashed = _spread(df).select(F.col(id_col).alias("id"), th.alias("_th")) \
+        .transform(_persist)
     sdf = hashed.select(
         "id", simhash_from_hashes(F.col("_th")).alias("simhash")
     ).transform(_persist)

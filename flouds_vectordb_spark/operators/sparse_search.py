@@ -145,8 +145,11 @@ def bm25_postings(
 
 def bm25_tf(df: DataFrame, id_col: str = "id", chunk_col: str = "chunk") -> DataFrame:
     """Immutable per-batch index rows (id, term, tf, dl) — append-only."""
+    from flouds_vectordb_spark.sources.tables import spread_small_input
+
     docs = (
-        df.select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
         .withColumn("dl", F.size("terms"))
     )
     return (

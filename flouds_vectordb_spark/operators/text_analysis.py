@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
 from flouds_vectordb_spark.functions.text import tokenize
+from flouds_vectordb_spark.sources.tables import spread_small_input
 from flouds_vectordb_spark.stopwords import NLTK_ENGLISH
 
 # tiny per-language function-word lists for the n-gram/function-word
@@ -45,8 +46,9 @@ def text_stats(df: DataFrame, id_col: str = "id", text_col: str = "text") -> Dat
     """(id, n_tokens, n_chars_norm, avg_token_len_r, stopword_ratio_r,
     distinct_ratio_r, quality_r, lang_guess, fingerprint)."""
     toks = tokenize(F.col(text_col))
-    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
-                  toks.alias("_toks"))
+    d = spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+        toks.alias("_toks"))
     n_tokens = F.size("_toks")
     n_chars = F.length("_t")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS_SORTED])
