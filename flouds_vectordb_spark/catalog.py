@@ -102,6 +102,13 @@ class CollectionSpec:
     index_type: str = "IVF_FLAT"
     metadata_length: int = 4096
     drop_ratio_build: float = 0.1
+    # enable_dynamic_field=True on the reference schema
+    # (base_milvus.py:992-997): unknown insert-payload keys are stored, not
+    # rejected. Here they ride an OPTIONAL `_extras` map<string,string>
+    # column (values are the JSON-literal strings of whatever the client
+    # sent); sources/json_ingest.py captures them, dense_search projects
+    # them via extra_cols.
+    enable_dynamic_field: bool = True
 
     def validate(self) -> None:
         if not (1 <= self.dimension <= 4096):
@@ -120,7 +127,11 @@ class CollectionSpec:
 
 def collection_schema(dim: int) -> T.StructType:
     """The one collection schema (base_milvus.py:920-997 -> SURVEY §1.2):
-    pk | chunk | dense vector | sparse vector | meta map | batch_ts."""
+    pk | chunk | dense vector | sparse vector | meta map | batch_ts.
+    Collections with enable_dynamic_field may additionally carry an
+    `_extras` map<string,string> column (schema-on-write escape hatch,
+    base_milvus.py:992-997) — optional per batch, parquet schema merge
+    handles its presence/absence across segments."""
     return T.StructType([
         T.StructField("id", T.StringType(), False),
         T.StructField("chunk", T.StringType(), True),
@@ -224,4 +235,10 @@ class Catalog:
         path = meta["path"]
         if not any(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
             return self.spark.createDataFrame([], collection_schema(meta["dimension"]))
-        return self.spark.read.parquet(path)
+        reader = self.spark.read
+        if meta.get("enable_dynamic_field", True):
+            # segments may disagree on the optional _extras column; without
+            # mergeSchema one arbitrary footer wins and can drop it. Footer
+            # merge is metadata-only (no data scan) — fine at scale.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(path)

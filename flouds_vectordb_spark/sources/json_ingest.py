@@ -44,17 +44,41 @@ EMBEDDED_VECTOR_SCHEMA = T.StructType([
 ])
 
 
-def read_embedded_vectors_json(spark: SparkSession, path: str) -> DataFrame:
+EMBEDDED_VECTOR_FIELDS = tuple(f.name for f in EMBEDDED_VECTOR_SCHEMA.fields)
+
+
+def read_embedded_vectors_json(spark: SparkSession, path: str,
+                               dynamic_fields: bool = False) -> DataFrame:
     """Read EmbeddedVector JSON-lines with the explicit schema (no
     inference scan); malformed lines fail loudly (FAILFAST) like the
-    reference's pydantic parse."""
-    return spark.read.schema(EMBEDDED_VECTOR_SCHEMA).option("mode", "FAILFAST").json(path)
+    reference's pydantic parse.
+
+    dynamic_fields=True (enable_dynamic_field collections,
+    base_milvus.py:992-997): unknown top-level keys are captured into an
+    `_extras` map<string,string> — one text scan, two JSON parses per
+    line, still no inference pass. Values are stored as their JSON-literal
+    strings (from_json's map coercion), Milvus's
+    store-whatever-the-client-sent contract."""
+    if not dynamic_fields:
+        return (spark.read.schema(EMBEDDED_VECTOR_SCHEMA)
+                .option("mode", "FAILFAST").json(path))
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    known = F.array(*[F.lit(k) for k in EMBEDDED_VECTOR_FIELDS])
+    extras = F.map_filter(
+        F.from_json("value", T.MapType(T.StringType(), T.StringType())),
+        lambda k, _: ~F.array_contains(known, k),
+    )
+    empty = F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType()))
+    return raw.select(
+        F.from_json("value", EMBEDDED_VECTOR_SCHEMA).alias("_r"),
+        F.coalesce(extras, empty).alias("_extras"),
+    ).select("_r.*", "_extras")
 
 
 def to_collection_batch(df: DataFrame) -> DataFrame:
     """EmbeddedVector records -> the collection batch shape
-    (id, chunk, vector, meta)."""
-    return df.select(
+    (id, chunk, vector, meta [, _extras])."""
+    cols = [
         F.col("key").alias("id"),
         F.col("chunk"),
         F.col("vector"),
@@ -62,7 +86,10 @@ def to_collection_batch(df: DataFrame) -> DataFrame:
             F.col("metadata"),
             F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType())),
         ).alias("meta"),
-    )
+    ]
+    if "_extras" in df.columns:
+        cols.append(F.col("_extras"))
+    return df.select(*cols)
 
 
 def validate_insert_request(batch: DataFrame, dim: int,

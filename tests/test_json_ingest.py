@@ -131,3 +131,50 @@ def test_ingest_json_end_to_end(spark, tmp_path_factory):
     hits = w.search(DenseSearchRequest(query_vector=[1.0, 0.1], limit=2,
                                        output_fields=())).collect()
     assert [h["id"] for h in hits] == ["a", "c"]
+
+
+def test_dynamic_fields_captured_and_projected(spark, tmp_path_factory):
+    """enable_dynamic_field (base_milvus.py:992-997): unknown payload keys
+    land in _extras as JSON-literal strings; known keys never do; the
+    column rides insert -> read_latest -> search projection."""
+    recs = [
+        {**_rec("a", [1.0, 0.0]), "custom_tag": "alpha", "rank": 7},
+        {**_rec("b", [0.0, 1.0]), "nested": {"x": 1}},
+        _rec("c", [1.0, 1.0]),
+    ]
+    path = _write_jsonl(tmp_path_factory, recs)
+    batch = to_collection_batch(
+        read_embedded_vectors_json(spark, path, dynamic_fields=True))
+    rows = {r["id"]: dict(r["_extras"]) for r in batch.collect()}
+    assert rows["a"] == {"custom_tag": "alpha", "rank": "7"}
+    assert rows["b"] == {"nested": '{"x":1}'}  # nested -> JSON literal
+    assert rows["c"] == {}
+    assert "key" not in rows["a"] and "vector" not in rows["a"]
+
+    # end to end through a dynamic collection: schema-merge across segments
+    # with and without _extras, projection via extra_cols
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.dense_search import (
+        DenseSearchRequest,
+        dense_search,
+    )
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whdyn")))
+    cat.set_vector_store("tdyn")
+    cat.generate_schema(CollectionSpec("tdyn", "m", dimension=2))
+    assert cat.describe_collection("tdyn", "m")["enable_dynamic_field"] is True
+    w = CollectionWriter(cat, "tdyn", "m")
+    w.insert_data(batch, batch_ts=1, auto_flush_min_batch=-1)
+    plain = spark.createDataFrame([("d", "v", [0.9, 0.1])],
+                                  "id string, chunk string, vector array<float>")
+    w.insert_data(plain, batch_ts=2, auto_flush_min_batch=-1)
+
+    latest = w.read_latest()
+    assert "_extras" in latest.columns  # mergeSchema across mixed segments
+    got = dense_search(latest, DenseSearchRequest(query_vector=[1.0, 0.0], limit=4),
+                       id_col="id", vector_col="vector", chunk_col="chunk",
+                       extra_cols=("_extras",)).collect()
+    by_id = {r["id"]: r["_extras"] for r in got}
+    assert dict(by_id["a"]) == {"custom_tag": "alpha", "rank": "7"}
+    assert by_id["d"] is None or dict(by_id["d"]) == {}
