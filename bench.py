@@ -49,10 +49,18 @@ def main() -> int:
     for name, q in qs.items():
         try:
             materialize(q(spark, sf_dir))  # warm-up: JIT, codegen, file listing
-            spark.catalog.clearCache()  # timed pass must redo persisted work
-            t0 = time.perf_counter()
-            materialize(q(spark, sf_dir))
-            times[name] = round(time.perf_counter() - t0, 4)
+            # min of two timed passes: single-pass numbers on a shared box
+            # swing +-50% with background load; the min is the reproducible
+            # cost of the plan. clearCache before EACH pass so persisted
+            # intermediates are re-done (the work the operator really does).
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(q(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
         except Exception as e:  # a broken query must not hide the others
             print(f"bench error {name}: {e}", file=sys.stderr)
             times[name] = -1.0

@@ -144,12 +144,12 @@ def bm25_postings(
 # Nothing previously written is rewritten.
 
 def bm25_tf(df: DataFrame, id_col: str = "id", chunk_col: str = "chunk") -> DataFrame:
-    """Immutable per-batch index rows (id, term, tf, dl) — append-only."""
-    from flouds_vectordb_spark.sources.tables import spread_small_input
-
+    """Immutable per-batch index rows (id, term, tf, dl) — append-only.
+    (No small-input rebalance here: tokenize+explode is cheap enough that
+    the extra shuffle LOSES — measured 0.9 s -> 1.5 s at sf0.1. The md5-
+    heavy dedup/text pipelines are where spread_small_input pays.)"""
     docs = (
-        spread_small_input(df)
-        .select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
         .withColumn("dl", F.size("terms"))
     )
     return (
