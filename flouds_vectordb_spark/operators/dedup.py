@@ -377,6 +377,80 @@ SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {t!r}
 """
 
 
+# --- near-dup connected components (pairs -> canonical keeper) ---------------
+
+def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                     max_iter: int = 50) -> DataFrame:
+    """(id, component_id) over the near-dup pair graph; component_id =
+    min member id — the canonical keeper a pipeline retains while dropping
+    the rest of each component.
+
+    Plan: iterative min-label propagation (the GraphX-free connected
+    components): each round, every node takes the min label among itself
+    and its neighbors; stop when a round changes nothing. Rounds needed =
+    component diameter — near-dup components are small dense clusters
+    (dozens of docs sharing content), so this converges in a handful of
+    keyed-shuffle rounds at any corpus scale; a pathological million-hop
+    chain would want the large-star/small-star variant instead
+    (documented, not needed for near-dup graphs). Each round is one
+    edges⋈labels join + a map-side-combinable min — no global sort, no
+    driver-side graph."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(_persist)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        # localCheckpoint (also inside the loop): iterative plans grow a
+        # join per round, and Catalyst re-analyzes the WHOLE lineage every
+        # round — quadratic planning, then stack/codegen blowup on long
+        # chains. Truncating lineage each round is the standard Spark
+        # iterative-algorithm discipline; the checkpointed state is
+        # (id, lbl) scalars only.
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("_nl"))
+        )
+        nxt = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least(F.col("lbl"),
+                                  F.coalesce("_nl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("lbl", "_old"), "id")
+            .filter(F.col("lbl") != F.col("_old")).limit(1).count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component_id"))
+
+
+def dedup_components_sql(pairs_sql: str, id_a: str = "id_a",
+                         id_b: str = "id_b") -> str:
+    """DuckDB oracle twin: reachability closure via recursive CTE, then
+    min over reached labels — exact fixpoint semantics, any pair source
+    (pass a parenthesized subquery, nested WITH allowed)."""
+    return f"""
+WITH RECURSIVE
+_p AS (SELECT {id_a} AS src, {id_b} AS dst FROM {pairs_sql}),
+_edges AS (SELECT src, dst FROM _p UNION ALL SELECT dst, src FROM _p),
+_nodes AS (SELECT DISTINCT src AS id FROM _edges),
+_reach(id, r) AS (
+  SELECT id, id FROM _nodes
+  UNION
+  SELECT e.dst, _reach.r FROM _reach JOIN _edges e ON e.src = _reach.id
+)
+SELECT id, min(r) AS component_id FROM _reach GROUP BY id
+"""
+
+
 # --- simhash near-dup --------------------------------------------------------
 
 SIMHASH_BITS = 64

@@ -581,6 +581,57 @@ _register("dedup_near_simhash", _dedup_simhash_q,
           dedup_simhash_sql(_DOCS_NEAR_DUPS_SQL, id_expr="doc_id", max_hamming=3))
 
 
+# --- near-dup connected components (pairs -> canonical keeper) ------------------
+def _dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import dedup_components
+
+    pairs = dedup_minhash(_docs_with_near_dups(spark, sf_dir), id_col="doc_id",
+                          jaccard_threshold=0.5)
+    return dedup_components(pairs)
+
+
+def _dedup_components_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import dedup_components_sql
+
+    pairs_sql = "(" + dedup_minhash_sql(_DOCS_NEAR_DUPS_SQL, id_expr="doc_id",
+                                        jaccard_threshold=0.5) + ")"
+    return dedup_components_sql(pairs_sql)
+
+
+_register("dedup_components", _dedup_components_q, _dedup_components_sql())
+
+
+# --- deterministic sampling ------------------------------------------------------
+def _sample_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sampling import sample_fraction
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_fraction(docs, 0.2, key_col="doc_id", seed=7)
+
+
+def _sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sampling import sample_stratified
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_stratified(docs, "lang", 25, key_col="doc_id", seed=7)
+
+
+def _sampling_sqls() -> tuple[str, str]:
+    from flouds_vectordb_spark.operators.sampling import (
+        sample_fraction_sql,
+        sample_stratified_sql,
+    )
+
+    base = "(SELECT doc_id, lang, source FROM documents)"
+    return (sample_fraction_sql(base, 0.2, key_expr="doc_id", seed=7),
+            sample_stratified_sql(base, "lang", 25, key_expr="doc_id", seed=7))
+
+
+_SF_SQL, _SS_SQL = _sampling_sqls()
+_register("sample_fraction_docs", _sample_fraction_q, _SF_SQL)
+_register("sample_stratified_lang", _sample_stratified_q, _SS_SQL)
+
+
 # --- embedding-cosine near dedup (SRP-LSH buckets + exact verify) ---------------
 def _embs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")

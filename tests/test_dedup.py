@@ -181,3 +181,25 @@ def test_persist_scope_is_per_thread(spark):
     # scope exit on the main thread left the worker's frame cached
     assert other_df.storageLevel.useMemory or other_df.storageLevel.useDisk
     other_df.unpersist()
+
+
+def test_components_min_label_over_chains_and_cliques(spark):
+    from flouds_vectordb_spark.operators.dedup import dedup_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # clique 10-11-12, isolated pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["component_id"] for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_long_chain_converges(spark):
+    from flouds_vectordb_spark.operators.dedup import dedup_components
+
+    n = 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "id_a long, id_b long")
+    got = {r["id"]: r["component_id"] for r in dedup_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
