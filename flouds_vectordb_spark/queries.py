@@ -880,6 +880,7 @@ def _pq_pair(metric: str):
 
 _register("q1_pq_adc_topk", *_pq_pair("COSINE"))
 _register("q1_pq_adc_l2", *_pq_pair("L2"))
+_register("q1_pq_adc_ip", *_pq_pair("IP"))
 
 
 # --- cross-collection similarity join -------------------------------------------
