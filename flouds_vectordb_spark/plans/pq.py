@@ -482,6 +482,21 @@ def build_pq(df: DataFrame, path: str, m: int, k: int = 256,
     return cb
 
 
+def append_pq(batch: DataFrame, path: str, id_col: str = "id",
+              vector_col: str = "vector",
+              extra_cols: tuple[str, ...] = ()) -> None:
+    """Incremental maintenance — encode ONLY the new rows against the
+    EXISTING codebook and append (FAISS-add semantics, same contract as
+    IvfIndex.append / append_sq8): O(batch), no retrain, no rewrite."""
+    cb = open_pq(path)
+    enc = batch.select(id_col, vector_col, *extra_cols).withColumn(
+        "codes", pq_encode_udf(cb)(F.col(vector_col))).drop(vector_col)
+    writer = enc.write.mode("append")
+    if "centroid_id" in extra_cols:
+        writer = writer.partitionBy("centroid_id")
+    writer.parquet(path)
+
+
 def open_pq(path: str) -> PqCodebook:
     with open(os.path.join(path, "_pq_meta.json")) as f:
         meta = json.load(f)

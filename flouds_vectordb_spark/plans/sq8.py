@@ -119,6 +119,22 @@ def build_sq8(df: DataFrame, path: str, dim: int, id_col: str = "id",
     return mins, steps
 
 
+def append_sq8(batch: DataFrame, path: str, id_col: str = "id",
+               vector_col: str = "vector",
+               extra_cols: tuple[str, ...] = ()) -> None:
+    """Incremental maintenance — encode ONLY the new rows with the EXISTING
+    bounds and append (the FAISS-add / Milvus-growing-segment contract,
+    same as IvfIndex.append): O(batch) work, no retrain, no rewrite.
+    Out-of-range new values clamp to the trained [min, max] — the standard
+    SQ8 staleness tradeoff; retrain (build_sq8) when drift matters."""
+    mins, steps = open_sq8(path)
+    enc = encode_sq8(batch, mins, steps, id_col, vector_col, extra_cols)
+    writer = enc.write.mode("append")
+    if "centroid_id" in extra_cols:
+        writer = writer.partitionBy("centroid_id")
+    writer.parquet(path)
+
+
 def open_sq8(path: str) -> tuple[list[float], list[float]]:
     with open(os.path.join(path, "_sq8_meta.json")) as f:
         meta = json.load(f)

@@ -213,3 +213,59 @@ def test_pq_codebook_validation():
     lut = pq_lut(PqCodebook.from_rows([[1.0, 2.0], [3.0, 4.0]], m=2,
                                       metric="L2"), [0.0, 0.0])
     assert lut[0][0] == -1.0 and lut[1][1] == -16.0
+
+
+def test_sq8_append_matches_rebuild_with_same_bounds(spark, coll, tmp_path_factory):
+    from flouds_vectordb_spark.plans.sq8 import append_sq8
+
+    first = coll.filter(F.col("id") < 200)
+    rest = coll.filter(F.col("id") >= 200)
+    path = str(tmp_path_factory.mktemp("sq8a") / "idx")
+    mins, steps = build_sq8(first, path, DIM)
+    append_sq8(rest, path)
+    appended = {r["id"]: bytes(r["codes"]) for r in spark.read.parquet(path).collect()}
+    # identical codes to encoding the whole corpus with the SAME bounds
+    full = {r["id"]: bytes(r["codes"])
+            for r in encode_sq8(coll, mins, steps).collect()}
+    assert appended == full
+
+
+def test_pq_append_matches_rebuild_with_same_codebook(spark, tmp_path_factory):
+    from flouds_vectordb_spark.plans.pq import append_pq
+
+    rng = np.random.RandomState(21)
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, DIM)]) for i in range(160)]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    path = str(tmp_path_factory.mktemp("pqa") / "idx")
+    cb = build_pq(df.filter(F.col("id") < 100), path, m=4, k=16, metric="L2")
+    append_pq(df.filter(F.col("id") >= 100), path)
+    appended = {r["id"]: bytes(r["codes"]) for r in spark.read.parquet(path).collect()}
+    full = {r["id"]: bytes(r["c"]) for r in df.select(
+        "id", pq_encode_udf(cb)(F.col("vector")).alias("c")).collect()}
+    assert appended == full
+
+
+def test_ivf_sq8_probe_is_partition_pruned_scan_of_codes(spark, coll, tmp_path_factory):
+    """Scale guard for the composed IVF+SQ8 path: the probed scan must
+    (a) prune partitions on centroid_id and (b) read ONLY (id, codes) for
+    scoring — never a vector column."""
+    from flouds_vectordb_spark.plans.ivf import build_ivf
+    from flouds_vectordb_spark.plans.sq8 import sq8_decoded_column
+
+    ivf_path = str(tmp_path_factory.mktemp("ivfq") / "ivf")
+    idx = build_ivf(coll, ivf_path, nlist=4, metric="L2")
+    sq8_path = str(tmp_path_factory.mktemp("ivfq") / "sq8")
+    mins, steps = build_sq8(spark.read.parquet(ivf_path), sq8_path, DIM,
+                            extra_cols=("centroid_id",))
+    q = [0.0] * DIM
+    cells = idx.probe_cells(q, 2)
+    coded = spark.read.parquet(sq8_path).filter(F.col("centroid_id").isin(cells))
+    dec = coded.withColumn("vector", sq8_decoded_column(F.col("codes"), mins, steps))
+    out = dense_search(dec, DenseSearchRequest(query_vector=q, metric="L2", limit=5),
+                       id_col="id", vector_col="vector")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans, plan
+    for ln in scans:
+        assert "centroid_id" in ln  # partition filter reached the scan
+        assert "ReadSchema" not in ln or "vector" not in ln.split("ReadSchema")[1]
