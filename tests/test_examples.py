@@ -33,3 +33,15 @@ def test_tenant_setup_example_runs(tmp_path_factory):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "schema_exists=True" in out.stdout
     assert "acme document 0" in out.stdout and "globex document 0" in out.stdout
+
+
+def test_quantized_index_example_runs(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("example_wh3"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "quantized_index.py"), wh],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "IVF_SQ8: top hit 'needle'" in out.stdout
+    assert "IVF_PQ: top hit 'needle'" in out.stdout
