@@ -160,18 +160,21 @@ def similarity_join(
     on the SAME seeded hyperplane signature, join buckets, verify exactly.
     Shuffles only bucket-colliding rows; never the cross product."""
     planes = srp_planes_from(left, vector_col, bits)
-    lsig = left.select(
-        F.col(left_id).alias("lid"), F.col(vector_col).alias("lv"),
-        srp_signature(F.col(vector_col), planes).alias("sig"),
-    )
-    rsig = right.select(
-        F.col(right_id).alias("rid"), F.col(vector_col).alias("rv"),
-        srp_signature(F.col(vector_col), planes).alias("sig"),
-    )
-    cand = lsig.join(rsig, "sig")
+    # bucket entries carry (id, sig) SCALARS only — the vectors never ride
+    # the bucket shuffle (at corpus scale that ships every embedding
+    # through an exchange); they join back for the small candidate set,
+    # the same late-materialization contract as the MinHash band join
+    lsig = left.select(F.col(left_id).alias("lid"),
+                       srp_signature(F.col(vector_col), planes).alias("sig"))
+    rsig = right.select(F.col(right_id).alias("rid"),
+                        srp_signature(F.col(vector_col), planes).alias("sig"))
+    cand = lsig.join(rsig, "sig").select("lid", "rid")
+    lvec = left.select(F.col(left_id).alias("lid"), F.col(vector_col).alias("lv"))
+    rvec = right.select(F.col(right_id).alias("rid"), F.col(vector_col).alias("rv"))
+    pairs = cand.join(lvec, "lid").join(rvec, "rid")
     cos = V.cosine_score(F.col("lv"), F.col("rv"))
     return (
-        cand.withColumn("cosine_r", F.round(cos, 6))
+        pairs.withColumn("cosine_r", F.round(cos, 6))
         .filter(F.col("cosine_r") >= F.lit(float(tau)))
         .select(F.col("lid"), F.col("rid"), "cosine_r")
     )
@@ -213,16 +216,24 @@ def dedup_embedding_cosine(
     buckets (radius 0) then verified exactly. Contract: detects pairs whose
     signatures agree — always true for exact/near-exact duplicates."""
     planes_df = srp_planes_from(df, vector_col, bits)
-    sigd = df.select(
-        F.col(id_col).alias("id"), F.col(vector_col).alias("v"),
-        srp_signature(F.col(vector_col), planes_df).alias("sig"),
+    # (id, sig) scalars only through the bucket self-join; vectors join
+    # back for the candidate set (see similarity_join)
+    sigd = df.select(F.col(id_col).alias("id"),
+                     srp_signature(F.col(vector_col), planes_df).alias("sig"))
+    a = sigd.select(F.col("id").alias("id_a"), "sig")
+    b = sigd.select(F.col("id").alias("id_b"), "sig")
+    cand = (a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vector_col).alias("v"))
+    pairs = (
+        cand.join(vecs.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("v_b")), "id_b")
     )
-    a = sigd.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "sig")
-    b = sigd.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "sig")
-    cand = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
     cos = V.cosine_score(F.col("v_a"), F.col("v_b"))
     return (
-        cand.withColumn("cosine_r", F.round(cos, 6))
+        pairs.withColumn("cosine_r", F.round(cos, 6))
         .filter(F.col("cosine_r") >= F.lit(float(tau)))
         .select("id_a", "id_b", "cosine_r")
     )
