@@ -242,3 +242,52 @@ class Catalog:
             # merge is metadata-only (no data scan) — fine at scale.
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(path)
+
+
+class ConfigKV:
+    """S7 — the reference's config KV store (config_service.py:136-499:
+    SQLite table config_kv(key, tenant_code, value, encrypted_flag),
+    composite PK, upsert-on-conflict). Metadata layer, not a Spark
+    operator (SURVEY §2.1); provided so a reference user has the full
+    surface. Backed by the catalog's atomic-rename JSON meta store —
+    driver-side, tiny, same durability model as the tenant/collection
+    registry. Fernet encryption-at-rest is OUT OF SCOPE (key management
+    is a service concern): encrypted=True stores only the flag and, like
+    the reference's get_config_meta for encrypted rows
+    (config_service.py:313-337), reads return (None, True) rather than
+    exposing a value."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+
+    @staticmethod
+    def _k(key: str, tenant_code: str) -> str:
+        return f"{tenant_code}\x00{key}"
+
+    def set_config(self, key: str, value: str, tenant_code: str = "",
+                   encrypted: bool = False) -> None:
+        if not key:
+            raise ValueError("config key must be non-empty")
+        data = self.catalog._read_meta("config_kv")
+        data[self._k(key, tenant_code)] = {
+            "value": None if encrypted else str(value),
+            "encrypted": bool(encrypted),
+        }
+        self.catalog._write_meta("config_kv", data)
+
+    def get_config(self, key: str, tenant_code: str = "") -> str | None:
+        v, enc = self.get_config_meta(key, tenant_code)
+        return None if enc else v
+
+    def get_config_meta(self, key: str, tenant_code: str = "") -> tuple[str | None, bool]:
+        row = self.catalog._read_meta("config_kv").get(self._k(key, tenant_code))
+        if row is None:
+            return None, False
+        if row["encrypted"]:
+            return None, True
+        return row["value"], False
+
+    def delete_config(self, key: str, tenant_code: str = "") -> None:
+        data = self.catalog._read_meta("config_kv")
+        data.pop(self._k(key, tenant_code), None)
+        self.catalog._write_meta("config_kv", data)

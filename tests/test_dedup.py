@@ -203,3 +203,17 @@ def test_components_long_chain_converges(spark):
                                   "id_a long, id_b long")
     got = {r["id"]: r["component_id"] for r in dedup_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_srp_bucket_shuffle_carries_scalars_only(spark):
+    """Scale guard (mirrors the ngram-join guard): the SRP signature
+    bucket self-join must exchange (id, sig) scalars — embeddings join
+    back for candidates, never ride the bucket shuffle."""
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)],
+        "id long, embedding array<double>")
+    plan = (dedup_embedding_cosine(df, tau=0.9, bits=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(sig#" in line:
+            assert "embedding" not in line and ", v#" not in line, line

@@ -191,3 +191,26 @@ def test_collection_search_validates_query_dim(spark, tmp_path_factory):
     assert via_idx == exact
     with pytest.raises(ValueError, match="nprobe"):
         DenseSearchRequest(query_vector=[1.0, 0.5], nprobe=2)
+
+
+def test_config_kv_store(spark, tmp_path_factory):
+    """S7 config KV (config_service.py:136-499): per-tenant namespacing,
+    upsert-on-conflict, delete, and the encrypted-flag contract (reads of
+    encrypted rows return (None, True), never a value)."""
+    from flouds_vectordb_spark.catalog import ConfigKV
+
+    kv = ConfigKV(Catalog(spark, str(tmp_path_factory.mktemp("whkv"))))
+    kv.set_config("retries", "3")
+    kv.set_config("retries", "9", tenant_code="acme1")  # tenant shadows global
+    assert kv.get_config("retries") == "3"
+    assert kv.get_config("retries", tenant_code="acme1") == "9"
+    kv.set_config("retries", "5")  # upsert
+    assert kv.get_config("retries") == "5"
+    assert kv.get_config("missing") is None
+    kv.set_config("token", "secret", encrypted=True)
+    assert kv.get_config_meta("token") == (None, True)
+    kv.delete_config("retries")
+    assert kv.get_config("retries") is None
+    assert kv.get_config("retries", tenant_code="acme1") == "9"
+    with pytest.raises(ValueError):
+        kv.set_config("", "x")
