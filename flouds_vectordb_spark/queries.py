@@ -883,6 +883,44 @@ _register("q1_pq_adc_l2", *_pq_pair("L2"))
 _register("q1_pq_adc_ip", *_pq_pair("IP"))
 
 
+def _ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF pruning COMPOSED with PQ-ADC scoring on the clustered fixture
+    (the PQ mirror of q1_ivf_sq8_pruned): anchor-codebook codes carry
+    centroid_id, probes are partition-pruned scans of m-byte codes.
+    Recall-safe by construction: the cluster shares the query's cell and
+    its codes dominate the ADC ranking, so the pruned quantized top-10
+    equals the oracle's full-scan quantized top-10."""
+    from flouds_vectordb_spark.plans.pq import (
+        build_pq_anchors,
+        open_pq,
+        pq_search,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    ivf_path = os.path.join(IVF_CACHE_ROOT, f"{tag}_clustered_nlist8_cosine")
+    idx = get_or_build_ivf(_clustered_embs(spark, sf_dir), ivf_path, 8, "COSINE")
+    pq_path = os.path.join(PQ_CACHE_ROOT, f"{tag}_clustered_anchors")
+    if os.path.exists(os.path.join(pq_path, "_pq_meta.json")):
+        cb = open_pq(pq_path)
+    else:
+        cb = build_pq_anchors(spark.read.parquet(ivf_path), pq_path, m=8, k=16,
+                              metric="COSINE", extra_cols=("centroid_id",))
+    cells = idx.probe_cells(_CLUSTER_Q, 4)
+    coded = spark.read.parquet(pq_path).filter(F.col("centroid_id").isin(cells))
+    return pq_search(coded, cb, _CLUSTER_Q, 10, codes_col="codes")
+
+
+def _ivf_pq_sql() -> str:
+    from flouds_vectordb_spark.plans.pq import pq_adc_search_sql
+
+    return pq_adc_search_sql(_CLUSTERED_EMBS_SQL, _CLUSTER_Q, "COSINE", 10,
+                             m=8, k=16, dim=64, id_expr="id",
+                             vector_expr="vector")
+
+
+_register("q1_ivf_pq_pruned", _ivf_pq_q, _ivf_pq_sql())
+
+
 # --- cross-collection similarity join -------------------------------------------
 # probes = a deterministic subset of embeddings under new ids; exact copies
 # guarantee bucket collisions (same signature), so the join provably finds them
