@@ -252,10 +252,13 @@ class ConfigKV:
     surface. Backed by the catalog's atomic-rename JSON meta store —
     driver-side, tiny, same durability model as the tenant/collection
     registry. Fernet encryption-at-rest is OUT OF SCOPE (key management
-    is a service concern): encrypted=True stores only the flag and, like
-    the reference's get_config_meta for encrypted rows
-    (config_service.py:313-337), reads return (None, True) rather than
-    exposing a value."""
+    is a service concern): encrypted=True stores the value VERBATIM
+    (plaintext at rest — no key manager here; the reference stores the
+    Fernet ciphertext, config_service.py:313-337) and, like the
+    reference's get_config_meta for encrypted rows, reads return
+    (None, True) rather than exposing the value. The row is therefore
+    recoverable (no silent data loss) once a decrypting service layer
+    exists; until then it is simply never surfaced through reads."""
 
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
@@ -270,7 +273,7 @@ class ConfigKV:
             raise ValueError("config key must be non-empty")
         data = self.catalog._read_meta("config_kv")
         data[self._k(key, tenant_code)] = {
-            "value": None if encrypted else str(value),
+            "value": str(value),
             "encrypted": bool(encrypted),
         }
         self.catalog._write_meta("config_kv", data)

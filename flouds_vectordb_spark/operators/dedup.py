@@ -394,7 +394,16 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     chain would want the large-star/small-star variant instead
     (documented, not needed for near-dup graphs). Each round is one
     edges⋈labels join + a map-side-combinable min — no global sort, no
-    driver-side graph."""
+    driver-side graph. The convergence check rides the SAME update pass:
+    the new label is computed next to the old one in the update select, a
+    `_chg` flag marks rows whose label dropped, and the eager
+    localCheckpoint materializes both; the changed probe is then a
+    limit-1 scan of the checkpointed scalars — no second join, no second
+    shuffle per round.
+
+    Raises RuntimeError if max_iter rounds elapse before the fixpoint
+    (long-diameter pair graph): partially propagated labels would
+    silently keep extra duplicates or merge wrong groups downstream."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -410,25 +419,29 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # (id, lbl) scalars only.
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("_nl"))
         )
+        new_lbl = F.least(F.col("lbl"), F.coalesce("_nl", "lbl"))
         nxt = (
             labels.join(neigh, "id", "left")
-            .select("id", F.least(F.col("lbl"),
-                                  F.coalesce("_nl", "lbl")).alias("lbl"))
+            .select("id", new_lbl.alias("lbl"),
+                    (new_lbl < F.col("lbl")).alias("_chg"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.join(labels.withColumnRenamed("lbl", "_old"), "id")
-            .filter(F.col("lbl") != F.col("_old")).limit(1).count()
-        )
-        labels = nxt
-        if changed == 0:
+        labels = nxt.drop("_chg")
+        if nxt.filter(F.col("_chg")).limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            "rounds; labels are partially propagated — raise max_iter "
+            "(rounds needed = component diameter)")
     return labels.select("id", F.col("lbl").alias("component_id"))
 
 

@@ -413,8 +413,16 @@ def pq_adc_search_sql(table_sql: str, query: list[float], metric: str,
     if metric == "COSINE":
         vec = (f"list_transform({vector_expr}, x -> x::DOUBLE / "
                f"nullif({_norm_expr_sql(vector_expr)}, 0))")
+        # anchors diverge from data rows on the degenerate zero-norm case:
+        # train_pq_anchors maps a zero-norm COSINE anchor to the ZERO
+        # vector (not NULL elements), so the anchor normalize coalesces —
+        # otherwise a zero vector in the k-anchor sample poisons every
+        # list_sort/list_sum with NULLs while Spark scores normally
+        avec = (f"list_transform({vector_expr}, x -> coalesce(x::DOUBLE / "
+                f"nullif({_norm_expr_sql(vector_expr)}, 0), 0.0))")
     else:
         vec = f"list_transform({vector_expr}, x -> x::DOUBLE)"
+        avec = vec
     anchor_vec = "av"  # anchors CTE column, already normalized/cast
     # DuckDB lambdas cannot contain subqueries, so the chosen-anchor
     # expression is substituted textually into the contribution formula
@@ -429,7 +437,7 @@ def pq_adc_search_sql(table_sql: str, query: list[float], metric: str,
     return f"""
 WITH _anchors AS (
   SELECT list({anchor_vec} ORDER BY _h, _id) AS books FROM (
-    SELECT {id_expr} AS _id, {vec} AS {anchor_vec},
+    SELECT {id_expr} AS _id, {avec} AS {anchor_vec},
            {hash64_sql(f"({id_expr})::VARCHAR")} AS _h
     FROM {table_sql}
     ORDER BY _h, _id LIMIT {k})

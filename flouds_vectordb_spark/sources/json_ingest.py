@@ -58,16 +58,27 @@ def read_embedded_vectors_json(spark: SparkSession, path: str,
     `_extras` map<string,string> — one text scan, two JSON parses per
     line, still no inference pass. Values are stored as their JSON-literal
     strings (from_json's map coercion), Milvus's
-    store-whatever-the-client-sent contract."""
+    store-whatever-the-client-sent contract. A malformed line makes the
+    MAP parse NULL (the struct parse yields an all-NULL row, which is
+    indistinguishable from an empty object) — a raise_error guard on it
+    keeps the dynamic path's parse-failure contract equivalent to
+    FAILFAST (errors at action time, no extra scan, no driver job).
+    Field-level type mismatches on an otherwise-valid line surface
+    through the request validators (validate_insert_request), same as
+    the schema-first path's nulled fields."""
     if not dynamic_fields:
         return (spark.read.schema(EMBEDDED_VECTOR_SCHEMA)
                 .option("mode", "FAILFAST").json(path))
     raw = spark.read.text(path).filter(F.trim("value") != "")
     known = F.array(*[F.lit(k) for k in EMBEDDED_VECTOR_FIELDS])
-    extras = F.map_filter(
-        F.from_json("value", T.MapType(T.StringType(), T.StringType())),
-        lambda k, _: ~F.array_contains(known, k),
-    )
+    mapped = F.from_json("value", T.MapType(T.StringType(), T.StringType()))
+    checked_map = F.when(
+        mapped.isNull(),
+        F.raise_error(F.concat(
+            F.lit("malformed EmbeddedVector JSON line: "),
+            F.substring(F.col("value"), 1, 200))),
+    ).otherwise(mapped)
+    extras = F.map_filter(checked_map, lambda k, _: ~F.array_contains(known, k))
     empty = F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType()))
     return raw.select(
         F.from_json("value", EMBEDDED_VECTOR_SCHEMA).alias("_r"),

@@ -217,3 +217,17 @@ def test_srp_bucket_shuffle_carries_scalars_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(sig#" in line:
             assert "embedding" not in line and ", v#" not in line, line
+
+
+def test_components_raises_on_max_iter_nonconvergence(spark):
+    """A long-diameter chain that cannot reach the min-label fixpoint in
+    max_iter rounds must RAISE (partially propagated labels would silently
+    keep extra duplicates), not return wrong component ids."""
+    import pytest
+
+    from flouds_vectordb_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=2)

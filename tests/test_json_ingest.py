@@ -178,3 +178,21 @@ def test_dynamic_fields_captured_and_projected(spark, tmp_path_factory):
     by_id = {r["id"]: r["_extras"] for r in got}
     assert dict(by_id["a"]) == {"custom_tag": "alpha", "rank": "7"}
     assert by_id["d"] is None or dict(by_id["d"]) == {}
+
+
+def test_dynamic_fields_malformed_line_fails_loudly(spark, tmp_path_factory):
+    """FAILFAST parity for the dynamic path (ADVICE r4): a malformed JSON
+    line must error at action time like the schema-first FAILFAST read,
+    never flow downstream as a null-field row."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    d = tmp_path_factory.mktemp("badjson")
+    path = str(d / "batch.jsonl")
+    with open(path, "w") as f:
+        f.write('{"key": "a", "chunk": "ok", "vector": [1.0, 0.0]}\n')
+        f.write("{not json at all\n")
+    df = read_embedded_vectors_json(spark, path, dynamic_fields=True)
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        df.collect()
