@@ -171,6 +171,17 @@ def bm25_doc_stats(df: DataFrame, id_col: str = "id",
     return int(row["n"]), int(row["s"])
 
 
+def bm25_doc_rows(df: DataFrame, id_col: str = "id",
+                  chunk_col: str = "chunk") -> DataFrame:
+    """(id, dl) per document — the doc registry rows. Includes zero-term
+    docs (which the exploded tf table cannot see), with dl coalesced to 0
+    so counter arithmetic matches bm25_doc_stats' null-skipping sum."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(tokenize(F.col(chunk_col))), F.lit(0)).alias("dl"),
+    )
+
+
 def bm25_term_stats(tf: DataFrame) -> DataFrame:
     """(term, df) from a tf table; df is exact (tf rows are unique per
     (id, term))."""

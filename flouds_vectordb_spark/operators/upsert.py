@@ -116,10 +116,11 @@ class CollectionWriter:
         if int(counts["nk"]) != n:
             raise ValueError("duplicate primary keys in batch")
         stamped.write.mode("append").parquet(self.meta["path"])
+        indexed = self._append_sparse(stamped, int(batch_ts))
         flushed = should_flush(n, force_flush, auto_flush_min_batch)
         if flushed:
             self.flush()
-        return {"inserted": n, "flushed": flushed}
+        return {"inserted": n, "flushed": flushed, "sparse_indexed": indexed}
 
     def read_latest(self) -> DataFrame:
         """Latest-wins view over the appended segments."""
@@ -234,23 +235,182 @@ class CollectionWriter:
                             req, **dense_kwargs)
 
     # ---- sparse + hybrid over the stored collection (vector_store.py:594-692)
-    def build_sparse_index(self, drop_ratio_build: float = 0.0):
-        """I1's index artifact over the flushed collection: the posting-list
-        table (SPARSE_INVERTED_INDEX analogue, base_milvus.py:1286-1310),
-        written as its own parquet so query-time term lookups are
-        filter-pushed scans of the index — never the corpus."""
-        from flouds_vectordb_spark.operators.sparse_search import bm25_postings
+    #
+    # Index layout (the Lucene/ES model re-expressed for parquet): BM25
+    # weights depend on GLOBAL stats (idf, avgdl), so a materialized weight
+    # table is inherently O(index) to maintain — any ingest changes every
+    # stored weight. Instead the index stores only IMMUTABLE per-document
+    # facts and additively-mergeable stats; weights derive at read:
+    #   __sparse_tf    (id, term, tf, dl, batch_ts)  append-only, written
+    #                  range-partitioned + sorted by term so query-time
+    #                  `term IN (...)` pushdown skips whole row groups
+    #   __sparse_docs  (id, dl, batch_ts)            append-only registry
+    #                  (counts zero-term docs; supplies the latest version
+    #                  ts per doc for stale-row filtering)
+    #   __sparse_stats (term, df)                    rewritten per merge,
+    #                  O(distinct terms) — at 100 TB this is the vocabulary,
+    #                  orders of magnitude smaller than the postings
+    #   __sparse_meta.json {n_docs, sum_dl}          two driver counters
+    # An ingest therefore costs O(batch + distinct terms), never a posting
+    # rewrite. drop_ratio_build > 0 keeps the legacy MATERIALIZED pruned
+    # table (__postings): Milvus prunes by a build-time global weight
+    # quantile, which is meaningless under derive-at-read — that index is
+    # rebuild-only, like the reference's (base_milvus.py:1286-1310).
 
-        out = self.meta["path"] + "__postings"
-        bm25_postings(self.read_latest(), drop_ratio_build=drop_ratio_build) \
-            .write.mode("overwrite").parquet(out)
-        return out
+    def _sparse_paths(self) -> dict:
+        p = self.meta["path"]
+        return {"legacy": p + "__postings", "tf": p + "__sparse_tf",
+                "docs": p + "__sparse_docs", "stats": p + "__sparse_stats",
+                "meta": p + "__sparse_meta.json"}
+
+    @staticmethod
+    def _term_sorted(df: DataFrame) -> DataFrame:
+        """Range-partition + sort by term so each output file covers a
+        narrow term range: parquet min/max column stats then let a pushed
+        `term IN (...)` filter skip whole row groups (tests assert the
+        written files have disjoint term ranges)."""
+        return df.repartitionByRange(F.col("term")).sortWithinPartitions("term")
+
+    def build_sparse_index(self, drop_ratio_build: float = 0.0):
+        """I1's index artifact over the flushed collection (the
+        SPARSE_INVERTED_INDEX analogue): incremental tf/docs/stats layout
+        (see above) or, with drop_ratio_build > 0, the legacy materialized
+        pruned posting table."""
+        import json
+
+        from flouds_vectordb_spark.operators.sparse_search import (
+            bm25_doc_rows,
+            bm25_doc_stats,
+            bm25_postings,
+            bm25_term_stats,
+            bm25_tf,
+        )
+
+        paths = self._sparse_paths()
+        latest = self.read_latest()
+        if drop_ratio_build > 0.0:
+            self._term_sorted(
+                bm25_postings(latest, drop_ratio_build=drop_ratio_build)
+            ).write.mode("overwrite").parquet(paths["legacy"])
+            return paths["legacy"]
+        # tf rows carry the version ts of their document so stale versions
+        # are filterable at read via the (id, latest ts) registry join
+        tf = bm25_tf(latest).join(latest.select("id", "batch_ts"), "id")
+        self._term_sorted(tf).write.mode("overwrite").parquet(paths["tf"])
+        bm25_doc_rows(latest).join(latest.select("id", "batch_ts"), "id") \
+            .write.mode("overwrite").parquet(paths["docs"])
+        bm25_term_stats(bm25_tf(latest)).write.mode("overwrite").parquet(paths["stats"])
+        n_docs, sum_dl = bm25_doc_stats(latest)
+        with open(paths["meta"], "w") as f:
+            json.dump({"n_docs": n_docs, "sum_dl": sum_dl}, f)
+        return paths["tf"]
+
+    def _append_sparse(self, stamped: DataFrame, batch_ts: int) -> bool:
+        """O(batch) incremental index maintenance, called from insert_data
+        when the incremental artifacts exist. Handles UPDATES: a batch key
+        that already exists gets its old tf rows superseded (latest-wins by
+        doc ts at read) and its old df/dl contributions subtracted from the
+        mergeable stats, so the derived weights equal a full rebuild's —
+        parity-tested in tests/test_sparse_search.py."""
+        import json
+        import os
+        import shutil
+
+        from flouds_vectordb_spark.operators.sparse_search import (
+            bm25_doc_rows,
+            bm25_term_stats,
+            bm25_tf,
+        )
+
+        paths = self._sparse_paths()
+        if not os.path.isdir(paths["tf"]):
+            return False
+        spark = self.catalog.spark
+        batch = stamped.persist()
+        try:
+            new_tf = bm25_tf(batch).withColumn("batch_ts", F.lit(batch_ts))
+            new_docs = bm25_doc_rows(batch).withColumn("batch_ts", F.lit(batch_ts))
+
+            # updated docs: latest stored version per batch key (join, not a
+            # driver-side id list — bulk batches stay distributed; the batch
+            # side is small and broadcast-able, AQE picks the strategy)
+            docs = spark.read.parquet(paths["docs"])
+            batch_ids = batch.select("id")
+            updated = (
+                docs.join(batch_ids, "id")
+                .groupBy("id")
+                .agg(F.max("batch_ts").alias("batch_ts"))
+            ).persist()
+            upd_row = (
+                docs.join(updated, ["id", "batch_ts"])
+                .agg(F.count("*").alias("n"),
+                     F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+                .first()
+            )
+            n_upd, dl_upd = int(upd_row["n"]), int(upd_row["s"])
+            batch_row = new_docs.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first()
+
+            # stats' = stats + df(new) - df(old versions of updated docs)
+            old_tf_upd = spark.read.parquet(paths["tf"]).join(
+                updated, ["id", "batch_ts"])
+            neg_df = bm25_term_stats(old_tf_upd).withColumn(
+                "df", -F.col("df"))
+            stats = spark.read.parquet(paths["stats"])
+            merged = (
+                stats.unionByName(bm25_term_stats(new_tf)).unionByName(neg_df)
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0)
+            )
+            tmp = paths["stats"] + "__merging"
+            merged.write.mode("overwrite").parquet(tmp)
+            updated.unpersist()
+            shutil.rmtree(paths["stats"])
+            os.replace(tmp, paths["stats"])
+
+            self._term_sorted(new_tf).write.mode("append").parquet(paths["tf"])
+            new_docs.write.mode("append").parquet(paths["docs"])
+
+            with open(paths["meta"]) as f:
+                counters = json.load(f)
+            counters["n_docs"] += int(batch_row["n"]) - n_upd
+            counters["sum_dl"] += int(batch_row["s"]) - dl_upd
+            with open(paths["meta"], "w") as f:
+                json.dump(counters, f)
+            return True
+        finally:
+            batch.unpersist()
 
     def _stored_postings(self):
+        """The queryable posting view (id, term, tf, dl, df, weight):
+        legacy materialized table if present, else weights DERIVED from the
+        incremental artifacts — matched tf rows (term pushdown reaches the
+        sorted tf scan) x current term stats x the two counters. Stale doc
+        versions are dropped by the (id, latest ts) join against the doc
+        registry."""
+        import json
         import os
 
-        path = self.meta["path"] + "__postings"
-        return self.catalog.spark.read.parquet(path) if os.path.isdir(path) else None
+        from flouds_vectordb_spark.operators.sparse_search import bm25_weights
+
+        paths = self._sparse_paths()
+        spark = self.catalog.spark
+        if os.path.isdir(paths["legacy"]):
+            return spark.read.parquet(paths["legacy"])
+        if not os.path.isdir(paths["tf"]):
+            return None
+        doc_latest = (
+            spark.read.parquet(paths["docs"])
+            .groupBy("id").agg(F.max("batch_ts").alias("batch_ts"))
+        )
+        tf_latest = spark.read.parquet(paths["tf"]).join(
+            doc_latest, ["id", "batch_ts"]).select("id", "term", "tf", "dl")
+        stats = spark.read.parquet(paths["stats"])
+        with open(paths["meta"]) as f:
+            counters = json.load(f)
+        return bm25_weights(tf_latest, stats,
+                            counters["n_docs"], counters["sum_dl"])
 
     def search_sparse(self, req, use_index: bool = False):
         """Sparse BM25 over the stored collection; use_index=True reads the

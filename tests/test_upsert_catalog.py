@@ -83,7 +83,7 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
     b1 = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
                                "id string, chunk string, vector array<float>")
     r1 = w.insert_data(b1, batch_ts=1, auto_flush_min_batch=-1)
-    assert r1 == {"inserted": 2, "flushed": False}
+    assert r1 == {"inserted": 2, "flushed": False, "sparse_indexed": False}
 
     b2 = spark.createDataFrame([("a", "v2", [0.5, 0.5])],
                                "id string, chunk string, vector array<float>")
@@ -214,3 +214,96 @@ def test_config_kv_store(spark, tmp_path_factory):
     assert kv.get_config("retries", tenant_code="acme1") == "9"
     with pytest.raises(ValueError):
         kv.set_config("", "x")
+
+
+def test_incremental_sparse_index_matches_full_rebuild(spark, tmp_path_factory):
+    """ADVICE/VERDICT r4: insert_data on an indexed collection must merge
+    the batch into the sparse index incrementally (append tf/doc rows,
+    merge term stats — O(batch), no posting rewrite) and the DERIVED
+    weights must equal a from-scratch bm25_postings rebuild bit-for-bit,
+    including updates (superseded doc versions leave the stats)."""
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        bm25_postings,
+    )
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whinc")))
+    cat.set_vector_store("t6")
+    cat.generate_schema(CollectionSpec("t6", "m", dimension=2, nlist=2))
+    w = CollectionWriter(cat, "t6", "m")
+    b1 = spark.createDataFrame(
+        [("a", "spark merge join", [1.0, 0.0]),
+         ("b", "spark spark scan", [0.0, 1.0]),
+         ("c", "hash join probe build", [0.7, 0.7]),
+         ("e", "", [0.1, 0.1])],  # zero-term doc: counters must include it
+        "id string, chunk string, vector array<float>")
+    w.insert_data(b1, batch_ts=1, force_flush=True)
+    w.build_sparse_index()
+
+    # batch 2: new keys + an UPDATE of "b" (its old terms must leave df/dl)
+    b2 = spark.createDataFrame(
+        [("d", "scan scan scan probe", [0.5, 0.1]),
+         ("b", "merge probe", [0.0, 0.9]),
+         ("f", "join build spark", [0.2, 0.8])],
+        "id string, chunk string, vector array<float>")
+    res = w.insert_data(b2, batch_ts=2, force_flush=True)
+    assert res["sparse_indexed"] is True
+
+    derived = {(r["id"], r["term"]): (r["tf"], r["dl"], r["df"], r["weight"])
+               for r in w._stored_postings().collect()}
+    rebuilt = {(r["id"], r["term"]): (r["tf"], r["dl"], r["df"], r["weight"])
+               for r in bm25_postings(w.read_latest()).collect()}
+    assert derived == rebuilt
+
+    # search over the merged index equals the index-free direct scorer
+    sreq = SparseSearchRequest(query_text="spark probe", limit=5)
+    via_idx = [(r["id"], r["score"]) for r in
+               w.search_sparse(sreq, use_index=True).collect()]
+    direct = [(r["id"], r["score"]) for r in w.search_sparse(sreq).collect()]
+    assert via_idx == direct and via_idx
+
+
+def test_sparse_tf_files_have_disjoint_term_ranges(spark, tmp_path_factory):
+    """Scale guard for the posting layout: the tf table is written
+    range-partitioned + sorted by term, so each parquet file covers a
+    narrow, non-overlapping term range — parquet min/max stats then make
+    a pushed `term IN (...)` a real file/row-group skip at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whrng")))
+    cat.set_vector_store("t7")
+    cat.generate_schema(CollectionSpec("t7", "m", dimension=2, nlist=2))
+    w = CollectionWriter(cat, "t7", "m")
+    import random
+
+    rnd = random.Random(7)
+    words = [f"w{i:03d}" for i in range(120)]
+    rows = [(f"k{i}", " ".join(rnd.sample(words, 6)), [1.0, 0.0])
+            for i in range(200)]
+    w.insert_data(
+        spark.createDataFrame(rows, "id string, chunk string, vector array<float>"),
+        batch_ts=1, force_flush=True)
+    # AQE rightly coalesces the tiny test shuffle into one partition (at
+    # scale it targets bytes-per-partition, each still a disjoint range);
+    # disable coalescing so the multi-file layout is observable here
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        w.build_sparse_index()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    ranges = []
+    for f in glob.glob(w._sparse_paths()["tf"] + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        stats = [md.row_group(g).column(
+            next(i for i in range(md.num_columns)
+                 if md.schema.column(i).name == "term")).statistics
+            for g in range(md.num_row_groups)]
+        if stats and all(s is not None for s in stats):
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) > 1, "expected multiple range-partitioned files"
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping term ranges: {hi} > {lo}"
