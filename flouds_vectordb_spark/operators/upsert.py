@@ -116,11 +116,14 @@ class CollectionWriter:
         if int(counts["nk"]) != n:
             raise ValueError("duplicate primary keys in batch")
         stamped.write.mode("append").parquet(self.meta["path"])
-        indexed = self._append_sparse(stamped, int(batch_ts))
+        sparse_indexed = self._append_sparse(stamped, int(batch_ts))
+        dense_indexed = self._append_dense_indexes(stamped)
         flushed = should_flush(n, force_flush, auto_flush_min_batch)
         if flushed:
             self.flush()
-        return {"inserted": n, "flushed": flushed, "sparse_indexed": indexed}
+        return {"inserted": n, "flushed": flushed,
+                "sparse_indexed": sparse_indexed,
+                "dense_indexed": dense_indexed}
 
     def read_latest(self) -> DataFrame:
         """Latest-wins view over the appended segments."""
@@ -163,19 +166,57 @@ class CollectionWriter:
         itype = str(self.meta["index_type"]).upper()
         spark = self.catalog.spark
         dim = int(self.meta["dimension"])
+        # coded rows carry batch_ts so post-build ingest can append codes
+        # and search can resolve latest-wins against the payload (stale
+        # codes of updated rows drop out of the (id, batch_ts) join)
         if itype == "IVF_SQ8":
             from flouds_vectordb_spark.plans.sq8 import build_sq8
 
             build_sq8(spark.read.parquet(ivf_path), self.meta["path"] + "__sq8",
-                      dim=dim, extra_cols=("centroid_id",))
+                      dim=dim, extra_cols=("centroid_id", "batch_ts"))
         elif itype == "IVF_PQ":
             from flouds_vectordb_spark.plans.pq import build_pq
 
             m = next(m for m in (16, 8, 4, 2, 1) if dim % m == 0)
             build_pq(spark.read.parquet(ivf_path), self.meta["path"] + "__pq",
                      m=m, k=256, metric=self.meta["metric_type"],
-                     extra_cols=("centroid_id",))
+                     extra_cols=("centroid_id", "batch_ts"))
         return idx
+
+    def _append_dense_indexes(self, stamped: DataFrame) -> bool:
+        """O(batch) dense-index maintenance, called from insert_data when a
+        built index exists (the Milvus growing-segment contract: rows
+        inserted after the index build are searchable, ADVICE r4): assign
+        the batch to the EXISTING centroids, append into the IVF layout,
+        and encode against the EXISTING SQ8 bounds / PQ codebook. Updated
+        keys leave stale rows in the index files; every indexed search
+        resolves latest-wins by batch_ts, so they are invisible."""
+        import os
+
+        from flouds_vectordb_spark.plans.ivf import open_ivf
+
+        ivf_path = self.meta["path"] + "__ivf"
+        if not os.path.exists(os.path.join(ivf_path, "_centroids.json")):
+            return False
+        idx = open_ivf(ivf_path)
+        assigned = idx.assign(stamped).persist()
+        try:
+            assigned.write.mode("append").partitionBy("centroid_id") \
+                .parquet(ivf_path)
+            itype = str(self.meta["index_type"]).upper()
+            if itype == "IVF_SQ8":
+                from flouds_vectordb_spark.plans.sq8 import append_sq8
+
+                append_sq8(assigned, self.meta["path"] + "__sq8",
+                           extra_cols=("centroid_id", "batch_ts"))
+            elif itype == "IVF_PQ":
+                from flouds_vectordb_spark.plans.pq import append_pq
+
+                append_pq(assigned, self.meta["path"] + "__pq",
+                          extra_cols=("centroid_id", "batch_ts"))
+        finally:
+            assigned.unpersist()
+        return True
 
     def _check_query_dim(self, query_vector) -> None:
         """The reference's query-dimension validation: a wrong-dim query must
@@ -207,13 +248,22 @@ class CollectionWriter:
 
         idx = open_ivf(self.meta["path"] + "__ivf")
         itype = str(self.meta["index_type"]).upper()
-        if itype not in ("IVF_SQ8", "IVF_PQ"):
-            return idx.search(self.catalog.spark, req, **dense_kwargs)
-
         spark = self.catalog.spark
         vector_col = dense_kwargs.get("vector_col", "vector")
         id_col = dense_kwargs.get("id_col", "id")
         cells = idx.probe_cells(req.query_vector, req.nprobe)
+        if itype not in ("IVF_SQ8", "IVF_PQ"):
+            # post-build appends leave stale versions of updated keys in
+            # the IVF files; latest-wins over the PRUNED scan (one keyed
+            # shuffle of the probed rows only) makes them invisible
+            pruned = idx.scan(spark, cells)
+            w = Window.partitionBy(id_col).orderBy(F.col("batch_ts").desc())
+            fresh = (
+                pruned.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn")
+            )
+            return dense_search(fresh, req, **dense_kwargs)
+
         if itype == "IVF_SQ8":
             from flouds_vectordb_spark.plans.sq8 import open_sq8, sq8_decoded_column
 
@@ -228,10 +278,14 @@ class CollectionWriter:
         coded = (
             spark.read.parquet(path)
             .filter(F.col("centroid_id").isin(cells))
-            .select(id_col, decoded.alias(vector_col))
+            .select(id_col, "batch_ts", decoded.alias(vector_col))
         )
+        # the payload join doubles as staleness resolution: read_latest is
+        # the latest-wins view, so joining on (id, batch_ts) keeps exactly
+        # the CURRENT version's codes — stale codes of updated keys match
+        # nothing and drop out
         payload = self.read_latest().drop(vector_col)
-        return dense_search(coded.join(payload, id_col, "inner"),
+        return dense_search(coded.join(payload, [id_col, "batch_ts"], "inner"),
                             req, **dense_kwargs)
 
     # ---- sparse + hybrid over the stored collection (vector_store.py:594-692)

@@ -158,21 +158,27 @@ class IvfIndex:
                                  req.nprobe if nprobe is None else nprobe)
         return dense_search(self.scan(spark, cells), req, **dense_kwargs)
 
+    def assign(self, batch: DataFrame, vector_col: str = "vector") -> DataFrame:
+        """Batch rows + their `centroid_id` under the EXISTING centroids —
+        identical assignments to what a full rebuild with these centroids
+        would produce (unit-tested). Shared by append and the quantized
+        append paths (which need the cell id to land codes in the right
+        partition)."""
+        return batch.withColumn(
+            "centroid_id",
+            _assign_udf(self.centroids, self.metric)(F.col(vector_col)),
+        )
+
     def append(self, batch: DataFrame, vector_col: str = "vector") -> None:
         """Incremental maintenance — the standard IVF add path (FAISS add /
         Milvus growing segment): assign ONLY the new rows to the EXISTING
         centroids and append into their partitions. O(batch) work: no
-        retrain, no table rewrite; identical assignments to what a full
-        rebuild with these centroids would produce (unit-tested). For
-        UPDATED keys a rebuild is required (stale rows are not removed) —
-        the same contract as Milvus's delete+compact."""
-        (
-            batch.withColumn(
-                "centroid_id",
-                _assign_udf(self.centroids, self.metric)(F.col(vector_col)),
-            )
+        retrain, no table rewrite. UPDATED keys leave their stale rows in
+        place (the Milvus delete+compact contract); readers that must be
+        update-safe resolve latest-wins by the rows' batch_ts
+        (CollectionWriter.search does)."""
+        self.assign(batch, vector_col) \
             .write.mode("append").partitionBy("centroid_id").parquet(self.path)
-        )
 
 
 def build_ivf(

@@ -166,12 +166,17 @@ def sq8_decoded_column(codes_col: Column, mins: list[float],
 
 
 def sq8_table_sql(table_sql: str, dim: int, id_expr: str = "id",
-                  vector_expr: str = "vector") -> str:
+                  vector_expr: str = "vector",
+                  bounds_table_sql: str | None = None) -> str:
     """DuckDB derived table `(id, vector)` where vector is the SQ8
     decode(encode(x)) of the raw vectors — train+encode+decode inlined, the
     exact integer codes and float64 arithmetic of the Spark build. Feed to
-    dense_search_sql as its table_sql."""
+    dense_search_sql as its table_sql. bounds_table_sql (default: the data
+    table itself) trains the bounds on a DIFFERENT corpus snapshot — the
+    growing-index case, where rows appended after the build encode against
+    the build-time bounds (out-of-range values clamp, same as append_sq8)."""
     v = f"{vector_expr}[j]::DOUBLE"
+    bounds_src = bounds_table_sql or table_sql
     return f"""(
 WITH _sq8_b AS (
   SELECT list(mn ORDER BY j) AS mns, list(stp ORDER BY j) AS stps
@@ -179,7 +184,7 @@ WITH _sq8_b AS (
     SELECT j, min({v}) AS mn,
            CASE WHEN max({v}) > min({v})
                 THEN (max({v}) - min({v})) / 255.0 ELSE 0.0 END AS stp
-    FROM {table_sql}, range(1, {dim + 1}) t(j)
+    FROM {bounds_src}, range(1, {dim + 1}) t(j)
     GROUP BY j)
 )
 SELECT {id_expr} AS id,

@@ -1027,6 +1027,120 @@ _register("s3_ingest_json_search", _s3_json_ingest_q, dense_search_sql(
     _S3_JSON_SUBSET_SQL, id_expr="id", vector_expr="vector"))
 
 
+# --- S2 quantized flow: IVF_SQ8 catalog path incl. post-build growth ------------
+# The r4 quantized gates exercise the plans layer; this gates the CATALOG
+# path end to end (VERDICT r5 #3 + ADVICE stale-index fix): generate_schema
+# (IVF_SQ8) -> insert -> build_index -> insert MORE rows (new keys + vector
+# UPDATES, exercising the O(batch) growing-segment append) ->
+# search(use_index=True) with a full probe. The oracle trains bounds on the
+# BUILD-time snapshot but encodes the FINAL latest rows (appends clamp to
+# build-time bounds, stale codes drop out) — exactly the engine's state.
+_SQ8_FLOW_WH = os.path.join(_SCRATCH, "sq8_flow_wh")
+_S2_SQ8_REQ = DenseSearchRequest(query_vector=fixture_query_vector(seed=35),
+                                 metric="COSINE", limit=10, nprobe=4,
+                                 output_fields=())
+
+
+def _s2_sq8_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    shutil.rmtree(_SQ8_FLOW_WH, ignore_errors=True)
+    cat = Catalog(spark, _SQ8_FLOW_WH)
+    cat.set_vector_store("qdemo")
+    cat.generate_schema(CollectionSpec("qdemo", "m64", dimension=64,
+                                       metric_type="COSINE",
+                                       index_type="IVF_SQ8", nlist=4))
+    w = CollectionWriter(cat, "qdemo", "m64")
+    base = collection(spark, sf_dir).select(
+        F.col("id").cast("string").alias("id"), "chunk", "vector",
+        F.col("id").alias("_n"))
+    a = base.filter(F.col("_n") % 3 == 0).drop("_n")
+    w.insert_data(a, batch_ts=1, force_flush=True)
+    w.build_index()
+    new_rows = base.filter(F.col("_n") % 6 == 1).drop("_n")
+    upd_rows = (
+        base.filter(F.col("_n") % 9 == 0).drop("_n")
+        .withColumn("vector", F.transform(F.col("vector"), lambda x: -x))
+    )
+    w.insert_data(new_rows.unionByName(upd_rows), batch_ts=2, force_flush=True)
+    return w.search(_S2_SQ8_REQ, use_index=True)
+
+
+def _s2_sq8_flow_sql() -> str:
+    from flouds_vectordb_spark.plans.sq8 import sq8_table_sql
+
+    bounds_sql = (
+        f"(SELECT id::VARCHAR AS id, vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 3 = 0)"
+    )
+    final_sql = (
+        f"(SELECT id::VARCHAR AS id, vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 3 = 0 AND id % 9 <> 0 "
+        f"UNION ALL SELECT id::VARCHAR AS id, "
+        f"list_transform(vector, x -> -x) AS vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 9 = 0 "
+        f"UNION ALL SELECT id::VARCHAR AS id, vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 6 = 1)"
+    )
+    return dense_search_sql(
+        _S2_SQ8_REQ,
+        sq8_table_sql(final_sql, 64, bounds_table_sql=bounds_sql),
+        id_expr="id", vector_expr="vector")
+
+
+_register("s2_catalog_flow_sq8", _s2_sq8_flow_q, _s2_sq8_flow_sql())
+
+
+# --- I1 incremental: insert-after-build merges into the sparse index ------------
+_SPARSE_INC_WH = os.path.join(_SCRATCH, "sparse_inc_wh")
+_I1_INC_REQ = SparseSearchRequest(query_text="vector index scan merge", limit=10)
+
+
+def _i1_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r5 #2 gated end to end: build_sparse_index over batch A, then
+    insert batch B (new keys + chunk UPDATES) — insert_data merges B into
+    the index incrementally (O(batch) tf/stats merge, no posting rewrite) —
+    then search the index. The oracle computes BM25 over the final
+    latest-wins corpus from scratch: derived weights must match exactly."""
+    import shutil
+
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    shutil.rmtree(_SPARSE_INC_WH, ignore_errors=True)
+    cat = Catalog(spark, _SPARSE_INC_WH)
+    cat.set_vector_store("idemo")
+    cat.generate_schema(CollectionSpec("idemo", "m64", dimension=64,
+                                       metric_type="COSINE"))
+    w = CollectionWriter(cat, "idemo", "m64")
+    base = collection(spark, sf_dir).select(
+        F.col("id").cast("string").alias("id"), "chunk", "vector",
+        F.col("id").alias("_n"))
+    a = base.filter(F.col("_n") % 5 == 2).drop("_n")
+    w.insert_data(a, batch_ts=1, force_flush=True)
+    w.build_sparse_index()
+    new_rows = base.filter(F.col("_n") % 5 == 3).drop("_n")
+    upd_rows = (
+        base.filter(F.col("_n") % 10 == 2).drop("_n")
+        .withColumn("chunk", F.concat(F.lit("[v2] "), F.col("chunk")))
+    )
+    w.insert_data(new_rows.unionByName(upd_rows), batch_ts=2, force_flush=True)
+    return w.search_sparse(_I1_INC_REQ, use_index=True)
+
+
+_I1_INC_FINAL_SQL = (
+    f"(SELECT id::VARCHAR AS id, chunk FROM {COLLECTION_SQL} t "
+    f"WHERE id % 5 = 2 AND id % 10 <> 2 "
+    f"UNION ALL SELECT id::VARCHAR AS id, '[v2] ' || chunk AS chunk "
+    f"FROM {COLLECTION_SQL} t WHERE id % 10 = 2 "
+    f"UNION ALL SELECT id::VARCHAR AS id, chunk FROM {COLLECTION_SQL} t "
+    f"WHERE id % 5 = 3)"
+)
+_register("i1_bm25_incremental", _i1_incremental_q, sparse_search_sql(
+    _I1_INC_REQ, "(" + bm25_postings_sql(_I1_INC_FINAL_SQL + " p") + ")"))
+
+
 # --- text analysis --------------------------------------------------------------
 # token counting: whitespace + a BPE-ish regex segmentation estimate
 _BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"

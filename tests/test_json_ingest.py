@@ -127,7 +127,7 @@ def test_ingest_json_end_to_end(spark, tmp_path_factory):
     cat.generate_schema(CollectionSpec("t1", "m", dimension=2, nlist=2))
     w = CollectionWriter(cat, "t1", "m")
     res = ingest_json(spark, path, w, batch_ts=1, force_flush=True)
-    assert res == {"inserted": 3, "flushed": True, "sparse_indexed": False}
+    assert res == {"inserted": 3, "flushed": True, "sparse_indexed": False, "dense_indexed": False}
     hits = w.search(DenseSearchRequest(query_vector=[1.0, 0.1], limit=2,
                                        output_fields=())).collect()
     assert [h["id"] for h in hits] == ["a", "c"]

@@ -269,3 +269,51 @@ def test_ivf_sq8_probe_is_partition_pruned_scan_of_codes(spark, coll, tmp_path_f
     for ln in scans:
         assert "centroid_id" in ln  # partition filter reached the scan
         assert "ReadSchema" not in ln or "vector" not in ln.split("ReadSchema")[1]
+
+
+def test_catalog_post_build_inserts_searchable_and_updates_fresh(
+        spark, tmp_path_factory):
+    """ADVICE r4 (stale-index window): rows inserted AFTER build_index must
+    be searchable via the index (growing-segment contract), and an updated
+    key must score against its NEW vector — the stale codes/rows of the old
+    version are invisible via the latest-wins batch_ts resolution."""
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    rng = np.random.RandomState(5)
+    for itype in ("IVF_FLAT", "IVF_SQ8", "IVF_PQ"):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp(f"whpb_{itype}")))
+        cat.set_vector_store("tgrow")
+        cat.generate_schema(CollectionSpec("tgrow", "m", dimension=DIM, nlist=4,
+                                           metric_type="L2", index_type=itype))
+        w = CollectionWriter(cat, "tgrow", "m")
+        rows = [(f"k{i}", f"chunk {i}",
+                 [float(x) for x in rng.uniform(-5, 5, DIM)])
+                for i in range(120)]
+        # "mover" starts near the origin, will be UPDATED to the far target
+        rows.append(("mover", "v1", [0.0] * DIM))
+        w.insert_data(
+            spark.createDataFrame(rows, "id string, chunk string, vector array<float>"),
+            batch_ts=1, force_flush=True)
+        w.build_index()
+
+        target = [5.0] * DIM  # inside the trained SQ8 range (no clamp noise)
+        near_target = [4.9] * DIM
+        b2 = spark.createDataFrame(
+            [("newcomer", "post-build insert", near_target),
+             ("mover", "v2", target)],
+            "id string, chunk string, vector array<float>")
+        res = w.insert_data(b2, batch_ts=2, force_flush=True)
+        assert res["dense_indexed"] is True, itype
+
+        req = DenseSearchRequest(query_vector=target, metric="L2", limit=2,
+                                 nprobe=4)
+        got = w.search(req, use_index=True, id_col="id", vector_col="vector",
+                       chunk_col="chunk").collect()
+        ids = [r["id"] for r in got]
+        assert set(ids) == {"mover", "newcomer"}, (itype, ids)
+        by_id = {r["id"]: r for r in got}
+        # the updated key surfaces its NEW payload and scores ~0 (exact hit
+        # modulo quantization error), not its stale origin vector
+        assert by_id["mover"]["chunk"] == "v2", itype
+        assert by_id["mover"]["score"] > -1.0, (itype, by_id["mover"]["score"])

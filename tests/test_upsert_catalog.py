@@ -83,7 +83,7 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
     b1 = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
                                "id string, chunk string, vector array<float>")
     r1 = w.insert_data(b1, batch_ts=1, auto_flush_min_batch=-1)
-    assert r1 == {"inserted": 2, "flushed": False, "sparse_indexed": False}
+    assert r1 == {"inserted": 2, "flushed": False, "sparse_indexed": False, "dense_indexed": False}
 
     b2 = spark.createDataFrame([("a", "v2", [0.5, 0.5])],
                                "id string, chunk string, vector array<float>")
