@@ -55,24 +55,37 @@ from pyspark.sql import functions as F
 
 SQ8_LEVELS = 255
 
+# bounds-training agg width: 2 agg expressions per dimension in one agg()
+# risks codegen/constant-pool limits at the schema-contract max dim 4096
+# (8192 expressions); chunking caps a pass at 1024 expressions. Cost: one
+# column-pruned scan per chunk (dim 4096 -> 8 scans of the vector column) —
+# the safe tradeoff for a BUILD-path job. (A one-scan alternative is
+# posexplode -> groupBy(pos) with map-side partial agg, trading scan count
+# for per-element row overhead; unneeded while dim <= 4096.)
+SQ8_TRAIN_CHUNK = 512
+
 
 def train_sq8_bounds(df: DataFrame, dim: int,
                      vector_col: str = "vector") -> tuple[list[float], list[float]]:
     """Per-dimension (mins, steps); step 0 marks a constant dimension
-    (encoded as code 0, decoded back to its min)."""
-    aggs = []
-    for j in range(dim):
-        e = F.col(vector_col)[j].cast("double")
-        aggs.append(F.min(e).alias(f"_mn{j}"))
-        aggs.append(F.max(e).alias(f"_mx{j}"))
-    row = df.agg(*aggs).first()
-    if row[0] is None:
-        raise ValueError("cannot train SQ8 bounds on an empty collection")
+    (encoded as code 0, decoded back to its min). Aggregates in chunks of
+    SQ8_TRAIN_CHUNK dimensions per pass (see note above)."""
+    src = df.select(F.col(vector_col).alias("_v"))
     mins, steps = [], []
-    for j in range(dim):
-        mn, mx = float(row[f"_mn{j}"]), float(row[f"_mx{j}"])
-        mins.append(mn)
-        steps.append((mx - mn) / 255.0 if mx > mn else 0.0)
+    for start in range(0, dim, SQ8_TRAIN_CHUNK):
+        end = min(start + SQ8_TRAIN_CHUNK, dim)
+        aggs = []
+        for j in range(start, end):
+            e = F.col("_v")[j].cast("double")
+            aggs.append(F.min(e).alias(f"_mn{j}"))
+            aggs.append(F.max(e).alias(f"_mx{j}"))
+        row = src.agg(*aggs).first()
+        if row[f"_mn{start}"] is None:
+            raise ValueError("cannot train SQ8 bounds on an empty collection")
+        for j in range(start, end):
+            mn, mx = float(row[f"_mn{j}"]), float(row[f"_mx{j}"])
+            mins.append(mn)
+            steps.append((mx - mn) / 255.0 if mx > mn else 0.0)
     return mins, steps
 
 

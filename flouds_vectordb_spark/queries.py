@@ -122,9 +122,21 @@ def _dense_pair(req: DenseSearchRequest, with_chunk: bool = False):
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
+# The driver's correctness artifact records at most 50 entries, so the
+# DRIVER-FACING registry is curated to exactly the set that fits — one gate
+# per operator family plus the flow/scale gates — and redundant fixture
+# variants live in the EXTENDED registry: same (query, oracle) contract,
+# verified by scripts/check_oracle.py --extended and the pytest parity
+# suite every run, just not surfaced through __spark_entry__.queries().
+_EXTENDED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
 
 def _register(name: str, q, sql) -> None:
     _REGISTRY[name] = (q, sql)
+
+
+def _register_ext(name: str, q, sql) -> None:
+    _EXTENDED[name] = (q, sql)
 
 
 # --- Q1: dense top-k, all three metrics --------------------------------------
@@ -136,7 +148,7 @@ _register("q1_dense_ip_topk", *_dense_pair(
     DenseSearchRequest(query_vector=fixture_query_vector(seed=3), metric="IP", limit=10)))
 
 # --- Q2: range search (score bounds inside the scan) --------------------------
-_register("q2_range_search", *_dense_pair(
+_register_ext("q2_range_search", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=4), metric="COSINE",
         limit=100, radius=0.05, range_filter=0.5)))
@@ -183,7 +195,7 @@ _register("q6_text_filter_all_stopwords", *_dense_pair(
 # include_stop_words=True keeps stop words as filter terms
 # (search_request.py / stopwords_util.py): the same all-stopword filter now
 # matches rows containing them as substrings
-_register("q6_text_filter_include_stopwords", *_dense_pair(
+_register_ext("q6_text_filter_include_stopwords", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=6), metric="COSINE",
         limit=10, text_filter="the a of and", minimum_words_match=2,
@@ -193,7 +205,7 @@ _register("q6_text_filter_include_stopwords", *_dense_pair(
 # words ONLY in the reference's custom list (app/config/stopwords.json —
 # "index", "join" are not NLTK stopwords) must behave as stop words:
 # an all-custom-stopword filter rejects every row...
-_register("q6_text_filter_custom_stopword", *_dense_pair(
+_register_ext("q6_text_filter_custom_stopword", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=6), metric="COSINE",
         limit=10, text_filter="index join", minimum_words_match=1),
@@ -222,21 +234,24 @@ _register("q10_pagination", *_dense_pair(
 # ("id",) is non-falsy so the reference honors it as-is; a FALSY/empty list
 # collapses to the full default payload (vector_store.py:460,
 # `request.output_fields or ["chunk", "meta"]`) — gated separately below.
+# ...and carries consistency_level so the accepted-and-ignored Q13
+# pass-through stays inside the driver window (the dedicated q13 fixture
+# lives in the extended registry)
 _register("q12_output_fields_none", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=15), metric="COSINE",
-        limit=10, output_fields=("id",)),
+        limit=10, output_fields=("id",), consistency_level="Strong"),
     with_chunk=True))
 
 # falsy-collapse: output_fields=() behaves exactly like the default payload
-_register("q12_output_fields_empty_default", *_dense_pair(
+_register_ext("q12_output_fields_empty_default", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=15), metric="COSINE",
         limit=10, output_fields=()),
     with_chunk=True))
 
 # --- Q13: consistency level accepted-and-ignored (snapshot reads) ---------------
-_register("q13_consistency_level", *_dense_pair(
+_register_ext("q13_consistency_level", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=16), metric="COSINE",
         limit=10, consistency_level="Strong")))
@@ -301,7 +316,7 @@ def _sparse_pair(req: SparseSearchRequest):
 
 _register("q3_sparse_bm25", *_sparse_pair(
     SparseSearchRequest(query_text="vector index scan merge", limit=10)))
-_register("q3_sparse_bm25_offset", *_sparse_pair(
+_register_ext("q3_sparse_bm25_offset", *_sparse_pair(
     SparseSearchRequest(query_text="hash join batch", limit=15, offset=5, round_decimal=4)))
 
 
@@ -333,7 +348,7 @@ _I1_SQL = f"""
 SELECT id, term, tf, dl, df, round(weight, 6) AS weight_r
 FROM {POSTINGS_SQL} WHERE id % 97 = 0
 """
-_register("i1_bm25_doc_encoding", _i1_postings_q, _I1_SQL)
+_register_ext("i1_bm25_doc_encoding", _i1_postings_q, _I1_SQL)
 
 
 # --- I1 with drop_ratio_build pruning (base_milvus.py:1286-1310) ---------------
@@ -378,14 +393,24 @@ _register("q4_hybrid_rrf", *_hybrid_pair(
         text_filter="vector index scan merge", limit=20)))
 
 # hybrid threshold subtlety: applies to the dense branch only (sparse-only
-# hits bypass), vector_store.py:766-770
-_register("q4_hybrid_rrf_threshold", *_hybrid_pair(
+# hits bypass), vector_store.py:766-770 — COMBINED here with the meta
+# post-filter + meta_required so one driver-facing gate covers both hybrid
+# post-filter behaviors; the single-feature fixtures stay in the extended
+# registry below
+_register("q4_hybrid_rrf_threshold_meta", *_hybrid_pair(
+    HybridSearchRequest(
+        query_vector=fixture_query_vector(seed=10), metric="COSINE",
+        text_filter="hash join batch scan", limit=30, score_threshold=0.05,
+        meta_filter={"lang": "e"}, meta_required=True),
+    with_chunk=True))
+
+_register_ext("q4_hybrid_rrf_threshold", *_hybrid_pair(
     HybridSearchRequest(
         query_vector=fixture_query_vector(seed=10), metric="COSINE",
         text_filter="hash join batch scan", limit=30, score_threshold=0.05),
     with_chunk=True))
 
-_register("q4_hybrid_rrf_meta", *_hybrid_pair(
+_register_ext("q4_hybrid_rrf_meta", *_hybrid_pair(
     HybridSearchRequest(
         query_vector=fixture_query_vector(seed=11), metric="IP",
         text_filter="slow fast table", limit=25,
@@ -671,7 +696,7 @@ _register("ann_bruteforce_topk",
 # uniform-random synthetic vectors pruned-ANN recall is near-zero by
 # construction (see operators/ann.py); the oracle-gated variant below runs
 # on a clustered fixture where the Hamming ball provably holds the top-k.
-_register("ann_lsh_topk",
+_register_ext("ann_lsh_topk",
           lambda spark, sf_dir: ann_lsh_topk(
               load(spark, sf_dir, "embeddings"),
               fixture_query_vector(seed=21), "COSINE", 10, bits=12, radius=2,
@@ -771,7 +796,7 @@ def _ivf_clustered_pair(nlist: int, nprobe: int):
 
 
 # moderate prune: half the cells skipped
-_register("q1_ivf_pruned", *_ivf_clustered_pair(nlist=8, nprobe=4))
+_register_ext("q1_ivf_pruned", *_ivf_clustered_pair(nlist=8, nprobe=4))
 # deep prune: nlist=64, nprobe=4 — 1/16 of the cells, the reference's
 # nlist=1024/nprobe=4 default ratio family (base_milvus.py:1266-1284)
 _register("q1_ivf_pruned_deep", *_ivf_clustered_pair(nlist=64, nprobe=4))
@@ -816,7 +841,7 @@ def _sq8_pair(metric: str):
 
 
 _register("q1_sq8_topk", *_sq8_pair("COSINE"))
-_register("q1_sq8_l2_topk", *_sq8_pair("L2"))
+_register_ext("q1_sq8_l2_topk", *_sq8_pair("L2"))
 
 
 def _ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,8 +904,8 @@ def _pq_pair(metric: str):
 
 
 _register("q1_pq_adc_topk", *_pq_pair("COSINE"))
-_register("q1_pq_adc_l2", *_pq_pair("L2"))
-_register("q1_pq_adc_ip", *_pq_pair("IP"))
+_register_ext("q1_pq_adc_l2", *_pq_pair("L2"))
+_register_ext("q1_pq_adc_ip", *_pq_pair("IP"))
 
 
 def _ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,6 +1283,16 @@ GROUP BY 1, 2
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q for name, (q, _) in _REGISTRY.items()}
+
+
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Fixture variants beyond the driver's 50-entry artifact window — same
+    contract as queries(), checked by scripts/check_oracle.py and pytest."""
+    return {name: q for name, (q, _) in _EXTENDED.items()}
+
+
+def extended_oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _EXTENDED.items() if sql is not None}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -50,7 +50,14 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    from flouds_vectordb_spark import queries as Q
+
+    # driver-facing registry first, then the extended variants (same
+    # contract, outside the driver's 50-entry artifact window)
+    qs = {**entry_mod.queries(),
+          **{f"ext:{n}": q for n, q in Q.extended_queries().items()}}
+    oracles = {**entry_mod.oracle_sql(),
+               **{f"ext:{n}": s for n, s in Q.extended_oracle_sql().items()}}
     failures = 0
     for name, q in qs.items():
         if name_filter and name_filter not in name:
