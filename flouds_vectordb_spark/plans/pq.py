@@ -278,20 +278,22 @@ def pq_adc_scores(codes_col: Column, cb: PqCodebook, query: list[float],
     """ADC score column: sequential fold over subspaces of LUT gathers."""
     lut = pq_lut(cb, query)
     lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+
+    def fold(code_at) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(cb.m)), F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(F.element_at(lut_lit, j.cast("int")), code_at(j) + 1),
+        )
+
     if codes_are_binary:
-        hx = F.hex(codes_col)
+        # byte-pair split lambda-bound: one O(m) pass per row, then O(1)
+        # gathers per subspace (the sq8 O(dim^2) lesson at m scale)
+        from .sq8 import hex_byte_pairs
 
-        def code_at(j: Column) -> Column:
-            return F.conv(F.substr(hx, j * 2 - 1, F.lit(2)), 16, 10).cast("int")
-    else:
-        def code_at(j: Column) -> Column:
-            return F.element_at(codes_col, j.cast("int"))
-
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(cb.m)), F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(F.element_at(lut_lit, j.cast("int")), code_at(j) + 1),
-    )
+        return _bind(hex_byte_pairs(codes_col), lambda cs: fold(
+            lambda j: F.conv(F.element_at(cs, j.cast("int")), 16, 10).cast("int")))
+    return fold(lambda j: F.element_at(codes_col, j.cast("int")))
 
 
 def pq_decoded_column(codes_col: Column, cb: PqCodebook,
@@ -306,19 +308,19 @@ def pq_decoded_column(codes_col: Column, cb: PqCodebook,
     convention), and dense_search's cosine renormalizes, which is exact."""
     books = F.array(*[
         F.array(*[F.array(*[F.lit(x) for x in c]) for c in s]) for s in cb.sub])
+
+    def gather(code_at) -> Column:
+        return F.flatten(F.transform(
+            F.sequence(F.lit(1), F.lit(cb.m)),
+            lambda j: F.element_at(F.element_at(books, j.cast("int")),
+                                   code_at(j) + 1)))
+
     if codes_are_binary:
-        hx = F.hex(codes_col)
+        from .sq8 import hex_byte_pairs
 
-        def code_at(j: Column) -> Column:
-            return F.conv(F.substr(hx, j * 2 - 1, F.lit(2)), 16, 10).cast("int")
-    else:
-        def code_at(j: Column) -> Column:
-            return F.element_at(codes_col, j.cast("int"))
-
-    return F.flatten(F.transform(
-        F.sequence(F.lit(1), F.lit(cb.m)),
-        lambda j: F.element_at(F.element_at(books, j.cast("int")),
-                               code_at(j) + 1)))
+        return _bind(hex_byte_pairs(codes_col), lambda cs: gather(
+            lambda j: F.conv(F.element_at(cs, j.cast("int")), 16, 10).cast("int")))
+    return gather(lambda j: F.element_at(codes_col, j.cast("int")))
 
 
 def pq_search(df: DataFrame, cb: PqCodebook, query: list[float], limit: int,

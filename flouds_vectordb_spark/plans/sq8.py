@@ -162,19 +162,42 @@ def get_or_build_sq8(df: DataFrame, path: str, dim: int, id_col: str = "id",
     return build_sq8(df, path, dim, id_col, vector_col, extra_cols)
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate `col` ONCE per row and pass it to `fn` lambda-bound
+    (single-element transform) — expression evaluation has no CSE outside
+    codegen, so an unbound hex(codes) referenced by every decoded element
+    costs O(dim) per element = O(dim^2) per row (measured 55 us -> 3.97 ms
+    per row from dim 64 to 768); binding makes decode O(dim)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def hex_byte_pairs(codes_col: Column) -> Column:
+    """BINARY codes -> array of per-byte 2-hex-char strings, ONE O(dim)
+    regex pass per row. The earlier per-dimension substr(hex(codes), ...)
+    was O(dim^2) per row TWICE over: expression evaluation has no CSE
+    outside codegen (hex re-ran per element) and UTF8String substring
+    counts code points from offset 0 (O(j) per element) — measured 55 us ->
+    3.97 ms per row from dim 64 to 768. Pairs + O(1) element_at gathers
+    make decode linear (measured ~2 us/row at dim 768, ~1900x faster)."""
+    return F.regexp_extract_all(F.hex(codes_col), F.lit("(..)"), 1)
+
+
 def sq8_decoded_column(codes_col: Column, mins: list[float],
                        steps: list[float]) -> Column:
-    """x̂ as array<double>, decoded entirely JVM-side (hex + conv + substr
-    stay inside whole-stage codegen — no UDF in the query path)."""
+    """x̂ as array<double>, decoded entirely JVM-side (hex-pair split +
+    conv, no UDF in the query path); the pair array is lambda-bound so the
+    split runs once per row."""
     dim = len(mins)
     mn = F.array(*[F.lit(float(v)) for v in mins])
     st = F.array(*[F.lit(float(v)) for v in steps])
-    hx = F.hex(codes_col)
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda j: F.element_at(mn, j.cast("int"))
-        + F.conv(F.substr(hx, j * 2 - 1, F.lit(2)), 16, 10).cast("double")
-        * F.element_at(st, j.cast("int")),
+    return _bind(
+        hex_byte_pairs(codes_col),
+        lambda cs: F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: F.element_at(mn, j.cast("int"))
+            + F.conv(F.element_at(cs, j.cast("int")), 16, 10).cast("double")
+            * F.element_at(st, j.cast("int")),
+        ),
     )
 
 
