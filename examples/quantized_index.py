@@ -1,12 +1,12 @@
-"""Quantized-index workflow: IVF_SQ8 and IVF_PQ end to end.
+"""Index-variant workflow: IVF_SQ8, IVF_PQ and HNSW end to end.
 
-The reference accepts index_type IVF_SQ8/IVF_PQ on generate_schema
+The reference accepts index_type IVF_SQ8/IVF_PQ/HNSW on generate_schema
 (/root/reference/app/models/generate_schema_request.py:129) and delegates
 execution to Milvus; this engine executes them for real (plans/sq8.py,
-plans/pq.py). The workflow: DDL with a quantized index type -> insert ->
-flush -> build_index (IVF layout + coded table) -> search(use_index=True)
-(partition-pruned scan of byte codes, decoded JVM-side into the full
-request pipeline). Run:
+plans/pq.py, plans/hnsw.py). The workflow: DDL with a non-default index
+type -> insert -> flush -> build_index (coded table / neighbor graph) ->
+search(use_index=True) (partition-pruned code scan or graph beam search,
+feeding the full request pipeline). Run:
 
     python examples/quantized_index.py [warehouse_dir]
 """
@@ -43,7 +43,8 @@ def main() -> int:
     rows.append(("needle", "the document we search for", target))
     batch = spark.createDataFrame(rows, "id string, chunk string, vector array<float>")
 
-    for model, itype in (("model_sq8", "IVF_SQ8"), ("model_pq", "IVF_PQ")):
+    for model, itype in (("model_sq8", "IVF_SQ8"), ("model_pq", "IVF_PQ"),
+                         ("model_hnsw", "HNSW")):
         cat.generate_schema(CollectionSpec(TENANT, model, dimension=DIM,
                                            metric_type="COSINE",
                                            index_type=itype, nlist=4))

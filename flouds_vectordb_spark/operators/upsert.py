@@ -152,9 +152,18 @@ class CollectionWriter:
           partitioned by centroid_id — probed scans read 1 byte/dim.
         - IVF_PQ: IVF layout + product codes (plans/pq.py, kmeans codebook,
           m = largest divisor of dim <= 16, k = 256).
-        - HNSW: executes as IVF_FLAT (documented divergence, SURVEY §4.1 —
-          graph ANN has no faithful Spark analogue)."""
+        - HNSW: navigable-neighbor-graph tables + beam search
+          (plans/hnsw.py) — REAL graph-ANN execution (the Spark-honest
+          DiskANN/Vamana shape; replaces the earlier IVF_FLAT fallback)."""
         from flouds_vectordb_spark.plans.ivf import build_ivf
+
+        itype_early = str(self.meta["index_type"]).upper()
+        if itype_early == "HNSW":
+            from flouds_vectordb_spark.plans.hnsw import build_hnsw
+
+            return build_hnsw(self.read_latest(), self.meta["path"] + "__hnsw",
+                              metric=self.meta["metric_type"],
+                              id_col="id", vector_col="vector")
 
         ivf_path = self.meta["path"] + "__ivf"
         idx = build_ivf(
@@ -195,6 +204,12 @@ class CollectionWriter:
 
         from flouds_vectordb_spark.plans.ivf import open_ivf
 
+        hnsw_path = self.meta["path"] + "__hnsw"
+        if os.path.exists(os.path.join(hnsw_path, "_hnsw_meta.json")):
+            from flouds_vectordb_spark.plans.hnsw import open_hnsw
+
+            open_hnsw(hnsw_path).append(stamped)
+            return True
         ivf_path = self.meta["path"] + "__ivf"
         if not os.path.exists(os.path.join(ivf_path, "_centroids.json")):
             return False
@@ -230,8 +245,10 @@ class CollectionWriter:
 
     def search(self, req, use_index: bool = False, **dense_kwargs):
         """Dense search over the stored collection (with query-dim check).
-        With use_index, dispatches on the built index: IVF_FLAT/HNSW probe
-        the exact layout; IVF_SQ8/IVF_PQ probe the coded table (partition
+        With use_index, dispatches on the built index: IVF_FLAT probes the
+        exact centroid layout; HNSW beam-searches the neighbor-graph tables
+        (plans/hnsw.py) and re-scores the shortlist exactly;
+        IVF_SQ8/IVF_PQ probe the coded table (partition
         pruning on centroid_id), rebuild the decoded/reconstructed vector
         JVM-side, join the payload back by id (late materialization: the
         scoring scan reads only id+codes) and run the unchanged
@@ -246,8 +263,32 @@ class CollectionWriter:
         if not use_index:
             return dense_search(self.read_latest(), req, **dense_kwargs)
 
-        idx = open_ivf(self.meta["path"] + "__ivf")
         itype = str(self.meta["index_type"]).upper()
+        if itype == "HNSW":
+            # graph-ANN path: beam over the stored graph (stale versions of
+            # updated keys may enter the beam — the growing-segment
+            # contract), then latest-wins on the TINY shortlist before the
+            # exact request pipeline re-scores it
+            from flouds_vectordb_spark.plans.hnsw import open_hnsw
+
+            gidx = open_hnsw(self.meta["path"] + "__hnsw")
+            want = req.limit + req.offset + (
+                req.increase_limit_for_text_search if req.text_filter else 0)
+            ids = gidx.beam_search(self.catalog.spark, req.query_vector,
+                                   ef=max(64, want))
+            id_col = dense_kwargs.get("id_col", "id")
+            shortlist = (
+                gidx.nodes(self.catalog.spark)
+                .filter(F.col(id_col).isin(ids)).drop("_cell")
+            )
+            w = Window.partitionBy(id_col).orderBy(F.col("batch_ts").desc())
+            fresh = (
+                shortlist.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn")
+            )
+            return dense_search(fresh, req, **dense_kwargs)
+
+        idx = open_ivf(self.meta["path"] + "__ivf")
         spark = self.catalog.spark
         vector_col = dense_kwargs.get("vector_col", "vector")
         id_col = dense_kwargs.get("id_col", "id")

@@ -1,0 +1,482 @@
+"""Graph-ANN physical plan: REAL execution for index_type=HNSW.
+
+The reference accepts HNSW (app/models/generate_schema_request.py:129) but
+its index-build call forwards only nlist (app/milvus/base_milvus.py:1141-1167
+-> 1266-1284), i.e. Milvus-side defaults decide the graph shape. An
+in-memory hierarchical pointer graph has no faithful Spark analogue
+(latency-bound pointer chasing over shared memory); the Spark-honest
+equivalent — replacing the earlier accepted-as-IVF_FLAT divergence — is a
+*navigable neighbor graph stored as tables* (the DiskANN/Vamana family:
+single-layer graph + good entry points), executed as:
+
+- BUILD: candidate generation by coarse k-means cells (reusing the IVF
+  trainer — the standard partitioned graph-build used by DiskANN/SPANN at
+  scale). Every node is exploded into its 2 nearest cells (the spill copy
+  creates cross-cell bridge edges), each cell computes its intra-cell
+  top-M adjacency inside one Arrow batch (``applyInPandas`` — the pairwise
+  n_g x n_g expansion never enters a shuffle), and per-src lists are merged
+  across the two cells, symmetrized (union of reverse edges — HNSW's
+  bidirectional link step), and re-capped at Mmax = 2M (HNSW's level-0
+  Mmax0 rule). All shuffled rows are (src, dst, score) scalars.
+- ENTRY POINTS: the per-cell medoid (row nearest its centroid) — the flat
+  analogue of HNSW's upper layers: a query starts from the medoids, whose
+  cells cover the space, so the beam starts near the query and rounds stay
+  O(local diameter).
+- QUERY: driver-coordinated best-first beam search (width ef): each round
+  expands every not-yet-expanded beam member, scores the newly reachable
+  ids, and keeps the best ef. Per round the cluster does exactly two
+  id-pruned scans — edges by ``src IN (frontier)`` and nodes by
+  ``id IN (new candidates)`` — both written range-partitioned and sorted so
+  the IN-list pushdown skips row groups; the driver holds only (id, score)
+  pairs (never vectors), bounded by ef + ef*Mmax.
+- APPEND: O(batch) — new rows are assigned to their 2 nearest EXISTING
+  cells, edged against the EXISTING nodes of those cells (one pruned scan
+  per batch), and appended to nodes+edges with reverse edges, the standard
+  graph-insert contract. No rebuild, no table rewrite.
+
+Determinism: seeded k-means (shared with plans/ivf.py), float64 scoring,
+and every top-list ordered by (score desc, id asc) — the same build inputs
+and query always produce the same graph and the same beam, so the
+clustered-fixture gate (queries.py) holds the result to the EXACT top-k
+oracle.
+
+Scale notes (100 TB): cell size is bounded by nlist (driver picks
+ceil(n/target)), so the build's pairwise step is n*cell^2/cell = O(n*cell)
+distance evaluations spread over all executors; edges are ~n*(2M) rows of
+3 scalars; the query's driver state and per-round scan sizes are
+independent of corpus size. At cluster scale nodes/edges would be bucketed
+by id/src — locally they are range-partitioned + sorted, which gives the
+same row-group skipping under Spark's parquet IN-pushdown.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.functions.vector import metric_score_q
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
+from flouds_vectordb_spark.plans.ivf import SAMPLE_CAP, _kmeans, _normalize_rows, _pairwise_d2
+
+DEFAULT_M = 16          # HNSW default M (Milvus/hnswlib default)
+DEFAULT_EF = 64         # HNSW default search beam (Milvus default ef)
+CELL_TARGET = 1024      # build-time candidate cell size target
+MAX_ROUNDS = 32         # beam-round backstop; convergence is the normal exit
+
+
+def _np_scores(metric: str, m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Larger-is-better scores of rows of m against q, float64, mirroring
+    functions/vector.metric_score_q: COSINE=cosine, IP=dot, L2=-d2."""
+    if metric == "IP":
+        return m @ q
+    if metric == "L2":
+        return -(((m - q) ** 2).sum(axis=1))
+    # COSINE; zero norms score -inf (NULL-score rows drop in the JVM path)
+    qn = np.linalg.norm(q)
+    nn = np.linalg.norm(m, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = (m @ q) / (nn * qn)
+    s[~np.isfinite(s)] = -np.inf
+    return s
+
+
+def _cells_udf(centroids: np.ndarray, metric: str, spill: int = 2):
+    """Vectorized 2-nearest-cell assignment + distance-to-primary (build
+    path only). COSINE assigns on normalized vectors, IP by max inner
+    product — the same coarse-quantizer-metric rule as plans/ivf.py."""
+    metric = metric.upper()
+    k = min(spill, len(centroids))
+
+    @F.pandas_udf("struct<cells: array<int>, d0: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        if metric == "IP":
+            d = -(m @ centroids.T)
+        else:
+            if metric == "COSINE":
+                m = _normalize_rows(m)
+            d = _pairwise_d2(m, centroids)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        return pd.DataFrame({
+            "cells": [row.astype("int32").tolist() for row in order],
+            "d0": d[np.arange(len(d)), order[:, 0]],
+        })
+
+    return assign
+
+
+class HnswIndex:
+    """A built navigable-graph index: nodes + edges tables on disk, entry
+    medoid ids and build params as driver metadata."""
+
+    def __init__(self, path: str, meta: dict):
+        self.path = path
+        self.meta = meta
+        self.metric = meta["metric"].upper()
+        self.id_col = meta["id_col"]
+        self.vector_col = meta["vector_col"]
+
+    # ---- storage views ------------------------------------------------------
+    # handles are cached per index object: the beam loop touches each table
+    # once per round and re-deriving the reader (schema + file listing) per
+    # round is pure driver overhead
+    def nodes(self, spark: SparkSession) -> DataFrame:
+        if getattr(self, "_nodes_df", None) is None:
+            self._nodes_df = spark.read.parquet(os.path.join(self.path, "nodes"))
+        return self._nodes_df
+
+    def edges(self, spark: SparkSession) -> DataFrame:
+        if getattr(self, "_edges_df", None) is None:
+            self._edges_df = spark.read.parquet(os.path.join(self.path, "edges"))
+        return self._edges_df
+
+    # ---- query --------------------------------------------------------------
+    def _score_ids(self, spark: SparkSession, ids: list) -> list[tuple]:
+        """(id, score) for an id shortlist — an IN-pushdown pruned scan that
+        reads only (id, vector); scores computed JVM-side."""
+        sc = metric_score_q(self.metric, F.col(self.vector_col),
+                            self._qv).alias("_s")
+        rows = (
+            self.nodes(spark)
+            .filter(F.col(self.id_col).isin(ids))
+            .select(F.col(self.id_col).alias("_i"), sc)
+            .collect()
+        )
+        return [(r["_i"], r["_s"]) for r in rows if r["_s"] is not None]
+
+    # below this corpus size a beam round runs as ONE job (tiny frontier
+    # broadcast into a whole-graph hash join — the full scan is cheaper than
+    # a second job's scheduling overhead); above it, two id-pruned scans per
+    # round (the 100 TB shape: each scan reads only matching row groups)
+    SMALL_CORPUS_ROWS = 1_000_000
+
+    def _expand_round(self, spark: SparkSession, frontier: list,
+                      known: set) -> list[tuple]:
+        """One beam round: newly reachable (id, score) pairs from frontier."""
+        small = int(self.meta.get("n", 0)) <= self.SMALL_CORPUS_ROWS
+        sc = metric_score_q(self.metric, F.col(self.vector_col),
+                            self._qv).alias("_s")
+        if small:
+            cand = (
+                self.edges(spark).filter(F.col("src").isin(frontier))
+                .select(F.col("dst").alias(self.id_col)).distinct()
+            )
+            rows = (
+                self.nodes(spark)
+                .join(F.broadcast(cand), self.id_col)
+                .select(F.col(self.id_col).alias("_i"), sc)
+                .collect()
+            )
+            return [(r["_i"], r["_s"]) for r in rows
+                    if r["_s"] is not None and r["_i"] not in known]
+        neigh = [
+            r[0]
+            for r in self.edges(spark)
+            .filter(F.col("src").isin(frontier))
+            .select("dst").distinct().collect()
+        ]
+        new = [i for i in neigh if i not in known]
+        return self._score_ids(spark, new) if new else []
+
+    def beam_search(self, spark: SparkSession, query_vector: list[float],
+                    ef: int = DEFAULT_EF,
+                    max_rounds: int = MAX_ROUNDS) -> list:
+        """Best-first beam over the stored graph; returns the final beam's
+        ids, best first. Driver state: (id, score) pairs only. Exit
+        criterion is the classic HNSW one in batch form: stop when no
+        member of the current top-ef remains unexpanded (everything scored
+        outside the beam is already worse than the beam's minimum)."""
+        self._qv = [float(x) for x in query_vector]
+        ef = max(1, int(ef))
+        scored: dict = dict(self._score_ids(spark, self.meta["entry_ids"]))
+        expanded: set = set()
+
+        def beam() -> list:
+            return sorted(scored, key=lambda i: (-scored[i], i))[:ef]
+
+        cur = beam()
+        for _ in range(max_rounds):
+            frontier = [i for i in cur if i not in expanded]
+            if not frontier:
+                break
+            expanded.update(frontier)
+            scored.update(self._expand_round(spark, frontier, set(scored)))
+            cur = beam()
+        else:
+            warnings.warn(
+                f"hnsw beam search hit the {max_rounds}-round backstop before "
+                "converging; results may be under-explored", stacklevel=2)
+        return cur
+
+    def search(self, spark: SparkSession, req: DenseSearchRequest,
+               ef: int | None = None, **dense_kwargs) -> DataFrame:
+        """Graph-ANN search composed with the UNCHANGED exact request
+        pipeline: the beam shortlist (ef ids) feeds dense_search, which
+        re-scores exactly and applies the full Q5-Q13 post-filter chain.
+        ef >= the over-fetched limit so post-filters keep head-room."""
+        want = req.limit + req.offset + (
+            req.increase_limit_for_text_search if req.text_filter else 0)
+        ef = max(DEFAULT_EF if ef is None else int(ef), want)
+        ids = self.beam_search(spark, req.query_vector, ef=ef)
+        shortlist = self.nodes(spark).filter(F.col(self.id_col).isin(ids)).drop("_cell")
+        dense_kwargs.setdefault("id_col", self.id_col)
+        dense_kwargs.setdefault("vector_col", self.vector_col)
+        return dense_search(shortlist, req, **dense_kwargs)
+
+    # ---- incremental maintenance -------------------------------------------
+    def append(self, batch: DataFrame) -> None:
+        """O(batch) graph insert: assign new rows to their 2 nearest
+        EXISTING cells, edge them against the EXISTING members of those
+        cells (one cell-pruned pairwise pass), append nodes + forward +
+        reverse edges. Reverse edges append un-recapped (Mmax enforcement
+        is a compaction concern, as in DiskANN's insert path); search
+        correctness is unaffected — extra edges only widen exploration."""
+        centroids = np.array(self.meta["centroids"], dtype=np.float64)
+        spark = batch.sparkSession
+        assigned = (
+            batch.withColumn("_a", _cells_udf(centroids, self.metric)(F.col(self.vector_col)))
+            .withColumn("_cell", F.col("_a.cells")[0])
+            .persist()
+        )
+        try:
+            touched = [r[0] for r in assigned.select(
+                F.explode("_a.cells").alias("c")).distinct().collect()]
+            new_x = (
+                assigned.select(self.id_col, self.vector_col,
+                                F.col("_a.cells").alias("_cells"))
+            )
+            old = (
+                self.nodes(spark)
+                .filter(F.col("_cell").isin(touched))
+                .select(F.col(self.id_col).alias("_oid"),
+                        F.col(self.vector_col).alias("_ovec"), "_cell")
+            )
+            exploded = new_x.select(
+                self.id_col, self.vector_col,
+                F.explode("_cells").alias("_cell"))
+            m = int(self.meta["M"])
+            metric = self.metric
+            id_col, vector_col = self.id_col, self.vector_col
+
+            def edge_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+                if pdf.empty:
+                    return pd.DataFrame({"src": [], "dst": [], "score": []})
+                srcs = pdf[id_col].to_numpy()
+                sv = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+                dsts = pdf["_oid"].to_numpy()
+                dv = np.array(pdf["_ovec"].tolist(), dtype=np.float64)
+                out_s, out_d, out_sc = [], [], []
+                # rows arrive grouped by cell; score each src against the
+                # cell members it was joined with
+                for i in range(len(pdf)):
+                    out_s.append(srcs[i])
+                    out_d.append(dsts[i])
+                    out_sc.append(float(_np_scores(metric, dv[i:i + 1], sv[i])[0]))
+                return pd.DataFrame({"src": out_s, "dst": out_d, "score": out_sc})
+
+            pair = exploded.join(old, "_cell")
+            id_t = dict(batch.dtypes).get(self.id_col, "bigint")
+            scored = pair.groupBy("_cell").applyInPandas(
+                edge_batch, schema=f"src {id_t}, dst {id_t}, score double")
+            w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+            fwd = (
+                scored.groupBy("src", "dst").agg(F.max("score").alias("score"))
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= m).drop("_r")
+            )
+            rev = fwd.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "score")
+            fwd.unionByName(rev).write.mode("append").parquet(
+                os.path.join(self.path, "edges"))
+            assigned.drop("_a").write.mode("append").parquet(
+                os.path.join(self.path, "nodes"))
+            self.meta["n"] = int(self.meta.get("n", 0)) + assigned.count()
+            with open(os.path.join(self.path, "_hnsw_meta.json"), "w") as f:
+                json.dump(self.meta, f)
+            # invalidate cached readers — the tables just grew
+            self._nodes_df = self._edges_df = None
+        finally:
+            assigned.unpersist()
+
+
+def compact_hnsw(index: HnswIndex, spark: SparkSession) -> None:
+    """Re-cap appended edges at Mmax=2M (append leaves reverse edges
+    un-recapped — correct but degree-inflating; this is the DiskANN-style
+    periodic cleanup). One (src,dst) groupBy + one per-src window over
+    (src, dst, score) scalars, rewritten atomically (tmp + swap)."""
+    import shutil
+
+    edges_path = os.path.join(index.path, "edges")
+    cap = 2 * int(index.meta["M"])
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    tmp = edges_path + "__compacting"
+    (
+        spark.read.parquet(edges_path)
+        .groupBy("src", "dst").agg(F.max("score").alias("score"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap).drop("_r")
+        .repartitionByRange(8, F.col("src"))
+        .sortWithinPartitions("src", "dst")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    shutil.rmtree(edges_path)
+    os.replace(tmp, edges_path)
+    index._edges_df = None
+
+
+def build_hnsw(
+    df: DataFrame,
+    path: str,
+    m: int = DEFAULT_M,
+    metric: str = "COSINE",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    cell_target: int = CELL_TARGET,
+    seed: int = 42,
+) -> HnswIndex:
+    """Build the graph: coarse cells -> intra-cell top-M adjacency ->
+    cross-cell merge -> symmetrize+cap -> entry medoids. Writes
+    path/{nodes,edges} (range-partitioned, sorted for IN-pushdown skipping)
+    and path/_hnsw_meta.json."""
+    metric = metric.upper()
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot build a graph index on an empty collection")
+    ncells = int(np.clip(-(-n // cell_target), 1, 4096))
+
+    # centroid training: same deterministic hash-stride sample as plans/ivf.py
+    stride = max(1, -(-n // SAMPLE_CAP))
+    sample = (
+        df.select(F.col(vector_col))
+        .filter(F.pmod(F.hash(F.col(vector_col)), F.lit(stride)) == 0)
+        .collect()
+    )
+    if not sample:
+        sample = df.select(F.col(vector_col)).limit(SAMPLE_CAP).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    if x.shape[0] > 1:
+        x = x[np.lexsort(x.T[::-1])][:SAMPLE_CAP]
+    if metric == "COSINE":
+        x = _normalize_rows(x)
+    centroids = _kmeans(x, ncells, seed=seed)
+
+    assigned = (
+        df.withColumn("_a", _cells_udf(centroids, metric)(F.col(vector_col)))
+        .withColumn("_cell", F.col("_a.cells")[0])
+        .withColumn("_d0", F.col("_a.d0"))
+        .persist()
+    )
+    try:
+        # nodes: full rows + primary cell, laid out for id IN-pushdown
+        (
+            assigned.drop("_a", "_d0")
+            .repartitionByRange(8, F.col(id_col))
+            .sortWithinPartitions(id_col)
+            .write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+        )
+
+        # intra-cell adjacency: pairwise INSIDE one Arrow batch per cell
+        exploded = assigned.select(
+            id_col, vector_col, F.explode("_a.cells").alias("_cell"))
+        id_t = dict(df.dtypes)[id_col]
+
+        def cell_topm(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = len(pdf)
+            if g < 2:
+                return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+                    {"score": "float64"})
+            ids = pdf[id_col].to_numpy()
+            vecs = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            if metric == "IP":
+                s = vecs @ vecs.T
+            elif metric == "L2":
+                s = -_pairwise_d2(vecs, vecs)
+            else:
+                nv = _normalize_rows(vecs)
+                s = np.clip(nv @ nv.T, -1.0, 1.0)
+            np.fill_diagonal(s, -np.inf)
+            k = min(m, g - 1)
+            # deterministic top-k per row: sort by (-score, id)
+            ordid = np.argsort(ids, kind="stable")
+            out_s, out_d, out_sc = [], [], []
+            for i in range(g):
+                row = s[i]
+                # stable argsort over (-score) with id tiebreak: sort ids
+                # first, then stable-sort by -score keeps id order on ties
+                top = ordid[np.argsort(-row[ordid], kind="stable")[:k]]
+                out_s.extend([ids[i]] * len(top))
+                out_d.extend(ids[top])
+                out_sc.extend(row[top])
+            return pd.DataFrame({"src": out_s, "dst": out_d, "score": out_sc})
+
+        intra = exploded.groupBy("_cell").applyInPandas(
+            cell_topm, schema=f"src {id_t}, dst {id_t}, score double")
+
+        # merge across the 2 cells, cap M; symmetrize, cap Mmax=2M
+        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+        fwd = (
+            intra.groupBy("src", "dst").agg(F.max("score").alias("score"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= m).drop("_r")
+        )
+        sym = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "score"))
+        edges = (
+            sym.groupBy("src", "dst").agg(F.max("score").alias("score"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= 2 * m).drop("_r")
+        )
+        (
+            edges.repartitionByRange(8, F.col("src"))
+            .sortWithinPartitions("src", "dst")
+            .write.mode("overwrite").parquet(os.path.join(path, "edges"))
+        )
+
+        # entry points: per-cell medoid (nearest row to the cell centroid)
+        medoids = (
+            assigned.groupBy("_cell")
+            .agg(F.min_by(F.col(id_col), F.struct("_d0", id_col)).alias("_m"))
+            .select("_m").collect()
+        )
+        entry_ids = sorted([r[0] for r in medoids],
+                           key=lambda v: (str(type(v)), v))
+    finally:
+        assigned.unpersist()
+
+    meta = {
+        "metric": metric, "M": int(m), "ncells": int(ncells), "n": int(n),
+        "id_col": id_col, "vector_col": vector_col,
+        "entry_ids": entry_ids, "centroids": centroids.tolist(),
+    }
+    with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return HnswIndex(path, meta)
+
+
+def open_hnsw(path: str) -> HnswIndex:
+    with open(os.path.join(path, "_hnsw_meta.json")) as f:
+        return HnswIndex(path, json.load(f))
+
+
+def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
+                      metric: str = "COSINE", id_col: str = "id",
+                      vector_col: str = "vector",
+                      cell_target: int = CELL_TARGET) -> HnswIndex:
+    """Reuse the cached graph only when built with the SAME params."""
+    meta_p = os.path.join(path, "_hnsw_meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if (meta["metric"] == metric.upper() and meta["M"] == int(m)
+                and meta["id_col"] == id_col and meta["vector_col"] == vector_col):
+            return HnswIndex(path, meta)
+    return build_hnsw(df, path, m=m, metric=metric, id_col=id_col,
+                      vector_col=vector_col, cell_target=cell_target)

@@ -211,8 +211,10 @@ _register_ext("q6_text_filter_custom_stopword", *_dense_pair(
         limit=10, text_filter="index join", minimum_words_match=1),
     with_chunk=True))
 # ...and a mixed filter drops the custom word from the term set, so
-# minimum_words_match=1 counts only the non-stopword term
-_register("q6_text_filter_custom_mixed", *_dense_pair(
+# minimum_words_match=1 counts only the non-stopword term (extended: the
+# custom-stopword family keeps one driver-window slot, q6_all_stopwords —
+# this variant stays oracle-checked via check_oracle --extended)
+_register_ext("q6_text_filter_custom_mixed", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=23), metric="COSINE",
         limit=10, text_filter="index merge", minimum_words_match=1),
@@ -800,6 +802,37 @@ _register_ext("q1_ivf_pruned", *_ivf_clustered_pair(nlist=8, nprobe=4))
 # deep prune: nlist=64, nprobe=4 — 1/16 of the cells, the reference's
 # nlist=1024/nprobe=4 default ratio family (base_milvus.py:1266-1284)
 _register("q1_ivf_pruned_deep", *_ivf_clustered_pair(nlist=64, nprobe=4))
+
+
+# --- real graph-ANN execution: HNSW (r5 — replaces the IVF_FLAT fallback) ------
+# index_type HNSW (generate_schema_request.py:129) executes as a navigable
+# neighbor graph + driver-coordinated beam search (plans/hnsw.py). Gated on
+# the clustered fixture under the EXACT oracle: the true top-10 is the
+# cluster, the query's cell medoid is a cluster point, and the cluster is a
+# mutually-connected subgraph under top-M adjacency — so a correct graph
+# build + beam MUST return the exact top-10 (deterministically: seeded
+# k-means cells, (score desc, id asc) tie-breaks everywhere).
+HNSW_CACHE_ROOT = os.path.join(_SCRATCH, "hnsw_cache")
+
+
+def _hnsw_clustered_pair(metric: str):
+    from flouds_vectordb_spark.plans.hnsw import get_or_build_hnsw
+
+    req = DenseSearchRequest(query_vector=_CLUSTER_Q, metric=metric, limit=10)
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = os.path.join(HNSW_CACHE_ROOT, f"{tag}_clustered_{metric.lower()}")
+        idx = get_or_build_hnsw(_clustered_embs(spark, sf_dir), path, m=16,
+                                metric=metric, cell_target=256)
+        return idx.search(spark, req, ef=48)
+
+    return q, dense_search_sql(req, _CLUSTERED_EMBS_SQL,
+                               id_expr="id", vector_expr="vector")
+
+
+_register("q1_hnsw_topk", *_hnsw_clustered_pair("COSINE"))
+_register_ext("q1_hnsw_l2", *_hnsw_clustered_pair("L2"))
 
 
 # --- real quantized execution: IVF_SQ8 / IVF_PQ (SURVEY §4.1 upgrade) ----------

@@ -1,0 +1,208 @@
+"""Graph-ANN (index_type=HNSW) plan tests: build determinism, beam
+exactness on separable data, metric variants, the big-corpus two-scan
+round path, O(batch) append, and the catalog dispatch.
+
+Reference parity: HNSW is an accepted index_type
+(app/models/generate_schema_request.py:129) whose build call forwards only
+nlist (app/milvus/base_milvus.py:1141-1167); plans/hnsw.py executes it as
+a navigable neighbor graph + beam search instead of the pre-r5 IVF_FLAT
+fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
+from flouds_vectordb_spark.plans.hnsw import HnswIndex, build_hnsw, open_hnsw
+
+DIM = 16
+
+
+def _clustered_df(spark, n_bg=300, n_cl=20, seed=7):
+    """Background noise + a tight cluster around a known query point."""
+    rng = np.random.RandomState(seed)
+    q = rng.uniform(-1, 1, DIM)
+    rows = [(int(i), [float(x) for x in rng.uniform(-1, 1, DIM)])
+            for i in range(n_bg)]
+    rows += [(int(1000 + i), [float(x) for x in q + rng.uniform(-0.005, 0.005, DIM)])
+             for i in range(n_cl)]
+    df = spark.createDataFrame(rows, "id bigint, vector array<double>")
+    return df, [float(x) for x in q]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    df, q = _clustered_df(spark)
+    path = str(tmp_path_factory.mktemp("hnsw") / "idx")
+    idx = build_hnsw(df, path, m=8, metric="COSINE", cell_target=64)
+    return df, q, idx
+
+
+def test_beam_finds_exact_topk(spark, built):
+    df, q, idx = built
+    req = DenseSearchRequest(query_vector=q, metric="COSINE", limit=10,
+                             score_threshold=None, output_fields=())
+    got = [r.asDict() for r in idx.search(spark, req).collect()]
+    exact = [r.asDict() for r in
+             dense_search(df, req, id_col="id", vector_col="vector").collect()]
+    assert got == exact
+    assert idx.meta["ncells"] > 1  # multi-cell: bridges + medoid entry exercised
+
+
+def test_build_is_deterministic(spark, built, tmp_path_factory):
+    df, _, idx = built
+    path2 = str(tmp_path_factory.mktemp("hnsw_b") / "idx")
+    idx2 = build_hnsw(df, path2, m=8, metric="COSINE", cell_target=64)
+    assert idx2.meta["entry_ids"] == idx.meta["entry_ids"]
+    e1 = sorted((r["src"], r["dst"]) for r in idx.edges(spark).collect())
+    e2 = sorted((r["src"], r["dst"]) for r in idx2.edges(spark).collect())
+    assert e1 == e2
+
+
+def test_edge_caps_and_symmetry(spark, built):
+    _, _, idx = built
+    m = idx.meta["M"]
+    deg = idx.edges(spark).groupBy("src").count().agg(F.max("count")).first()[0]
+    assert deg <= 2 * m  # Mmax0 = 2M cap after symmetrization
+    edges = {(r["src"], r["dst"]) for r in idx.edges(spark).collect()}
+    # forward top-M edges survive the cap unless the reverse side was full;
+    # at least the graph must be non-trivially bidirectional
+    back = sum(1 for (s, d) in edges if (d, s) in edges)
+    assert back >= len(edges) * 0.5
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP"])
+def test_metric_variants_exact_on_cluster(spark, tmp_path_factory, metric):
+    df, q = _clustered_df(spark, seed=11)
+    if metric == "IP":
+        # IP's top-k on centered data is norm-dominated; shift the cluster
+        # out so it is the unambiguous max-inner-product set
+        df = df.withColumn(
+            "vector",
+            F.when(F.col("id") >= 1000,
+                   F.transform("vector", lambda x: x * F.lit(3.0)))
+            .otherwise(F.col("vector")))
+    path = str(tmp_path_factory.mktemp(f"hnsw_{metric}") / "idx")
+    idx = build_hnsw(df, path, m=8, metric=metric, cell_target=64)
+    req = DenseSearchRequest(query_vector=q, metric=metric, limit=5,
+                             score_threshold=None, output_fields=())
+    got = [r["id"] for r in idx.search(spark, req).collect()]
+    exact = [r["id"] for r in
+             dense_search(df, req, id_col="id", vector_col="vector").collect()]
+    assert got == exact
+
+
+def test_big_corpus_two_scan_round_path_matches(spark, built, monkeypatch):
+    """Force the 100 TB round shape (two id-pruned scans, no broadcast of
+    the whole-graph join) and require identical beam results."""
+    df, q, idx = built
+    small = idx.beam_search(spark, q, ef=32)
+    monkeypatch.setattr(HnswIndex, "SMALL_CORPUS_ROWS", -1)
+    big = open_hnsw(idx.path).beam_search(spark, q, ef=32)
+    assert small == big
+
+
+def test_append_is_o_batch_and_searchable(spark, built, tmp_path_factory):
+    df, q, idx0 = built
+    # copy the index so the module-scoped fixture stays pristine
+    import shutil
+
+    path = str(tmp_path_factory.mktemp("hnsw_app") / "idx")
+    shutil.copytree(idx0.path, path)
+    idx = open_hnsw(path)
+    n0 = idx.meta["n"]
+    # a new batch sitting even closer to q than the existing cluster
+    rng = np.random.RandomState(3)
+    batch = spark.createDataFrame(
+        [(int(5000 + i), [float(x) for x in np.array(q) + rng.uniform(-0.001, 0.001, DIM)])
+         for i in range(5)], "id bigint, vector array<double>")
+    idx.append(batch)
+    assert idx.meta["n"] == n0 + 5
+    req = DenseSearchRequest(query_vector=q, metric="COSINE", limit=5,
+                             score_threshold=None, output_fields=())
+    got = [r["id"] for r in idx.search(spark, req).collect()]
+    exact = [r["id"] for r in dense_search(
+        df.unionByName(batch), req, id_col="id", vector_col="vector").collect()]
+    assert got == exact
+    assert set(got) == {5000, 5001, 5002, 5003, 5004}
+
+
+def test_compact_recaps_degree_and_preserves_results(spark, built, tmp_path_factory):
+    from flouds_vectordb_spark.plans.hnsw import compact_hnsw
+
+    import shutil
+
+    df, q, idx0 = built
+    path = str(tmp_path_factory.mktemp("hnsw_cp") / "idx")
+    shutil.copytree(idx0.path, path)
+    idx = open_hnsw(path)
+    rng = np.random.RandomState(9)
+    batch = spark.createDataFrame(
+        [(int(6000 + i), [float(x) for x in np.array(q) + rng.uniform(-0.002, 0.002, DIM)])
+         for i in range(12)], "id bigint, vector array<double>")
+    idx.append(batch)
+    compact_hnsw(idx, spark)
+    cap = 2 * idx.meta["M"]
+    deg = idx.edges(spark).groupBy("src").count().agg(F.max("count")).first()[0]
+    assert deg <= cap
+    req = DenseSearchRequest(query_vector=q, metric="COSINE", limit=10,
+                             score_threshold=None, output_fields=())
+    got = [r["id"] for r in idx.search(spark, req).collect()]
+    exact = [r["id"] for r in dense_search(
+        df.unionByName(batch), req, id_col="id", vector_col="vector").collect()]
+    assert got == exact
+
+
+def test_nonconvergence_warns(spark, built):
+    _, q, idx = built
+    with pytest.warns(UserWarning, match="backstop"):
+        idx.beam_search(spark, q, ef=16, max_rounds=1)
+
+
+def test_empty_build_raises(spark, tmp_path_factory):
+    empty = spark.createDataFrame([], "id bigint, vector array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        build_hnsw(empty, str(tmp_path_factory.mktemp("hnsw_e") / "idx"))
+
+
+def test_catalog_hnsw_dispatch_and_growing_segment(spark, tmp_path_factory):
+    """generate_schema(index_type=HNSW) builds the graph; rows inserted
+    AFTER build_index are appended O(batch) and searchable; updated keys
+    resolve latest-wins on the shortlist."""
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    rng = np.random.RandomState(5)
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_hnsw")))
+    cat.set_vector_store("th1")
+    cat.generate_schema(CollectionSpec("th1", "m", dimension=DIM, nlist=4,
+                                       metric_type="COSINE", index_type="HNSW"))
+    w = CollectionWriter(cat, "th1", "m")
+    rows = [(f"k{i}", f"chunk {i}", [float(x) for x in rng.uniform(-1, 1, DIM)])
+            for i in range(120)]
+    target = [float(x) for x in rng.uniform(-1, 1, DIM)]
+    rows.append(("hit", "the needle", [t * 1.0 for t in target]))
+    b = spark.createDataFrame(rows, "id string, chunk string, vector array<float>")
+    w.insert_data(b, batch_ts=1, force_flush=True)
+    w.build_index()
+    req = DenseSearchRequest(query_vector=target, metric="COSINE", limit=3,
+                             score_threshold=None)
+    got = w.search(req, use_index=True, id_col="id", vector_col="vector",
+                   chunk_col="chunk").collect()
+    assert got[0]["id"] == "hit" and got[0]["chunk"] == "the needle"
+
+    # growing segment: insert an even-better post-build row + update 'hit'
+    # away from the query; both must be visible via the index path
+    b2 = spark.createDataFrame(
+        [("hit2", "closer", [t * 1.0 for t in target]),
+         ("hit", "moved away", [-t for t in target])],
+        "id string, chunk string, vector array<float>")
+    r = w.insert_data(b2, batch_ts=2)
+    assert r["dense_indexed"]
+    got2 = w.search(req, use_index=True, id_col="id", vector_col="vector",
+                    chunk_col="chunk").collect()
+    ids2 = [x["id"] for x in got2]
+    assert got2[0]["id"] == "hit2"
+    assert "hit" not in ids2 or got2[[x["id"] for x in got2].index("hit")]["chunk"] == "moved away"
