@@ -51,6 +51,22 @@ def main() -> int:
         print(f"{tenant} top hits:", [(h["id"], h["chunk"]) for h in hits])
 
     print("collections:", cat.list_collections())
+
+    # the reference's set_vector_store also provisions a tenant client +
+    # role grants (base_milvus.py:620-679, 1321-1365) — the metadata-layer
+    # equivalents live in security.py
+    from flouds_vectordb_spark.security import KeyManager, Rbac
+
+    km, rbac = KeyManager(cat), Rbac(cat)
+    creds = km.set_user("acme_corp")
+    print(f"tenant client: {creds['client_id']} (secret returned once)")
+    assert km.validate_client(creds["client_id"], creds["client_secret"])
+    rbac.grant_tenant_privileges_to_collection("acme_corp",
+                                               cat.list_collections("acme_corp")[0])
+    assert rbac.has_privilege("flouds_admin_role",
+                              cat.list_collections("acme_corp")[0], "Search")
+    print("granted:", sorted(rbac.list_grants("flouds_admin_role")))
+
     spark.stop()
     return 0
 

@@ -251,17 +251,26 @@ class ConfigKV:
     operator (SURVEY §2.1); provided so a reference user has the full
     surface. Backed by the catalog's atomic-rename JSON meta store —
     driver-side, tiny, same durability model as the tenant/collection
-    registry. Fernet encryption-at-rest is OUT OF SCOPE (key management
-    is a service concern): encrypted=True stores the value VERBATIM
-    (plaintext at rest — no key manager here; the reference stores the
-    Fernet ciphertext, config_service.py:313-337) and, like the
-    reference's get_config_meta for encrypted rows, reads return
-    (None, True) rather than exposing the value. The row is therefore
-    recoverable (no silent data loss) once a decrypting service layer
-    exists; until then it is simply never surfaced through reads."""
+    registry. Encryption-at-rest mirrors the reference
+    (config_service.py:176-230,313-337): with the cryptography package
+    present, encrypted=True stores the Fernet CIPHERTEXT under the
+    warehouse's generated key (security.SecretStore — the reference's
+    key_manager key-file scheme) and get_config() decrypts it back, while
+    get_config_meta() still returns (None, True) (the reference's
+    never-expose contract for metadata reads, config_service.py:313-337).
+    Without the package, the value is stored VERBATIM with the flag
+    (recoverable once a decrypting layer exists — documented fallback)."""
 
     def __init__(self, catalog: Catalog):
         self.catalog = catalog
+        self._secrets = None
+
+    def _secret_store(self):
+        if self._secrets is None:
+            from flouds_vectordb_spark.security import SecretStore
+
+            self._secrets = SecretStore(self.catalog.warehouse)
+        return self._secrets
 
     @staticmethod
     def _k(key: str, tenant_code: str) -> str:
@@ -271,16 +280,34 @@ class ConfigKV:
                    encrypted: bool = False) -> None:
         if not key:
             raise ValueError("config key must be non-empty")
+        value = str(value)
+        ciphered = False
+        if encrypted:
+            store = self._secret_store()
+            if store.available:
+                value = store.encrypt(value)
+                ciphered = True
         data = self.catalog._read_meta("config_kv")
         data[self._k(key, tenant_code)] = {
-            "value": str(value),
+            "value": value,
             "encrypted": bool(encrypted),
+            "ciphered": ciphered,
         }
         self.catalog._write_meta("config_kv", data)
 
     def get_config(self, key: str, tenant_code: str = "") -> str | None:
-        v, enc = self.get_config_meta(key, tenant_code)
-        return None if enc else v
+        """config_service.py:176-204 (_read_kv): encrypted rows DECRYPT on
+        this path when the key is available; None otherwise."""
+        row = self.catalog._read_meta("config_kv").get(self._k(key, tenant_code))
+        if row is None:
+            return None
+        if not row["encrypted"]:
+            return row["value"]
+        if row.get("ciphered"):
+            return self._secret_store().decrypt(row["value"])
+        # no-crypto fallback stored the plaintext verbatim; returning it is
+        # observably identical to the reference's decrypt-on-read
+        return row["value"]
 
     def get_config_meta(self, key: str, tenant_code: str = "") -> tuple[str | None, bool]:
         row = self.catalog._read_meta("config_kv").get(self._k(key, tenant_code))

@@ -155,6 +155,18 @@ def test_compact_recaps_degree_and_preserves_results(spark, built, tmp_path_fact
     assert got == exact
 
 
+def test_round_scans_push_the_in_list(spark, built):
+    """The 100 TB contract: a beam round's edge and node scans carry the
+    IN-list into the parquet scan (PushedFilters), so the sorted layout's
+    row-group stats can skip — not a post-scan Filter over a full read."""
+    _, _, idx = built
+    some_ids = idx.meta["entry_ids"][:2]
+    for df, col in ((idx.edges(spark), "src"), (idx.nodes(spark), "id")):
+        scan = df.filter(F.col(col).isin(some_ids))
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(" in plan.replace("`", ""), plan[:500]
+
+
 def test_nonconvergence_warns(spark, built):
     _, q, idx = built
     with pytest.warns(UserWarning, match="backstop"):
