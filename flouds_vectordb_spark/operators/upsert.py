@@ -104,11 +104,22 @@ class CollectionWriter:
         """S3: validate dims, append the stamped batch, apply flush policy.
         skip_dim_validation is for callers that already ran the check in
         their own validation pass (sources/json_ingest.py)."""
-        if not skip_dim_validation:
-            validate_dimensions(batch, int(self.meta["dimension"]))
         stamped = batch.withColumn("batch_ts", F.lit(int(batch_ts)))
-        counts = stamped.agg(F.count("*").alias("n"),
-                             F.count_distinct("id").alias("nk")).first()
+        # one validation job for the whole batch: row/key counts and (unless
+        # pre-validated) up to 10 offending wrong-dimension keys ride the
+        # same agg — collect_list skips the non-offender NULLs, so only bad
+        # keys reach the driver (I2, vector_store.py:332-352)
+        agg_cols = [F.count("*").alias("n"), F.count_distinct("id").alias("nk")]
+        if not skip_dim_validation:
+            dim = int(self.meta["dimension"])
+            offender = F.when(
+                F.col("vector").isNull() | (F.size("vector") != dim), F.col("id"))
+            agg_cols.append(F.slice(F.collect_list(offender), 1, 10).alias("bad"))
+        counts = stamped.agg(*agg_cols).first()
+        if not skip_dim_validation and counts["bad"]:
+            raise ValueError(
+                f"vectors with dimension != {self.meta['dimension']} "
+                f"for keys {list(counts['bad'])}")
         n = int(counts["n"])
         # duplicate keys within one batch share a batch_ts and would make
         # the latest-wins merge nondeterministic; the reference rejects them
@@ -374,8 +385,6 @@ class CollectionWriter:
         import json
 
         from flouds_vectordb_spark.operators.sparse_search import (
-            bm25_doc_rows,
-            bm25_doc_stats,
             bm25_postings,
             bm25_term_stats,
             bm25_tf,
@@ -388,16 +397,32 @@ class CollectionWriter:
                 bm25_postings(latest, drop_ratio_build=drop_ratio_build)
             ).write.mode("overwrite").parquet(paths["legacy"])
             return paths["legacy"]
+        # Exactly ONE tokenize pass and four small jobs (the naive
+        # per-artifact recompute re-ran the latest-wins window + tokenize
+        # 4x — measured 2.4x flow inflation at sf0.1): the tf write does
+        # the heavy work; the doc registry and term stats DERIVE from the
+        # just-written tf parquet (scalar scans, no re-tokenize; zero-term
+        # docs rejoin from the keyed id list with dl=0 — bm25_doc_rows'
+        # contract), and (n_docs, sum_dl) aggregates off the registry.
+        spark = self.catalog.spark
+        keyed = latest.select("id", "batch_ts")
         # tf rows carry the version ts of their document so stale versions
         # are filterable at read via the (id, latest ts) registry join
-        tf = bm25_tf(latest).join(latest.select("id", "batch_ts"), "id")
-        self._term_sorted(tf).write.mode("overwrite").parquet(paths["tf"])
-        bm25_doc_rows(latest).join(latest.select("id", "batch_ts"), "id") \
+        self._term_sorted(bm25_tf(latest).join(keyed, "id")) \
+            .write.mode("overwrite").parquet(paths["tf"])
+        tf_read = spark.read.parquet(paths["tf"])
+        (
+            keyed.join(tf_read.select("id", "dl").distinct(), "id", "left")
+            .withColumn("dl", F.coalesce("dl", F.lit(0)))
             .write.mode("overwrite").parquet(paths["docs"])
-        bm25_term_stats(bm25_tf(latest)).write.mode("overwrite").parquet(paths["stats"])
-        n_docs, sum_dl = bm25_doc_stats(latest)
+        )
+        bm25_term_stats(tf_read.select("id", "term", "tf")) \
+            .write.mode("overwrite").parquet(paths["stats"])
+        row = spark.read.parquet(paths["docs"]).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).first()
         with open(paths["meta"], "w") as f:
-            json.dump({"n_docs": n_docs, "sum_dl": sum_dl}, f)
+            json.dump({"n_docs": int(row["n"]), "sum_dl": int(row["s"])}, f)
         return paths["tf"]
 
     def _append_sparse(self, stamped: DataFrame, batch_ts: int) -> bool:

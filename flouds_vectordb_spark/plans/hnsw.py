@@ -60,7 +60,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flouds_vectordb_spark.functions.vector import metric_score_q
+from flouds_vectordb_spark.functions.vector import metric_score, metric_score_q
 from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
 from flouds_vectordb_spark.plans.ivf import SAMPLE_CAP, _kmeans, _normalize_rows, _pairwise_d2
 
@@ -305,6 +305,48 @@ class HnswIndex:
             assigned.unpersist()
 
 
+def _nn_descent_round(edges: DataFrame, nodes_iv: DataFrame, m: int,
+                      metric: str) -> DataFrame:
+    """One NN-descent refinement round (Dong et al., WWW'11 — the standard
+    distributed k-NN-graph improver): propose neighbors-of-neighbors, score
+    the NEW pairs, merge into the adjacency, re-cap. The proposal join is
+    (src, dst) scalars; vectors attach only to score the deduplicated new
+    pairs (two keyed joins — the one place the build shuffles vectors, as
+    every NN-descent must). Cost per round: O(n·(2M)²) candidate pairs.
+    nodes_iv: (id, vector) only."""
+    e2 = edges.select(F.col("src").alias("_mid"), F.col("dst").alias("_dst"))
+    cand = (
+        edges.select("src", F.col("dst").alias("_mid"))
+        .join(e2, "_mid")
+        .select("src", F.col("_dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    sv = nodes_iv.select(F.col("id").alias("src"), F.col("vector").alias("_sv"))
+    dv = nodes_iv.select(F.col("id").alias("dst"), F.col("vector").alias("_dv"))
+    scored = (
+        cand.join(sv, "src").join(dv, "dst")
+        .select("src", "dst",
+                metric_score(metric, F.col("_sv"), F.col("_dv")).alias("score"))
+        .filter(F.col("score").isNotNull())
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    fwd = (
+        edges.unionByName(scored)
+        .groupBy("src", "dst").agg(F.max("score").alias("score"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m).drop("_r")
+    )
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score"))
+    return (
+        sym.groupBy("src", "dst").agg(F.max("score").alias("score"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 2 * m).drop("_r")
+    )
+
+
 def compact_hnsw(index: HnswIndex, spark: SparkSession) -> None:
     """Re-cap appended edges at Mmax=2M (append leaves reverse edges
     un-recapped — correct but degree-inflating; this is the DiskANN-style
@@ -339,6 +381,7 @@ def build_hnsw(
     vector_col: str = "vector",
     cell_target: int = CELL_TARGET,
     seed: int = 42,
+    refine_rounds: int = 0,
 ) -> HnswIndex:
     """Build the graph: coarse cells -> intra-cell top-M adjacency ->
     cross-cell merge -> symmetrize+cap -> entry medoids. Writes
@@ -434,6 +477,16 @@ def build_hnsw(
             .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") <= 2 * m).drop("_r")
         )
+        # optional NN-descent refinement: cell-local candidate generation
+        # misses long-range neighbors on weakly clustered corpora;
+        # neighbor-of-neighbor rounds recover them (checkpoint per round —
+        # the iterative-plan lineage discipline, as in dedup_components)
+        if refine_rounds:
+            nodes_iv = assigned.select(F.col(id_col).alias("id"),
+                                       F.col(vector_col).alias("vector"))
+            for _ in range(int(refine_rounds)):
+                edges = _nn_descent_round(edges, nodes_iv, m, metric) \
+                    .localCheckpoint(eager=True)
         (
             edges.repartitionByRange(8, F.col("src"))
             .sortWithinPartitions("src", "dst")
@@ -453,6 +506,7 @@ def build_hnsw(
 
     meta = {
         "metric": metric, "M": int(m), "ncells": int(ncells), "n": int(n),
+        "refine_rounds": int(refine_rounds),
         "id_col": id_col, "vector_col": vector_col,
         "entry_ids": entry_ids, "centroids": centroids.tolist(),
     }

@@ -173,6 +173,36 @@ def test_nonconvergence_warns(spark, built):
         idx.beam_search(spark, q, ef=16, max_rounds=1)
 
 
+def test_nn_descent_refinement_improves_graph(spark, tmp_path_factory):
+    """NN-descent rounds may only improve the adjacency (every src's
+    neighbor list merges candidates and re-caps by score) and must not
+    hurt beam recall. Uniform-ish data with tiny cells is the case where
+    cell-local candidate generation misses true neighbors."""
+    rng = np.random.RandomState(17)
+    rows = [(int(i), [float(x) for x in rng.uniform(-1, 1, DIM)])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, vector array<double>")
+    q = [float(x) for x in rng.uniform(-1, 1, DIM)]
+    req = DenseSearchRequest(query_vector=q, metric="COSINE", limit=10,
+                             score_threshold=None, output_fields=())
+    exact = {r["id"] for r in
+             dense_search(df, req, id_col="id", vector_col="vector").collect()}
+
+    def build(refine):
+        path = str(tmp_path_factory.mktemp(f"hnsw_r{refine}") / "idx")
+        idx = build_hnsw(df, path, m=8, metric="COSINE", cell_target=32,
+                         refine_rounds=refine)
+        mean_score = idx.edges(spark).agg(F.avg("score")).first()[0]
+        got = {r["id"] for r in idx.search(spark, req, ef=32).collect()}
+        return mean_score, len(got & exact) / len(exact)
+
+    s0, r0 = build(0)
+    s1, r1 = build(1)
+    assert s1 >= s0  # adjacency quality is monotone under refinement
+    assert r1 >= r0  # beam recall must not regress
+    assert r1 >= 0.8  # and lands in a usable range on this fixture
+
+
 def test_empty_build_raises(spark, tmp_path_factory):
     empty = spark.createDataFrame([], "id bigint, vector array<double>")
     with pytest.raises(ValueError, match="empty"):
