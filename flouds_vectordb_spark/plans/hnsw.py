@@ -523,14 +523,17 @@ def open_hnsw(path: str) -> HnswIndex:
 def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
                       metric: str = "COSINE", id_col: str = "id",
                       vector_col: str = "vector",
-                      cell_target: int = CELL_TARGET) -> HnswIndex:
+                      cell_target: int = CELL_TARGET,
+                      refine_rounds: int = 0) -> HnswIndex:
     """Reuse the cached graph only when built with the SAME params."""
     meta_p = os.path.join(path, "_hnsw_meta.json")
     if os.path.exists(meta_p):
         with open(meta_p) as f:
             meta = json.load(f)
         if (meta["metric"] == metric.upper() and meta["M"] == int(m)
+                and meta.get("refine_rounds", 0) == int(refine_rounds)
                 and meta["id_col"] == id_col and meta["vector_col"] == vector_col):
             return HnswIndex(path, meta)
     return build_hnsw(df, path, m=m, metric=metric, id_col=id_col,
-                      vector_col=vector_col, cell_target=cell_target)
+                      vector_col=vector_col, cell_target=cell_target,
+                      refine_rounds=refine_rounds)

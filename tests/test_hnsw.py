@@ -61,6 +61,22 @@ def test_build_is_deterministic(spark, built, tmp_path_factory):
     assert e1 == e2
 
 
+def test_build_is_partitioning_invariant(spark, built, tmp_path_factory):
+    """The same corpus under a different physical partitioning must produce
+    the SAME graph: pair scores are order-independent (vectorized dot per
+    pair), top-lists tie-break on (score, id), the k-means sample is
+    canonically re-sorted driver-side, and medoids use min_by struct
+    ordering — none of it may depend on row arrival order."""
+    df, _, idx = built
+    path3 = str(tmp_path_factory.mktemp("hnsw_p") / "idx")
+    idx3 = build_hnsw(df.repartition(7), path3, m=8, metric="COSINE",
+                      cell_target=64)
+    assert idx3.meta["entry_ids"] == idx.meta["entry_ids"]
+    e1 = sorted((r["src"], r["dst"]) for r in idx.edges(spark).collect())
+    e3 = sorted((r["src"], r["dst"]) for r in idx3.edges(spark).collect())
+    assert e1 == e3
+
+
 def test_edge_caps_and_symmetry(spark, built):
     _, _, idx = built
     m = idx.meta["M"]
