@@ -70,22 +70,6 @@ CELL_TARGET = 1024      # build-time candidate cell size target
 MAX_ROUNDS = 32         # beam-round backstop; convergence is the normal exit
 
 
-def _np_scores(metric: str, m: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """Larger-is-better scores of rows of m against q, float64, mirroring
-    functions/vector.metric_score_q: COSINE=cosine, IP=dot, L2=-d2."""
-    if metric == "IP":
-        return m @ q
-    if metric == "L2":
-        return -(((m - q) ** 2).sum(axis=1))
-    # COSINE; zero norms score -inf (NULL-score rows drop in the JVM path)
-    qn = np.linalg.norm(q)
-    nn = np.linalg.norm(m, axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        s = (m @ q) / (nn * qn)
-    s[~np.isfinite(s)] = -np.inf
-    return s
-
-
 def _cells_udf(centroids: np.ndarray, metric: str, spill: int = 2):
     """Vectorized 2-nearest-cell assignment + distance-to-primary (build
     path only). COSINE assigns on normalized vectors, IP by max inner
@@ -267,18 +251,22 @@ class HnswIndex:
             def edge_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 if pdf.empty:
                     return pd.DataFrame({"src": [], "dst": [], "score": []})
-                srcs = pdf[id_col].to_numpy()
+                # rows arrive grouped by cell, one (new src, cell member)
+                # pair per row — score all pairs in one vectorized pass
                 sv = np.array(pdf[vector_col].tolist(), dtype=np.float64)
-                dsts = pdf["_oid"].to_numpy()
                 dv = np.array(pdf["_ovec"].tolist(), dtype=np.float64)
-                out_s, out_d, out_sc = [], [], []
-                # rows arrive grouped by cell; score each src against the
-                # cell members it was joined with
-                for i in range(len(pdf)):
-                    out_s.append(srcs[i])
-                    out_d.append(dsts[i])
-                    out_sc.append(float(_np_scores(metric, dv[i:i + 1], sv[i])[0]))
-                return pd.DataFrame({"src": out_s, "dst": out_d, "score": out_sc})
+                if metric == "IP":
+                    sc = np.einsum("ij,ij->i", sv, dv)
+                elif metric == "L2":
+                    sc = -np.einsum("ij,ij->i", sv - dv, sv - dv)
+                else:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sc = np.einsum("ij,ij->i", sv, dv) / (
+                            np.linalg.norm(sv, axis=1) * np.linalg.norm(dv, axis=1))
+                    sc[~np.isfinite(sc)] = -np.inf
+                return pd.DataFrame({"src": pdf[id_col].to_numpy(),
+                                     "dst": pdf["_oid"].to_numpy(),
+                                     "score": sc})
 
             pair = exploded.join(old, "_cell")
             id_t = dict(batch.dtypes).get(self.id_col, "bigint")
