@@ -861,6 +861,10 @@ def _hnsw_clustered_pair(metric: str):
 
 _register("q1_hnsw_topk", *_hnsw_clustered_pair("COSINE"))
 _register_ext("q1_hnsw_l2", *_hnsw_clustered_pair("L2"))
+# IP: the cluster's inner product vs q (~|q|^2) dominates the uniform
+# background's (max ~|q|·sqrt(dim)/3), so the exact-oracle gate holds —
+# and the IP coarse quantizer (max-inner-product cells) is exercised
+_register_ext("q1_hnsw_ip", *_hnsw_clustered_pair("IP"))
 
 
 # --- real quantized execution: IVF_SQ8 / IVF_PQ (SURVEY §4.1 upgrade) ----------
