@@ -380,7 +380,7 @@ SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {t!r}
 # --- near-dup connected components (pairs -> canonical keeper) ---------------
 
 def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                     max_iter: int = 50) -> DataFrame:
+                     max_iter: int = 50, pointer_jump: bool = False) -> DataFrame:
     """(id, component_id) over the near-dup pair graph; component_id =
     min member id — the canonical keeper a pipeline retains while dropping
     the rest of each component.
@@ -403,7 +403,15 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
     Raises RuntimeError if max_iter rounds elapse before the fixpoint
     (long-diameter pair graph): partially propagated labels would
-    silently keep extra duplicates or merge wrong groups downstream."""
+    silently keep extra duplicates or merge wrong groups downstream.
+
+    pointer_jump=True adds label-doubling to each round (every node also
+    takes the CURRENT label of its label — one extra labels⋈labels join,
+    the large-star idea): propagation distance doubles per round, so
+    rounds drop from O(diameter) to O(log diameter). OFF by default —
+    near-dup components are shallow and the extra join costs more than it
+    saves there; turn it on for long-chain pair graphs (test-covered:
+    a 60-hop chain converges in 7 jumped rounds vs >30 plain)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -427,8 +435,14 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .agg(F.min("lbl").alias("_nl"))
         )
         new_lbl = F.least(F.col("lbl"), F.coalesce("_nl", "lbl"))
+        stepped = labels.join(neigh, "id", "left")
+        if pointer_jump:
+            parents = labels.select(F.col("id").alias("lbl"),
+                                    F.col("lbl").alias("_pl"))
+            stepped = stepped.join(parents, "lbl", "left")
+            new_lbl = F.least(new_lbl, F.coalesce("_pl", "lbl"))
         nxt = (
-            labels.join(neigh, "id", "left")
+            stepped
             .select("id", new_lbl.alias("lbl"),
                     (new_lbl < F.col("lbl")).alias("_chg"))
             .localCheckpoint(eager=True)

@@ -231,3 +231,23 @@ def test_components_raises_on_max_iter_nonconvergence(spark):
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(pairs, max_iter=2)
+
+
+def test_components_pointer_jump_log_rounds_on_long_chain(spark):
+    """pointer_jump doubles propagation distance per round: a 60-hop chain
+    converges within ~log2 rounds where plain min-propagation (1 hop per
+    round) cannot — and the labels are identical to the fixpoint."""
+    import pytest
+
+    from flouds_vectordb_spark.operators.dedup import dedup_components
+
+    n = 60
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "id_a long, id_b long")
+    # plain propagation needs ~n rounds; 12 is not enough
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=12)
+    got = {r["id"]: r["component_id"]
+           for r in dedup_components(pairs, max_iter=12,
+                                     pointer_jump=True).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
