@@ -14,9 +14,9 @@ Reference surface reproduced (citations into /root/reference):
   nlist, index_type, metadata_length, drop_ratio_build. Index types
   IVF_SQ8 and IVF_PQ EXECUTE as real scalar/product quantization
   (plans/sq8.py, plans/pq.py — coded tables partitioned by IVF cell);
-  HNSW executes as IVF_FLAT (documented divergence, SURVEY.md §4.1 —
-  graph ANN has no faithful Spark analogue; correctness is identical,
-  speed differs).
+  HNSW executes as real graph ANN (plans/hnsw.py — persisted neighbor-graph
+  tables, per-cell medoid entry points, driver-coordinated best-first beam
+  with exact re-rank; since r5).
 - S5 `describe_collection` (vector_store.py:207-263): schema read-back.
 - S6 existence checks (base_milvus.py:500-540).
 
@@ -36,6 +36,7 @@ import json
 import os
 import re
 import time
+import warnings
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -287,6 +288,14 @@ class ConfigKV:
             if store.available:
                 value = store.encrypt(value)
                 ciphered = True
+            else:
+                # the caller asked for at-rest encryption we cannot honor —
+                # storing plaintext silently would hide the degraded mode
+                warnings.warn(
+                    "encrypted=True requested but the cryptography package "
+                    "is unavailable; value stored PLAINTEXT at rest "
+                    "(ciphered=False). Install 'cryptography' to honor "
+                    "encryption-at-rest.", stacklevel=2)
         data = self.catalog._read_meta("config_kv")
         data[self._k(key, tenant_code)] = {
             "value": value,

@@ -106,20 +106,26 @@ class CollectionWriter:
         their own validation pass (sources/json_ingest.py)."""
         stamped = batch.withColumn("batch_ts", F.lit(int(batch_ts)))
         # one validation job for the whole batch: row/key counts and (unless
-        # pre-validated) up to 10 offending wrong-dimension keys ride the
-        # same agg — collect_list skips the non-offender NULLs, so only bad
-        # keys reach the driver (I2, vector_store.py:332-352)
+        # pre-validated) the COUNT of wrong-dimension rows ride the same agg.
+        # The count is a bounded scalar — a batch that is entirely wrong-
+        # dimension (the very case validation exists for) costs O(1) driver
+        # memory; sample offender keys for the error message are fetched by
+        # a second, limit(10)-bounded job that runs only on the failure path
+        # (I2, vector_store.py:332-352).
         agg_cols = [F.count("*").alias("n"), F.count_distinct("id").alias("nk")]
+        bad_pred = None
         if not skip_dim_validation:
             dim = int(self.meta["dimension"])
-            offender = F.when(
-                F.col("vector").isNull() | (F.size("vector") != dim), F.col("id"))
-            agg_cols.append(F.slice(F.collect_list(offender), 1, 10).alias("bad"))
+            bad_pred = F.col("vector").isNull() | (F.size("vector") != dim)
+            agg_cols.append(
+                F.count(F.when(bad_pred, F.lit(1))).alias("nbad"))
         counts = stamped.agg(*agg_cols).first()
-        if not skip_dim_validation and counts["bad"]:
+        if not skip_dim_validation and int(counts["nbad"]) > 0:
+            sample = [r["id"] for r in
+                      stamped.filter(bad_pred).select("id").limit(10).collect()]
             raise ValueError(
                 f"vectors with dimension != {self.meta['dimension']} "
-                f"for keys {list(counts['bad'])}")
+                f"for {int(counts['nbad'])} rows, e.g. keys {sample}")
         n = int(counts["n"])
         # duplicate keys within one batch share a batch_ts and would make
         # the latest-wins merge nondeterministic; the reference rejects them

@@ -121,17 +121,27 @@ class HnswIndex:
         return self._edges_df
 
     # ---- query --------------------------------------------------------------
-    def _score_ids(self, spark: SparkSession, ids: list) -> list[tuple]:
-        """(id, score) for an id shortlist — an IN-pushdown pruned scan that
-        reads only (id, vector); scores computed JVM-side."""
+    def _latest_per_id(self, df: DataFrame) -> DataFrame:
+        """Collapse multiple versions of an id (append-upserts leave older
+        rows in `nodes` until compaction) to ONE (_i, _s) row per id, so
+        beam pruning is deterministic and never keyed on a stale version's
+        score: latest batch_ts wins when present, else max score."""
         sc = metric_score_q(self.metric, F.col(self.vector_col),
                             self._qv).alias("_s")
-        rows = (
-            self.nodes(spark)
-            .filter(F.col(self.id_col).isin(ids))
-            .select(F.col(self.id_col).alias("_i"), sc)
-            .collect()
-        )
+        proj = df.select(F.col(self.id_col).alias("_i"), sc,
+                         *(["batch_ts"] if "batch_ts" in df.columns else []))
+        if "batch_ts" in df.columns:
+            return proj.groupBy("_i").agg(
+                F.max_by("_s", F.col("batch_ts")).alias("_s"))
+        return proj.groupBy("_i").agg(F.max("_s").alias("_s"))
+
+    def _score_ids(self, spark: SparkSession, ids: list) -> list[tuple]:
+        """(id, score) for an id shortlist — an IN-pushdown pruned scan that
+        reads only (id, vector[, batch_ts]); scores computed JVM-side, one
+        row per id (latest version)."""
+        rows = self._latest_per_id(
+            self.nodes(spark).filter(F.col(self.id_col).isin(ids))
+        ).collect()
         return [(r["_i"], r["_s"]) for r in rows if r["_s"] is not None]
 
     # below this corpus size a beam round runs as ONE job (tiny frontier
@@ -144,19 +154,14 @@ class HnswIndex:
                       known: set) -> list[tuple]:
         """One beam round: newly reachable (id, score) pairs from frontier."""
         small = int(self.meta.get("n", 0)) <= self.SMALL_CORPUS_ROWS
-        sc = metric_score_q(self.metric, F.col(self.vector_col),
-                            self._qv).alias("_s")
         if small:
             cand = (
                 self.edges(spark).filter(F.col("src").isin(frontier))
                 .select(F.col("dst").alias(self.id_col)).distinct()
             )
-            rows = (
-                self.nodes(spark)
-                .join(F.broadcast(cand), self.id_col)
-                .select(F.col(self.id_col).alias("_i"), sc)
-                .collect()
-            )
+            rows = self._latest_per_id(
+                self.nodes(spark).join(F.broadcast(cand), self.id_col)
+            ).collect()
             return [(r["_i"], r["_s"]) for r in rows
                     if r["_s"] is not None and r["_i"] not in known]
         neigh = [
@@ -209,6 +214,12 @@ class HnswIndex:
         ef = max(DEFAULT_EF if ef is None else int(ef), want)
         ids = self.beam_search(spark, req.query_vector, ef=ef)
         shortlist = self.nodes(spark).filter(F.col(self.id_col).isin(ids)).drop("_cell")
+        if "batch_ts" in shortlist.columns:
+            # append-upserts may leave several versions of an id in `nodes`
+            # until compaction; the exact re-rank must see only the latest
+            wv = Window.partitionBy(self.id_col).orderBy(F.col("batch_ts").desc())
+            shortlist = (shortlist.withColumn("_rn", F.row_number().over(wv))
+                         .filter(F.col("_rn") == 1).drop("_rn"))
         dense_kwargs.setdefault("id_col", self.id_col)
         dense_kwargs.setdefault("vector_col", self.vector_col)
         return dense_search(shortlist, req, **dense_kwargs)
@@ -339,13 +350,19 @@ def compact_hnsw(index: HnswIndex, spark: SparkSession) -> None:
     """Re-cap appended edges at Mmax=2M (append leaves reverse edges
     un-recapped — correct but degree-inflating; this is the DiskANN-style
     periodic cleanup). One (src,dst) groupBy + one per-src window over
-    (src, dst, score) scalars, rewritten atomically (tmp + swap)."""
+    (src, dst, score) scalars, rewritten crash-safely: the live `edges`
+    dir is RENAMED aside (edges__old) before the built replacement swaps
+    in, so at every instant either the old or the new table is openable —
+    a crash between the two steps leaves edges__old, which open_hnsw
+    recovers (never a window with no edges table, the failure mode of the
+    earlier rmtree-then-replace order)."""
     import shutil
 
     edges_path = os.path.join(index.path, "edges")
     cap = 2 * int(index.meta["M"])
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     tmp = edges_path + "__compacting"
+    old = edges_path + "__old"
     (
         spark.read.parquet(edges_path)
         .groupBy("src", "dst").agg(F.max("score").alias("score"))
@@ -355,9 +372,30 @@ def compact_hnsw(index: HnswIndex, spark: SparkSession) -> None:
         .sortWithinPartitions("src", "dst")
         .write.mode("overwrite").parquet(tmp)
     )
-    shutil.rmtree(edges_path)
-    os.replace(tmp, edges_path)
+    if os.path.exists(old):       # leftover from an earlier crashed compact
+        shutil.rmtree(old)
+    os.replace(edges_path, old)   # step 1: old table aside (atomic rename)
+    os.replace(tmp, edges_path)   # step 2: new table live (atomic rename)
+    shutil.rmtree(old)            # step 3: drop the superseded copy
     index._edges_df = None
+
+
+def _recover_edges(path: str) -> None:
+    """Crash recovery for compact_hnsw's rename pair: if `edges` is
+    missing but `edges__old` exists (crash between step 1 and step 2),
+    restore the old table; a stale `edges__compacting` alongside a live
+    `edges` is an aborted build output and is removed."""
+    import shutil
+
+    edges_path = os.path.join(path, "edges")
+    old = edges_path + "__old"
+    tmp = edges_path + "__compacting"
+    if not os.path.exists(edges_path) and os.path.exists(old):
+        os.replace(old, edges_path)
+    if os.path.exists(edges_path):
+        for leftover in (old, tmp):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
 
 
 def build_hnsw(
@@ -494,7 +532,7 @@ def build_hnsw(
 
     meta = {
         "metric": metric, "M": int(m), "ncells": int(ncells), "n": int(n),
-        "refine_rounds": int(refine_rounds),
+        "refine_rounds": int(refine_rounds), "cell_target": int(cell_target),
         "id_col": id_col, "vector_col": vector_col,
         "entry_ids": entry_ids, "centroids": centroids.tolist(),
     }
@@ -504,6 +542,7 @@ def build_hnsw(
 
 
 def open_hnsw(path: str) -> HnswIndex:
+    _recover_edges(path)
     with open(os.path.join(path, "_hnsw_meta.json")) as f:
         return HnswIndex(path, json.load(f))
 
@@ -513,14 +552,22 @@ def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
                       vector_col: str = "vector",
                       cell_target: int = CELL_TARGET,
                       refine_rounds: int = 0) -> HnswIndex:
-    """Reuse the cached graph only when built with the SAME params."""
+    """Reuse the cached graph only when built with the SAME params AND the
+    same input cardinality — cell_target and the row count are part of the
+    key, so changing the build knob or the underlying df (grown/shrunk
+    corpus) rebuilds instead of silently reusing a stale graph. (Row count
+    is a cheap fingerprint, not a content hash: an equal-size content swap
+    still requires an explicit rebuild, documented limitation.)"""
     meta_p = os.path.join(path, "_hnsw_meta.json")
     if os.path.exists(meta_p):
         with open(meta_p) as f:
             meta = json.load(f)
         if (meta["metric"] == metric.upper() and meta["M"] == int(m)
                 and meta.get("refine_rounds", 0) == int(refine_rounds)
+                and meta.get("cell_target") == int(cell_target)
+                and meta.get("n") == df.count()
                 and meta["id_col"] == id_col and meta["vector_col"] == vector_col):
+            _recover_edges(path)
             return HnswIndex(path, meta)
     return build_hnsw(df, path, m=m, metric=metric, id_col=id_col,
                       vector_col=vector_col, cell_target=cell_target,
