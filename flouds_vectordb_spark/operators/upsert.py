@@ -346,6 +346,79 @@ class CollectionWriter:
         return dense_search(coded.join(payload, [id_col, "batch_ts"], "inner"),
                             req, **dense_kwargs)
 
+    def search_many(self, queries, req, use_index: bool = True, **dense_kwargs):
+        """Batched multi-query search (operators/batch_search.py): one
+        centroid-pruned scan scores EVERY query in the (qid, vector) batch
+        — the per-query driver-job floor of `search` amortizes across the
+        block (the retrieval-pipeline shape the single-request REST surface
+        lacks; see batch_search.py's header). Dispatches on the built
+        index like `search`: IVF_FLAT probes the exact layout; IVF_SQ8 /
+        IVF_PQ probe the coded table and score the decoded vectors.
+        Staleness of updated keys resolves BEFORE scoring (latest-wins
+        window on the pruned scan / (id, batch_ts) semi-join against the
+        latest view), so stale versions never occupy top-k slots. Returns
+        (qid, id, rank, score [, chunk, meta_kv...])."""
+        import numpy as np
+
+        from flouds_vectordb_spark.operators.batch_search import (
+            dense_search_many,
+            ivf_search_many,
+        )
+        from flouds_vectordb_spark.plans.ivf import open_ivf
+
+        for _, v in queries:
+            self._check_query_dim(v)
+        if not use_index:
+            return dense_search_many(self.read_latest(), queries, req,
+                                     **dense_kwargs)
+
+        itype = str(self.meta["index_type"]).upper()
+        if itype == "HNSW":
+            raise NotImplementedError(
+                "batched search over the HNSW graph path is not wired yet; "
+                "use use_index=False or the IVF/SQ8/PQ index types")
+        idx = open_ivf(self.meta["path"] + "__ivf")
+        spark = self.catalog.spark
+        vector_col = dense_kwargs.get("vector_col", "vector")
+        id_col = dense_kwargs.get("id_col", "id")
+        qmat = np.array([[float(x) for x in v] for _, v in queries],
+                        dtype=np.float64)
+        union_cells = sorted(
+            {int(c) for row in idx.probe_cells_many(qmat, req.nprobe)
+             for c in row})
+
+        if itype not in ("IVF_SQ8", "IVF_PQ"):
+            pruned = idx.scan(spark, union_cells)
+            w = Window.partitionBy(id_col).orderBy(F.col("batch_ts").desc())
+            fresh = (pruned.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1).drop("_rn"))
+            return ivf_search_many(idx, spark, queries, req, scan_df=fresh,
+                                   payload_df=fresh, **dense_kwargs)
+
+        if itype == "IVF_SQ8":
+            from flouds_vectordb_spark.plans.sq8 import open_sq8, sq8_decoded_column
+
+            path = self.meta["path"] + "__sq8"
+            mins, steps = open_sq8(path)
+            decoded = sq8_decoded_column(F.col("codes"), mins, steps)
+        else:
+            from flouds_vectordb_spark.plans.pq import open_pq, pq_decoded_column
+
+            path = self.meta["path"] + "__pq"
+            decoded = pq_decoded_column(F.col("codes"), open_pq(path))
+        coded = (
+            spark.read.parquet(path)
+            .filter(F.col("centroid_id").isin(union_cells))
+            .select(id_col, "batch_ts", "centroid_id",
+                    decoded.alias(vector_col))
+        )
+        # scalars-only staleness semi-join: stale codes of updated keys
+        # match no (id, batch_ts) pair in the latest view and drop out
+        fresh_keys = self.read_latest().select(id_col, "batch_ts")
+        coded_fresh = coded.join(fresh_keys, [id_col, "batch_ts"], "left_semi")
+        return ivf_search_many(idx, spark, queries, req, scan_df=coded_fresh,
+                               payload_df=self.read_latest(), **dense_kwargs)
+
     # ---- sparse + hybrid over the stored collection (vector_store.py:594-692)
     #
     # Index layout (the Lucene/ES model re-expressed for parquet): BM25

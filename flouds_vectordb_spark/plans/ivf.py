@@ -5,9 +5,8 @@ app/milvus/base_milvus.py:1266-1284: nlist k-means cells at build, nprobe
 cells probed at query; nprobe clamp <=256 app/milvus/vector_store.py:495).
 IVF_SQ8 and IVF_PQ compose with this layout as REAL quantized execution
 (plans/sq8.py, plans/pq.py: coded tables carry centroid_id, so probes are
-partition-pruned scans of 1-byte codes). HNSW requests execute as IVF_FLAT
-— documented divergence (SURVEY.md §4.1): graph ANN has no faithful Spark
-analogue; correctness is identical, speed differs.
+partition-pruned scans of 1-byte codes). HNSW requests execute as real
+graph ANN since r5 (plans/hnsw.py — neighbor-graph tables + beam search).
 
 Design (SURVEY.md §4.1 / Phase 3):
 - BUILD: train k-means centroids on a deterministic sample driver-side
@@ -144,6 +143,26 @@ class IvfIndex:
             key = np.sum((self.centroids - q) ** 2, axis=1)
         order = np.lexsort((np.arange(self.nlist), key))  # ties -> lower cell id
         return [int(c) for c in order[:nprobe]]
+
+    def probe_cells_many(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        """Vectorized per-query cell shortlists for a (nq, dim) query block
+        — ONE numpy pass for the whole batch (the driver-side half of
+        operators/batch_search.py). Same metric rules and lower-cell-id tie
+        break as probe_cells; returns an (nq, nprobe) int array."""
+        nprobe = max(1, min(int(nprobe), NPROBE_MAX, self.nlist))
+        q = np.asarray(queries, dtype=np.float64)
+        if q.ndim != 2:
+            raise ValueError("queries must be a (nq, dim) array")
+        if self.metric == "IP":
+            key = -(q @ self.centroids.T)
+        else:
+            if self.metric == "COSINE":
+                q = _normalize_rows(q)
+            key = _pairwise_d2(q, self.centroids)
+        # per-row (key, cell-id) lexsort: argsort over cell id first, then a
+        # stable argsort by key keeps lower cell ids on ties
+        order = np.argsort(key, axis=1, kind="stable")[:, :nprobe]
+        return order.astype("int64")
 
     def scan(self, spark: SparkSession, nprobe_cells: list[int]) -> DataFrame:
         """Partition-pruned scan of the probed cells only."""

@@ -209,7 +209,9 @@ _register("q7_overfetch_clamp_edge", *_dense_pair(
     with_chunk=True))
 
 # all-stopword filter must reject every row (vector_store.py:919-921)
-_register("q6_text_filter_all_stopwords", *_dense_pair(
+# (extended since r6: displaced to make window room for the search_many
+# gates; the q6 family's official row is q6_text_filter)
+_register_ext("q6_text_filter_all_stopwords", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=6), metric="COSINE",
         limit=10, text_filter="the a of and", minimum_words_match=1),
@@ -443,7 +445,9 @@ _register_ext("q4_hybrid_rrf_meta", *_hybrid_pair(
 
 # hybrid pagination: offset rides BOTH branch searches (vector_store.py:458),
 # shifting per-branch ranks before RRF fusion
-_register("q4_hybrid_rrf_offset", *_hybrid_pair(
+# (extended since r6: displaced to make window room for the search_many
+# gates; q4's official rows are rrf, rrf_threshold_meta, posting_path)
+_register_ext("q4_hybrid_rrf_offset", *_hybrid_pair(
     HybridSearchRequest(
         query_vector=fixture_query_vector(seed=13), metric="COSINE",
         text_filter="vector index scan merge", limit=20, offset=7)))
@@ -867,6 +871,91 @@ _register_ext("q1_hnsw_l2", *_hnsw_clustered_pair("L2"))
 _register_ext("q1_hnsw_ip", *_hnsw_clustered_pair("IP"))
 
 
+# --- batched multi-query search (r6): one pruned scan, many queries ------------
+# Every single-query index path costs >=1 driver-coordinated job per query;
+# search_many (operators/batch_search.py) broadcasts a (qid, vector) block
+# and scores the WHOLE batch in one scan + one per-qid window. Gated
+# per-qid against the EXACT batched oracle. Fixture: one tight 20-point
+# cluster PER QUERY (same integer-derived perturbation family as the
+# single-cluster fixture above, offset by qid*13 so clusters differ), so
+# each query's true top-10 is its own cluster and IVF pruning is
+# recall-safe for every qid simultaneously.
+from flouds_vectordb_spark.operators.batch_search import (  # noqa: E402
+    dense_search_many,
+    dense_search_many_sql,
+    ivf_search_many,
+    queries_values_sql,
+)
+
+_MQ_CLUSTER_N = 20
+_MQ_BASE = 900000
+_MQ_QUERIES = [(t, fixture_query_vector(seed=101 + t)) for t in range(8)]
+_MQ_REQ = DenseSearchRequest(query_vector=_MQ_QUERIES[0][1], metric="COSINE",
+                             limit=10, nprobe=4)
+
+
+def _mq_cluster_points(spark: SparkSession) -> DataFrame:
+    from flouds_vectordb_spark.operators.batch_search import query_block
+
+    qb = query_block(spark, _MQ_QUERIES).select("qid", "_qv")
+    i, t = F.col("_i"), F.col("qid")
+
+    def elem(j):
+        pert = ((i * 31 + j * 17 + t * 13) % 101 - 50).cast("double") / F.lit(5000.0)
+        return F.element_at(F.col("_qv"), (j + F.lit(1)).cast("int")) + pert
+
+    dim = len(_MQ_QUERIES[0][1])
+    return (
+        spark.range(_MQ_CLUSTER_N).select(F.col("id").alias("_i"))
+        .crossJoin(F.broadcast(qb))
+        .select(
+            "_i", "qid",
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), elem).alias("vector"),
+        )
+        .select((F.lit(_MQ_BASE) + t * 1000 + i).alias("id"), "vector")
+    )
+
+
+def _mq_clustered_embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    return embs.unionByName(_mq_cluster_points(spark))
+
+
+_MQ_VALUES_SQL = queries_values_sql(_MQ_QUERIES)
+_MQ_EMBS_SQL = (
+    "(SELECT vec_id AS id, embedding AS vector FROM embeddings "
+    f"UNION ALL SELECT ({_MQ_BASE} + q.qid*1000 + i)::BIGINT AS id, "
+    f"list_transform(range(0, {len(_MQ_QUERIES[0][1])}), j -> "
+    "(q.qv)[j+1] + ((i*31 + j*17 + q.qid*13) % 101 - 50)::DOUBLE "
+    "/ (5000.0::DOUBLE)) AS vector "
+    f"FROM range(0, {_MQ_CLUSTER_N}) u(i) CROSS JOIN {_MQ_VALUES_SQL} q)"
+)
+
+# exact batched baseline over the raw embeddings table: 8 queries, ONE scan
+_register(
+    "q1_search_many_exact",
+    lambda spark, sf_dir: dense_search_many(
+        load(spark, sf_dir, "embeddings"), _MQ_QUERIES, _MQ_REQ,
+        id_col="vec_id", vector_col="embedding").withColumnRenamed("vec_id", "id"),
+    dense_search_many_sql(_MQ_REQ, _MQ_QUERIES, "embeddings",
+                          id_expr="vec_id", vector_expr="embedding"))
+
+
+def _q1_ivf_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(IVF_CACHE_ROOT, f"{tag}_mq_nlist64_cosine")
+    idx = get_or_build_ivf(_mq_clustered_embs(spark, sf_dir), path, 64, "COSINE")
+    return ivf_search_many(idx, spark, _MQ_QUERIES, _MQ_REQ)
+
+
+# IVF-pruned batched search, per-qid EXACT oracle (each query's cluster
+# lives in that query's own probed cells, so pruning loses nothing)
+_register("q1_ivf_search_many", _q1_ivf_search_many,
+          dense_search_many_sql(_MQ_REQ, _MQ_QUERIES, _MQ_EMBS_SQL,
+                                id_expr="id", vector_expr="vector"))
+
+
 # --- real quantized execution: IVF_SQ8 / IVF_PQ (SURVEY §4.1 upgrade) ----------
 # index_type IVF_SQ8/IVF_PQ (generate_schema_request.py:129) now EXECUTE as
 # scalar/product quantization (plans/sq8.py, plans/pq.py) instead of the
@@ -1135,7 +1224,10 @@ _S2_SQ8_REQ = DenseSearchRequest(query_vector=fixture_query_vector(seed=35),
                                  output_fields=())
 
 
-def _s2_sq8_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sq8_flow_writer(spark: SparkSession, sf_dir: str):
+    """Build-once (per process+sf) IVF_SQ8 catalog flow shared by the
+    single-query gate and the batched search_many gate: DDL -> insert ->
+    build_index -> grow (new keys + vector updates)."""
     from flouds_vectordb_spark.operators.upsert import CollectionWriter
 
     def build(wh: str) -> None:
@@ -1160,8 +1252,11 @@ def _s2_sq8_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       force_flush=True)
 
     wh = _flow_once(_SQ8_FLOW_WH, sf_dir, build)
-    return CollectionWriter(Catalog(spark, wh), "qdemo", "m64") \
-        .search(_S2_SQ8_REQ, use_index=True)
+    return CollectionWriter(Catalog(spark, wh), "qdemo", "m64")
+
+
+def _s2_sq8_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_flow_writer(spark, sf_dir).search(_S2_SQ8_REQ, use_index=True)
 
 
 def _s2_sq8_flow_sql() -> str:
@@ -1187,6 +1282,48 @@ def _s2_sq8_flow_sql() -> str:
 
 
 _register("s2_catalog_flow_sq8", _s2_sq8_flow_q, _s2_sq8_flow_sql())
+
+
+# --- batched search through the CATALOG's quantized path (r6, extended) --------
+# CollectionWriter.search_many over the same grown IVF_SQ8 flow warehouse:
+# nlist=4 with nprobe=4 is a FULL probe, so the batched quantized result is
+# exactly the batched oracle over the SQ8-emulated table — no recall
+# argument needed; what is under test is the decode + staleness semi-join
+# + per-qid window of the batched path.
+_MQ_SQ8_QUERIES = [(t, fixture_query_vector(seed=141 + t)) for t in range(6)]
+_MQ_SQ8_REQ = DenseSearchRequest(query_vector=_MQ_SQ8_QUERIES[0][1],
+                                 metric="COSINE", limit=10, nprobe=4,
+                                 output_fields=())
+
+
+def _sq8_search_many_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sq8_flow_writer(spark, sf_dir).search_many(
+        _MQ_SQ8_QUERIES, _MQ_SQ8_REQ, use_index=True)
+
+
+def _sq8_search_many_sql() -> str:
+    from flouds_vectordb_spark.plans.sq8 import sq8_table_sql
+
+    bounds_sql = (
+        f"(SELECT id::VARCHAR AS id, vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 3 = 0)"
+    )
+    final_sql = (
+        f"(SELECT id::VARCHAR AS id, vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 3 = 0 AND id % 9 <> 0 "
+        f"UNION ALL SELECT id::VARCHAR AS id, "
+        f"list_transform(vector, x -> -x) AS vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 9 = 0 "
+        f"UNION ALL SELECT id::VARCHAR AS id, vector FROM {COLLECTION_SQL} t "
+        f"WHERE id % 6 = 1)"
+    )
+    return dense_search_many_sql(
+        _MQ_SQ8_REQ, _MQ_SQ8_QUERIES,
+        sq8_table_sql(final_sql, 64, bounds_table_sql=bounds_sql),
+        id_expr="id", vector_expr="vector")
+
+
+_register_ext("q1_sq8_search_many", _sq8_search_many_q, _sq8_search_many_sql())
 
 
 # --- I1 incremental: insert-after-build merges into the sparse index ------------

@@ -1,0 +1,172 @@
+"""Batched multi-query search: per-qid equivalence to the single-query
+operator, IVF-pruned vs exact on a recall-safe fixture, the catalog
+search_many dispatch, and input validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.operators.batch_search import (
+    dense_search_many,
+    ivf_search_many,
+    query_block,
+)
+from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
+from flouds_vectordb_spark.plans.ivf import build_ivf
+
+DIM = 8
+NQ = 5
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(DIM)],
+         f"spark vector scan {i}" if i % 3 else "", {"lang": "en" if i % 2 else "fr"})
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, vector array<double>, chunk string, meta map<string,string>")
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def qbatch():
+    rng = np.random.RandomState(11)
+    return [(t, [float(x) for x in rng.standard_normal(DIM)]) for t in range(NQ)]
+
+
+def _rows(df, id_col="id"):
+    return sorted(
+        (int(r["qid"]), r[id_col], int(r["rank"]), round(float(r["score"]), 6))
+        for r in df.collect())
+
+
+def test_many_equals_single_loop(spark, corpus, qbatch):
+    """dense_search_many == one dense_search per query, per qid."""
+    req = DenseSearchRequest(query_vector=qbatch[0][1], metric="COSINE",
+                             limit=7, score_threshold=None)
+    batched = _rows(dense_search_many(corpus, qbatch, req))
+    singles = []
+    for qid, v in qbatch:
+        r1 = DenseSearchRequest(query_vector=list(v), metric="COSINE",
+                                limit=7, score_threshold=None)
+        for row in dense_search(corpus, r1).collect():
+            singles.append((qid, row["id"], int(row["rank"]),
+                            round(float(row["score"]), 6)))
+    assert batched == sorted(singles)
+
+
+@pytest.mark.parametrize("metric", ["COSINE", "L2", "IP"])
+def test_many_metrics_match_single(spark, corpus, qbatch, metric):
+    req = DenseSearchRequest(query_vector=qbatch[0][1], metric=metric,
+                             limit=5, score_threshold=None)
+    batched = _rows(dense_search_many(corpus, qbatch[:2], req))
+    singles = []
+    for qid, v in qbatch[:2]:
+        r1 = DenseSearchRequest(query_vector=list(v), metric=metric,
+                                limit=5, score_threshold=None)
+        for row in dense_search(corpus, r1).collect():
+            singles.append((qid, row["id"], int(row["rank"]),
+                            round(float(row["score"]), 6)))
+    assert batched == sorted(singles)
+
+
+def test_many_postfilters_match_single(spark, corpus, qbatch):
+    """The shared post-filter chain (text + meta + offset + projection)
+    applies per qid exactly as the single-query pipeline does."""
+    kw = dict(metric="COSINE", limit=10, offset=3, score_threshold=None,
+              text_filter="vector scan", minimum_words_match=2,
+              meta_filter={"lang": "en"}, output_fields=("chunk", "meta"))
+    req = DenseSearchRequest(query_vector=qbatch[0][1], **kw)
+    batched = dense_search_many(corpus, qbatch, req, chunk_col="chunk",
+                                meta_col="meta")
+    assert batched.columns == ["qid", "id", "rank", "score", "chunk", "meta_kv"]
+    got = sorted((int(r["qid"]), r["id"], int(r["rank"]), r["chunk"], r["meta_kv"])
+                 for r in batched.collect())
+    singles = []
+    for qid, v in qbatch:
+        r1 = DenseSearchRequest(query_vector=list(v), **kw)
+        for row in dense_search(corpus, r1, chunk_col="chunk",
+                                meta_col="meta").collect():
+            singles.append((qid, row["id"], int(row["rank"]), row["chunk"],
+                            row["meta_kv"]))
+    assert got == sorted(singles)
+
+
+def test_ivf_many_matches_exact_on_clustered(spark, qbatch, tmp_path_factory):
+    """Per-query cluster fixture: each query's true top-k lives in its own
+    probed cells, so IVF-pruned batched search == exact batched search."""
+    rng = np.random.RandomState(23)
+    background = [(i, [float(x) for x in rng.standard_normal(DIM)])
+                  for i in range(400)]
+    clustered = []
+    for qid, v in qbatch:
+        for i in range(8):
+            clustered.append((10_000 + qid * 100 + i,
+                              [x + ((i * 31 + j * 17) % 11 - 5) / 1000.0
+                               for j, x in enumerate(v)]))
+    df = spark.createDataFrame(background + clustered, "id long, vector array<double>")
+    path = str(tmp_path_factory.mktemp("ivfmany") / "idx")
+    idx = build_ivf(df, path, nlist=16, metric="COSINE")
+    req = DenseSearchRequest(query_vector=qbatch[0][1], metric="COSINE",
+                             limit=5, nprobe=4, score_threshold=None)
+    pruned = _rows(ivf_search_many(idx, spark, qbatch, req))
+    exact = _rows(dense_search_many(df, qbatch, req))
+    assert pruned == exact
+    assert len(pruned) == NQ * 5
+
+
+def test_catalog_search_many_matches_loop(spark, tmp_path_factory):
+    """CollectionWriter.search_many (IVF_FLAT) == a loop of .search, and
+    the HNSW dispatch raises the documented NotImplementedError."""
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    wh = str(tmp_path_factory.mktemp("mq_wh"))
+    cat = Catalog(spark, wh)
+    cat.set_vector_store("t1")
+    cat.generate_schema(CollectionSpec("t1", "m", dimension=DIM,
+                                       metric_type="COSINE", nlist=4))
+    w = CollectionWriter(cat, "t1", "m")
+    rng = np.random.RandomState(5)
+    rows = [(str(i), [float(x) for x in rng.standard_normal(DIM)], f"c{i}")
+            for i in range(150)]
+    batch = spark.createDataFrame(rows, "id string, vector array<double>, chunk string")
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+    w.build_index()
+    # grow after build: updated key + new key must resolve latest-wins
+    upd = spark.createDataFrame(
+        [("3", [float(x) for x in rng.standard_normal(DIM)], "c3-v2"),
+         ("999", [float(x) for x in rng.standard_normal(DIM)], "c999")],
+        "id string, vector array<double>, chunk string")
+    w.insert_data(upd, batch_ts=2, force_flush=False)
+
+    qs = [(t, [float(x) for x in rng.standard_normal(DIM)]) for t in range(3)]
+    req = DenseSearchRequest(query_vector=qs[0][1], metric="COSINE", limit=6,
+                             nprobe=4, score_threshold=None, output_fields=())
+    batched = _rows(w.search_many(qs, req, use_index=True))
+    singles = []
+    for qid, v in qs:
+        r1 = DenseSearchRequest(query_vector=list(v), metric="COSINE", limit=6,
+                                nprobe=4, score_threshold=None, output_fields=())
+        for row in w.search(r1, use_index=True).collect():
+            singles.append((qid, row["id"], int(row["rank"]),
+                            round(float(row["score"]), 6)))
+    assert batched == sorted(singles)
+
+
+def test_query_block_and_validation(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        dense_search_many(spark.range(1), [], DenseSearchRequest([1.0]))
+    with pytest.raises(ValueError, match="duplicate qids"):
+        query_block(spark, [(1, [0.1, 0.2]), (1, [0.3, 0.4])])
+    with pytest.raises(ValueError, match="one dimension"):
+        query_block(spark, [(1, [0.1]), (2, [0.3, 0.4])])
+    qb = query_block(spark, [(4, [3.0, 4.0])]).collect()
+    assert qb[0]["qid"] == 4 and abs(qb[0]["_qn"] - 5.0) < 1e-12
