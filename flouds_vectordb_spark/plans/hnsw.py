@@ -40,13 +40,24 @@ and query always produce the same graph and the same beam, so the
 clustered-fixture gate (queries.py) holds the result to the EXACT top-k
 oracle.
 
-Scale notes (100 TB): cell size is bounded by nlist (driver picks
-ceil(n/target)), so the build's pairwise step is n*cell^2/cell = O(n*cell)
+Scale notes (100 TB): ncells tracks ceil(n/cell_target) with NO upper
+clip (the r5 4096-cell cap silently degraded the build to O(n^2/4096)
+pairwise work beyond ~4M rows). Driver training cost stays bounded two
+ways: (a) above KMEANS_FLAT_MAX centroids the trainer goes hierarchical
+(sqrt-split two-level k-means, the SPANN/ScaNN coarse-quantizer shape), so
+cost is O(sample*(k1+max_k2)*iters) not O(sample*k*iters); (b) cell-size
+balance is enforced, not assumed — a driver-side pass splits any cell
+whose sample-estimated population exceeds SPLIT_FACTOR*cell_target, then
+ONE distributed count verifies true sizes and a bounded per-cell-sample
+refinement round splits anything the estimate missed (test-asserted on a
+skewed corpus). The build's pairwise step is therefore O(n*cell_bound)
 distance evaluations spread over all executors; edges are ~n*(2M) rows of
 3 scalars; the query's driver state and per-round scan sizes are
 independent of corpus size. At cluster scale nodes/edges would be bucketed
 by id/src — locally they are range-partitioned + sorted, which gives the
-same row-group skipping under Spark's parquet IN-pushdown.
+same row-group skipping under Spark's parquet IN-pushdown. Driver memory
+for centroids is ncells*dim f64 (~0.4 GB at 60M rows / dim 768) — the
+same envelope FAISS/SPANN coarse quantizers accept.
 """
 
 from __future__ import annotations
@@ -68,6 +79,70 @@ DEFAULT_M = 16          # HNSW default M (Milvus/hnswlib default)
 DEFAULT_EF = 64         # HNSW default search beam (Milvus default ef)
 CELL_TARGET = 1024      # build-time candidate cell size target
 MAX_ROUNDS = 32         # beam-round backstop; convergence is the normal exit
+SPLIT_FACTOR = 4        # a cell is oversized above SPLIT_FACTOR * cell_target
+KMEANS_FLAT_MAX = 4096  # above this k, centroid training goes hierarchical
+PER_CELL_SAMPLE = 8192  # bounded per-cell sample for the refinement split
+
+
+def _sample_assign(x: np.ndarray, centroids: np.ndarray, metric: str) -> np.ndarray:
+    """Driver-side best-cell assignment with the SAME metric rule as
+    _cells_udf (IP by max inner product; COSINE callers pass x already
+    normalized), so sample-based size estimates match the real layout."""
+    if metric == "IP":
+        return (x @ centroids.T).argmax(axis=1)
+    return _pairwise_d2(x, centroids).argmin(axis=1)
+
+
+def _train_centroids(x: np.ndarray, k: int, metric: str, seed: int = 42) -> np.ndarray:
+    """k centroids from the driver sample. Flat k-means up to
+    KMEANS_FLAT_MAX; beyond that, hierarchical sqrt-split (train ~sqrt(k)
+    top cells, then per-cell k-means sized by membership share — the
+    SPANN/ScaNN two-level coarse quantizer), keeping driver cost
+    O(sample*(k1+max_k2)*iters) instead of O(sample*k*iters)."""
+    k = max(1, min(int(k), len(x)))
+    if k <= KMEANS_FLAT_MAX:
+        return _kmeans(x, k, seed=seed)
+    k1 = int(np.ceil(np.sqrt(k)))
+    top = _kmeans(x, k1, seed=seed)
+    assign = _sample_assign(x, top, metric)
+    parts = []
+    for c in range(k1):
+        members = x[assign == c]
+        if len(members) == 0:
+            continue
+        kc = min(len(members), max(1, int(round(k * len(members) / len(x)))))
+        parts.append(_kmeans(members, kc, seed=seed + c + 1))
+    return np.vstack(parts)
+
+
+def _split_oversized_sample(x: np.ndarray, centroids: np.ndarray, n: int,
+                            cell_target: int, metric: str, seed: int = 42,
+                            rounds: int = 8) -> np.ndarray:
+    """Driver-side balance pass on the TRAINING SAMPLE: estimate each
+    cell's true population as count_in_sample * (n/|sample|), split any
+    cell whose estimate exceeds SPLIT_FACTOR*cell_target into
+    ceil(est/cell_target) sub-centroids trained on its sample members;
+    iterate to a fixpoint. Deterministic: seeded sub-k-means, split order
+    by cell index."""
+    bound = SPLIT_FACTOR * cell_target
+    scale = n / max(1, len(x))
+    for _ in range(rounds):
+        assign = _sample_assign(x, centroids, metric)
+        counts = np.bincount(assign, minlength=len(centroids))
+        est = counts * scale
+        bad = [int(c) for c in np.where(est > bound)[0] if counts[c] >= 2]
+        if not bad:
+            break
+        bad_set = set(bad)
+        parts = [centroids[[c for c in range(len(centroids))
+                            if c not in bad_set]]]
+        for c in bad:
+            members = x[assign == c]
+            kc = min(len(members),
+                     max(2, int(np.ceil(est[c] / cell_target))))
+            parts.append(_kmeans(members, kc, seed=seed + 17 * (c + 1)))
+        centroids = np.vstack(parts)
+    return centroids
 
 
 def _cells_udf(centroids: np.ndarray, metric: str, spill: int = 2):
@@ -418,7 +493,7 @@ def build_hnsw(
     n = df.count()
     if n == 0:
         raise ValueError("cannot build a graph index on an empty collection")
-    ncells = int(np.clip(-(-n // cell_target), 1, 4096))
+    ncells = max(1, -(-n // cell_target))  # tracks n — no upper clip
 
     # centroid training: same deterministic hash-stride sample as plans/ivf.py
     stride = max(1, -(-n // SAMPLE_CAP))
@@ -434,14 +509,72 @@ def build_hnsw(
         x = x[np.lexsort(x.T[::-1])][:SAMPLE_CAP]
     if metric == "COSINE":
         x = _normalize_rows(x)
-    centroids = _kmeans(x, ncells, seed=seed)
+    centroids = _train_centroids(x, ncells, metric, seed=seed)
+    centroids = _split_oversized_sample(x, centroids, n, cell_target, metric,
+                                        seed=seed)
 
-    assigned = (
-        df.withColumn("_a", _cells_udf(centroids, metric)(F.col(vector_col)))
-        .withColumn("_cell", F.col("_a.cells")[0])
-        .withColumn("_d0", F.col("_a.d0"))
-        .persist()
-    )
+    def _assign(cents: np.ndarray) -> DataFrame:
+        return (
+            df.withColumn("_a", _cells_udf(cents, metric)(F.col(vector_col)))
+            .withColumn("_cell", F.col("_a.cells")[0])
+            .withColumn("_d0", F.col("_a.d0"))
+            .persist()
+        )
+
+    assigned = _assign(centroids)
+    # distributed verification: the sample estimate can miss skew the
+    # sample under-covers, so check TRUE cell sizes (one agg over the
+    # persisted assignment) and split what remains from bounded,
+    # deterministically-ordered per-cell samples. Normally zero extra
+    # passes; at most 2 refinement rounds, then a warning.
+    bound = SPLIT_FACTOR * cell_target
+    refined = 0
+    while True:
+        counts = {
+            int(r["_cell"]): int(r["cnt"])
+            for r in assigned.groupBy("_cell").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > bound).collect()
+        }
+        if not counts:
+            break
+        if refined >= 2:
+            warnings.warn(
+                f"{len(counts)} graph-build cells remain above {bound} rows "
+                "after refinement (degenerate/duplicate-heavy region); build "
+                "proceeds with oversized pairwise batches", stacklevel=2)
+            break
+        strides = spark.createDataFrame(
+            [(c, max(1, -(-cnt // PER_CELL_SAMPLE)))
+             for c, cnt in sorted(counts.items())], "c int, _stride int")
+        rows = (
+            assigned.join(F.broadcast(strides),
+                          assigned["_cell"] == strides["c"])
+            .filter(F.pmod(F.hash(F.col(vector_col)), F.col("_stride")) == 0)
+            .select("c", vector_col).collect()
+        )
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(int(r["c"]), []).append(r[vector_col])
+        split_set = set(counts)
+        parts = [centroids[[i for i in range(len(centroids))
+                            if i not in split_set]]]
+        for c in sorted(split_set):
+            mem = np.array(groups.get(c, []), dtype=np.float64)
+            if mem.ndim != 2 or len(mem) < 2:
+                parts.append(centroids[[c]])
+                continue
+            # canonical row order before the seeded k-means: collect order
+            # is partition-dependent, the sub-split must not be
+            mem = mem[np.lexsort(mem.T[::-1])][:PER_CELL_SAMPLE]
+            if metric == "COSINE":
+                mem = _normalize_rows(mem)
+            kc = min(len(mem), max(2, -(-counts[c] // cell_target)))
+            parts.append(_kmeans(mem, kc, seed=seed + 31 * (c + 1)))
+        centroids = np.vstack(parts)
+        assigned.unpersist()
+        assigned = _assign(centroids)
+        refined += 1
+    ncells = len(centroids)
     try:
         # nodes: full rows + primary cell, laid out for id IN-pushdown
         (

@@ -219,6 +219,73 @@ def test_nn_descent_refinement_improves_graph(spark, tmp_path_factory):
     assert r1 >= 0.8  # and lands in a usable range on this fixture
 
 
+def _skewed_df(spark, n_blob=3400, n_bg=600, seed=23):
+    """85% of rows in one tight blob: k-means++ places ~1 centroid inside
+    (post-seeding SSE there is tiny), so without splitting the blob lands
+    in ONE cell of ~n_blob rows — the exact shape the r5 4096-cell clip
+    degraded on."""
+    rng = np.random.RandomState(seed)
+    center = rng.uniform(-1, 1, DIM)
+    rows = [(int(i), [float(x) for x in center + rng.uniform(-0.01, 0.01, DIM)])
+            for i in range(n_blob)]
+    rows += [(int(100000 + i), [float(x) for x in rng.uniform(-1, 1, DIM)])
+             for i in range(n_bg)]
+    df = spark.createDataFrame(rows, "id bigint, vector array<double>")
+    return df, [float(x) for x in center]
+
+
+def test_skewed_corpus_cells_are_bounded(spark, tmp_path_factory):
+    """r6: ncells tracks n with no upper clip and oversized cells are
+    split, so every cell stays under SPLIT_FACTOR*cell_target rows — the
+    invariant that keeps the build's pairwise step O(n*cell_bound) at any
+    corpus size."""
+    from flouds_vectordb_spark.plans.hnsw import SPLIT_FACTOR
+
+    df, q = _skewed_df(spark)
+    path = str(tmp_path_factory.mktemp("hnsw_skew") / "idx")
+    idx = build_hnsw(df, path, m=8, metric="COSINE", cell_target=64)
+    max_cell = (idx.nodes(spark).groupBy("_cell").count()
+                .agg(F.max("count")).first()[0])
+    assert max_cell <= SPLIT_FACTOR * 64
+    assert idx.meta["ncells"] >= 3400 // (SPLIT_FACTOR * 64)
+    req = DenseSearchRequest(query_vector=q, metric="COSINE", limit=5,
+                             score_threshold=None, output_fields=())
+    got = [r["id"] for r in idx.search(spark, req).collect()]
+    exact = [r["id"] for r in
+             dense_search(df, req, id_col="id", vector_col="vector").collect()]
+    assert got == exact
+
+
+def test_distributed_refinement_splits_what_sample_missed(
+        spark, tmp_path_factory, monkeypatch):
+    """If the driver-side sample estimate misses the skew entirely (here:
+    forced off), the distributed verification pass must catch it — true
+    cell counts via one agg, bounded per-cell samples, sub-split,
+    re-assign."""
+    import flouds_vectordb_spark.plans.hnsw as H
+
+    monkeypatch.setattr(H, "_split_oversized_sample",
+                        lambda x, c, n, t, m, seed=42, rounds=8: c)
+    df, _ = _skewed_df(spark, seed=29)
+    path = str(tmp_path_factory.mktemp("hnsw_ref") / "idx")
+    idx = H.build_hnsw(df, path, m=8, metric="COSINE", cell_target=64)
+    max_cell = (idx.nodes(spark).groupBy("_cell").count()
+                .agg(F.max("count")).first()[0])
+    assert max_cell <= H.SPLIT_FACTOR * 64
+
+
+def test_hierarchical_trainer_bounded_and_deterministic():
+    from flouds_vectordb_spark.plans.hnsw import KMEANS_FLAT_MAX, _train_centroids
+
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, (9000, 4))
+    k = KMEANS_FLAT_MAX + 500
+    c = _train_centroids(x, k, "COSINE", seed=3)
+    assert c.shape[1] == 4 and np.isfinite(c).all()
+    assert 0.5 * k <= len(c) <= 1.2 * k
+    assert np.array_equal(c, _train_centroids(x, k, "COSINE", seed=3))
+
+
 def test_empty_build_raises(spark, tmp_path_factory):
     empty = spark.createDataFrame([], "id bigint, vector array<double>")
     with pytest.raises(ValueError, match="empty"):
