@@ -44,6 +44,10 @@ from pyspark.sql import types as T
 
 VALID_METRICS = ("COSINE", "L2", "IP")
 VALID_INDEX_TYPES = ("IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW")
+# Reference pk dtype map (base_milvus.py:904-917): INT is an alias for
+# INT64, STRING for VARCHAR. INT64 implies auto_id (base_milvus.py:938).
+PK_TYPE_ALIASES = {"VARCHAR": "VARCHAR", "STRING": "VARCHAR",
+                   "INT64": "INT64", "INT": "INT64"}
 
 
 def validate_tenant_code(tenant: str) -> str:
@@ -110,6 +114,21 @@ class CollectionSpec:
     # sent); sources/json_ingest.py captures them, dense_search projects
     # them via extra_cols.
     enable_dynamic_field: bool = True
+    # Reference primary_key_data_type (base_milvus.py:894-947): VARCHAR
+    # (default, client-supplied string pk, max_length 256) or INT64, in
+    # which case the pk is AUTO-ASSIGNED (auto_id=True is implied by the
+    # INT64 dtype in the reference schema builder, base_milvus.py:938) and
+    # client-supplied ids are rejected. INT/STRING are accepted aliases.
+    primary_key_data_type: str = "VARCHAR"
+
+    @property
+    def pk_type(self) -> str:
+        return PK_TYPE_ALIASES.get(self.primary_key_data_type.upper(),
+                                   self.primary_key_data_type.upper())
+
+    @property
+    def auto_id(self) -> bool:
+        return self.pk_type == "INT64"
 
     def validate(self) -> None:
         if not (1 <= self.dimension <= 4096):
@@ -124,17 +143,25 @@ class CollectionSpec:
             raise ValueError(f"metadata_length must be 256..65535")
         if not (0.0 <= self.drop_ratio_build <= 1.0):
             raise ValueError("drop_ratio_build must be 0..1")
+        if self.primary_key_data_type.upper() not in PK_TYPE_ALIASES:
+            raise ValueError(
+                f"primary_key_data_type must be one of "
+                f"{sorted(PK_TYPE_ALIASES)}, got {self.primary_key_data_type!r}")
 
 
-def collection_schema(dim: int) -> T.StructType:
+def collection_schema(dim: int, pk_type: str = "VARCHAR") -> T.StructType:
     """The one collection schema (base_milvus.py:920-997 -> SURVEY §1.2):
     pk | chunk | dense vector | sparse vector | meta map | batch_ts.
+    pk_type follows the reference dtype map (base_milvus.py:904-917):
+    VARCHAR -> StringType, INT64 -> LongType (auto-assigned on insert).
     Collections with enable_dynamic_field may additionally carry an
     `_extras` map<string,string> column (schema-on-write escape hatch,
     base_milvus.py:992-997) — optional per batch, parquet schema merge
     handles its presence/absence across segments."""
+    pk = PK_TYPE_ALIASES.get(pk_type.upper(), "VARCHAR")
+    id_type = T.LongType() if pk == "INT64" else T.StringType()
     return T.StructType([
-        T.StructField("id", T.StringType(), False),
+        T.StructField("id", id_type, False),
         T.StructField("chunk", T.StringType(), True),
         T.StructField("vector", T.ArrayType(T.FloatType()), False),
         T.StructField("sparse_vector", T.MapType(T.LongType(), T.DoubleType()), True),
@@ -219,6 +246,18 @@ class Catalog:
         """Reference `_get_vector_dimension` (vector_store.py:207-263)."""
         return int(self.describe_collection(tenant, model)["dimension"])
 
+    def update_collection_meta(self, tenant: str, model: str, **kv) -> dict:
+        """Merge small metadata keys (e.g. the auto-id high-water mark)
+        into a collection's catalog row. Driver-side, atomic-rename — the
+        same durability model as the rest of the catalog."""
+        name = collection_name(validate_tenant_code(tenant), validate_model_name(model))
+        colls = self._read_meta("collections")
+        if name not in colls:
+            raise ValueError(f"collection {name!r} does not exist")
+        colls[name].update(kv)
+        self._write_meta("collections", colls)
+        return colls[name]
+
     # ---- S6: existence -----------------------------------------------------
     def collection_exists(self, tenant: str, model: str) -> bool:
         name = collection_name(validate_tenant_code(tenant), validate_model_name(model))
@@ -235,7 +274,9 @@ class Catalog:
         meta = self.describe_collection(tenant, model)
         path = meta["path"]
         if not any(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
-            return self.spark.createDataFrame([], collection_schema(meta["dimension"]))
+            return self.spark.createDataFrame(
+                [], collection_schema(meta["dimension"],
+                                      meta.get("primary_key_data_type", "VARCHAR")))
         reader = self.spark.read
         if meta.get("enable_dynamic_field", True):
             # segments may disagree on the optional _extras column; without

@@ -103,7 +103,20 @@ class CollectionWriter:
                     skip_dim_validation: bool = False) -> dict:
         """S3: validate dims, append the stamped batch, apply flush policy.
         skip_dim_validation is for callers that already ran the check in
-        their own validation pass (sources/json_ingest.py)."""
+        their own validation pass (sources/json_ingest.py).
+
+        auto_id collections (primary_key_data_type=INT64,
+        base_milvus.py:938): the batch must NOT carry an `id` column — ids
+        are assigned here (see _assign_auto_ids) and the high-water mark is
+        persisted back to the catalog row."""
+        auto_id = (str(self.meta.get("primary_key_data_type", "VARCHAR")).upper()
+                   in ("INT64", "INT"))
+        if auto_id and "id" in batch.columns:
+            # the reference schema sets auto_id=True for INT64 pks; Milvus
+            # rejects client-supplied ids on auto_id collections
+            raise ValueError(
+                "collection has an auto-assigned INT64 primary key; "
+                "remove the 'id' column from the insert batch")
         stamped = batch.withColumn("batch_ts", F.lit(int(batch_ts)))
         # one validation job for the whole batch: row/key counts and (unless
         # pre-validated) the COUNT of wrong-dimension rows ride the same agg.
@@ -111,28 +124,41 @@ class CollectionWriter:
         # dimension (the very case validation exists for) costs O(1) driver
         # memory; sample offender keys for the error message are fetched by
         # a second, limit(10)-bounded job that runs only on the failure path
-        # (I2, vector_store.py:332-352).
-        agg_cols = [F.count("*").alias("n"), F.count_distinct("id").alias("nk")]
+        # (I2, vector_store.py:332-352). auto_id batches run the SAME single
+        # job grouped by partition id instead — the per-partition counts
+        # both validate and seed the id allocator.
         bad_pred = None
         if not skip_dim_validation:
             dim = int(self.meta["dimension"])
             bad_pred = F.col("vector").isNull() | (F.size("vector") != dim)
-            agg_cols.append(
-                F.count(F.when(bad_pred, F.lit(1))).alias("nbad"))
-        counts = stamped.agg(*agg_cols).first()
-        if not skip_dim_validation and int(counts["nbad"]) > 0:
+        if auto_id:
+            stamped, n, nbad = self._assign_auto_ids(stamped, bad_pred)
+        else:
+            agg_cols = [F.count("*").alias("n"), F.count_distinct("id").alias("nk")]
+            if bad_pred is not None:
+                agg_cols.append(F.count(F.when(bad_pred, F.lit(1))).alias("nbad"))
+            counts = stamped.agg(*agg_cols).first()
+            n, nbad = int(counts["n"]), int(counts["nbad"]) if bad_pred is not None else 0
+        if bad_pred is not None and nbad > 0:
+            key_expr = "id" if not auto_id else F.lit("<auto>").alias("id")
             sample = [r["id"] for r in
-                      stamped.filter(bad_pred).select("id").limit(10).collect()]
+                      stamped.filter(bad_pred).select(key_expr).limit(10).collect()]
             raise ValueError(
                 f"vectors with dimension != {self.meta['dimension']} "
-                f"for {int(counts['nbad'])} rows, e.g. keys {sample}")
-        n = int(counts["n"])
+                f"for {nbad} rows, e.g. keys {sample}")
         # duplicate keys within one batch share a batch_ts and would make
         # the latest-wins merge nondeterministic; the reference rejects them
-        # per request (insert_request.py:96-105)
-        if int(counts["nk"]) != n:
+        # per request (insert_request.py:96-105). Auto-assigned ids are
+        # unique by construction.
+        if not auto_id and int(counts["nk"]) != n:
             raise ValueError("duplicate primary keys in batch")
         stamped.write.mode("append").parquet(self.meta["path"])
+        if auto_id:
+            # persist the high-water mark AFTER the write succeeds; refresh
+            # the cached row so back-to-back inserts see the new floor
+            self.meta = self.catalog.update_collection_meta(
+                self.tenant, self.model,
+                auto_id_next=int(self.meta.get("auto_id_next", 0)) + n)
         sparse_indexed = self._append_sparse(stamped, int(batch_ts))
         dense_indexed = self._append_dense_indexes(stamped)
         flushed = should_flush(n, force_flush, auto_flush_min_batch)
@@ -141,6 +167,57 @@ class CollectionWriter:
         return {"inserted": n, "flushed": flushed,
                 "sparse_indexed": sparse_indexed,
                 "dense_indexed": dense_indexed}
+
+    def _assign_auto_ids(self, stamped: DataFrame, bad_pred):
+        """Distributed INT64 auto-id allocation (the reference's auto_id=True
+        pk, base_milvus.py:938 — Milvus allocates ids server-side; here the
+        allocator is Spark-native and collect-free on the data path):
+
+        1. ONE job: per-partition row counts (plus the wrong-dim count for
+           validation) via groupBy(spark_partition_id()) — a scalars-only
+           shuffle of npartitions rows.
+        2. Driver: prefix-sum the counts into per-partition base offsets
+           starting at the collection's persisted `auto_id_next` high-water
+           mark — npartitions scalars, tiny at any scale.
+        3. Broadcast-join the (pid, base) block back and compute
+           id = base + row-index-within-partition, where the row index is
+           the low 33 bits of monotonically_increasing_id() (Spark's mono id
+           IS partitionId<<33 | rowIndexInPartition, so the ids are dense
+           and collision-free across partitions AND batches).
+
+        Requires the batch lineage to be deterministic between the count job
+        and the write job — the same caveat Spark documents for
+        monotonically_increasing_id itself; all catalog ingest sources
+        (parquet scans, createDataFrame, validated JSONL) qualify.
+        Returns (stamped-with-id, n, nbad)."""
+        start = int(self.meta.get("auto_id_next", 0))
+        agg_cols = [F.count("*").alias("_cnt")]
+        if bad_pred is not None:
+            agg_cols.append(F.count(F.when(bad_pred, F.lit(1))).alias("_nbad"))
+        per_part = (stamped.groupBy(F.spark_partition_id().alias("_pid"))
+                    .agg(*agg_cols).collect())
+        per_part.sort(key=lambda r: r["_pid"])
+        n = sum(int(r["_cnt"]) for r in per_part)
+        nbad = sum(int(r["_nbad"]) for r in per_part) if bad_pred is not None else 0
+        bases, acc = [], start
+        for r in per_part:
+            bases.append((int(r["_pid"]), acc))
+            acc += int(r["_cnt"])
+        spark = self.catalog.spark
+        offsets = spark.createDataFrame(bases, "_pid int, _base long")
+        # pin pid AND row index in one projection BEFORE the join so both
+        # read the pre-join partition layout whatever the join strategy does
+        row_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+        assigned = (
+            stamped.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_ridx", row_idx)
+            .join(F.broadcast(offsets), "_pid")
+            .withColumn("id", (F.col("_base") + F.col("_ridx")).cast("long"))
+            .drop("_pid", "_base", "_ridx")
+        )
+        # keep the canonical column order (id first) for parquet appends
+        cols = ["id"] + [c for c in stamped.columns if c != "id"]
+        return assigned.select(*cols), n, nbad
 
     def read_latest(self) -> DataFrame:
         """Latest-wins view over the appended segments."""

@@ -1160,6 +1160,50 @@ _register("s2_catalog_flow_search", _s2_catalog_flow_q, dense_search_sql(
     _S2_SUBSET_SQL, id_expr="id", vector_expr="vector"))
 
 
+# --- S2/S3 flow on an INT64 auto_id-pk collection (r6, extended) ---------------
+# The reference's primary_key_data_type=INT64 option (base_milvus.py:894-947):
+# the pk is LongType and AUTO-ASSIGNED on insert (auto_id=True implied). Ids
+# come from the distributed allocator (upsert._assign_auto_ids — partition
+# offsets over the persisted high-water mark), so their VALUES depend on
+# Spark's batch partitioning and are not SQL-reproducible; the gate therefore
+# projects (score, chunk) — chunk is unique in the fixture subset — and the
+# oracle wraps the standard dense twin to drop id/rank. Id uniqueness,
+# density, and cross-batch continuation are pytest-asserted
+# (test_upsert_catalog.py::test_auto_id_insert_assigns_dense_unique_ids).
+_INT64_FLOW_WH = os.path.join(_SCRATCH, "int64_flow_wh")
+_S2_INT64_REQ = DenseSearchRequest(query_vector=fixture_query_vector(seed=33),
+                                   metric="COSINE", limit=10,
+                                   output_fields=("chunk",))
+
+
+def _s2_int64_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    def build(wh: str) -> None:
+        cat = Catalog(spark, wh)
+        cat.set_vector_store("demo")
+        cat.generate_schema(CollectionSpec("demo", "m64i", dimension=64,
+                                           metric_type="COSINE",
+                                           primary_key_data_type="INT64"))
+        writer = CollectionWriter(cat, "demo", "m64i")
+        batch = (
+            collection(spark, sf_dir)
+            .filter(F.col("id") % 3 == 0)
+            .select("chunk", "vector")  # NO id column: auto-assigned
+        )
+        writer.insert_data(batch, batch_ts=1, force_flush=True)
+
+    wh = _flow_once(_INT64_FLOW_WH, sf_dir, build)
+    writer = CollectionWriter(Catalog(spark, wh), "demo", "m64i")
+    return writer.search(_S2_INT64_REQ, chunk_col="chunk").select("score", "chunk")
+
+
+_register_ext("s2_catalog_flow_int64pk", _s2_int64_flow_q,
+              "SELECT score, chunk FROM (" + dense_search_sql(
+                  _S2_INT64_REQ, _S2_SUBSET_SQL,
+                  id_expr="id", vector_expr="vector", chunk_expr="chunk") + ")")
+
+
 # --- S3 via the JSON source: reference insert payload -> sink -> search ---------
 _JSON_WH = os.path.join(_SCRATCH, "json_wh")
 

@@ -307,3 +307,90 @@ def test_sparse_tf_files_have_disjoint_term_ranges(spark, tmp_path_factory):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"overlapping term ranges: {hi} > {lo}"
+
+
+# ---- INT64 / auto_id primary key (base_milvus.py:894-947) --------------------
+
+def test_pk_type_spec_validation():
+    for alias, canon, auto in (("VARCHAR", "VARCHAR", False),
+                               ("string", "VARCHAR", False),
+                               ("INT64", "INT64", True),
+                               ("int", "INT64", True)):
+        s = CollectionSpec("t0", "m", dimension=4, primary_key_data_type=alias)
+        s.validate()
+        assert s.pk_type == canon and s.auto_id is auto
+    with pytest.raises(ValueError, match="primary_key_data_type"):
+        CollectionSpec("t0", "m", dimension=4,
+                       primary_key_data_type="FLOAT").validate()
+
+
+def test_collection_schema_pk_types():
+    from flouds_vectordb_spark.catalog import collection_schema
+
+    assert collection_schema(4)["id"].dataType.typeName() == "string"
+    assert collection_schema(4, "INT64")["id"].dataType.typeName() == "long"
+    assert collection_schema(4, "int")["id"].dataType.typeName() == "long"
+
+
+def test_auto_id_insert_assigns_dense_unique_ids(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_int64")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m4", dimension=4,
+                                       primary_key_data_type="INT64"))
+    w = CollectionWriter(cat, "t0", "m4")
+    batch = spark.createDataFrame(
+        [(f"c{i}", [float(i), 0.0, 0.0, 1.0]) for i in range(12)],
+        "chunk string, vector array<float>").repartition(5)
+    w.insert_data(batch, batch_ts=1)
+    w.insert_data(batch, batch_ts=2)  # second batch continues the sequence
+    got = w.read_latest()
+    assert dict(got.dtypes)["id"] == "bigint"
+    ids = sorted(r["id"] for r in got.select("id").collect())
+    # dense 0..23, unique ACROSS batches (high-water mark persisted)
+    assert ids == list(range(24))
+    assert cat.describe_collection("t0", "m4")["auto_id_next"] == 24
+    # a fresh writer (new process, re-read catalog row) keeps continuing
+    w2 = CollectionWriter(cat, "t0", "m4")
+    w2.insert_data(batch.limit(3), batch_ts=3)
+    assert cat.describe_collection("t0", "m4")["auto_id_next"] == 27
+
+
+def test_auto_id_rejects_client_ids_and_validates_dims(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_int64b")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m4", dimension=4,
+                                       primary_key_data_type="INT64"))
+    w = CollectionWriter(cat, "t0", "m4")
+    with_ids = spark.createDataFrame(
+        [("k1", "c", [1.0, 0.0, 0.0, 0.0])],
+        "id string, chunk string, vector array<float>")
+    with pytest.raises(ValueError, match="auto-assigned INT64"):
+        w.insert_data(with_ids, batch_ts=1)
+    bad_dim = spark.createDataFrame(
+        [("c", [1.0, 0.0])], "chunk string, vector array<float>")
+    with pytest.raises(ValueError, match="dimension != 4"):
+        w.insert_data(bad_dim, batch_ts=1)
+    # failed batches must not advance the high-water mark
+    assert cat.describe_collection("t0", "m4").get("auto_id_next", 0) == 0
+
+
+def test_auto_id_search_flow(spark, tmp_path_factory):
+    from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_int64c")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m4", dimension=4,
+                                       primary_key_data_type="INT64"))
+    w = CollectionWriter(cat, "t0", "m4")
+    batch = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0]), ("b", [0.0, 1.0, 0.0, 0.0]),
+         ("c", [0.9, 0.1, 0.0, 0.0])],
+        "chunk string, vector array<float>")
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+    res = w.search(DenseSearchRequest(query_vector=[1.0, 0.0, 0.0, 0.0],
+                                      metric="COSINE", limit=2,
+                                      output_fields=("chunk",)),
+                   chunk_col="chunk")
+    rows = res.collect()
+    assert [r["chunk"] for r in rows] == ["a", "c"]
+    assert all(isinstance(r["id"], int) for r in rows)
