@@ -1,0 +1,129 @@
+"""Single-writer ingest contract per collection.
+
+The reference serializes mutating DDL/ingest through Milvus itself plus a
+process-wide lock around the database-switch window
+(/root/reference/app/milvus/base_milvus.py:1190-1214 `_create_lock`);
+segment transactionality then makes concurrent inserts safe server-side.
+This engine's storage is plain parquet (append segments + tmp/swap
+compaction, operators/upsert.py) which has NO server arbitrating writers:
+two concurrent writers could interleave a compaction rmtree+rename with an
+append and silently lose the appended batch.
+
+WriterLock makes the single-writer contract EXPLICIT and ENFORCED instead
+of implicit: every mutating CollectionWriter entry point (insert_data,
+flush, build_index, build_sparse_index) acquires the collection's lock
+file and raises ConcurrentWriteError — loudly, immediately — when another
+LIVE writer holds it. Crash-safety: the lock file records pid+host+ts; a
+lock whose owner process is dead (same host) or older than `stale_after`
+is broken and re-acquired, so a crashed writer never wedges the
+collection.
+
+Scope/design note (100 TB): this is an O(1) driver-side file in the
+collection directory — no Spark involvement, no executor traffic. On a
+real cluster with a transactional table format (Delta/Iceberg MERGE, as
+PLANS.md documents for the compaction path) the format's optimistic commit
+protocol subsumes this lock; for the plain-parquet lowest common
+denominator the lock IS the documented contract, and the two-writer test
+(tests/test_upsert_catalog.py) pins the fail-loudly behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another live writer holds this collection's writer lock."""
+
+
+class WriterLock:
+    """File-based exclusive writer lock (O_CREAT|O_EXCL), reentrant within
+    the owning object via an acquisition depth counter."""
+
+    def __init__(self, lock_path: str, stale_after: float = 3600.0):
+        self.lock_path = lock_path
+        self.stale_after = float(stale_after)
+        self._depth = 0
+
+    # ---- owner liveness ----------------------------------------------------
+    def _read_owner(self) -> dict | None:
+        try:
+            with open(self.lock_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _owner_is_stale(self, owner: dict | None) -> bool:
+        if owner is None:
+            # unreadable/corrupt lock: age it off via mtime
+            try:
+                return time.time() - os.path.getmtime(self.lock_path) > self.stale_after
+            except OSError:
+                return True  # vanished: not held
+        if time.time() - float(owner.get("ts", 0)) > self.stale_after:
+            return True
+        if owner.get("host") == socket.gethostname():
+            try:
+                os.kill(int(owner["pid"]), 0)  # signal 0: existence probe
+                return False
+            except (ProcessLookupError, ValueError):
+                return True
+            except PermissionError:
+                return False  # exists, owned by another user
+        return False  # other host, not expired: assume live
+
+    # ---- acquire/release ---------------------------------------------------
+    def acquire(self) -> None:
+        if self._depth > 0:
+            self._depth += 1
+            return
+        os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
+        payload = json.dumps({
+            "pid": os.getpid(), "host": socket.gethostname(),
+            "ts": time.time(),
+        }).encode()
+        for attempt in (1, 2):
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, payload)
+                finally:
+                    os.close(fd)
+                self._depth = 1
+                return
+            except FileExistsError:
+                owner = self._read_owner()
+                if attempt == 1 and self._owner_is_stale(owner):
+                    # break the dead writer's lock and retry ONCE; the
+                    # O_EXCL create arbitrates if two breakers race
+                    try:
+                        os.unlink(self.lock_path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentWriteError(
+                    f"collection is locked by another writer "
+                    f"(lock={self.lock_path}, owner={owner}); concurrent "
+                    f"ingest on plain-parquet storage is unsafe — retry "
+                    f"after the other writer finishes, or remove the lock "
+                    f"file if its owner crashed on another host")
+
+    def release(self) -> None:
+        if self._depth == 0:
+            return
+        self._depth -= 1
+        if self._depth == 0:
+            try:
+                os.unlink(self.lock_path)
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self) -> "WriterLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()

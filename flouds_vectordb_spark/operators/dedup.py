@@ -32,7 +32,7 @@ the signature tables as the real index artifact instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.hashing import (
@@ -394,12 +394,11 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     chain would want the large-star/small-star variant instead
     (documented, not needed for near-dup graphs). Each round is one
     edges⋈labels join + a map-side-combinable min — no global sort, no
-    driver-side graph. The convergence check rides the SAME update pass:
-    the new label is computed next to the old one in the update select, a
-    `_chg` flag marks rows whose label dropped, and the eager
-    localCheckpoint materializes both; the changed probe is then a
-    limit-1 scan of the checkpointed scalars — no second join, no second
-    shuffle per round.
+    driver-side graph. The convergence check costs ZERO extra jobs: the
+    changed-row count is an `observe()` metric (CollectMetrics) on the
+    update plan, filled by the SAME action that materializes the eager
+    localCheckpoint — and the `_chg` flag is projected away above the
+    metrics node, so the checkpointed state stays pure (id, lbl) scalars.
 
     Raises RuntimeError if max_iter rounds elapse before the fixpoint
     (long-diameter pair graph): partially propagated labels would
@@ -441,14 +440,16 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                                     F.col("lbl").alias("_pl"))
             stepped = stepped.join(parents, "lbl", "left")
             new_lbl = F.least(new_lbl, F.coalesce("_pl", "lbl"))
-        nxt = (
+        obs = Observation()
+        labels = (
             stepped
             .select("id", new_lbl.alias("lbl"),
                     (new_lbl < F.col("lbl")).alias("_chg"))
+            .observe(obs, F.count(F.when(F.col("_chg"), F.lit(1))).alias("changed"))
+            .select("id", "lbl")
             .localCheckpoint(eager=True)
         )
-        labels = nxt.drop("_chg")
-        if nxt.filter(F.col("_chg")).limit(1).count() == 0:
+        if int(obs.get["changed"]) == 0:
             converged = True
             break
     if not converged:

@@ -24,10 +24,23 @@ lowest-common-denominator the driver environment supports.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 AUTO_FLUSH_MIN_BATCH = 100  # appsettings.json auto_flush_min_batch
+
+
+def _locked(fn):
+    """Run a mutating CollectionWriter method under the collection's
+    single-writer lock (locks.WriterLock — reentrant, so insert_data's
+    internal flush/index-maintenance calls re-enter freely)."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return fn(self, *args, **kwargs)
+    return wrapper
 
 
 def validate_dimensions(batch: DataFrame, dim: int, vector_col: str = "vector",
@@ -93,11 +106,19 @@ class CollectionWriter:
     """Catalog-backed ingest: append-on-insert, compact-on-flush."""
 
     def __init__(self, catalog, tenant: str, model: str):
+        from flouds_vectordb_spark.locks import WriterLock
+
         self.catalog = catalog
         self.tenant = tenant
         self.model = model
         self.meta = catalog.describe_collection(tenant, model)
+        # single-writer contract (locks.py): every mutating entry point
+        # below takes this lock; a second concurrent writer raises
+        # ConcurrentWriteError instead of silently interleaving appends
+        # with a compaction swap. Reentrant (insert_data -> flush).
+        self._lock = WriterLock(self.meta["path"].rstrip("/") + "__writer.lock")
 
+    @_locked
     def insert_data(self, batch: DataFrame, batch_ts: int, force_flush: bool = False,
                     auto_flush_min_batch: int = AUTO_FLUSH_MIN_BATCH,
                     skip_dim_validation: bool = False) -> dict:
@@ -225,6 +246,7 @@ class CollectionWriter:
         w = Window.partitionBy("id").orderBy(F.col("batch_ts").desc())
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
+    @_locked
     def flush(self) -> None:
         """S4: compact appended segments to the deduped state (tmp + swap)."""
         import os
@@ -237,6 +259,7 @@ class CollectionWriter:
         os.replace(tmp, path)
 
     # ---- index build + search (S2's index job + the reference search gate) --
+    @_locked
     def build_index(self):
         """The generate_schema index-build job (base_milvus.py:1216-1310),
         run over the flushed collection, dispatched on the spec's
@@ -533,6 +556,7 @@ class CollectionWriter:
         written files have disjoint term ranges)."""
         return df.repartitionByRange(F.col("term")).sortWithinPartitions("term")
 
+    @_locked
     def build_sparse_index(self, drop_ratio_build: float = 0.0):
         """I1's index artifact over the flushed collection (the
         SPARSE_INVERTED_INDEX analogue): incremental tf/docs/stats layout

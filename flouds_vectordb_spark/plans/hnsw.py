@@ -174,6 +174,11 @@ class HnswIndex:
     """A built navigable-graph index: nodes + edges tables on disk, entry
     medoid ids and build params as driver metadata."""
 
+    # append() auto-compacts when un-recapped append edges exceed this
+    # fraction of the last compacted base edge count (see _needs_compact)
+    compact_growth_fraction = 0.5
+    auto_compact = True
+
     def __init__(self, path: str, meta: dict):
         self.path = path
         self.meta = meta
@@ -363,20 +368,38 @@ class HnswIndex:
                 scored.groupBy("src", "dst").agg(F.max("score").alias("score"))
                 .withColumn("_r", F.row_number().over(w))
                 .filter(F.col("_r") <= m).drop("_r")
-            )
-            rev = fwd.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst"), "score")
-            fwd.unionByName(rev).write.mode("append").parquet(
-                os.path.join(self.path, "edges"))
+            ).persist()
+            try:
+                n_fwd = fwd.count()
+                rev = fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"), "score")
+                fwd.unionByName(rev).write.mode("append").parquet(
+                    os.path.join(self.path, "edges"))
+            finally:
+                fwd.unpersist()
             assigned.drop("_a").write.mode("append").parquet(
                 os.path.join(self.path, "nodes"))
             self.meta["n"] = int(self.meta.get("n", 0)) + assigned.count()
+            self.meta["edges_appended"] = (
+                int(self.meta.get("edges_appended", 0)) + 2 * n_fwd)
             with open(os.path.join(self.path, "_hnsw_meta.json"), "w") as f:
                 json.dump(self.meta, f)
             # invalidate cached readers — the tables just grew
             self._nodes_df = self._edges_df = None
         finally:
             assigned.unpersist()
+        # Milvus growing-segment parity: appends leave reverse edges
+        # un-recapped, inflating per-node degree and beam scan width; once
+        # the un-compacted growth passes the threshold fraction of the last
+        # compacted base, fold it in (DiskANN's periodic cleanup, scheduled
+        # rather than manual). Degree bound after compaction: Mmax = 2M.
+        if self.auto_compact and self._needs_compact():
+            compact_hnsw(self, spark)
+
+    def _needs_compact(self) -> bool:
+        base = int(self.meta.get("edges_base", 0))
+        appended = int(self.meta.get("edges_appended", 0))
+        return appended > self.compact_growth_fraction * max(base, 1)
 
 
 def _nn_descent_round(edges: DataFrame, nodes_iv: DataFrame, m: int,
@@ -453,6 +476,14 @@ def compact_hnsw(index: HnswIndex, spark: SparkSession) -> None:
     os.replace(tmp, edges_path)   # step 2: new table live (atomic rename)
     shutil.rmtree(old)            # step 3: drop the superseded copy
     index._edges_df = None
+    # reset the growth accounting: the capped table is the new base for
+    # append()'s auto-compact scheduling. Count rides parquet row-group
+    # metadata (count-star over a fresh scan, no data columns read).
+    index.meta["edges_base"] = spark.read.parquet(edges_path).count()
+    index.meta["edges_appended"] = 0
+    index.meta["compactions"] = int(index.meta.get("compactions", 0)) + 1
+    with open(os.path.join(index.path, "_hnsw_meta.json"), "w") as f:
+        json.dump(index.meta, f)
 
 
 def _recover_edges(path: str) -> None:
@@ -668,6 +699,10 @@ def build_hnsw(
         "refine_rounds": int(refine_rounds), "cell_target": int(cell_target),
         "id_col": id_col, "vector_col": vector_col,
         "entry_ids": entry_ids, "centroids": centroids.tolist(),
+        # growth accounting for append()'s auto-compact scheduling
+        "edges_base": df.sparkSession.read.parquet(
+            os.path.join(path, "edges")).count(),
+        "edges_appended": 0,
     }
     with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
         json.dump(meta, f)

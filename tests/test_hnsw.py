@@ -331,3 +331,45 @@ def test_catalog_hnsw_dispatch_and_growing_segment(spark, tmp_path_factory):
     ids2 = [x["id"] for x in got2]
     assert got2[0]["id"] == "hit2"
     assert "hit" not in ids2 or got2[[x["id"] for x in got2].index("hit")]["chunk"] == "moved away"
+
+
+def test_append_auto_compacts_and_bounds_edge_growth(spark, built, tmp_path_factory):
+    """Growing-segment contract: 10 append batches must NOT let the edge
+    table grow unboundedly — append() schedules compact_hnsw once the
+    un-recapped growth passes compact_growth_fraction of the compacted
+    base, so the on-disk edge count stays within (1 + fraction) of the
+    current base (asserted at 2x for slack) and per-src degree re-caps."""
+    import shutil
+
+    df, q, idx0 = built
+    path = str(tmp_path_factory.mktemp("hnsw_ac") / "idx")
+    shutil.copytree(idx0.path, path)
+    idx = open_hnsw(path)
+    assert idx.auto_compact and idx.meta.get("edges_base", 0) > 0
+    rng = np.random.RandomState(17)
+    all_batches = []
+    for b in range(10):
+        batch = spark.createDataFrame(
+            [(int(10_000 + 100 * b + i),
+              [float(x) for x in np.array(q) + rng.uniform(-0.01, 0.01, DIM)])
+             for i in range(40)], "id bigint, vector array<double>")
+        idx.append(batch)
+        all_batches.append(batch)
+    assert int(idx.meta.get("compactions", 0)) >= 1, \
+        "10 batches of 40 rows must trip the auto-compact threshold"
+    n_edges = idx.edges(spark).count()
+    base = int(idx.meta["edges_base"])
+    assert n_edges <= 2 * base, (n_edges, base)
+    # appended-but-not-yet-compacted growth stays under the threshold + one batch
+    assert int(idx.meta["edges_appended"]) <= \
+        idx.compact_growth_fraction * base + 2 * 40 * idx.meta["M"]
+    # search over the grown index is still the exact top-k
+    grown = df
+    for b in all_batches:
+        grown = grown.unionByName(b)
+    req = DenseSearchRequest(query_vector=q, metric="COSINE", limit=10,
+                             score_threshold=None, output_fields=())
+    got = [r["id"] for r in idx.search(spark, req).collect()]
+    exact = [r["id"] for r in dense_search(
+        grown, req, id_col="id", vector_col="vector").collect()]
+    assert got == exact

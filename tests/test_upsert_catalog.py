@@ -394,3 +394,79 @@ def test_auto_id_search_flow(spark, tmp_path_factory):
     rows = res.collect()
     assert [r["chunk"] for r in rows] == ["a", "c"]
     assert all(isinstance(r["id"], int) for r in rows)
+
+
+# ---- single-writer ingest contract (locks.py) --------------------------------
+
+def _mini_collection(spark, tmp_path_factory, tag):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp(tag)))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m4", dimension=4))
+    batch = spark.createDataFrame(
+        [("k1", "c", [1.0, 0.0, 0.0, 0.0])],
+        "id string, chunk string, vector array<float>")
+    return cat, batch
+
+
+def test_two_writers_fail_loudly_not_silently(spark, tmp_path_factory):
+    from flouds_vectordb_spark.locks import ConcurrentWriteError
+
+    cat, batch = _mini_collection(spark, tmp_path_factory, "wh_lock")
+    w1 = CollectionWriter(cat, "t0", "m4")
+    w2 = CollectionWriter(cat, "t0", "m4")
+    w1._lock.acquire()  # writer 1 mid-ingest
+    try:
+        with pytest.raises(ConcurrentWriteError, match="locked by another writer"):
+            w2.insert_data(batch, batch_ts=1)
+        with pytest.raises(ConcurrentWriteError):
+            w2.flush()
+    finally:
+        w1._lock.release()
+    # after writer 1 finishes, writer 2 proceeds normally
+    w2.insert_data(batch, batch_ts=2, force_flush=True)
+    assert w2.read_latest().count() == 1
+
+
+def test_writer_lock_reentrant_and_released(spark, tmp_path_factory):
+    cat, batch = _mini_collection(spark, tmp_path_factory, "wh_lock2")
+    w = CollectionWriter(cat, "t0", "m4")
+    # insert_data(force_flush=True) calls flush() inside the lock: must not
+    # self-deadlock or raise, and must release the lock file afterwards
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+    import os
+    assert not os.path.exists(w._lock.lock_path)
+    # a failed insert also releases the lock
+    bad = spark.createDataFrame([("k", "c", [1.0])],
+                                "id string, chunk string, vector array<float>")
+    with pytest.raises(ValueError):
+        w.insert_data(bad, batch_ts=2)
+    assert not os.path.exists(w._lock.lock_path)
+
+
+def test_stale_lock_of_dead_writer_is_broken(spark, tmp_path_factory):
+    import json as _json
+    import socket
+
+    cat, batch = _mini_collection(spark, tmp_path_factory, "wh_lock3")
+    w = CollectionWriter(cat, "t0", "m4")
+    # forge a lock owned by a dead pid on THIS host
+    with open(w._lock.lock_path, "w") as f:
+        _json.dump({"pid": 2**22 + 12345, "host": socket.gethostname(),
+                    "ts": 0}, f)
+    w.insert_data(batch, batch_ts=1)  # breaks the dead lock, proceeds
+    assert w.read_latest().count() == 1
+
+
+def test_live_lock_on_other_host_is_respected(spark, tmp_path_factory):
+    import json as _json
+    import time
+
+    from flouds_vectordb_spark.locks import ConcurrentWriteError
+
+    cat, batch = _mini_collection(spark, tmp_path_factory, "wh_lock4")
+    w = CollectionWriter(cat, "t0", "m4")
+    with open(w._lock.lock_path, "w") as f:
+        _json.dump({"pid": 1, "host": "some-other-executor-host",
+                    "ts": time.time()}, f)
+    with pytest.raises(ConcurrentWriteError):
+        w.insert_data(batch, batch_ts=1)
