@@ -474,9 +474,18 @@ class CollectionWriter:
 
         itype = str(self.meta["index_type"]).upper()
         if itype == "HNSW":
-            raise NotImplementedError(
-                "batched search over the HNSW graph path is not wired yet; "
-                "use use_index=False or the IVF/SQ8/PQ index types")
+            # batched beam (plans/hnsw.py beam_search_many): 2 jobs per
+            # round for the WHOLE block; exact re-rank + post-filters run
+            # per qid over the latest-wins payload
+            from flouds_vectordb_spark.plans.hnsw import open_hnsw
+
+            gidx = open_hnsw(self.meta["path"] + "__hnsw")
+            want = req.limit + req.offset + (
+                req.increase_limit_for_text_search if req.text_filter else 0)
+            return gidx.search_many(self.catalog.spark, queries, req,
+                                    ef=max(64, want),
+                                    payload_df=self.read_latest(),
+                                    **dense_kwargs)
         idx = open_ivf(self.meta["path"] + "__ivf")
         spark = self.catalog.spark
         vector_col = dense_kwargs.get("vector_col", "vector")

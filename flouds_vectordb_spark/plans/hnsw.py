@@ -283,6 +283,173 @@ class HnswIndex:
                 "converging; results may be under-explored", stacklevel=2)
         return cur
 
+    # ---- batched multi-query beam (r6) --------------------------------------
+    # The single-query beam costs 1-2 driver jobs PER ROUND PER QUERY; a
+    # retrieval pipeline issues queries in blocks, so the batched beam runs
+    # the WHOLE block's expansion in 2 jobs per round (one adjacency scan
+    # for the union frontier, one (qid, id) pair-scoring scan), amortizing
+    # the job floor across the block exactly as batch_search.py does for
+    # the IVF paths. Driver state: (qid -> {id: score}) scalars.
+
+    # above this many distinct ids, skip the isin() pushdown literal (the
+    # broadcast join already restricts rows; a 100k-element IN list costs
+    # more to plan than it prunes)
+    ISIN_PUSHDOWN_CAP = 8192
+
+    def _ids_pruned(self, df: DataFrame, col: str, ids: list) -> DataFrame:
+        if len(ids) <= self.ISIN_PUSHDOWN_CAP:
+            return df.filter(F.col(col).isin(ids))
+        return df
+
+    def _score_pairs_many(self, spark: SparkSession, pairs: list,
+                          qb: DataFrame) -> list[tuple]:
+        """(qid, id, score) for explicit (qid, id) pairs — ONE job. qb is
+        the broadcast query block (qid, _qv, _qn) from
+        batch_search.query_block; scores are JVM-side pair scores with
+        latest-version-per-id resolution (append-upserts may leave stale
+        rows in `nodes` until compaction)."""
+        from flouds_vectordb_spark.operators.batch_search import _pair_score
+
+        ids = sorted({i for _, i in pairs}, key=lambda v: (str(type(v)), v))
+        id_t = dict(self.nodes(spark).dtypes)[self.id_col]
+        pdf = spark.createDataFrame(
+            [(int(q), i) for q, i in pairs], f"qid bigint, _i {id_t}")
+        nodes = self._ids_pruned(self.nodes(spark), self.id_col, ids)
+        has_ts = "batch_ts" in nodes.columns
+        proj = nodes.select(
+            F.col(self.id_col).alias("_i"), self.vector_col,
+            *(["batch_ts"] if has_ts else []))
+        scored = (
+            proj.join(F.broadcast(pdf), "_i")
+            .join(F.broadcast(qb), "qid")
+            .select("qid", "_i",
+                    _pair_score(self.metric, self.vector_col).alias("_s"),
+                    *(["batch_ts"] if has_ts else []))
+        )
+        if has_ts:
+            agg = scored.groupBy("qid", "_i").agg(
+                F.max_by("_s", F.col("batch_ts")).alias("_s"))
+        else:
+            agg = scored.groupBy("qid", "_i").agg(F.max("_s").alias("_s"))
+        return [(r["qid"], r["_i"], r["_s"]) for r in agg.collect()
+                if r["_s"] is not None]
+
+    def beam_search_many(self, spark: SparkSession, queries,
+                         ef: int = DEFAULT_EF,
+                         max_rounds: int = MAX_ROUNDS) -> dict:
+        """Batched best-first beam: queries is a (qid, vector) sequence;
+        returns {qid: [ids, best first]}. Per-query exit criterion is the
+        same as beam_search (no unexpanded member left in the top-ef);
+        converged queries drop out of subsequent rounds, so the block
+        finishes when the SLOWEST query does — at 2 jobs per round for
+        however many queries remain."""
+        from flouds_vectordb_spark.operators.batch_search import query_block
+
+        qb = query_block(spark, queries)
+        ef = max(1, int(ef))
+        qids = [int(q) for q, _ in queries]
+        entry = self.meta["entry_ids"]
+        scored = {q: {} for q in qids}
+        expanded = {q: set() for q in qids}
+        for q, i, s in self._score_pairs_many(
+                spark, [(q, e) for q in qids for e in entry], qb):
+            scored[q][i] = s
+
+        def beam(q) -> list:
+            d = scored[q]
+            return sorted(d, key=lambda i: (-d[i], i))[:ef]
+
+        active = list(qids)
+        for _ in range(max_rounds):
+            frontiers = {}
+            for q in active:
+                fr = [i for i in beam(q) if i not in expanded[q]]
+                if fr:
+                    frontiers[q] = fr
+            active = list(frontiers)
+            if not active:
+                break
+            union_fr = sorted({i for fr in frontiers.values() for i in fr},
+                              key=lambda v: (str(type(v)), v))
+            e = self.edges(spark)
+            if len(union_fr) <= self.ISIN_PUSHDOWN_CAP:
+                e = e.filter(F.col("src").isin(union_fr))
+            else:
+                id_t = dict(e.dtypes)["src"]
+                fdf = spark.createDataFrame([(i,) for i in union_fr],
+                                            f"src {id_t}")
+                e = e.join(F.broadcast(fdf), "src")
+            adj_rows = e.select("src", "dst").distinct().collect()
+            adj: dict = {}
+            for r in adj_rows:
+                adj.setdefault(r["src"], []).append(r["dst"])
+            pairs = []
+            for q, fr in frontiers.items():
+                expanded[q].update(fr)
+                known = scored[q]
+                seen = set()
+                for s in fr:
+                    for d in adj.get(s, ()):
+                        if d not in known and d not in seen:
+                            seen.add(d)
+                            pairs.append((q, d))
+            if pairs:
+                for q, i, s in self._score_pairs_many(spark, pairs, qb):
+                    scored[q][i] = s
+        else:
+            warnings.warn(
+                f"hnsw batched beam hit the {max_rounds}-round backstop "
+                "before every query converged; results may be "
+                "under-explored", stacklevel=2)
+        return {q: beam(q) for q in qids}
+
+    def search_many(self, spark: SparkSession, queries,
+                    req: DenseSearchRequest, ef: int | None = None,
+                    payload_df: DataFrame | None = None,
+                    **dense_kwargs) -> DataFrame:
+        """Batched graph-ANN search composed with the batched exact request
+        pipeline (batch_search._ranked_pipeline): the per-qid beam
+        shortlists are re-scored exactly and the full post-filter chain
+        applies per qid. Returns (qid, id, rank, score[, ...])."""
+        from flouds_vectordb_spark.operators.batch_search import (
+            _pair_score,
+            _ranked_pipeline,
+            query_block,
+        )
+
+        want = req.limit + req.offset + (
+            req.increase_limit_for_text_search if req.text_filter else 0)
+        ef = max(DEFAULT_EF if ef is None else int(ef), want)
+        beams = self.beam_search_many(spark, queries, ef=ef)
+        members = [(q, i) for q, ids in beams.items() for i in ids]
+        union_ids = sorted({i for _, i in members},
+                           key=lambda v: (str(type(v)), v))
+        id_col = dense_kwargs.pop("id_col", self.id_col)
+        vector_col = dense_kwargs.pop("vector_col", self.vector_col)
+        id_t = dict(self.nodes(spark).dtypes)[self.id_col]
+        mdf = spark.createDataFrame(
+            [(int(q), i) for q, i in members], f"qid bigint, _mid {id_t}")
+        shortlist = self._ids_pruned(self.nodes(spark), self.id_col,
+                                     union_ids).drop("_cell")
+        if "batch_ts" in shortlist.columns:
+            wv = Window.partitionBy(self.id_col).orderBy(F.col("batch_ts").desc())
+            shortlist = (shortlist.withColumn("_rn", F.row_number().over(wv))
+                         .filter(F.col("_rn") == 1).drop("_rn"))
+        qb = query_block(spark, queries)
+        cand = (
+            shortlist.select(F.col(id_col).alias("_id"), F.col(vector_col))
+            .join(F.broadcast(mdf), F.col("_id") == F.col("_mid"))
+            .join(F.broadcast(qb), "qid")
+            .select("qid", "_id",
+                    _pair_score(req.metric, vector_col).alias("_score"))
+        )
+        payload = payload_df if payload_df is not None else shortlist
+        return _ranked_pipeline(
+            cand, payload, req, id_col,
+            dense_kwargs.pop("chunk_col", None),
+            dense_kwargs.pop("meta_col", None),
+            dense_kwargs.pop("extra_cols", ()))
+
     def search(self, spark: SparkSession, req: DenseSearchRequest,
                ef: int | None = None, **dense_kwargs) -> DataFrame:
         """Graph-ANN search composed with the UNCHANGED exact request

@@ -911,13 +911,12 @@ def _hnsw_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact: dict[int, set] = {}
     for r in exact_rows:
         exact.setdefault(int(r["qid"]), set()).add(r["id"])
+    ann: dict[int, set] = {}
+    for r in idx.search_many(spark, qs, req, ef=48).collect():
+        ann.setdefault(int(r["qid"]), set()).add(r["id"])
     hits = total = 0
-    for qid, qv in qs:
-        got = {r["id"] for r in idx.search(
-            spark, DenseSearchRequest(query_vector=qv, metric="COSINE",
-                                      limit=_HNSW_RECALL_K, output_fields=()),
-            ef=48).collect()}
-        hits += len(got & exact[qid])
+    for qid, _ in qs:
+        hits += len(ann.get(qid, set()) & exact[qid])
         total += len(exact[qid])
     recall = hits / total if total else 0.0
     return spark.createDataFrame(
@@ -1013,6 +1012,33 @@ def _q1_ivf_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("q1_ivf_search_many", _q1_ivf_search_many,
           dense_search_many_sql(_MQ_REQ, _MQ_QUERIES, _MQ_EMBS_SQL,
                                 id_expr="id", vector_expr="vector"))
+
+
+def _q1_hnsw_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched graph-ANN search (plans/hnsw.py beam_search_many): the whole
+    8-query block beams in 2 jobs/round instead of 1-2 jobs/round/query.
+    Same per-query clustered fixture as q1_ivf_search_many. Exactness
+    argument (the multi-cluster variant of the q1_hnsw_topk one):
+    cell_target=48 gives ncells >= 14 >> 8 clusters, each 20-point cluster
+    is the densest blob in its region so the seeded k-means places a
+    centroid on it, its medoid entry point is a cluster member, and the
+    cluster is mutually connected under top-M adjacency — so every qid's
+    beam must return its exact top-10 (verified green at sf0.001/0.01/0.1;
+    at cell_target >= 64 clusters can share a cell with no entry inside,
+    where a graph beam legitimately cannot reach an unconnected island —
+    the IVF gates cover that distance-pruning case)."""
+    from flouds_vectordb_spark.plans.hnsw import get_or_build_hnsw
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(HNSW_CACHE_ROOT, f"{tag}_mq_cosine")
+    idx = get_or_build_hnsw(_mq_clustered_embs(spark, sf_dir), path, m=16,
+                            metric="COSINE", cell_target=48)
+    return idx.search_many(spark, _MQ_QUERIES, _MQ_REQ, ef=32)
+
+
+_register_ext("q1_hnsw_search_many", _q1_hnsw_search_many,
+              dense_search_many_sql(_MQ_REQ, _MQ_QUERIES, _MQ_EMBS_SQL,
+                                    id_expr="id", vector_expr="vector"))
 
 
 # --- real quantized execution: IVF_SQ8 / IVF_PQ (SURVEY §4.1 upgrade) ----------

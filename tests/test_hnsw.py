@@ -373,3 +373,56 @@ def test_append_auto_compacts_and_bounds_edge_growth(spark, built, tmp_path_fact
     exact = [r["id"] for r in dense_search(
         grown, req, id_col="id", vector_col="vector").collect()]
     assert got == exact
+
+
+def test_beam_search_many_matches_single_query_beams(spark, built):
+    """The batched beam must be RESULT-IDENTICAL to the per-query beam:
+    same scores, same (-score, id) ordering, same exit criterion — only
+    the job structure differs (2 jobs/round for the block vs 1-2 per
+    query)."""
+    df, q, idx = built
+    rng = np.random.RandomState(31)
+    queries = [(i, [float(x) for x in np.array(q) + rng.uniform(-0.02, 0.02, DIM)])
+               for i in range(6)]
+    beams = idx.beam_search_many(spark, queries, ef=24)
+    for qid, qv in queries:
+        assert beams[qid] == idx.beam_search(spark, qv, ef=24), qid
+
+
+def test_search_many_matches_single_search(spark, built):
+    df, q, idx = built
+    rng = np.random.RandomState(37)
+    queries = [(i, [float(x) for x in np.array(q) + rng.uniform(-0.02, 0.02, DIM)])
+               for i in range(5)]
+    req = DenseSearchRequest(query_vector=queries[0][1], metric="COSINE",
+                             limit=5, output_fields=())
+    got = {}
+    for r in idx.search_many(spark, queries, req, ef=32).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["id"], r["score"]))
+    for qid, qv in queries:
+        single = [(r["rank"], r["id"], r["score"]) for r in idx.search(
+            spark, DenseSearchRequest(query_vector=qv, metric="COSINE",
+                                      limit=5, output_fields=()),
+            ef=32).collect()]
+        assert sorted(got[qid]) == single, qid
+
+
+def test_search_many_sees_appended_rows_latest_wins(spark, built, tmp_path_factory):
+    """Batched search over a GROWN index: appended rows (including an
+    update of an existing id) must win over stale versions in the beam
+    shortlist and the exact re-rank."""
+    import shutil
+
+    df, q, idx0 = built
+    path = str(tmp_path_factory.mktemp("hnsw_mq_app") / "idx")
+    shutil.copytree(idx0.path, path)
+    idx = open_hnsw(path)
+    batch = spark.createDataFrame(
+        [(int(7000 + i), [float(x) for x in np.array(q) * (1 - 1e-6 * (i + 1))])
+         for i in range(3)], "id bigint, vector array<double>")
+    idx.append(batch)
+    req = DenseSearchRequest(query_vector=q, metric="COSINE", limit=3,
+                             output_fields=())
+    got = {r["id"] for r in idx.search_many(spark, [(0, q)], req, ef=32)
+           .filter(F.col("qid") == 0).collect()}
+    assert got == {7000, 7001, 7002}
