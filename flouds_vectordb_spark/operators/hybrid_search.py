@@ -319,3 +319,234 @@ SELECT id, rank, rrf_score{chunk_out}{meta_out} FROM (
   FROM _filtered
 ) WHERE rank <= {req.limit}
 """
+
+
+# --- batched multi-query hybrid search (r6) ----------------------------------
+
+def hybrid_search_many(
+    df: DataFrame,
+    postings: DataFrame | None,
+    queries,
+    req: HybridSearchRequest,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    chunk_col: str | None = None,
+    meta_col: str | None = None,
+    sparse_chunk_col: str = "chunk",
+) -> DataFrame:
+    """Batched RRF hybrid: queries is a (qid, vector, text) sequence;
+    returns (qid, id, rank, rrf_score [, chunk, meta_kv]) with rank
+    1-based per qid. req.query_vector/req.text_filter are IGNORED — the
+    batch supplies them; every other knob applies to all queries.
+
+    Plan: ONE dense scan scores the whole block (broadcast query block,
+    as batch_search.dense_search_many) with a per-qid branch-limit
+    window; ONE term-pruned posting scan serves every sparse branch
+    (sparse_search_many); fusion is a (qid, id) full outer join of two
+    <= nq*50-row scalar tables. With postings=None the posting table is
+    built from df once for the WHOLE block (bit-identical weights to the
+    direct scorer) — the single-query direct path exists to skip that
+    build for ONE query; for a block the one-time build IS the cheaper
+    plan. Results are bit-identical to looping hybrid_search per query."""
+    from flouds_vectordb_spark.operators.batch_search import (
+        _pair_score,
+        query_block,
+    )
+    from flouds_vectordb_spark.operators.sparse_search import (
+        bm25_postings,
+        sparse_search_many,
+    )
+
+    if (req.meta_filter or req.meta_required) and meta_col is None:
+        raise ValueError("meta_filter/meta_required require meta_col")
+    spark = df.sparkSession
+    dense_q = [(qid, vec) for qid, vec, _ in queries]
+    sparse_q = [(qid, text) for qid, _, text in queries]
+
+    # dense branch, per qid
+    qb = query_block(spark, dense_q)
+    slim = (
+        df.select(F.col(id_col).alias("id"), F.col(vector_col))
+        .join(F.broadcast(qb))
+        .select("qid", "id", _pair_score(req.metric, vector_col).alias("_ds"))
+        .filter(F.col("_ds").isNotNull())
+        .withColumn("_ds_r", F.round(F.col("_ds"), RANK_DECIMALS))
+    )
+    wd = Window.partitionBy("qid").orderBy(F.col("_ds_r").desc(), F.col("id").asc())
+    dense = (
+        slim.withColumn("_pre", F.row_number().over(wd))
+        .filter((F.col("_pre") > req.offset)
+                & (F.col("_pre") <= req.branch_limit + req.offset))
+        .select("qid", "id",
+                (F.col("_pre") - F.lit(req.offset)).alias("dense_rank_"),
+                F.col("_ds").alias("dense_score"))
+    )
+
+    if postings is None:
+        postings = bm25_postings(df, id_col=id_col, chunk_col=sparse_chunk_col)
+    sparse = (
+        sparse_search_many(postings, sparse_q, req.sparse_request())
+        .select("qid", "id", F.col("rank").alias("sparse_rank_"))
+    )
+
+    fused = dense.join(sparse, ["qid", "id"], "full_outer")
+    kf = float(RRF_K)
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(kf) + F.col("dense_rank_").cast("double")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(kf) + F.col("sparse_rank_").cast("double")), F.lit(0.0))
+    )
+    fused = fused.withColumn("_rrf", rrf).withColumn(
+        "_rrf_r", F.round(F.col("_rrf"), RANK_DECIMALS))
+
+    meta_out = meta_col is not None and "meta" in req.effective_output_fields
+    need_meta = bool(req.meta_filter or req.meta_required) or meta_out
+    payload = [c for c in (chunk_col, meta_col if need_meta else None) if c]
+    if payload:
+        keep = list(dict.fromkeys([id_col, *payload]))
+        out = (
+            df.select(*[F.col(c) for c in keep])
+            .join(F.broadcast(fused.withColumnRenamed("id", "_fid")),
+                  F.col(id_col) == F.col("_fid"), "inner")
+            .drop("_fid")
+            .withColumnRenamed(id_col, "id")
+        )
+    else:
+        out = fused
+
+    if req.score_threshold is not None:
+        ms = (-F.col("dense_score") if req.metric.upper() == "L2"
+              else F.col("dense_score"))
+        ds = F.round(ms, req.threshold_decimals)
+        out = out.filter(
+            F.col("dense_rank_").isNull() | (ds >= F.lit(float(req.score_threshold))))
+    if chunk_col is not None:
+        out = out.filter(F.col(chunk_col).isNotNull() & (F.col(chunk_col) != ""))
+    if req.meta_required:
+        out = out.filter(F.size(F.col(meta_col)) > 0)
+    if req.meta_filter:
+        from flouds_vectordb_spark.operators.dense_search import meta_filter_predicate
+
+        out = out.filter(meta_filter_predicate(F.col(meta_col), req.meta_filter))
+
+    wf = Window.partitionBy("qid").orderBy(F.col("_rrf_r").desc(), F.col("id").asc())
+    out = (out.withColumn("rank", F.row_number().over(wf))
+           .filter(F.col("rank") <= req.limit))
+    rd = req.effective_round_decimal
+    dec = rd if rd > 0 else RANK_DECIMALS
+    cols = [F.col("qid"), F.col("id"), F.col("rank"),
+            F.round(F.col("_rrf"), dec).alias("rrf_score")]
+    if chunk_col and "chunk" in req.effective_output_fields:
+        cols.append(F.col(chunk_col))
+    if meta_out:
+        from flouds_vectordb_spark.operators.dense_search import meta_kv_column
+
+        cols.append(meta_kv_column(meta_col))
+    return out.select(*cols)
+
+
+def hybrid_search_many_sql(
+    req: HybridSearchRequest,
+    queries,
+    table_sql: str,
+    postings_sql: str,
+    id_expr: str,
+    vector_expr: str,
+    chunk_expr: str | None = None,
+    meta_exprs: dict[str, str] | None = None,
+    meta_size_expr: str | None = None,
+    meta_kv_expr: str | None = None,
+) -> str:
+    """DuckDB oracle twin of hybrid_search_many."""
+    from flouds_vectordb_spark.operators.batch_search import (
+        _pair_score_sql,
+        queries_values_sql,
+    )
+    from flouds_vectordb_spark.operators.sparse_search import (
+        sparse_search_many_sql,
+    )
+
+    dense_q = [(qid, vec) for qid, vec, _ in queries]
+    sparse_q = [(qid, text) for qid, _, text in queries]
+    dim = len(dense_q[0][1])
+    qvals = queries_values_sql(dense_q)
+    score = _pair_score_sql(req.metric, vector_expr, dim)
+    sreq = req.sparse_request()
+    # the sparse twin already applies branch_limit/offset per qid and
+    # returns 1-based ranks — exactly the branch table the fuse needs
+    sparse_branch = sparse_search_many_sql(sreq, sparse_q, postings_sql)
+
+    post = ["TRUE"]
+    if req.score_threshold is not None:
+        ms = "(-dense_score)" if req.metric.upper() == "L2" else "dense_score"
+        post.append(
+            f"(dense_rank_ IS NULL OR round({ms}, {req.threshold_decimals})"
+            f" >= ({float(req.score_threshold)!r}::DOUBLE))")
+    if chunk_expr is not None:
+        post.append("(chunk IS NOT NULL AND chunk <> '')")
+    if req.meta_required:
+        post.append("_meta_n > 0")
+    meta_join_sel = ""
+    for i, (k, v) in enumerate((req.meta_filter or {}).items()):
+        e = (meta_exprs or {})[k]
+        meta_join_sel += f", {e} AS _meta_{i}"
+        vv = v.lower().replace("'", "''")
+        post.append(f"(_meta_{i} IS NOT NULL AND instr(lower(_meta_{i}), '{vv}') > 0)")
+
+    rd = req.effective_round_decimal
+    dec = rd if rd > 0 else RANK_DECIMALS
+    with_chunk = chunk_expr is not None and "chunk" in req.effective_output_fields
+    with_meta = meta_kv_expr is not None and "meta" in req.effective_output_fields
+    chunk_sel = f", {chunk_expr} AS chunk" if chunk_expr else ""
+    meta_kv_sel = f", {meta_kv_expr} AS meta_kv" if with_meta else ""
+    chunk_out = ", chunk" if with_chunk else ""
+    meta_out = ", meta_kv" if with_meta else ""
+    need_payload = bool(chunk_expr or meta_join_sel or req.meta_required or with_meta)
+    payload_join = (
+        f"JOIN (SELECT {id_expr} AS _pid {chunk_sel}{meta_kv_sel}{meta_join_sel}, "
+        f"{meta_size_expr if meta_size_expr is not None else '0'} AS _meta_n "
+        f"FROM {table_sql}) p ON f.id = p._pid"
+        if need_payload
+        else ""
+    )
+    fetch = req.branch_limit + req.offset
+    return f"""
+WITH _dense_scored AS (
+  SELECT q.qid, {id_expr} AS id, {score} AS _ds
+  FROM {table_sql} CROSS JOIN {qvals} q
+),
+_dense_ranked AS (
+  SELECT qid, id, _ds,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(_ds, {RANK_DECIMALS}) DESC, id ASC) AS _pre
+  FROM _dense_scored WHERE _ds IS NOT NULL
+),
+_dense AS (
+  SELECT qid, id, (_pre - {req.offset}) AS dense_rank_, _ds AS dense_score
+  FROM _dense_ranked WHERE _pre > {req.offset} AND _pre <= {fetch}
+),
+_sparse AS (
+  SELECT qid, id, rank AS sparse_rank_ FROM ({sparse_branch})
+),
+_fused AS (
+  SELECT coalesce(d.qid, s.qid) AS qid, coalesce(d.id, s.id) AS id,
+         d.dense_rank_, d.dense_score, s.sparse_rank_,
+         coalesce(1.0 / ({RRF_K}.0 + d.dense_rank_::DOUBLE), 0.0)
+         + coalesce(1.0 / ({RRF_K}.0 + s.sparse_rank_::DOUBLE), 0.0) AS _rrf
+  FROM _dense d FULL OUTER JOIN _sparse s ON d.qid = s.qid AND d.id = s.id
+),
+_hydrated AS (
+  SELECT f.*, round(f._rrf, {RANK_DECIMALS}) AS _rrf_r{', p.chunk' if chunk_expr else ''}{', p.meta_kv' if with_meta else ''}
+         {"".join(f', p._meta_{i}' for i in range(len(req.meta_filter or {})))}
+         {', p._meta_n' if need_payload else ', 0 AS _meta_n'}
+  FROM _fused f {payload_join}
+),
+_filtered AS (
+  SELECT * FROM _hydrated WHERE {' AND '.join(post)}
+)
+SELECT qid, id, rank, rrf_score{chunk_out}{meta_out} FROM (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid ORDER BY _rrf_r DESC, id ASC) AS rank,
+         round(_rrf, {dec}) AS rrf_score{chunk_out}{meta_out}
+  FROM _filtered
+) WHERE rank <= {req.limit}
+"""

@@ -367,6 +367,136 @@ def sparse_search(
     return _topk_ranked(scored, req)
 
 
+# --- batched multi-query sparse search (r6) ----------------------------------
+
+def _query_term_matrix(queries) -> tuple[list[str], list[tuple[int, list[int]]]]:
+    """(union term list sorted, [(qid, qtf aligned to union terms)]).
+    queries: (qid, query_text) pairs; tokenization identical to
+    SparseSearchRequest.query_term_counts."""
+    per_q = []
+    union: set[str] = set()
+    for qid, text in queries:
+        tc = dict(SparseSearchRequest(query_text=text).query_term_counts())
+        per_q.append((int(qid), tc))
+        union.update(tc)
+    terms = sorted(union)
+    if len({q for q, _ in per_q}) != len(per_q):
+        raise ValueError("duplicate qids in sparse query batch")
+    return terms, [(q, [tc.get(t, 0) for t in terms]) for q, tc in per_q]
+
+
+def sparse_search_many(
+    postings: DataFrame,
+    queries,
+    req: SparseSearchRequest,
+) -> DataFrame:
+    """Batched BM25 over the posting table: queries is a (qid, query_text)
+    sequence; returns (qid, id, rank, score) with rank 1-based per qid.
+    req.query_text is IGNORED — the batch supplies the texts; every other
+    knob (limit/offset/round_decimal/k1/b) applies to all queries.
+
+    Plan (the set-of-queries shape, mirroring batch_search.py): ONE
+    term-pruned posting scan serves the whole block — matched postings
+    pivot to one row per doc carrying a weight per UNION term (each doc
+    sums <=1 posting per term, so the pivot is deterministic), the tiny
+    (qid, qtf-vector) block cross-joins in, and each (qid, doc) score is
+    the same fixed-union-term-order weighted add both engines replay —
+    bit-identical to looping sparse_search per query. The k-cut is one
+    per-qid window over (qid, id, score) scalars.
+
+    Scale notes (100 TB): the scan is pruned to the union of the block's
+    query terms (term-range-sorted posting files skip everything else);
+    candidate volume is (docs matching any union term) x |block| rows of
+    three scalars; the qtf block is a genuine broadcast. Union terms
+    become agg expressions (one per term), so blocks are capped at 1024
+    union terms per call — chunk bigger blocks."""
+    terms, qtf_rows = _query_term_matrix(queries)
+    spark = postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "qid long, id long, rank int, score double")
+    if len(terms) > 1024:
+        raise ValueError(
+            f"sparse query block has {len(terms)} union terms; cap is 1024 "
+            "per call — split the block")
+
+    matched = postings.filter(F.col("term").isin(terms))
+    aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("weight"))).alias(f"_w{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = matched.groupBy("id").agg(*aggs)
+
+    qtf = spark.createDataFrame(
+        [(q, [int(c) for c in row]) for q, row in qtf_rows],
+        "qid bigint, _qtf array<int>")
+    joined = per_doc.join(F.broadcast(qtf))
+    score = F.lit(0.0)
+    match_any = F.lit(False)
+    for i in range(len(terms)):
+        qc = F.element_at(F.col("_qtf"), i + 1).cast("double")
+        score = score + F.coalesce(F.col(f"_w{i}"), F.lit(0.0)) * qc
+        match_any = match_any | (F.col(f"_w{i}").isNotNull() & (qc > 0))
+    scored = (
+        joined.filter(match_any)
+        .select("qid", "id", score.alias("_score"))
+        .withColumn("_score_r", F.round(F.col("_score"), RANK_DECIMALS))
+    )
+    fetch = req.effective_limit + req.offset
+    w = Window.partitionBy("qid").orderBy(F.col("_score_r").desc(), F.col("id").asc())
+    dec = req.round_decimal if req.round_decimal > 0 else RANK_DECIMALS
+    return (
+        scored.withColumn("_pre", F.row_number().over(w))
+        .filter((F.col("_pre") > req.offset) & (F.col("_pre") <= fetch))
+        .select("qid", "id",
+                (F.col("_pre") - F.lit(req.offset)).alias("rank"),
+                F.round(F.col("_score"), dec).alias("score"))
+    )
+
+
+def sparse_search_many_sql(req: SparseSearchRequest, queries,
+                           postings_sql: str) -> str:
+    """DuckDB oracle twin of sparse_search_many: same union-term pivot,
+    same fixed-order weighted add, same per-qid window."""
+    terms, qtf_rows = _query_term_matrix(queries)
+    if not terms:
+        return ("SELECT NULL::BIGINT AS qid, NULL::BIGINT AS id, "
+                "NULL::INT AS rank, NULL::DOUBLE AS score WHERE FALSE")
+    esc = lambda t: t.replace("'", "''")  # noqa: E731
+    in_list = ", ".join(f"'{esc(t)}'" for t in terms)
+    sums = "".join(
+        f", sum(CASE WHEN term = '{esc(t)}' THEN weight END) AS _w{i}"
+        for i, t in enumerate(terms))
+    vals = ", ".join(
+        f"({q}::BIGINT, [{', '.join(str(int(c)) for c in row)}]::INT[])"
+        for q, row in qtf_rows)
+    score = "0.0"
+    match_any = "FALSE"
+    for i in range(len(terms)):
+        score += f" + coalesce(_w{i}, 0.0) * ((_qtf)[{i + 1}])::DOUBLE"
+        match_any += f" OR (_w{i} IS NOT NULL AND (_qtf)[{i + 1}] > 0)"
+    fetch = req.effective_limit + req.offset
+    dec = req.round_decimal if req.round_decimal > 0 else RANK_DECIMALS
+    return f"""
+WITH _per_doc AS (
+  SELECT id{sums} FROM ({postings_sql}) WHERE term IN ({in_list}) GROUP BY id
+),
+_qtfs AS (SELECT * FROM (VALUES {vals}) AS _q(qid, _qtf)),
+_scored AS (
+  SELECT qid, id, ({score}) AS _score,
+         round(({score}), {RANK_DECIMALS}) AS _score_r
+  FROM _per_doc CROSS JOIN _qtfs
+  WHERE {match_any}
+),
+_ranked AS (
+  SELECT qid, id, _score,
+         row_number() OVER (PARTITION BY qid ORDER BY _score_r DESC, id ASC) AS _pre
+  FROM _scored
+)
+SELECT qid, id, (_pre - {req.offset}) AS rank, round(_score, {dec}) AS score
+FROM _ranked WHERE _pre > {req.offset} AND _pre <= {fetch}
+"""
+
+
 def sparse_scores_sql(req: SparseSearchRequest, postings_sql: str) -> str:
     """(id, _score) over a posting-list subquery — shared by Q3 and hybrid."""
     qterms = req.query_term_counts()

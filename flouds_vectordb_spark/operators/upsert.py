@@ -747,3 +747,36 @@ class CollectionWriter:
         if use_index and postings is None:
             raise ValueError("no sparse index built; call build_sparse_index()")
         return hybrid_search(self.read_latest(), postings, req, **hybrid_kwargs)
+
+    def search_sparse_many(self, queries, req, use_index: bool = True):
+        """Batched BM25 (sparse_search.sparse_search_many): queries is a
+        (qid, query_text) sequence; one term-pruned posting scan serves the
+        whole block. With use_index=False the posting table is derived from
+        the stored collection on the fly (one build amortized across the
+        block — for a single query use search_sparse instead)."""
+        from flouds_vectordb_spark.operators.sparse_search import (
+            bm25_postings,
+            sparse_search_many,
+        )
+
+        postings = self._stored_postings() if use_index else None
+        if use_index and postings is None:
+            raise ValueError("no sparse index built; call build_sparse_index()")
+        if postings is None:
+            postings = bm25_postings(self.read_latest())
+        return sparse_search_many(postings, queries, req)
+
+    def search_hybrid_many(self, queries, req, use_index: bool = True,
+                           **hybrid_kwargs):
+        """Batched hybrid RRF (hybrid_search.hybrid_search_many): queries
+        is a (qid, vector, text) sequence; one dense scan + one posting
+        scan serve every branch of the block."""
+        from flouds_vectordb_spark.operators.hybrid_search import hybrid_search_many
+
+        for _, v, _ in queries:
+            self._check_query_dim(v)
+        postings = self._stored_postings() if use_index else None
+        if use_index and postings is None:
+            raise ValueError("no sparse index built; call build_sparse_index()")
+        return hybrid_search_many(self.read_latest(), postings, queries, req,
+                                  **hybrid_kwargs)

@@ -26,6 +26,7 @@ from flouds_vectordb_spark.operators.dense_search import (
 from flouds_vectordb_spark.operators.hybrid_search import (
     HybridSearchRequest,
     hybrid_search,
+    hybrid_search_many_sql,
     hybrid_search_sql,
 )
 from flouds_vectordb_spark.operators.sparse_search import (
@@ -33,6 +34,7 @@ from flouds_vectordb_spark.operators.sparse_search import (
     bm25_postings,
     bm25_postings_sql,
     sparse_search_direct,
+    sparse_search_many_sql,
     sparse_search_sql,
 )
 from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
@@ -451,6 +453,54 @@ _register_ext("q4_hybrid_rrf_offset", *_hybrid_pair(
     HybridSearchRequest(
         query_vector=fixture_query_vector(seed=13), metric="COSINE",
         text_filter="vector index scan merge", limit=20, offset=7)))
+
+
+# --- batched sparse + hybrid search (r6, extended) -----------------------------
+# The set-of-queries shape for the BM25 and RRF families: one term-pruned
+# posting scan serves every sparse branch in the block, one dense scan
+# serves every dense branch (sparse_search.sparse_search_many,
+# hybrid_search.hybrid_search_many). Both are pytest-pinned bit-identical
+# to looping the single-query operators; these gates pin them per-qid
+# against the batched DuckDB twins.
+_SPARSE_MQ = [(0, "vector index scan merge"), (1, "hash join batch scan"),
+              (2, "slow fast table"), (3, "merge merge vector")]
+
+
+def _q3_sparse_many_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sparse_search import sparse_search_many
+
+    posts = bm25_postings(collection(spark, sf_dir))
+    return sparse_search_many(
+        posts, _SPARSE_MQ, SparseSearchRequest(query_text="", limit=10, offset=2))
+
+
+_register_ext("q3_sparse_search_many", _q3_sparse_many_q,
+              sparse_search_many_sql(
+                  SparseSearchRequest(query_text="", limit=10, offset=2),
+                  _SPARSE_MQ, POSTINGS_SQL))
+
+
+_HYBRID_MQ = [(t, fixture_query_vector(seed=61 + t), text)
+              for t, (_, text) in enumerate(_SPARSE_MQ)]
+_HYBRID_MQ_REQ = HybridSearchRequest(
+    query_vector=_HYBRID_MQ[0][1], metric="COSINE", text_filter="x",
+    limit=15, meta_filter={"lang": "e"}, output_fields=("chunk",))
+
+
+def _q4_hybrid_many_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.hybrid_search import hybrid_search_many
+
+    coll = collection(spark, sf_dir)
+    return hybrid_search_many(coll, None, _HYBRID_MQ, _HYBRID_MQ_REQ,
+                              chunk_col="chunk", meta_col="meta")
+
+
+_register_ext("q4_hybrid_search_many", _q4_hybrid_many_q,
+              hybrid_search_many_sql(
+                  _HYBRID_MQ_REQ, _HYBRID_MQ, COLLECTION_SQL + " t",
+                  POSTINGS_SQL, id_expr="id", vector_expr="vector",
+                  chunk_expr="chunk", meta_exprs=_META_EXPRS,
+                  meta_size_expr=_META_SIZE, meta_kv_expr=_META_KV))
 
 
 # --- Q4 through the stored-collection posting index (upsert.py search_hybrid) ---

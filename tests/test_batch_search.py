@@ -170,3 +170,110 @@ def test_query_block_and_validation(spark):
         query_block(spark, [(1, [0.1]), (2, [0.3, 0.4])])
     qb = query_block(spark, [(4, [3.0, 4.0])]).collect()
     assert qb[0]["qid"] == 4 and abs(qb[0]["_qn"] - 5.0) < 1e-12
+
+
+# ---- batched sparse BM25 (sparse_search_many) --------------------------------
+
+def test_sparse_search_many_matches_single_loop(spark, corpus):
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        bm25_postings,
+        sparse_search,
+        sparse_search_many,
+    )
+
+    posts = bm25_postings(corpus.filter(F.col("chunk") != ""))
+    queries = [(0, "spark vector"), (1, "scan 7 scan"), (2, "zzz-nomatch")]
+    req = SparseSearchRequest(query_text="", limit=6, offset=1)
+    got = {}
+    for r in sparse_search_many(posts, queries, req).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["id"], r["score"]))
+    for qid, text in queries:
+        single = [(r["rank"], r["id"], r["score"]) for r in sparse_search(
+            posts, SparseSearchRequest(query_text=text, limit=6, offset=1)).collect()]
+        assert sorted(got.get(qid, [])) == single, qid
+
+
+def test_sparse_search_many_validation(spark, corpus):
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        bm25_postings,
+        sparse_search_many,
+    )
+
+    posts = bm25_postings(corpus.filter(F.col("chunk") != ""))
+    req = SparseSearchRequest(query_text="", limit=5)
+    with pytest.raises(ValueError, match="duplicate qids"):
+        sparse_search_many(posts, [(1, "a"), (1, "b")], req)
+    # all-empty queries: zero rows, stable schema
+    out = sparse_search_many(posts, [(0, ""), (1, "  ")], req)
+    assert out.count() == 0
+
+
+# ---- batched hybrid RRF (hybrid_search_many) ---------------------------------
+
+def test_hybrid_search_many_matches_single_loop(spark, corpus):
+    from flouds_vectordb_spark.operators.hybrid_search import (
+        HybridSearchRequest,
+        hybrid_search,
+        hybrid_search_many,
+    )
+    from flouds_vectordb_spark.operators.sparse_search import bm25_postings
+
+    rng = np.random.RandomState(11)
+    queries = [(i, [float(x) for x in rng.standard_normal(DIM)],
+                ["spark vector", "scan 7", "vector vector scan"][i])
+               for i in range(3)]
+    req = HybridSearchRequest(query_vector=queries[0][1], text_filter="x",
+                              limit=10, meta_filter={"lang": "en"},
+                              output_fields=("chunk", "meta"))
+    posts = bm25_postings(corpus)
+    got = {}
+    res = hybrid_search_many(corpus, posts, queries, req,
+                             chunk_col="chunk", meta_col="meta")
+    for r in res.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["id"], r["rrf_score"], r["chunk"], r["meta_kv"]))
+    for qid, vec, text in queries:
+        sreq = HybridSearchRequest(query_vector=vec, text_filter=text,
+                                   limit=10, meta_filter={"lang": "en"},
+                                   output_fields=("chunk", "meta"))
+        single = [(r["rank"], r["id"], r["rrf_score"], r["chunk"], r["meta_kv"])
+                  for r in hybrid_search(corpus, posts, sreq,
+                                         chunk_col="chunk", meta_col="meta").collect()]
+        assert sorted(got.get(qid, [])) == single, qid
+
+
+def test_catalog_sparse_and_hybrid_many_dispatch(spark, tmp_path_factory):
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.hybrid_search import HybridSearchRequest
+    from flouds_vectordb_spark.operators.sparse_search import SparseSearchRequest
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_mq")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m4", dimension=4, nlist=2))
+    w = CollectionWriter(cat, "t0", "m4")
+    batch = spark.createDataFrame(
+        [("a", "spark merge join", [1.0, 0.0, 0.0, 0.0]),
+         ("b", "spark spark scan", [0.0, 1.0, 0.0, 0.0]),
+         ("c", "hash join probe build", [0.7, 0.7, 0.0, 0.0])],
+        "id string, chunk string, vector array<float>")
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+    with pytest.raises(ValueError, match="no sparse index"):
+        w.search_sparse_many([(0, "spark")], SparseSearchRequest(query_text="", limit=3))
+    w.build_sparse_index()
+    sp = w.search_sparse_many([(0, "spark join"), (1, "probe")],
+                              SparseSearchRequest(query_text="", limit=3)).collect()
+    assert {r["qid"] for r in sp} == {0, 1}
+    hy = w.search_hybrid_many(
+        [(0, [1.0, 0.0, 0.0, 0.0], "spark join"),
+         (1, [0.0, 1.0, 0.0, 0.0], "probe hash")],
+        HybridSearchRequest(query_vector=[1.0, 0.0, 0.0, 0.0],
+                            text_filter="x", limit=3)).collect()
+    assert {r["qid"] for r in hy} == {0, 1}
+    # dim validation applies per batch entry
+    with pytest.raises(ValueError, match="dimension"):
+        w.search_hybrid_many([(0, [1.0, 0.0], "x")],
+                             HybridSearchRequest(query_vector=[1.0, 0.0],
+                                                 text_filter="x", limit=3))
