@@ -263,8 +263,13 @@ def test_catalog_sparse_and_hybrid_many_dispatch(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="no sparse index"):
         w.search_sparse_many([(0, "spark")], SparseSearchRequest(query_text="", limit=3))
     w.build_sparse_index()
-    sp = w.search_sparse_many([(0, "spark join"), (1, "probe")],
-                              SparseSearchRequest(query_text="", limit=3)).collect()
+    sp_df = w.search_sparse_many([(0, "spark join"), (1, "probe")],
+                                 SparseSearchRequest(query_text="", limit=3))
+    # the block's union terms must reach the posting scan as a pushed
+    # IN-filter (file skipping on the term-range-sorted index at scale)
+    plan = sp_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan
+    sp = sp_df.collect()
     assert {r["qid"] for r in sp} == {0, 1}
     hy = w.search_hybrid_many(
         [(0, [1.0, 0.0, 0.0, 0.0], "spark join"),
