@@ -45,3 +45,19 @@ def test_quantized_index_example_runs(tmp_path_factory):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "IVF_SQ8: top hit 'needle'" in out.stdout
     assert "IVF_PQ: top hit 'needle'" in out.stdout
+
+
+def test_batched_retrieval_example_runs(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("example_wh4"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "batched_retrieval.py"), wh],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "auto ids 0..5" in out.stdout
+    for marker in ("step 3: batched dense", "step 4: batched BM25",
+                   "step 5: batched hybrid RRF"):
+        assert marker in out.stdout
+    # every block qid came back
+    assert "qid=2 rank=1" in out.stdout
