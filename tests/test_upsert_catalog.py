@@ -29,7 +29,7 @@ def test_spec_validation_bounds():
         CollectionSpec("t", "m", 8, metric_type="HAMMING").validate()
     with pytest.raises(ValueError):
         CollectionSpec("t", "m", 8, index_type="ANNOY").validate()
-    CollectionSpec("t", "m", 8, index_type="HNSW").validate()  # accepted-as-IVF_FLAT
+    CollectionSpec("t", "m", 8, index_type="HNSW").validate()  # real graph ANN since r5
 
 
 def test_ddl_flow(spark, tmp_path_factory):
