@@ -1064,6 +1064,21 @@ _register("q1_ivf_search_many", _q1_ivf_search_many,
                                 id_expr="id", vector_expr="vector"))
 
 
+# Q2 x batching: the range-search bounds (radius/range_filter ->
+# score_bounds) apply inside _ranked_pipeline BEFORE the per-qid k-cut,
+# so the batched path serves range queries too — gated here
+_MQ_RANGE_REQ = DenseSearchRequest(query_vector=_MQ_QUERIES[0][1],
+                                   metric="COSINE", limit=100,
+                                   radius=0.05, range_filter=0.5)
+_register_ext(
+    "q2_range_search_many",
+    lambda spark, sf_dir: dense_search_many(
+        load(spark, sf_dir, "embeddings"), _MQ_QUERIES, _MQ_RANGE_REQ,
+        id_col="vec_id", vector_col="embedding").withColumnRenamed("vec_id", "id"),
+    dense_search_many_sql(_MQ_RANGE_REQ, _MQ_QUERIES, "embeddings",
+                          id_expr="vec_id", vector_expr="embedding"))
+
+
 def _q1_hnsw_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched graph-ANN search (plans/hnsw.py beam_search_many): the whole
     8-query block beams in 2 jobs/round instead of 1-2 jobs/round/query.
