@@ -882,6 +882,16 @@ def open_hnsw(path: str) -> HnswIndex:
         return HnswIndex(path, json.load(f))
 
 
+# get_or_build_hnsw validates the cached graph against the input row count
+# (a cheap corpus fingerprint, r5 advice). That count is a Spark JOB; paying
+# it on EVERY call turns a cache hit into cache-hit-plus-count (measured
+# ~0.4-1.4 s per search on the sf0.1 gate — the whole r6 q1_hnsw_topk
+# regression). A path validated once per PROCESS stays validated: only an
+# out-of-process corpus swap could invalidate it mid-run, the same exposure
+# every process-cached flow artifact already accepts (queries.py _flow_once).
+_VALIDATED_PATHS: dict[str, tuple] = {}
+
+
 def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
                       metric: str = "COSINE", id_col: str = "id",
                       vector_col: str = "vector",
@@ -892,7 +902,11 @@ def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
     key, so changing the build knob or the underlying df (grown/shrunk
     corpus) rebuilds instead of silently reusing a stale graph. (Row count
     is a cheap fingerprint, not a content hash: an equal-size content swap
-    still requires an explicit rebuild, documented limitation.)"""
+    still requires an explicit rebuild, documented limitation. The count
+    job runs once per (process, path, params); later calls in the same
+    process skip straight to open.)"""
+    params = (metric.upper(), int(m), int(refine_rounds), int(cell_target),
+              id_col, vector_col)
     meta_p = os.path.join(path, "_hnsw_meta.json")
     if os.path.exists(meta_p):
         with open(meta_p) as f:
@@ -900,10 +914,14 @@ def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
         if (meta["metric"] == metric.upper() and meta["M"] == int(m)
                 and meta.get("refine_rounds", 0) == int(refine_rounds)
                 and meta.get("cell_target") == int(cell_target)
-                and meta.get("n") == df.count()
-                and meta["id_col"] == id_col and meta["vector_col"] == vector_col):
+                and meta["id_col"] == id_col and meta["vector_col"] == vector_col
+                and (_VALIDATED_PATHS.get(path) == params
+                     or meta.get("n") == df.count())):
+            _VALIDATED_PATHS[path] = params
             _recover_edges(path)
             return HnswIndex(path, meta)
-    return build_hnsw(df, path, m=m, metric=metric, id_col=id_col,
-                      vector_col=vector_col, cell_target=cell_target,
-                      refine_rounds=refine_rounds)
+    idx = build_hnsw(df, path, m=m, metric=metric, id_col=id_col,
+                     vector_col=vector_col, cell_target=cell_target,
+                     refine_rounds=refine_rounds)
+    _VALIDATED_PATHS[path] = params
+    return idx

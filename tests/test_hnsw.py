@@ -426,3 +426,23 @@ def test_search_many_sees_appended_rows_latest_wins(spark, built, tmp_path_facto
     got = {r["id"] for r in idx.search_many(spark, [(0, q)], req, ef=32)
            .filter(F.col("qid") == 0).collect()}
     assert got == {7000, 7001, 7002}
+
+
+def test_get_or_build_cache_key_and_process_memo(spark, tmp_path_factory):
+    """Cache reuse requires matching params; the row-count fingerprint is
+    verified on the FIRST call per process (one count job) and memoized
+    after — param changes still force a rebuild."""
+    from flouds_vectordb_spark.plans.hnsw import get_or_build_hnsw
+
+    df, q = _clustered_df(spark, n_bg=100, n_cl=10)
+    path = str(tmp_path_factory.mktemp("hnsw_cache") / "idx")
+    i1 = get_or_build_hnsw(df, path, m=8, metric="COSINE", cell_target=64)
+    # same params: reuse (memo hit — no count job, same meta object contents)
+    i2 = get_or_build_hnsw(df, path, m=8, metric="COSINE", cell_target=64)
+    assert i2.meta["ncells"] == i1.meta["ncells"]
+    # different cell_target: rebuild, not silent reuse
+    i3 = get_or_build_hnsw(df, path, m=8, metric="COSINE", cell_target=32)
+    assert i3.meta["cell_target"] == 32
+    # different metric: rebuild
+    i4 = get_or_build_hnsw(df, path, m=8, metric="L2", cell_target=32)
+    assert i4.meta["metric"] == "L2"
