@@ -201,13 +201,28 @@ class HnswIndex:
         return self._edges_df
 
     # ---- query --------------------------------------------------------------
+    @property
+    def _versions_possible(self) -> bool:
+        """Multiple rows per id can exist in `nodes` only after an append
+        (build writes the unique-key snapshot; compaction re-caps EDGES but
+        never rewrites nodes). The appends counter lets never-appended
+        indexes skip the per-round dedup aggregation entirely — a shuffle
+        per beam round on the search hot path. An index whose meta
+        PREDATES the counter is treated conservatively (versions assumed
+        possible)."""
+        return int(self.meta.get("appends", 1)) > 0
+
     def _latest_per_id(self, df: DataFrame) -> DataFrame:
         """Collapse multiple versions of an id (append-upserts leave older
         rows in `nodes` until compaction) to ONE (_i, _s) row per id, so
         beam pruning is deterministic and never keyed on a stale version's
-        score: latest batch_ts wins when present, else max score."""
+        score: latest batch_ts wins when present, else max score. On a
+        never-appended index ids are unique by the build invariant and the
+        aggregation (a keyed shuffle) is skipped."""
         sc = metric_score_q(self.metric, F.col(self.vector_col),
                             self._qv).alias("_s")
+        if not self._versions_possible:
+            return df.select(F.col(self.id_col).alias("_i"), sc)
         proj = df.select(F.col(self.id_col).alias("_i"), sc,
                          *(["batch_ts"] if "batch_ts" in df.columns else []))
         if "batch_ts" in df.columns:
@@ -326,7 +341,9 @@ class HnswIndex:
                     _pair_score(self.metric, self.vector_col).alias("_s"),
                     *(["batch_ts"] if has_ts else []))
         )
-        if has_ts:
+        if not self._versions_possible:
+            agg = scored.select("qid", "_i", "_s")  # unique by build invariant
+        elif has_ts:
             agg = scored.groupBy("qid", "_i").agg(
                 F.max_by("_s", F.col("batch_ts")).alias("_s"))
         else:
@@ -547,6 +564,7 @@ class HnswIndex:
             assigned.drop("_a").write.mode("append").parquet(
                 os.path.join(self.path, "nodes"))
             self.meta["n"] = int(self.meta.get("n", 0)) + assigned.count()
+            self.meta["appends"] = int(self.meta.get("appends", 0)) + 1
             self.meta["edges_appended"] = (
                 int(self.meta.get("edges_appended", 0)) + 2 * n_fwd)
             with open(os.path.join(self.path, "_hnsw_meta.json"), "w") as f:
@@ -866,10 +884,12 @@ def build_hnsw(
         "refine_rounds": int(refine_rounds), "cell_target": int(cell_target),
         "id_col": id_col, "vector_col": vector_col,
         "entry_ids": entry_ids, "centroids": centroids.tolist(),
-        # growth accounting for append()'s auto-compact scheduling
+        # growth accounting for append()'s auto-compact scheduling; the
+        # appends counter also gates the beam's per-round version dedup
         "edges_base": df.sparkSession.read.parquet(
             os.path.join(path, "edges")).count(),
         "edges_appended": 0,
+        "appends": 0,
     }
     with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
         json.dump(meta, f)
