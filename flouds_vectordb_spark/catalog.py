@@ -201,15 +201,40 @@ class Catalog:
             json.dump(data, f, indent=1, sort_keys=True)
         os.replace(tmp, p)
 
+    def _mutate_meta(self, kind: str, fn):
+        """Atomic read-modify-write of one metadata file. The per-kind file
+        is SHARED across tenants/collections, so two writers mutating
+        DIFFERENT rows would otherwise lose each other's update (e.g. one
+        collection's auto_id high-water mark reverted by another's DDL —
+        duplicate INT64 pks downstream). A short-wait per-kind lock
+        serializes the micro-RMW; mutations are tiny dict edits, so the
+        30 s wait budget is orders of magnitude above contention."""
+        from flouds_vectordb_spark.locks import WriterLock
+
+        lock = WriterLock(os.path.join(self.warehouse, "_catalog",
+                                       f"{kind}.lock"), stale_after=300.0)
+        lock.acquire(wait_s=30.0)
+        try:
+            data = self._read_meta(kind)
+            result = fn(data)
+            self._write_meta(kind, data)
+            return result
+        finally:
+            lock.release()
+
     # ---- S1: tenant DDL ----------------------------------------------------
     def set_vector_store(self, tenant: str) -> dict:
         tenant = validate_tenant_code(tenant)
-        tenants = self._read_meta("tenants")
         db = tenant_db_name(tenant)
-        created = tenant not in tenants
+
+        def mutate(tenants: dict) -> bool:
+            created = tenant not in tenants
+            if created:
+                tenants[tenant] = {"db": db, "created_at": int(time.time())}
+            return created
+
+        created = self._mutate_meta("tenants", mutate)
         if created:
-            tenants[tenant] = {"db": db, "created_at": int(time.time())}
-            self._write_meta("tenants", tenants)
             os.makedirs(os.path.join(self.warehouse, db), exist_ok=True)
         return {"tenant": tenant, "db": db, "created": created}
 
@@ -223,16 +248,20 @@ class Catalog:
         spec.model = validate_model_name(spec.model)
         if not self.tenant_exists(spec.tenant):
             raise ValueError(f"unknown tenant {spec.tenant!r}; call set_vector_store first")
-        colls = self._read_meta("collections")
         name = collection_name(spec.tenant, spec.model)
-        if name in colls:
-            # idempotent like the reference: an existing collection is
-            # reported, not an error (base_milvus.py:1203-1214)
-            return {"collection": name, **colls[name], "schema_exists": True}
-        colls[name] = {**asdict(spec), "path": self.collection_path(spec.tenant, spec.model)}
-        self._write_meta("collections", colls)
-        os.makedirs(colls[name]["path"], exist_ok=True)
-        return {"collection": name, **colls[name], "schema_exists": False}
+
+        def mutate(colls: dict) -> dict:
+            if name in colls:
+                # idempotent like the reference: an existing collection is
+                # reported, not an error (base_milvus.py:1203-1214)
+                return {"collection": name, **colls[name], "schema_exists": True}
+            colls[name] = {**asdict(spec),
+                           "path": self.collection_path(spec.tenant, spec.model)}
+            return {"collection": name, **colls[name], "schema_exists": False}
+
+        out = self._mutate_meta("collections", mutate)
+        os.makedirs(out["path"], exist_ok=True)
+        return out
 
     # ---- S5: describe ------------------------------------------------------
     def describe_collection(self, tenant: str, model: str) -> dict:
@@ -251,12 +280,14 @@ class Catalog:
         into a collection's catalog row. Driver-side, atomic-rename — the
         same durability model as the rest of the catalog."""
         name = collection_name(validate_tenant_code(tenant), validate_model_name(model))
-        colls = self._read_meta("collections")
-        if name not in colls:
-            raise ValueError(f"collection {name!r} does not exist")
-        colls[name].update(kv)
-        self._write_meta("collections", colls)
-        return colls[name]
+
+        def mutate(colls: dict) -> dict:
+            if name not in colls:
+                raise ValueError(f"collection {name!r} does not exist")
+            colls[name].update(kv)
+            return colls[name]
+
+        return self._mutate_meta("collections", mutate)
 
     # ---- S6: existence -----------------------------------------------------
     def collection_exists(self, tenant: str, model: str) -> bool:
@@ -337,13 +368,14 @@ class ConfigKV:
                     "is unavailable; value stored PLAINTEXT at rest "
                     "(ciphered=False). Install 'cryptography' to honor "
                     "encryption-at-rest.", stacklevel=2)
-        data = self.catalog._read_meta("config_kv")
-        data[self._k(key, tenant_code)] = {
-            "value": value,
-            "encrypted": bool(encrypted),
-            "ciphered": ciphered,
-        }
-        self.catalog._write_meta("config_kv", data)
+        def mutate(data: dict) -> None:
+            data[self._k(key, tenant_code)] = {
+                "value": value,
+                "encrypted": bool(encrypted),
+                "ciphered": ciphered,
+            }
+
+        self.catalog._mutate_meta("config_kv", mutate)
 
     def get_config(self, key: str, tenant_code: str = "") -> str | None:
         """config_service.py:176-204 (_read_kv): encrypted rows DECRYPT on
@@ -368,6 +400,5 @@ class ConfigKV:
         return row["value"], False
 
     def delete_config(self, key: str, tenant_code: str = "") -> None:
-        data = self.catalog._read_meta("config_kv")
-        data.pop(self._k(key, tenant_code), None)
-        self.catalog._write_meta("config_kv", data)
+        self.catalog._mutate_meta(
+            "config_kv", lambda data: data.pop(self._k(key, tenant_code), None))

@@ -63,9 +63,10 @@ class WriterLock:
                 return time.time() - os.path.getmtime(self.lock_path) > self.stale_after
             except OSError:
                 return True  # vanished: not held
-        if time.time() - float(owner.get("ts", 0)) > self.stale_after:
-            return True
         if owner.get("host") == socket.gethostname():
+            # same host: pid liveness is AUTHORITATIVE — a live owner is
+            # never stale however old the lock (a legitimate long
+            # compaction must not lose its lock to the age heuristic)
             try:
                 os.kill(int(owner["pid"]), 0)  # signal 0: existence probe
                 return False
@@ -73,13 +74,29 @@ class WriterLock:
                 return True
             except PermissionError:
                 return False  # exists, owned by another user
-        return False  # other host, not expired: assume live
+        # other host: no liveness probe available — fall back to age
+        return time.time() - float(owner.get("ts", 0)) > self.stale_after
 
     # ---- acquire/release ---------------------------------------------------
-    def acquire(self) -> None:
+    def acquire(self, wait_s: float = 0.0) -> None:
+        """Take the lock. wait_s=0 (ingest default) fails fast with
+        ConcurrentWriteError when a live writer holds it; wait_s>0 retries
+        for up to that long before raising — the right mode for tiny
+        metadata read-modify-writes where blocking briefly beats failing."""
         if self._depth > 0:
             self._depth += 1
             return
+        deadline = time.monotonic() + float(wait_s)
+        while True:
+            try:
+                self._acquire_once()
+                return
+            except ConcurrentWriteError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.05)
+
+    def _acquire_once(self) -> None:
         os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
         payload = json.dumps({
             "pid": os.getpid(), "host": socket.gethostname(),
@@ -97,12 +114,18 @@ class WriterLock:
             except FileExistsError:
                 owner = self._read_owner()
                 if attempt == 1 and self._owner_is_stale(owner):
-                    # break the dead writer's lock and retry ONCE; the
-                    # O_EXCL create arbitrates if two breakers race
+                    # break the dead writer's lock by RENAMING it aside:
+                    # rename is atomic on the source, so of two racing
+                    # breakers exactly ONE succeeds (the other's source is
+                    # gone and it just retries the O_EXCL create) — a bare
+                    # unlink here could remove the OTHER breaker's freshly
+                    # created lock, letting both writers in
+                    aside = f"{self.lock_path}.stale.{os.getpid()}"
                     try:
-                        os.unlink(self.lock_path)
+                        os.rename(self.lock_path, aside)
+                        os.unlink(aside)
                     except FileNotFoundError:
-                        pass
+                        pass  # the other breaker won; contend normally
                     continue
                 raise ConcurrentWriteError(
                     f"collection is locked by another writer "
@@ -116,10 +139,18 @@ class WriterLock:
             return
         self._depth -= 1
         if self._depth == 0:
-            try:
-                os.unlink(self.lock_path)
-            except FileNotFoundError:
-                pass
+            # unlink only OUR lock: if a cross-host breaker aged us out
+            # during a very long operation, the file now belongs to the
+            # new owner and removing it would admit a third writer
+            owner = self._read_owner()
+            ours = (owner is not None
+                    and owner.get("pid") == os.getpid()
+                    and owner.get("host") == socket.gethostname())
+            if ours or owner is None:
+                try:
+                    os.unlink(self.lock_path)
+                except FileNotFoundError:
+                    pass
 
     def __enter__(self) -> "WriterLock":
         self.acquire()

@@ -74,6 +74,7 @@ def query_block(spark: SparkSession, queries: QueryBatch) -> DataFrame:
     """The broadcastable query block: (qid, _qv, _qn). _qn is the
     driver-side sequential-fold L2 norm (functions/vector.py:query_norm) —
     the SAME literal both engines divide by for COSINE."""
+    queries = list(queries)
     _check_batch(queries)
     rows = [(int(q), [float(x) for x in v], V.query_norm(list(v)))
             for q, v in queries]
@@ -195,6 +196,7 @@ def dense_search_many(
     Returns (qid, id, rank, score [, chunk, meta_kv, extra...]) with rank
     1-based per qid. req.query_vector is IGNORED — the batch supplies the
     vectors; every other request knob applies to all queries."""
+    queries = list(queries)
     _check_batch(queries)
     qb = query_block(df.sparkSession, queries)
     cand = (
@@ -227,6 +229,7 @@ def ivf_search_many(
     already-pruned-and-decoded table (the SQ8/PQ paths); it must carry
     `centroid_id`. payload_df supplies chunk/meta/extra columns when the
     request needs them (defaults to scan_df/the raw scan)."""
+    queries = list(queries)
     _check_batch(queries)
     qmat = np.array([[float(x) for x in v] for _, v in queries], dtype=np.float64)
     cells = idx.probe_cells_many(qmat, req.nprobe if nprobe is None else nprobe)
@@ -257,6 +260,7 @@ def ivf_search_many(
 def queries_values_sql(queries: QueryBatch) -> str:
     """The query block as a FROM-able VALUES subquery (qid, qv, qn) — qn is
     the SAME driver-computed literal the Spark side broadcasts."""
+    queries = list(queries)
     _check_batch(queries)
     rows = ", ".join(
         f"({int(q)}::BIGINT, {V.query_sql_literal(list(v))}, "

@@ -359,6 +359,7 @@ def hybrid_search_many(
 
     if (req.meta_filter or req.meta_required) and meta_col is None:
         raise ValueError("meta_filter/meta_required require meta_col")
+    queries = list(queries)  # generators are iterated twice below
     spark = df.sparkSession
     dense_q = [(qid, vec) for qid, vec, _ in queries]
     sparse_q = [(qid, text) for qid, _, text in queries]
@@ -465,6 +466,7 @@ def hybrid_search_many_sql(
         sparse_search_many_sql,
     )
 
+    queries = list(queries)
     dense_q = [(qid, vec) for qid, vec, _ in queries]
     sparse_q = [(qid, text) for qid, _, text in queries]
     dim = len(dense_q[0][1])

@@ -268,7 +268,8 @@ def sparse_scores_direct(
     lookup into a pruned scan, while this path is two cheap corpus scans."""
     qterms = req.query_term_counts()
     if not qterms:
-        return df.sparkSession.createDataFrame([], "id long, _score double")
+        id_t = dict(df.dtypes).get(id_col, "bigint")
+        return df.sparkSession.createDataFrame([], f"id {id_t}, _score double")
 
     toks = tokenize(F.col(chunk_col))
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).withColumn(
@@ -349,7 +350,9 @@ def sparse_search(
     tokens) returns no rows — a BM25 query needs at least one term."""
     qterms = req.query_term_counts()
     if not qterms:
-        return postings.sparkSession.createDataFrame([], "id long, rank int, score double")
+        id_t = dict(postings.dtypes).get("id", "bigint")
+        return postings.sparkSession.createDataFrame(
+            [], f"id {id_t}, rank int, score double")
 
     matched = postings.filter(F.col("term").isin([t for t, _ in qterms]))
     # one sum per query term (<=1 posting each per doc) -> deterministic
@@ -373,6 +376,7 @@ def _query_term_matrix(queries) -> tuple[list[str], list[tuple[int, list[int]]]]
     """(union term list sorted, [(qid, qtf aligned to union terms)]).
     queries: (qid, query_text) pairs; tokenization identical to
     SparseSearchRequest.query_term_counts."""
+    queries = list(queries)
     per_q = []
     union: set[str] = set()
     for qid, text in queries:
@@ -413,7 +417,11 @@ def sparse_search_many(
     terms, qtf_rows = _query_term_matrix(queries)
     spark = postings.sparkSession
     if not terms:
-        return spark.createDataFrame([], "qid long, id long, rank int, score double")
+        # id type follows the posting table (string for VARCHAR-pk
+        # collections) so downstream joins (hybrid fuse) keep their type
+        id_t = dict(postings.dtypes).get("id", "bigint")
+        return spark.createDataFrame(
+            [], f"qid long, id {id_t}, rank int, score double")
     if len(terms) > 1024:
         raise ValueError(
             f"sparse query block has {len(terms)} union terms; cap is 1024 "

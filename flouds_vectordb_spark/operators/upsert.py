@@ -152,36 +152,51 @@ class CollectionWriter:
         if not skip_dim_validation:
             dim = int(self.meta["dimension"])
             bad_pred = F.col("vector").isNull() | (F.size("vector") != dim)
+        pinned = None
         if auto_id:
-            stamped, n, nbad = self._assign_auto_ids(stamped, bad_pred)
+            # PIN the batch before id assignment: insert executes the
+            # lineage several times (count job, parquet write, sparse +
+            # dense index maintenance), and the assigned id of a row is a
+            # function of its partition and position — persist materializes
+            # the layout once so every consumer sees the SAME ids, even for
+            # sources whose recomputation could reorder (df.sample, shuffle
+            # output, task retries). MEMORY_AND_DISK: spill, never recompute.
+            from pyspark import StorageLevel
+
+            pinned = stamped.persist(StorageLevel.MEMORY_AND_DISK)
+            stamped, n, nbad = self._assign_auto_ids(pinned, bad_pred)
         else:
             agg_cols = [F.count("*").alias("n"), F.count_distinct("id").alias("nk")]
             if bad_pred is not None:
                 agg_cols.append(F.count(F.when(bad_pred, F.lit(1))).alias("nbad"))
             counts = stamped.agg(*agg_cols).first()
             n, nbad = int(counts["n"]), int(counts["nbad"]) if bad_pred is not None else 0
-        if bad_pred is not None and nbad > 0:
-            key_expr = "id" if not auto_id else F.lit("<auto>").alias("id")
-            sample = [r["id"] for r in
-                      stamped.filter(bad_pred).select(key_expr).limit(10).collect()]
-            raise ValueError(
-                f"vectors with dimension != {self.meta['dimension']} "
-                f"for {nbad} rows, e.g. keys {sample}")
-        # duplicate keys within one batch share a batch_ts and would make
-        # the latest-wins merge nondeterministic; the reference rejects them
-        # per request (insert_request.py:96-105). Auto-assigned ids are
-        # unique by construction.
-        if not auto_id and int(counts["nk"]) != n:
-            raise ValueError("duplicate primary keys in batch")
-        stamped.write.mode("append").parquet(self.meta["path"])
-        if auto_id:
-            # persist the high-water mark AFTER the write succeeds; refresh
-            # the cached row so back-to-back inserts see the new floor
-            self.meta = self.catalog.update_collection_meta(
-                self.tenant, self.model,
-                auto_id_next=int(self.meta.get("auto_id_next", 0)) + n)
-        sparse_indexed = self._append_sparse(stamped, int(batch_ts))
-        dense_indexed = self._append_dense_indexes(stamped)
+        try:
+            if bad_pred is not None and nbad > 0:
+                key_expr = "id" if not auto_id else F.lit("<auto>").alias("id")
+                sample = [r["id"] for r in
+                          stamped.filter(bad_pred).select(key_expr).limit(10).collect()]
+                raise ValueError(
+                    f"vectors with dimension != {self.meta['dimension']} "
+                    f"for {nbad} rows, e.g. keys {sample}")
+            # duplicate keys within one batch share a batch_ts and would make
+            # the latest-wins merge nondeterministic; the reference rejects them
+            # per request (insert_request.py:96-105). Auto-assigned ids are
+            # unique by construction.
+            if not auto_id and int(counts["nk"]) != n:
+                raise ValueError("duplicate primary keys in batch")
+            stamped.write.mode("append").parquet(self.meta["path"])
+            if auto_id:
+                # persist the high-water mark AFTER the write succeeds; refresh
+                # the cached row so back-to-back inserts see the new floor
+                self.meta = self.catalog.update_collection_meta(
+                    self.tenant, self.model,
+                    auto_id_next=int(self.meta.get("auto_id_next", 0)) + n)
+            sparse_indexed = self._append_sparse(stamped, int(batch_ts))
+            dense_indexed = self._append_dense_indexes(stamped)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         flushed = should_flush(n, force_flush, auto_flush_min_batch)
         if flushed:
             self.flush()
@@ -412,16 +427,35 @@ class CollectionWriter:
         cells = idx.probe_cells(req.query_vector, req.nprobe)
         if itype not in ("IVF_SQ8", "IVF_PQ"):
             # post-build appends leave stale versions of updated keys in
-            # the IVF files; latest-wins over the PRUNED scan (one keyed
-            # shuffle of the probed rows only) makes them invisible
+            # the IVF files; a semi-join on (id, batch_ts) against the
+            # GLOBAL latest view keeps exactly the current version of each
+            # key (stale codes match nothing), the same staleness contract
+            # as the quantized paths. A per-pruned-scan latest-wins window
+            # would instead keep a key's old vector when its update landed
+            # in an unprobed cell — and make a query's result depend on
+            # which cells happened to be scanned (single vs batched probes
+            # would then disagree).
             pruned = idx.scan(spark, cells)
-            w = Window.partitionBy(id_col).orderBy(F.col("batch_ts").desc())
-            fresh = (
-                pruned.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn")
-            )
+            latest_keys = self.read_latest().select(id_col, "batch_ts")
+            fresh = pruned.join(latest_keys, [id_col, "batch_ts"], "left_semi")
             return dense_search(fresh, req, **dense_kwargs)
 
+        coded = self._decoded_scan(itype, cells, id_col, vector_col)
+        # the payload join doubles as staleness resolution: read_latest is
+        # the latest-wins view, so joining on (id, batch_ts) keeps exactly
+        # the CURRENT version's codes — stale codes of updated keys match
+        # nothing and drop out
+        payload = self.read_latest().drop(vector_col)
+        return dense_search(coded.join(payload, [id_col, "batch_ts"], "inner"),
+                            req, **dense_kwargs)
+
+    def _decoded_scan(self, itype: str, cells, id_col: str, vector_col: str,
+                      extra_cols: tuple = ()):
+        """Shared SQ8/PQ quantized-scan builder: open the coded table, prune
+        to the probed cells, decode/reconstruct the vector JVM-side. One
+        definition serves the single-query and batched paths so the decode
+        contract cannot drift between them."""
+        spark = self.catalog.spark
         if itype == "IVF_SQ8":
             from flouds_vectordb_spark.plans.sq8 import open_sq8, sq8_decoded_column
 
@@ -433,18 +467,11 @@ class CollectionWriter:
 
             path = self.meta["path"] + "__pq"
             decoded = pq_decoded_column(F.col("codes"), open_pq(path))
-        coded = (
+        return (
             spark.read.parquet(path)
-            .filter(F.col("centroid_id").isin(cells))
-            .select(id_col, "batch_ts", decoded.alias(vector_col))
+            .filter(F.col("centroid_id").isin(list(cells)))
+            .select(id_col, "batch_ts", *extra_cols, decoded.alias(vector_col))
         )
-        # the payload join doubles as staleness resolution: read_latest is
-        # the latest-wins view, so joining on (id, batch_ts) keeps exactly
-        # the CURRENT version's codes — stale codes of updated keys match
-        # nothing and drop out
-        payload = self.read_latest().drop(vector_col)
-        return dense_search(coded.join(payload, [id_col, "batch_ts"], "inner"),
-                            req, **dense_kwargs)
 
     def search_many(self, queries, req, use_index: bool = True, **dense_kwargs):
         """Batched multi-query search (operators/batch_search.py): one
@@ -466,6 +493,7 @@ class CollectionWriter:
         )
         from flouds_vectordb_spark.plans.ivf import open_ivf
 
+        queries = list(queries)
         for _, v in queries:
             self._check_query_dim(v)
         if not use_index:
@@ -497,30 +525,18 @@ class CollectionWriter:
              for c in row})
 
         if itype not in ("IVF_SQ8", "IVF_PQ"):
+            # same (id, batch_ts) global-latest semi-join as the
+            # single-query branch: per-qid results are then INDEPENDENT of
+            # which other queries share the batch (a union-cells window
+            # would let one query's probed cells change another's dedup)
             pruned = idx.scan(spark, union_cells)
-            w = Window.partitionBy(id_col).orderBy(F.col("batch_ts").desc())
-            fresh = (pruned.withColumn("_rn", F.row_number().over(w))
-                     .filter(F.col("_rn") == 1).drop("_rn"))
+            latest_keys = self.read_latest().select(id_col, "batch_ts")
+            fresh = pruned.join(latest_keys, [id_col, "batch_ts"], "left_semi")
             return ivf_search_many(idx, spark, queries, req, scan_df=fresh,
                                    payload_df=fresh, **dense_kwargs)
 
-        if itype == "IVF_SQ8":
-            from flouds_vectordb_spark.plans.sq8 import open_sq8, sq8_decoded_column
-
-            path = self.meta["path"] + "__sq8"
-            mins, steps = open_sq8(path)
-            decoded = sq8_decoded_column(F.col("codes"), mins, steps)
-        else:
-            from flouds_vectordb_spark.plans.pq import open_pq, pq_decoded_column
-
-            path = self.meta["path"] + "__pq"
-            decoded = pq_decoded_column(F.col("codes"), open_pq(path))
-        coded = (
-            spark.read.parquet(path)
-            .filter(F.col("centroid_id").isin(union_cells))
-            .select(id_col, "batch_ts", "centroid_id",
-                    decoded.alias(vector_col))
-        )
+        coded = self._decoded_scan(itype, union_cells, id_col, vector_col,
+                                   extra_cols=("centroid_id",))
         # scalars-only staleness semi-join: stale codes of updated keys
         # match no (id, batch_ts) pair in the latest view and drop out
         fresh_keys = self.read_latest().select(id_col, "batch_ts")
@@ -773,6 +789,7 @@ class CollectionWriter:
         scan serve every branch of the block."""
         from flouds_vectordb_spark.operators.hybrid_search import hybrid_search_many
 
+        queries = list(queries)
         for _, v, _ in queries:
             self._check_query_dim(v)
         postings = self._stored_postings() if use_index else None

@@ -362,6 +362,7 @@ class HnswIndex:
         however many queries remain."""
         from flouds_vectordb_spark.operators.batch_search import query_block
 
+        queries = list(queries)
         qb = query_block(spark, queries)
         ef = max(1, int(ef))
         qids = [int(q) for q, _ in queries]
@@ -434,6 +435,7 @@ class HnswIndex:
             query_block,
         )
 
+        queries = list(queries)
         want = req.limit + req.offset + (
             req.increase_limit_for_text_search if req.text_filter else 0)
         ef = max(DEFAULT_EF if ef is None else int(ef), want)
@@ -675,18 +677,40 @@ def _recover_edges(path: str) -> None:
     """Crash recovery for compact_hnsw's rename pair: if `edges` is
     missing but `edges__old` exists (crash between step 1 and step 2),
     restore the old table; a stale `edges__compacting` alongside a live
-    `edges` is an aborted build output and is removed."""
+    `edges` is an aborted build output and is removed.
+
+    Guarded by the collection's writer lock: recovery must only repair a
+    CRASHED compaction, never race a LIVE one — a reader restoring
+    edges__old between a live compactor's two renames would make the
+    compactor's step-2 replace fail (and resurrect the superseded table).
+    If a live writer holds the lock, the on-disk state is theirs to
+    finish; if the `edges` table exists the index is healthy and
+    leftovers are cleaned opportunistically."""
     import shutil
 
     edges_path = os.path.join(path, "edges")
     old = edges_path + "__old"
     tmp = edges_path + "__compacting"
-    if not os.path.exists(edges_path) and os.path.exists(old):
-        os.replace(old, edges_path)
-    if os.path.exists(edges_path):
-        for leftover in (old, tmp):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
+    if not (os.path.exists(old) or os.path.exists(tmp)):
+        return  # nothing to recover or clean — the overwhelmingly common path
+    from flouds_vectordb_spark.locks import ConcurrentWriteError, WriterLock
+
+    # the index lives at <collection>__hnsw; the ingest lock one level up
+    base = path[:-len("__hnsw")] if path.endswith("__hnsw") else path
+    lock = WriterLock(base.rstrip("/") + "__writer.lock")
+    try:
+        lock.acquire()
+    except ConcurrentWriteError:
+        return  # live writer mid-compaction: its state, its cleanup
+    try:
+        if not os.path.exists(edges_path) and os.path.exists(old):
+            os.replace(old, edges_path)
+        if os.path.exists(edges_path):
+            for leftover in (old, tmp):
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover)
+    finally:
+        lock.release()
 
 
 def build_hnsw(

@@ -160,23 +160,28 @@ class KeyManager:
         tenant = validate_tenant_code(tenant_code)
         summary = {"tenant_code": tenant, "client_id": None,
                    "client_secret": None, "existing_user": False, "message": ""}
-        data = self.catalog._read_meta("clients")
-        row = data.get(tenant)
-        if row and not reset_user:
-            summary.update({
-                "existing_user": True, "client_id": row["client_id"],
-                "message": f"User '{row['client_id']}' already exists for "
-                           f"tenant '{tenant}'.",
-            })
-            return summary
         client_id = generate_client_id(tenant)
         secret = generate_secret_key()
-        rec = {"client_id": client_id, "client_type": "tenant",
-               "secret_verifier": _verifier(secret)}
-        if self.secrets.available:
-            rec["secret_enc"] = self.secrets.encrypt(secret)
-        data[tenant] = rec
-        self.catalog._write_meta("clients", data)
+
+        def mutate(data: dict) -> dict | None:
+            row = data.get(tenant)
+            if row and not reset_user:
+                return row
+            rec = {"client_id": client_id, "client_type": "tenant",
+                   "secret_verifier": _verifier(secret)}
+            if self.secrets.available:
+                rec["secret_enc"] = self.secrets.encrypt(secret)
+            data[tenant] = rec
+            return None
+
+        existing = self.catalog._mutate_meta("clients", mutate)
+        if existing is not None:
+            summary.update({
+                "existing_user": True, "client_id": existing["client_id"],
+                "message": f"User '{existing['client_id']}' already exists "
+                           f"for tenant '{tenant}'.",
+            })
+            return summary
         summary.update({"client_id": client_id, "client_secret": secret,
                         "message": "User created successfully."})
         return summary
@@ -204,10 +209,11 @@ class KeyManager:
     def set_admin_password(self, password: str) -> None:
         """__set_admin_password: initialize/update the stored admin
         credential (verifier at rest, never plaintext)."""
-        data = self._admin_meta()
-        data["admin"] = {"user_name": DEFAULT_ADMIN_USER,
-                         "verifier": _verifier(password)}
-        self.catalog._write_meta("admin", data)
+        def mutate(data: dict) -> None:
+            data["admin"] = {"user_name": DEFAULT_ADMIN_USER,
+                             "verifier": _verifier(password)}
+
+        self.catalog._mutate_meta("admin", mutate)
 
     def reset_admin_user_password(self, user_name: str, old_password: str,
                                   new_password: str) -> dict:
@@ -257,12 +263,13 @@ class Rbac:
             raise ValueError(
                 f"Database for tenant '{tenant}' does not exist")
         role = role_name or DEFAULT_ADMIN_ROLE
-        data = self.catalog._read_meta("rbac")
-        coll = data.setdefault(role, {}).setdefault(object_name, [])
-        for privilege in TENANT_ROLE_PRIVILEGES:
-            if privilege not in coll:
-                coll.append(privilege)
-        self.catalog._write_meta("rbac", data)
+        def mutate(data: dict) -> None:
+            coll = data.setdefault(role, {}).setdefault(object_name, [])
+            for privilege in TENANT_ROLE_PRIVILEGES:
+                if privilege not in coll:
+                    coll.append(privilege)
+
+        self.catalog._mutate_meta("rbac", mutate)
         return True
 
     def has_privilege(self, role_name: str, object_name: str,

@@ -123,8 +123,9 @@ def test_ivf_many_matches_exact_on_clustered(spark, qbatch, tmp_path_factory):
 
 
 def test_catalog_search_many_matches_loop(spark, tmp_path_factory):
-    """CollectionWriter.search_many (IVF_FLAT) == a loop of .search, and
-    the HNSW dispatch raises the documented NotImplementedError."""
+    """CollectionWriter.search_many (IVF_FLAT) == a loop of .search. (The
+    HNSW dispatch has its own batched-vs-single equivalence tests in
+    test_hnsw.py.)"""
     from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
     from flouds_vectordb_spark.operators.upsert import CollectionWriter
 
@@ -282,3 +283,52 @@ def test_catalog_sparse_and_hybrid_many_dispatch(spark, tmp_path_factory):
         w.search_hybrid_many([(0, [1.0, 0.0], "x")],
                              HybridSearchRequest(query_vector=[1.0, 0.0],
                                                  text_filter="x", limit=3))
+
+
+def test_stale_version_in_probed_cell_never_surfaces(spark, tmp_path_factory):
+    """A key UPDATED into an unprobed cell must not surface with its stale
+    vector from a probed cell — staleness resolves against the GLOBAL
+    latest view, identically for single and batched search (a per-scan
+    latest-wins would keep the old vector whenever the update's cell is
+    not probed, and batched results would depend on batch-mates)."""
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    dim, nblobs = 8, 8
+    rng = np.random.RandomState(13)
+    rows = []
+    for b in range(nblobs):
+        for i in range(30):
+            v = [0.0] * dim
+            v[b] = 10.0
+            v = [x + float(e) for x, e in zip(v, rng.uniform(-0.1, 0.1, dim))]
+            rows.append((f"b{b}_{i}", v, f"blob{b}"))
+    # the key under test starts in blob 0, nearest the query
+    stale_v = [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.01]
+    rows.append(("moved", stale_v, "moved-v1"))
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("mq_stale")))
+    cat.set_vector_store("t1")
+    cat.generate_schema(CollectionSpec("t1", "m", dimension=dim,
+                                       metric_type="COSINE", nlist=nblobs))
+    w = CollectionWriter(cat, "t1", "m")
+    w.insert_data(spark.createDataFrame(
+        rows, "id string, vector array<double>, chunk string"),
+        batch_ts=1, force_flush=True)
+    w.build_index()
+    # update "moved" into blob 7 — a cell the blob-0 query will not probe
+    new_v = [0.0] * dim
+    new_v[7] = 10.0
+    w.insert_data(spark.createDataFrame(
+        [("moved", new_v, "moved-v2")],
+        "id string, vector array<double>, chunk string"),
+        batch_ts=2, force_flush=False)
+
+    qv = [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    req = DenseSearchRequest(query_vector=qv, metric="COSINE", limit=31,
+                             nprobe=4, score_threshold=None, output_fields=())
+    single = {r["id"]: r["score"] for r in w.search(req, use_index=True).collect()}
+    assert "moved" not in single, \
+        "stale vector of an updated key surfaced from a probed cell"
+    batched = {r["id"]: r["score"] for r in
+               w.search_many([(0, qv)], req, use_index=True).collect()}
+    assert batched == single

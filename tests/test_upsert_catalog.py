@@ -470,3 +470,73 @@ def test_live_lock_on_other_host_is_respected(spark, tmp_path_factory):
                     "ts": time.time()}, f)
     with pytest.raises(ConcurrentWriteError):
         w.insert_data(batch, batch_ts=1)
+
+
+def test_live_same_host_lock_never_ages_out(spark, tmp_path_factory):
+    """A LIVE same-host owner keeps its lock regardless of the lock's age —
+    pid liveness is authoritative, so a long compaction cannot lose the
+    lock to the staleness heuristic mid-flight."""
+    import json as _json
+    import os
+    import socket
+
+    from flouds_vectordb_spark.locks import ConcurrentWriteError
+
+    cat, batch = _mini_collection(spark, tmp_path_factory, "wh_lock5")
+    w = CollectionWriter(cat, "t0", "m4")
+    with open(w._lock.lock_path, "w") as f:  # our own live pid, ancient ts
+        _json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                    "ts": 0}, f)
+    w2 = CollectionWriter(cat, "t0", "m4")
+    with pytest.raises(ConcurrentWriteError):
+        w2.insert_data(batch, batch_ts=1)
+
+
+def test_release_does_not_remove_foreign_lock(spark, tmp_path_factory):
+    """release() after a cross-host takeover must not unlink the NEW
+    owner's lock file."""
+    import json as _json
+    import os
+
+    cat, _ = _mini_collection(spark, tmp_path_factory, "wh_lock6")
+    w = CollectionWriter(cat, "t0", "m4")
+    w._lock.acquire()
+    # simulate another host breaking our (aged-out) lock and taking over
+    with open(w._lock.lock_path, "w") as f:
+        _json.dump({"pid": 1, "host": "other-host", "ts": 9e18}, f)
+    w._lock.release()
+    assert os.path.exists(w._lock.lock_path), \
+        "release removed a lock it no longer owned"
+    os.unlink(w._lock.lock_path)
+
+
+def test_meta_mutations_are_lock_serialized(spark, tmp_path_factory):
+    """_mutate_meta RMWs under the per-kind lock: a second mutator waits
+    (wait_s) instead of failing, and neither update is lost — the race
+    that would revert one collection's auto_id high-water mark when
+    another collection's DDL wrote the shared file concurrently."""
+    import threading
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_meta")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "ma", dimension=4))
+    cat.generate_schema(CollectionSpec("t0", "mb", dimension=4))
+
+    errs = []
+
+    def bump(model, n):
+        try:
+            for i in range(n):
+                cat.update_collection_meta("t0", model, counter=i + 1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=bump, args=("ma", 20)),
+               threading.Thread(target=bump, args=("mb", 20))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert cat.describe_collection("t0", "ma")["counter"] == 20
+    assert cat.describe_collection("t0", "mb")["counter"] == 20
