@@ -598,3 +598,82 @@ _cand AS (
 SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming FROM _cand
 WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
 """
+
+
+# --- train/test decontamination (r6) -----------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    test_text_col: str | None = None,
+    n: int = 8,
+    min_matches: int = 1,
+) -> DataFrame:
+    """(id, matched_ngrams) for TRAIN documents sharing >= min_matches
+    distinct word n-grams with ANY document of the held-out TEST set — the
+    standard n-gram decontamination rule LLM training pipelines apply
+    before training (the GPT-3/PaLM appendix recipe: flag a train doc when
+    a test n-gram appears in it; published n is 8-13 words).
+
+    Spark-first plan (100 TB train corpus, thousands-of-docs test set):
+    the TEST side collapses to a DISTINCT n-gram-hash column (scalars) and
+    broadcasts; the train side explodes to (id, gram-hash) scalars in the
+    same scan that tokenizes, so the join carries two longs per row and no
+    text. Output is one row per contaminated train id with its distinct
+    matched-gram count — map-side-combinable aggregation, no skew (gram
+    hashes are near-unique). Documents shorter than n words contribute
+    their whole text as one shingle (functions/hashing.shingles), so exact
+    short-document copies are still caught."""
+    t_text = test_text_col or text_col
+    grams = lambda c, nn: F.array_distinct(shingles(tokenize(c), n=nn))  # noqa: E731
+    tr = (
+        _spread(train)
+        .select(F.col(id_col).alias("id"),
+                F.explode(grams(F.col(text_col), n)).alias("_g"))
+        .select("id", hash64(F.col("_g")).alias("_gh"))
+    )
+    te = (
+        test.select(F.explode(grams(F.col(t_text), n)).alias("_g"))
+        .select(hash64(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(te), "_gh")
+        .groupBy("id")
+        .agg(F.count_distinct("_gh").alias("matched_ngrams"))
+        .filter(F.col("matched_ngrams") >= int(min_matches))
+    )
+
+
+def decontaminate_sql(
+    train_sql: str,
+    test_sql: str,
+    id_expr: str = "id",
+    text_expr: str = "text",
+    test_text_expr: str | None = None,
+    n: int = 8,
+    min_matches: int = 1,
+) -> str:
+    """DuckDB oracle twin of decontaminate()."""
+    t_text = test_text_expr or text_expr
+    tok = lambda e: f"list_filter(string_split(lower({e}), ' '), w -> w <> '')"  # noqa: E731
+    tr_g = shingles_sql(tok(text_expr), n=n)
+    te_g = shingles_sql(tok(t_text), n=n)
+    gh = hash64_sql("_g")
+    return f"""
+WITH tr AS (
+  SELECT id, {gh} AS _gh FROM (
+    SELECT {id_expr} AS id, unnest(list_distinct({tr_g})) AS _g FROM {train_sql}
+  )
+),
+te AS (
+  SELECT DISTINCT {gh} AS _gh FROM (
+    SELECT unnest(list_distinct({te_g})) AS _g FROM {test_sql}
+  )
+)
+SELECT id, count(DISTINCT tr._gh) AS matched_ngrams
+FROM tr JOIN te ON tr._gh = te._gh
+GROUP BY id HAVING count(DISTINCT tr._gh) >= {int(min_matches)}
+"""

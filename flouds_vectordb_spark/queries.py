@@ -707,6 +707,33 @@ def _dedup_components_sql() -> str:
 _register("dedup_components", _dedup_components_q, _dedup_components_sql())
 
 
+# --- train/test decontamination (r6, extended) ---------------------------------
+# The GPT-3/PaLM n-gram decontamination rule over the documents fixture:
+# train = doc_id % 3 != 0, test = doc_id % 5 == 0 (the splits overlap on
+# ids ∈ {5,10,20,...}, and the fixture's seeded duplicates add cross-split
+# near-copies), n=5-word grams, flag at >= 1 shared distinct gram.
+def _decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate(train, test, id_col="doc_id", text_col="text",
+                         n=5, min_matches=1)
+
+
+def _decontaminate_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import decontaminate_sql
+
+    return decontaminate_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+        id_expr="doc_id", text_expr="text", n=5, min_matches=1)
+
+
+_register_ext("dedup_decontaminate", _decontaminate_q, _decontaminate_sql())
+
+
 # --- deterministic sampling ------------------------------------------------------
 def _sample_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.sampling import sample_fraction

@@ -251,3 +251,48 @@ def test_components_pointer_jump_log_rounds_on_long_chain(spark):
            for r in dedup_components(pairs, max_iter=12,
                                      pointer_jump=True).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+# ---- train/test decontamination (r6) ----------------------------------------
+
+def test_decontaminate_flags_overlap_and_spares_clean(spark):
+    from flouds_vectordb_spark.operators.dedup import decontaminate
+
+    test_set = spark.createDataFrame(
+        [("t1", "the quick brown fox jumps over the lazy dog tonight"),
+         ("t2", "pack my box with five dozen liquor jugs")],
+        "id string, text string")
+    train = spark.createDataFrame(
+        [# exact copy of t1 -> every 5-gram matches
+         ("a", "the quick brown fox jumps over the lazy dog tonight"),
+         # contains one 5-gram window of t2 inside fresh text
+         ("b", "we shall pack my box with five more things entirely new"),
+         # shares only 4-word runs, never 5 -> clean at n=5
+         ("c", "the quick brown fox sleeps under the lazy dog"),
+         # completely unrelated
+         ("d", "vector engines shuffle scalars across executors")],
+        "id string, text string")
+    got = {r["id"]: r["matched_ngrams"] for r in
+           decontaminate(train, test_set, n=5, min_matches=1).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] == 6  # 10 tokens -> 6 distinct 5-grams, all matched
+    assert got["b"] == 1  # exactly the "pack my box with five" window
+    # raising the bar to 2 shared grams drops the single-window hit
+    got2 = {r["id"] for r in
+            decontaminate(train, test_set, n=5, min_matches=2).collect()}
+    assert got2 == {"a"}
+
+
+def test_decontaminate_short_documents_whole_text_shingle(spark):
+    """Docs shorter than n collapse to one whole-text shingle, so an exact
+    short copy is caught while a subset is not."""
+    from flouds_vectordb_spark.operators.dedup import decontaminate
+
+    test_set = spark.createDataFrame([("t", "tiny secret answer")],
+                                     "id string, text string")
+    train = spark.createDataFrame(
+        [("copy", "tiny secret answer"), ("sub", "tiny secret")],
+        "id string, text string")
+    got = {r["id"] for r in
+           decontaminate(train, test_set, n=8, min_matches=1).collect()}
+    assert got == {"copy"}
