@@ -168,3 +168,122 @@ SELECT {group_col}, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
 FROM ({stats_sql}) s JOIN (SELECT {id_expr} AS id, {group_col} FROM {table_sql}) t USING (id)
 GROUP BY {group_col}
 """
+
+
+# --- repetition filters (r6) --------------------------------------------------
+# The published repetition-filter family LLM pipelines apply alongside the
+# quality score above (Gopher/MassiveText-style rules): documents dominated
+# by repeated lines or one repeated n-gram are boilerplate/spam. All pure
+# Column expressions; the per-distinct-element counting is O(L^2) per
+# DOCUMENT (not per corpus) — document length is bounded by the collection
+# contract (metadata_length <= 64KB), so the work per row is constant and
+# the scan stays embarrassingly parallel at any corpus size.
+
+REP_DUP_LINE_MAX = 0.30    # duplicate-line fraction threshold
+REP_TOP_2GRAM_MAX = 0.20   # top-2-gram character-coverage threshold
+
+
+def repetition_stats(df: DataFrame, id_col: str = "id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_lines, dup_line_frac_r, dup_line_char_frac_r,
+    top_2gram_char_frac_r, repetitive) per document.
+
+    - dup_line_frac: 1 - distinct/total over non-empty trimmed lines.
+    - dup_line_char_frac: fraction of line characters lying in lines that
+      occur more than once (every copy counts, the MassiveText rule).
+    - top_2gram_char_frac: max over word 2-grams of occurrences *
+      gram-length, over the normalized token-stream length — a
+      deterministic argmax-free formulation of "characters covered by the
+      most frequent 2-gram" (no cross-engine tie-break on equal counts);
+      grams occurring once contribute 0, so short clean docs never trip
+      the threshold on a singleton gram.
+    - repetitive: either fraction above its published threshold."""
+    from flouds_vectordb_spark.functions.hashing import shingles
+
+    toks = tokenize(F.col(text_col))
+    d = spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+        toks.alias("_toks"))
+    lines = F.filter(
+        F.transform(F.split(F.col("_t"), "\n"), lambda t: F.trim(t)),
+        lambda x: x != "")
+    d = d.withColumn("_lines", lines)
+    n_lines = F.size("_lines")
+    n_dlines = F.size(F.array_distinct("_lines"))
+    dup_line_frac = _ratio(n_lines - n_dlines, n_lines)
+    line_chars = F.aggregate(
+        F.transform("_lines", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    dup_line_chars = F.aggregate(
+        F.transform("_lines", lambda x: F.when(
+            F.size(F.filter("_lines", lambda y: y == x)) > 1,
+            F.length(x)).otherwise(F.lit(0))),
+        F.lit(0), lambda a, x: a + x)
+    dup_line_char_frac = _ratio(dup_line_chars, line_chars)
+
+    d = d.withColumn("_g2", shingles(F.col("_toks"), n=2))
+    stream_chars = F.length(F.array_join("_toks", " "))
+    # only grams occurring MORE THAN ONCE count as repetition — otherwise
+    # any short document's longest singleton 2-gram trips the threshold
+    def _cover(g):
+        freq = F.size(F.filter("_g2", lambda y: y == g))
+        return F.when(freq > 1, freq * F.length(g)).otherwise(F.lit(0))
+
+    top_cover = F.coalesce(
+        F.array_max(F.transform(F.array_distinct("_g2"), _cover)), F.lit(0))
+    top_2gram_frac = F.when(F.size("_toks") >= 2,
+                            _ratio(top_cover, stream_chars)).otherwise(F.lit(0.0))
+
+    return d.select(
+        "id",
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac_r"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac_r"),
+        F.round(top_2gram_frac, 6).alias("top_2gram_char_frac_r"),
+        ((F.round(dup_line_frac, 6) > REP_DUP_LINE_MAX)
+         | (F.round(top_2gram_frac, 6) > REP_TOP_2GRAM_MAX)).alias("repetitive"),
+    )
+
+
+def repetition_stats_sql(table_sql: str, id_expr: str = "id",
+                         text_expr: str = "text") -> str:
+    """DuckDB oracle twin of repetition_stats."""
+    from flouds_vectordb_spark.functions.hashing import shingles_sql
+
+    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    lines = (f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
+             f"t -> trim(t)), x -> x <> '')")
+    g2 = shingles_sql("_toks", n=2)
+    return f"""
+WITH _base AS (
+  SELECT {id_expr} AS id, {tok} AS _toks, {lines} AS _lines FROM {table_sql}
+),
+_g AS (SELECT *, {g2} AS _g2 FROM _base)
+SELECT id,
+  len(_lines) AS n_lines,
+  round(CASE WHEN len(_lines) > 0
+        THEN (len(_lines) - len(list_distinct(_lines)))::DOUBLE / len(_lines)
+        ELSE 0.0 END, 6) AS dup_line_frac_r,
+  round(CASE WHEN list_sum_chars > 0
+        THEN dup_chars::DOUBLE / list_sum_chars ELSE 0.0 END, 6) AS dup_line_char_frac_r,
+  round(CASE WHEN len(_toks) >= 2 AND stream_chars > 0
+        THEN top_cover::DOUBLE / stream_chars ELSE 0.0 END, 6) AS top_2gram_char_frac_r,
+  (round(CASE WHEN len(_lines) > 0
+        THEN (len(_lines) - len(list_distinct(_lines)))::DOUBLE / len(_lines)
+        ELSE 0.0 END, 6) > {REP_DUP_LINE_MAX}
+   OR round(CASE WHEN len(_toks) >= 2 AND stream_chars > 0
+        THEN top_cover::DOUBLE / stream_chars ELSE 0.0 END, 6) > {REP_TOP_2GRAM_MAX})
+   AS repetitive
+FROM (
+  SELECT id, _toks, _lines,
+    coalesce(list_sum(list_transform(_lines, x -> length(x))), 0) AS list_sum_chars,
+    coalesce(list_sum(list_transform(_lines,
+      x -> CASE WHEN len(list_filter(_lines, y -> y = x)) > 1
+           THEN length(x) ELSE 0 END)), 0) AS dup_chars,
+    length(array_to_string(_toks, ' ')) AS stream_chars,
+    coalesce(list_max(list_transform(list_distinct(_g2),
+      g -> CASE WHEN len(list_filter(_g2, y -> y = g)) > 1
+           THEN len(list_filter(_g2, y -> y = g)) * length(g)
+           ELSE 0 END)), 0) AS top_cover
+  FROM _g
+)
+"""

@@ -1631,6 +1631,23 @@ _register("text_stats_per_doc",
               load(spark, sf_dir, "documents"), id_col="doc_id"),
           text_stats_sql("documents", id_expr="doc_id"))
 
+
+# repetition filters (r6, extended): the Gopher/MassiveText rule family —
+# duplicate-line fractions + top-2-gram character coverage per document
+def _repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+def _repetition_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import repetition_stats_sql
+
+    return repetition_stats_sql("documents", id_expr="doc_id")
+
+
+_register_ext("text_repetition_stats", _repetition_q, _repetition_sql())
+
 _TEXT_STATS_SQL = text_stats_sql("documents", id_expr="doc_id")
 _register("text_quality_rollup",
           lambda spark, sf_dir: corpus_rollup(

@@ -132,3 +132,30 @@ def test_multimodal_frame_sampling(spark):
     assert rows[0]["frame_hash"] == hashlib.md5(b"A" * 64).hexdigest()
     assert rows[2]["frame_hash"] == hashlib.md5(b"B" * 64).hexdigest()
     assert rows[3]["frame_hash"] == hashlib.md5(b"C" * 30).hexdigest()
+
+
+# ---- repetition filters (r6) -------------------------------------------------
+
+def test_repetition_stats_rules(spark):
+    from flouds_vectordb_spark.operators.text_analysis import repetition_stats
+
+    docs = [
+        ("dup_lines", "hello world\nhello world\nhello world\nsomething else"),
+        ("dup_gram", "buy now buy now buy now buy now"),
+        ("clean", "a normal sentence about spark engines and scalars"),
+        ("one_word", "one"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got["dup_lines"]["dup_line_frac_r"] == 0.5  # 2 of 4 lines are copies
+    assert got["dup_lines"]["repetitive"]
+    # "buy now" occurs 4x: coverage 4*7 / 31 chars
+    assert abs(got["dup_gram"]["top_2gram_char_frac_r"] - 28 / 31) < 1e-6
+    assert got["dup_gram"]["repetitive"]
+    # a clean sentence has NO repeated 2-gram: coverage is exactly 0,
+    # not the longest singleton gram's share
+    assert got["clean"]["top_2gram_char_frac_r"] == 0.0
+    assert not got["clean"]["repetitive"]
+    assert not got["one_word"]["repetitive"]
+    assert got["empty"]["n_lines"] == 0 and not got["empty"]["repetitive"]
