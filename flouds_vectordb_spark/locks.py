@@ -43,6 +43,11 @@ class WriterLock:
     """File-based exclusive writer lock (O_CREAT|O_EXCL), reentrant within
     the owning object via an acquisition depth counter."""
 
+    # a same-host lock older than HARD_STALE_FACTOR * stale_after is broken
+    # even if its recorded pid is alive (pid-recycling escape hatch); any
+    # single operation is expected to finish well inside this bound
+    HARD_STALE_FACTOR = 24
+
     def __init__(self, lock_path: str, stale_after: float = 3600.0):
         self.lock_path = lock_path
         self.stale_after = float(stale_after)
@@ -63,10 +68,16 @@ class WriterLock:
                 return time.time() - os.path.getmtime(self.lock_path) > self.stale_after
             except OSError:
                 return True  # vanished: not held
+        age = time.time() - float(owner.get("ts", 0))
         if owner.get("host") == socket.gethostname():
-            # same host: pid liveness is AUTHORITATIVE — a live owner is
-            # never stale however old the lock (a legitimate long
-            # compaction must not lose its lock to the age heuristic)
+            # same host: pid liveness decides — a live owner keeps its lock
+            # past stale_after (a legitimate long compaction must not lose
+            # it to the age heuristic) — EXCEPT beyond the hard bound: a
+            # crashed writer whose pid the OS recycled to an unrelated
+            # long-lived process would otherwise wedge the collection
+            # forever
+            if age > self.HARD_STALE_FACTOR * self.stale_after:
+                return True
             try:
                 os.kill(int(owner["pid"]), 0)  # signal 0: existence probe
                 return False
@@ -75,7 +86,7 @@ class WriterLock:
             except PermissionError:
                 return False  # exists, owned by another user
         # other host: no liveness probe available — fall back to age
-        return time.time() - float(owner.get("ts", 0)) > self.stale_after
+        return age > self.stale_after
 
     # ---- acquire/release ---------------------------------------------------
     def acquire(self, wait_s: float = 0.0) -> None:
@@ -116,16 +127,34 @@ class WriterLock:
                 if attempt == 1 and self._owner_is_stale(owner):
                     # break the dead writer's lock by RENAMING it aside:
                     # rename is atomic on the source, so of two racing
-                    # breakers exactly ONE succeeds (the other's source is
-                    # gone and it just retries the O_EXCL create) — a bare
-                    # unlink here could remove the OTHER breaker's freshly
-                    # created lock, letting both writers in
+                    # breakers exactly ONE moves the file (the other's
+                    # source is gone and it just retries the O_EXCL
+                    # create) — a bare unlink here could remove the OTHER
+                    # breaker's freshly created lock, letting both in
                     aside = f"{self.lock_path}.stale.{os.getpid()}"
                     try:
                         os.rename(self.lock_path, aside)
-                        os.unlink(aside)
                     except FileNotFoundError:
-                        pass  # the other breaker won; contend normally
+                        continue  # the other breaker won; contend normally
+                    # verify we moved the lock we JUDGED stale — a racing
+                    # breaker may have broken it and re-acquired between
+                    # our judgment and our rename, making the moved file a
+                    # LIVE lock that must be put back (os.link restores
+                    # without clobbering anything created meanwhile)
+                    moved = None
+                    try:
+                        with open(aside) as f:
+                            moved = json.load(f)
+                    except (OSError, ValueError):
+                        pass
+                    if moved == owner:
+                        os.unlink(aside)
+                        continue
+                    try:
+                        os.link(aside, self.lock_path)
+                    except FileExistsError:
+                        pass  # a third writer locked meanwhile; theirs stands
+                    os.unlink(aside)
                     continue
                 raise ConcurrentWriteError(
                     f"collection is locked by another writer "

@@ -658,7 +658,7 @@ def decontaminate_sql(
 ) -> str:
     """DuckDB oracle twin of decontaminate()."""
     t_text = test_text_expr or text_expr
-    tok = lambda e: f"list_filter(string_split(lower({e}), ' '), w -> w <> '')"  # noqa: E731
+    tok = lambda e: f"list_filter(string_split_regex(lower({e}), '\\s+'), w -> w <> '')"  # noqa: E731
     tr_g = shingles_sql(tok(text_expr), n=n)
     te_g = shingles_sql(tok(t_text), n=n)
     gh = hash64_sql("_g")

@@ -129,9 +129,25 @@ class CollectionWriter:
         auto_id collections (primary_key_data_type=INT64,
         base_milvus.py:938): the batch must NOT carry an `id` column — ids
         are assigned here (see _assign_auto_ids) and the high-water mark is
-        persisted back to the catalog row."""
+        persisted back to the catalog row.
+
+        batch_ts must be STRICTLY GREATER than the collection's stored
+        watermark (meta last_batch_ts): ts reuse would make the latest-wins
+        merge tie nondeterministically and would let the (id, batch_ts)
+        staleness joins match several physical versions of one key."""
+        # refresh the catalog row UNDER the collection lock: another
+        # process may have inserted since this writer was constructed, and
+        # both the auto-id high-water mark and the ts watermark below must
+        # start from the file's current values, not a cached snapshot
+        self.meta = self.catalog.describe_collection(self.tenant, self.model)
         auto_id = (str(self.meta.get("primary_key_data_type", "VARCHAR")).upper()
                    in ("INT64", "INT"))
+        last_ts = self.meta.get("last_batch_ts")
+        if last_ts is not None and int(batch_ts) <= int(last_ts):
+            raise ValueError(
+                f"batch_ts {int(batch_ts)} is not greater than the "
+                f"collection's last committed batch_ts {int(last_ts)}; "
+                "timestamps must be strictly increasing per collection")
         if auto_id and "id" in batch.columns:
             # the reference schema sets auto_id=True for INT64 pks; Milvus
             # rejects client-supplied ids on auto_id collections
@@ -154,13 +170,15 @@ class CollectionWriter:
             bad_pred = F.col("vector").isNull() | (F.size("vector") != dim)
         pinned = None
         if auto_id:
-            # PIN the batch before id assignment: insert executes the
-            # lineage several times (count job, parquet write, sparse +
-            # dense index maintenance), and the assigned id of a row is a
-            # function of its partition and position — persist materializes
-            # the layout once so every consumer sees the SAME ids, even for
-            # sources whose recomputation could reorder (df.sample, shuffle
-            # output, task retries). MEMORY_AND_DISK: spill, never recompute.
+            # PIN the batch before id assignment: the count job and the
+            # parquet write both execute it, and the assigned id of a row
+            # is a function of its partition and position — persist
+            # materializes the layout once so both see the SAME ids, even
+            # for sources whose recomputation could reorder (df.sample,
+            # shuffle output, task retries). Persist is best-effort (a
+            # lost executor recomputes), which is why the index appends
+            # below re-read the WRITTEN files instead of this lineage —
+            # on-disk ids are authoritative.
             from pyspark import StorageLevel
 
             pinned = stamped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -186,17 +204,24 @@ class CollectionWriter:
             if not auto_id and int(counts["nk"]) != n:
                 raise ValueError("duplicate primary keys in batch")
             stamped.write.mode("append").parquet(self.meta["path"])
+            # one watermark/high-water update AFTER the write succeeds
+            updates = {"last_batch_ts": int(batch_ts)}
             if auto_id:
-                # persist the high-water mark AFTER the write succeeds; refresh
-                # the cached row so back-to-back inserts see the new floor
-                self.meta = self.catalog.update_collection_meta(
-                    self.tenant, self.model,
-                    auto_id_next=int(self.meta.get("auto_id_next", 0)) + n)
-            sparse_indexed = self._append_sparse(stamped, int(batch_ts))
-            dense_indexed = self._append_dense_indexes(stamped)
+                updates["auto_id_next"] = int(self.meta.get("auto_id_next", 0)) + n
+            self.meta = self.catalog.update_collection_meta(
+                self.tenant, self.model, **updates)
+            if auto_id:
+                # index maintenance reads the WRITTEN rows back (batch_ts
+                # row-group pruning makes this an O(batch) read): the ids
+                # on disk are the ids, whatever a cache-loss recompute of
+                # the source lineage might have reordered
+                stamped = (self.catalog.spark.read.parquet(self.meta["path"])
+                           .filter(F.col("batch_ts") == int(batch_ts)))
         finally:
             if pinned is not None:
                 pinned.unpersist()
+        sparse_indexed = self._append_sparse(stamped, int(batch_ts))
+        dense_indexed = self._append_dense_indexes(stamped)
         flushed = should_flush(n, force_flush, auto_flush_min_batch)
         if flushed:
             self.flush()
@@ -254,6 +279,17 @@ class CollectionWriter:
         # keep the canonical column order (id first) for parquet appends
         cols = ["id"] + [c for c in stamped.columns if c != "id"]
         return assigned.select(*cols), n, nbad
+
+    def _latest_keys(self, id_col: str = "id") -> DataFrame:
+        """(id, batch_ts) of each key's CURRENT version — the scalars-only
+        key view the staleness semi-joins consume. groupBy+max instead of
+        read_latest's row_number window: a window admits no partial
+        aggregation (every row shuffles), while max(batch_ts) combines
+        map-side to one row per id before the exchange. Equivalent because
+        insert_data enforces strictly-increasing batch_ts per collection,
+        so (id, max(batch_ts)) IS the latest version's key pair."""
+        return (self.catalog.read_collection(self.tenant, self.model)
+                .groupBy(id_col).agg(F.max("batch_ts").alias("batch_ts")))
 
     def read_latest(self) -> DataFrame:
         """Latest-wins view over the appended segments."""
@@ -436,8 +472,8 @@ class CollectionWriter:
             # which cells happened to be scanned (single vs batched probes
             # would then disagree).
             pruned = idx.scan(spark, cells)
-            latest_keys = self.read_latest().select(id_col, "batch_ts")
-            fresh = pruned.join(latest_keys, [id_col, "batch_ts"], "left_semi")
+            fresh = pruned.join(self._latest_keys(id_col),
+                                [id_col, "batch_ts"], "left_semi")
             return dense_search(fresh, req, **dense_kwargs)
 
         coded = self._decoded_scan(itype, cells, id_col, vector_col)
@@ -530,8 +566,8 @@ class CollectionWriter:
             # which other queries share the batch (a union-cells window
             # would let one query's probed cells change another's dedup)
             pruned = idx.scan(spark, union_cells)
-            latest_keys = self.read_latest().select(id_col, "batch_ts")
-            fresh = pruned.join(latest_keys, [id_col, "batch_ts"], "left_semi")
+            fresh = pruned.join(self._latest_keys(id_col),
+                                [id_col, "batch_ts"], "left_semi")
             return ivf_search_many(idx, spark, queries, req, scan_df=fresh,
                                    payload_df=fresh, **dense_kwargs)
 
@@ -539,8 +575,8 @@ class CollectionWriter:
                                    extra_cols=("centroid_id",))
         # scalars-only staleness semi-join: stale codes of updated keys
         # match no (id, batch_ts) pair in the latest view and drop out
-        fresh_keys = self.read_latest().select(id_col, "batch_ts")
-        coded_fresh = coded.join(fresh_keys, [id_col, "batch_ts"], "left_semi")
+        coded_fresh = coded.join(self._latest_keys(id_col),
+                                 [id_col, "batch_ts"], "left_semi")
         return ivf_search_many(idx, spark, queries, req, scan_df=coded_fresh,
                                payload_df=self.read_latest(), **dense_kwargs)
 

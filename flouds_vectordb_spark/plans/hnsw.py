@@ -679,38 +679,55 @@ def _recover_edges(path: str) -> None:
     restore the old table; a stale `edges__compacting` alongside a live
     `edges` is an aborted build output and is removed.
 
-    Guarded by the collection's writer lock: recovery must only repair a
-    CRASHED compaction, never race a LIVE one — a reader restoring
-    edges__old between a live compactor's two renames would make the
-    compactor's step-2 replace fail (and resurrect the superseded table).
-    If a live writer holds the lock, the on-disk state is theirs to
-    finish; if the `edges` table exists the index is healthy and
-    leftovers are cleaned opportunistically."""
+    Three rules keep recovery from racing live work:
+    - A healthy index (edges present) is returned untouched — readers do
+      NOT clean cosmetic leftovers (a stale __compacting beside a live
+      table), because taking the writer lock from the read path would make
+      a concurrent writer's fail-fast insert raise spuriously; the next
+      compaction's own leftover handling removes them.
+    - When edges IS missing, recovery runs under the collection writer
+      lock so it can only repair a CRASHED compaction, never interleave
+      with a live one (restoring edges__old between a live compactor's two
+      renames would break its step-2 replace).
+    - If THIS process already holds the writer lock (open_hnsw called from
+      the locked ingest path — a fresh WriterLock instance cannot see the
+      holder's reentrancy depth), recovery proceeds without re-acquiring:
+      the on-disk crash state predates our lock, and we ARE the writer."""
+    import json as _json
     import shutil
+    import socket
 
     edges_path = os.path.join(path, "edges")
     old = edges_path + "__old"
     tmp = edges_path + "__compacting"
-    if not (os.path.exists(old) or os.path.exists(tmp)):
-        return  # nothing to recover or clean — the overwhelmingly common path
+    if os.path.exists(edges_path) or not os.path.exists(old):
+        return  # healthy (or nothing restorable): never touched from reads
     from flouds_vectordb_spark.locks import ConcurrentWriteError, WriterLock
 
     # the index lives at <collection>__hnsw; the ingest lock one level up
     base = path[:-len("__hnsw")] if path.endswith("__hnsw") else path
     lock = WriterLock(base.rstrip("/") + "__writer.lock")
+    held_by_me = False
     try:
-        lock.acquire()
-    except ConcurrentWriteError:
-        return  # live writer mid-compaction: its state, its cleanup
+        with open(lock.lock_path) as f:
+            owner = _json.load(f)
+        held_by_me = (owner.get("pid") == os.getpid()
+                      and owner.get("host") == socket.gethostname())
+    except (OSError, ValueError):
+        pass
+    if not held_by_me:
+        try:
+            lock.acquire()
+        except ConcurrentWriteError:
+            return  # live writer mid-compaction: its state, its cleanup
     try:
         if not os.path.exists(edges_path) and os.path.exists(old):
             os.replace(old, edges_path)
-        if os.path.exists(edges_path):
-            for leftover in (old, tmp):
-                if os.path.exists(leftover):
-                    shutil.rmtree(leftover)
+        if os.path.exists(edges_path) and os.path.exists(tmp):
+            shutil.rmtree(tmp)
     finally:
-        lock.release()
+        if not held_by_me:
+            lock.release()
 
 
 def build_hnsw(

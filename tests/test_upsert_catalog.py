@@ -472,24 +472,32 @@ def test_live_lock_on_other_host_is_respected(spark, tmp_path_factory):
         w.insert_data(batch, batch_ts=1)
 
 
-def test_live_same_host_lock_never_ages_out(spark, tmp_path_factory):
-    """A LIVE same-host owner keeps its lock regardless of the lock's age —
-    pid liveness is authoritative, so a long compaction cannot lose the
-    lock to the staleness heuristic mid-flight."""
+def test_live_same_host_lock_ages_only_past_hard_bound(spark, tmp_path_factory):
+    """A LIVE same-host owner keeps its lock well past stale_after (a long
+    compaction must not lose it to the age heuristic) — but beyond the
+    HARD bound even a live pid is broken (pid-recycling escape hatch)."""
     import json as _json
     import os
     import socket
+    import time
 
     from flouds_vectordb_spark.locks import ConcurrentWriteError
 
     cat, batch = _mini_collection(spark, tmp_path_factory, "wh_lock5")
     w = CollectionWriter(cat, "t0", "m4")
-    with open(w._lock.lock_path, "w") as f:  # our own live pid, ancient ts
+    # our own live pid, 3x stale_after old: still held
+    with open(w._lock.lock_path, "w") as f:
         _json.dump({"pid": os.getpid(), "host": socket.gethostname(),
-                    "ts": 0}, f)
+                    "ts": time.time() - 3 * w._lock.stale_after}, f)
     w2 = CollectionWriter(cat, "t0", "m4")
     with pytest.raises(ConcurrentWriteError):
         w2.insert_data(batch, batch_ts=1)
+    # past HARD_STALE_FACTOR * stale_after: broken even though pid is live
+    with open(w._lock.lock_path, "w") as f:
+        _json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                    "ts": 0}, f)
+    w2.insert_data(batch, batch_ts=1)
+    assert w2.read_latest().count() == 1
 
 
 def test_release_does_not_remove_foreign_lock(spark, tmp_path_factory):
@@ -540,3 +548,33 @@ def test_meta_mutations_are_lock_serialized(spark, tmp_path_factory):
     assert not errs
     assert cat.describe_collection("t0", "ma")["counter"] == 20
     assert cat.describe_collection("t0", "mb")["counter"] == 20
+
+
+def test_batch_ts_must_increase_per_collection(spark, tmp_path_factory):
+    cat, batch = _mini_collection(spark, tmp_path_factory, "wh_ts")
+    w = CollectionWriter(cat, "t0", "m4")
+    w.insert_data(batch, batch_ts=5)
+    for bad in (5, 4):
+        with pytest.raises(ValueError, match="strictly increasing"):
+            w.insert_data(batch, batch_ts=bad)
+    w.insert_data(batch, batch_ts=6)  # strictly greater: fine
+    assert cat.describe_collection("t0", "m4")["last_batch_ts"] == 6
+
+
+def test_auto_id_mark_read_fresh_under_lock(spark, tmp_path_factory):
+    """A writer constructed BEFORE another writer's insert must continue
+    the id sequence from the catalog file's current high-water mark, not
+    its stale cached snapshot (duplicate-pk regression)."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_int64d")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m4", dimension=4,
+                                       primary_key_data_type="INT64"))
+    w_old = CollectionWriter(cat, "t0", "m4")   # caches auto_id_next=0
+    w_new = CollectionWriter(cat, "t0", "m4")
+    batch = spark.createDataFrame(
+        [(f"c{i}", [float(i), 0.0, 0.0, 1.0]) for i in range(5)],
+        "chunk string, vector array<float>")
+    w_new.insert_data(batch, batch_ts=1)        # ids 0..4
+    w_old.insert_data(batch, batch_ts=2)        # must be 5..9, not 0..4
+    ids = sorted(r["id"] for r in w_old.read_latest().select("id").collect())
+    assert ids == list(range(10))
