@@ -107,3 +107,68 @@ def test_metric_scores_match_python_fold(spark, vecs, q):
             acc2 += (float(a) - float(b)) * (float(a) - float(b))
         # Milvus L2 unit: squared distance, negated
         assert got[i][1] == -acc2
+
+
+# ---- r6 operators: decontamination + auto-id allocator -----------------------
+
+doc_st = st.lists(st.sampled_from(WORDS), min_size=0, max_size=10).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    train=st.lists(doc_st, min_size=1, max_size=8),
+    test=st.lists(doc_st, min_size=1, max_size=4),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_decontaminate_matches_python_set_semantics(spark, train, test, n):
+    """decontaminate == pure-Python distinct-n-gram set intersection."""
+    from flouds_vectordb_spark.operators.dedup import decontaminate
+
+    def grams(text):
+        toks = [w for w in text.lower().split() if w]
+        if len(toks) <= n:
+            return {" ".join(toks)} if toks else {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    test_grams = set().union(*(grams(t) for t in test))
+    expected = {}
+    for i, t in enumerate(train):
+        m = len(grams(t) & test_grams)
+        if m >= 1:
+            expected[f"d{i}"] = m
+
+    tdf = spark.createDataFrame([(f"d{i}", t) for i, t in enumerate(train)],
+                                "id string, text string")
+    qdf = spark.createDataFrame([(f"t{i}", t) for i, t in enumerate(test)],
+                                "id string, text string")
+    got = {r["id"]: r["matched_ngrams"]
+           for r in decontaminate(tdf, qdf, n=n, min_matches=1).collect()}
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=9), min_size=2, max_size=3),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_auto_id_allocator_dense_unique_any_partitioning(
+        spark, tmp_path_factory, sizes, nparts):
+    """Across any sequence of batch sizes and partition counts, the
+    allocator's id SET is exactly 0..total-1 — dense, collision-free."""
+    from flouds_vectordb_spark.catalog import Catalog, CollectionSpec
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_prop")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m2", dimension=2,
+                                       primary_key_data_type="INT64"))
+    w = CollectionWriter(cat, "t0", "m2")
+    total = 0
+    for ts, size in enumerate(sizes, start=1):
+        batch = spark.createDataFrame(
+            [(f"c{i}", [float(i), 0.0]) for i in range(size)],
+            "chunk string, vector array<float>").repartition(nparts)
+        w.insert_data(batch, batch_ts=ts, auto_flush_min_batch=-1)
+        total += size
+    ids = sorted(r["id"] for r in w.read_latest().select("id").collect())
+    assert ids == list(range(total))
