@@ -287,3 +287,56 @@ FROM (
   FROM _g
 )
 """
+
+
+# --- PII scrubbing (r6) -------------------------------------------------------
+# Regex redaction of the three machine-recognizable identifier classes a
+# pre-training pipeline scrubs wholesale (emails, IPv4 addresses, phone
+# numbers). Patterns restricted to the Java-regex/RE2 COMMON dialect
+# (character classes, bounded repetition, \b — no backrefs/lookarounds) so
+# the DuckDB twin executes them verbatim. Redaction order is FIXED
+# (email -> ip -> phone) because the loose phone pattern would otherwise
+# consume dotted IPv4s; counts are taken at each step's input, so both
+# engines see identical intermediates. Pure Column expressions — one
+# projection, no UDF, embarrassingly parallel at any corpus size.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9().\s-]{6,}[0-9]"
+_PII_STEPS = (("email", PII_EMAIL, "<EMAIL>"),
+              ("ipv4", PII_IPV4, "<IP>"),
+              ("phone", PII_PHONE, "<PHONE>"))
+
+
+def scrub_pii(df: DataFrame, id_col: str = "id",
+              text_col: str = "text") -> DataFrame:
+    """(id, text_scrubbed, n_email, n_ipv4, n_phone): text with the three
+    identifier classes replaced by typed placeholders, plus per-class
+    match counts."""
+    out = F.col(text_col)
+    counts = {}
+    for name, pat, tag in _PII_STEPS:
+        counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+        out = F.regexp_replace(out, pat, tag)
+    return df.select(
+        F.col(id_col).alias("id"),
+        out.alias("text_scrubbed"),
+        *(counts[name].alias(f"n_{name}") for name, _, _ in _PII_STEPS),
+    )
+
+
+def scrub_pii_sql(table_sql: str, id_expr: str = "id",
+                  text_expr: str = "text") -> str:
+    """DuckDB oracle twin of scrub_pii (same patterns, same fixed order)."""
+    # DuckDB '' literals pass backslashes through verbatim (no escape
+    # processing), so only quotes need doubling
+    esc = lambda p: p.replace("'", "''")  # noqa: E731
+    out = text_expr
+    count_sel = []
+    for name, pat, tag in _PII_STEPS:
+        count_sel.append(f"len(regexp_extract_all({out}, '{esc(pat)}')) AS n_{name}")
+        out = f"regexp_replace({out}, '{esc(pat)}', '{tag}', 'g')"
+    return f"""
+SELECT {id_expr} AS id, {out} AS text_scrubbed, {', '.join(count_sel)}
+FROM {table_sql}
+"""

@@ -1648,6 +1648,40 @@ def _repetition_sql() -> str:
 
 _register_ext("text_repetition_stats", _repetition_q, _repetition_sql())
 
+
+# PII scrubbing (r6, extended): the fixture corpus carries no identifiers,
+# so both engines INJECT the same deterministic PII into a doc_id-derived
+# subset (emails + dotted IPs), and the gate checks the redacted text and
+# per-class counts byte-for-byte
+def _scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com from 10.0."),
+                        (F.col("doc_id") % 200).cast("string"), F.lit(".7")))
+        .otherwise(F.col("text")))
+    return scrub_pii(injected, id_col="doc_id")
+
+
+def _scrub_pii_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii_sql
+
+    injected = (
+        "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' "
+        "|| doc_id::VARCHAR || '@example.com from 10.0.' "
+        "|| (doc_id % 200)::VARCHAR || '.7' ELSE text END AS text "
+        "FROM documents)"
+    )
+    return scrub_pii_sql(injected, id_expr="doc_id")
+
+
+_register_ext("text_scrub_pii", _scrub_pii_q, _scrub_pii_sql())
+
 _TEXT_STATS_SQL = text_stats_sql("documents", id_expr="doc_id")
 _register("text_quality_rollup",
           lambda spark, sf_dir: corpus_rollup(

@@ -159,3 +159,23 @@ def test_repetition_stats_rules(spark):
     assert not got["clean"]["repetitive"]
     assert not got["one_word"]["repetitive"]
     assert got["empty"]["n_lines"] == 0 and not got["empty"]["repetitive"]
+
+
+def test_scrub_pii_redacts_in_fixed_order(spark):
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    docs = [
+        ("a", "reach bob.smith+x@mail.example.org or 10.0.42.7, call +1 (415) 555-0100"),
+        ("b", "clean text with digits 42 but no identifiers"),
+        ("c", "double x@y.io z@w.co and 192.168.0.1"),
+        ("d", ""),
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got["a"]["text_scrubbed"] == "reach <EMAIL> or <IP>, call <PHONE>"
+    assert (got["a"]["n_email"], got["a"]["n_ipv4"], got["a"]["n_phone"]) == (1, 1, 1)
+    # the IP must NOT be double-counted by the looser phone pattern
+    assert got["c"]["n_ipv4"] == 1 and got["c"]["n_phone"] == 0
+    assert got["c"]["n_email"] == 2
+    assert got["b"]["text_scrubbed"] == docs[1][1]
+    assert got["d"]["text_scrubbed"] == ""
