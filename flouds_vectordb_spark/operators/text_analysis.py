@@ -302,7 +302,13 @@ FROM (
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-PII_PHONE = r"\+?[0-9][0-9().\s-]{6,}[0-9]"
+# phone: PRECISION-FIRST structured form (optional country code +
+# 3-3-4 digit groups with single . - or space separators). A loose
+# any-digits-and-separators class would greedily merge unrelated benign
+# numbers ("pages 1990 2005" -> one <PHONE>) and would need \s, whose
+# class membership differs between Java regex and RE2 (\x0B) — this
+# pattern stays in the strict common dialect and cannot span lines.
+PII_PHONE = r"(\+[0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
 _PII_STEPS = (("email", PII_EMAIL, "<EMAIL>"),
               ("ipv4", PII_IPV4, "<IP>"),
               ("phone", PII_PHONE, "<PHONE>"))
@@ -327,16 +333,25 @@ def scrub_pii(df: DataFrame, id_col: str = "id",
 
 def scrub_pii_sql(table_sql: str, id_expr: str = "id",
                   text_expr: str = "text") -> str:
-    """DuckDB oracle twin of scrub_pii (same patterns, same fixed order)."""
+    """DuckDB oracle twin of scrub_pii (same patterns, same fixed order).
+    Chained CTEs: each stage materializes its replace ONCE and the next
+    stage counts on it — inlining the cumulative replace chain into every
+    later expression would re-execute the earlier regexes per column."""
     # DuckDB '' literals pass backslashes through verbatim (no escape
     # processing), so only quotes need doubling
     esc = lambda p: p.replace("'", "''")  # noqa: E731
-    out = text_expr
-    count_sel = []
-    for name, pat, tag in _PII_STEPS:
-        count_sel.append(f"len(regexp_extract_all({out}, '{esc(pat)}')) AS n_{name}")
-        out = f"regexp_replace({out}, '{esc(pat)}', '{tag}', 'g')"
-    return f"""
-SELECT {id_expr} AS id, {out} AS text_scrubbed, {', '.join(count_sel)}
-FROM {table_sql}
-"""
+    ctes = [f"s0 AS (SELECT {id_expr} AS id, {text_expr} AS _t0 FROM {table_sql})"]
+    carried = []
+    for i, (name, pat, tag) in enumerate(_PII_STEPS):
+        prev, cur = f"_t{i}", f"_t{i + 1}"
+        keep = ", ".join(["id", *carried])
+        ctes.append(
+            f"s{i + 1} AS (SELECT {keep}, "
+            f"len(regexp_extract_all({prev}, '{esc(pat)}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{esc(pat)}', '{tag}', 'g') AS {cur} "
+            f"FROM s{i})")
+        carried.append(f"n_{name}")
+    last = len(_PII_STEPS)
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT id, _t{last} AS text_scrubbed, {', '.join(carried)} "
+            f"FROM s{last}")

@@ -179,3 +179,19 @@ def test_scrub_pii_redacts_in_fixed_order(spark):
     assert got["c"]["n_email"] == 2
     assert got["b"]["text_scrubbed"] == docs[1][1]
     assert got["d"]["text_scrubbed"] == ""
+
+
+def test_scrub_pii_spares_benign_numbers(spark):
+    """The structured phone pattern must not merge unrelated numbers
+    (years, counts, adjacent numeric lines) into one redaction."""
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    docs = [("y", "pages 1990 2005 of the report"),
+            ("s", "items 42 12345 in stock"),
+            ("l", "line1 1999\n2024 line2"),
+            ("p", "dotted 415.555.0100 and bare 4155550100")]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in scrub_pii(df).collect()}
+    for k in ("y", "s", "l"):
+        assert got[k]["n_phone"] == 0 and "<PHONE>" not in got[k]["text_scrubbed"], k
+    assert got["p"]["n_phone"] == 2

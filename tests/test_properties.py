@@ -127,7 +127,9 @@ def test_decontaminate_matches_python_set_semantics(spark, train, test, n):
     def grams(text):
         toks = [w for w in text.lower().split() if w]
         if len(toks) <= n:
-            return {" ".join(toks)} if toks else {" ".join(toks)}
+            # mirrors shingles(): short (and empty) docs emit ONE shingle
+            # of the whole joined text — "" for an empty doc
+            return {" ".join(toks)}
         return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
     test_grams = set().union(*(grams(t) for t in test))
