@@ -375,6 +375,21 @@ def test_append_auto_compacts_and_bounds_edge_growth(spark, built, tmp_path_fact
     assert got == exact
 
 
+@pytest.mark.parametrize("metric", ["L2", "IP"])
+def test_beam_search_many_matches_single_other_metrics(spark, tmp_path_factory, metric):
+    """Batched == single beam under L2 and IP too (the pair-score and the
+    per-qid dedup both branch on metric)."""
+    df, q = _clustered_df(spark, n_bg=150, n_cl=12)
+    path = str(tmp_path_factory.mktemp(f"hnsw_m_{metric}") / "idx")
+    idx = build_hnsw(df, path, m=8, metric=metric, cell_target=64)
+    rng = np.random.RandomState(41)
+    queries = [(i, [float(x) for x in np.array(q) + rng.uniform(-0.02, 0.02, DIM)])
+               for i in range(4)]
+    beams = idx.beam_search_many(spark, queries, ef=20)
+    for qid, qv in queries:
+        assert beams[qid] == idx.beam_search(spark, qv, ef=20), (metric, qid)
+
+
 def test_beam_search_many_matches_single_query_beams(spark, built):
     """The batched beam must be RESULT-IDENTICAL to the per-query beam:
     same scores, same (-score, id) ordering, same exit criterion — only
