@@ -289,69 +289,128 @@ FROM (
 """
 
 
-# --- PII scrubbing (r6) -------------------------------------------------------
-# Regex redaction of the three machine-recognizable identifier classes a
-# pre-training pipeline scrubs wholesale (emails, IPv4 addresses, phone
-# numbers). Patterns restricted to the Java-regex/RE2 COMMON dialect
-# (character classes, bounded repetition, \b — no backrefs/lookarounds) so
-# the DuckDB twin executes them verbatim. Redaction order is FIXED
-# (email -> ip -> phone) because the loose phone pattern would otherwise
+# --- PII scrubbing (r6; extended classes + digit-boundary guards r7) ---------
+# Regex redaction of the machine-recognizable identifier classes a
+# pre-training pipeline scrubs wholesale (emails, IPv4 addresses, SSNs,
+# payment-card numbers, phone numbers). Patterns restricted to the
+# Java-regex/RE2 COMMON dialect (character classes, bounded repetition,
+# non-capturing groups, \b — no backrefs-in-pattern/lookarounds) so the
+# DuckDB twin executes them verbatim. Redaction order is FIXED
+# (email -> ip -> ssn -> ccard -> phone): the card pattern would otherwise
+# lose digit groups to the phone pattern, and the phone pattern would
 # consume dotted IPv4s; counts are taken at each step's input, so both
 # engines see identical intermediates. Pure Column expressions — one
 # projection, no UDF, embarrassingly parallel at any corpus size.
+#
+# Digit-boundary guards (ADVICE r6): \b cannot separate digit-from-digit,
+# so the numeric classes are wrapped in consuming guards
+# (^|[^0-9])(core)([^0-9]|$) and the replacement restores $1/$3 — a long
+# digit run ("12345678901234") no longer loses a 10-digit prefix to
+# <PHONE>. A consuming guard eats the separator between ADJACENT matches
+# ("<p1> <p2>": the space is part of match 1, so match 2 loses its leading
+# guard), so guarded classes run TWO passes; misses are never adjacent
+# (each one is flanked by redactions), so two passes are complete. Both
+# engines resume scanning after the full consumed match, so the pass
+# structure is engine-identical.
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
-# phone: PRECISION-FIRST structured form (optional country code +
-# 3-3-4 digit groups with single . - or space separators). A loose
-# any-digits-and-separators class would greedily merge unrelated benign
-# numbers ("pages 1990 2005" -> one <PHONE>) and would need \s, whose
-# class membership differs between Java regex and RE2 (\x0B) — this
-# pattern stays in the strict common dialect and cannot span lines.
-PII_PHONE = r"(\+[0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
-_PII_STEPS = (("email", PII_EMAIL, "<EMAIL>"),
-              ("ipv4", PII_IPV4, "<IP>"),
-              ("phone", PII_PHONE, "<PHONE>"))
+# US SSN, separator-required form (the unseparated 9-digit run is
+# indistinguishable from any other 9-digit number).
+PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+# payment card: 4x4 digit groups with uniform optional space/dash
+# separators (covers the 16-digit Visa/MC/Discover layout; a Luhn check
+# is not expressible as a regex and is intentionally out of scope).
+PII_CCARD = r"[0-9]{4}(?:[ -]?[0-9]{4}){3}"
+# phone: PRECISION-FIRST structured forms only. Alternative 1 is the
+# international shape (+CC then 2-4 separated groups of 2-4 digits:
+# "+44 20 7946 0958"); alternative 2 is the NANP 3-3-4 shape with an
+# optional +CC prefix. A loose any-digits-and-separators class would
+# greedily merge unrelated benign numbers ("pages 1990 2005" -> one
+# <PHONE>) and would need \s, whose class membership differs between
+# Java regex and RE2 (\x0B) — these patterns stay in the strict common
+# dialect and cannot span lines.
+PII_PHONE = (r"(?:\+[0-9]{1,3}(?:[ .-][0-9]{2,4}){2,4}"
+             r"|(?:\+[0-9]{1,3}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4})")
+
+
+def _guarded(core: str) -> str:
+    return f"(^|[^0-9])({core})([^0-9]|$)"
+
+
+# (name, pattern, tag, guarded) — guarded steps count matches on capture
+# group 2 (the core) and run two replace passes with $1/$3 restored.
+_PII_STEPS = (("email", PII_EMAIL, "<EMAIL>", False),
+              ("ipv4", PII_IPV4, "<IP>", False),
+              ("ssn", _guarded(PII_SSN), "<SSN>", True),
+              ("ccard", _guarded(PII_CCARD), "<CCARD>", True),
+              ("phone", _guarded(PII_PHONE), "<PHONE>", True))
 
 
 def scrub_pii(df: DataFrame, id_col: str = "id",
               text_col: str = "text") -> DataFrame:
-    """(id, text_scrubbed, n_email, n_ipv4, n_phone): text with the three
-    identifier classes replaced by typed placeholders, plus per-class
-    match counts."""
+    """(id, text_scrubbed, n_email, n_ipv4, n_ssn, n_ccard, n_phone): text
+    with the five identifier classes replaced by typed placeholders, plus
+    per-class match counts (guarded classes sum both passes)."""
     out = F.col(text_col)
     counts = {}
-    for name, pat, tag in _PII_STEPS:
-        counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
-        out = F.regexp_replace(out, pat, tag)
+    for name, pat, tag, guarded in _PII_STEPS:
+        if not guarded:
+            counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+            out = F.regexp_replace(out, pat, tag)
+            continue
+        repl = f"$1{tag}$3"
+        n1 = F.size(F.regexp_extract_all(out, F.lit(pat), 2))
+        out = F.regexp_replace(out, pat, repl)
+        n2 = F.size(F.regexp_extract_all(out, F.lit(pat), 2))
+        out = F.regexp_replace(out, pat, repl)
+        counts[name] = n1 + n2
     return df.select(
         F.col(id_col).alias("id"),
         out.alias("text_scrubbed"),
-        *(counts[name].alias(f"n_{name}") for name, _, _ in _PII_STEPS),
+        *(counts[name].alias(f"n_{name}") for name, _, _, _ in _PII_STEPS),
     )
 
 
 def scrub_pii_sql(table_sql: str, id_expr: str = "id",
                   text_expr: str = "text") -> str:
-    """DuckDB oracle twin of scrub_pii (same patterns, same fixed order).
-    Chained CTEs: each stage materializes its replace ONCE and the next
-    stage counts on it — inlining the cumulative replace chain into every
-    later expression would re-execute the earlier regexes per column."""
+    """DuckDB oracle twin of scrub_pii (same patterns, same fixed order,
+    same two-pass guarded structure). Chained CTEs: each stage
+    materializes its replace ONCE and the next stage counts on it —
+    inlining the cumulative replace chain into every later expression
+    would re-execute the earlier regexes per column."""
     # DuckDB '' literals pass backslashes through verbatim (no escape
     # processing), so only quotes need doubling
     esc = lambda p: p.replace("'", "''")  # noqa: E731
     ctes = [f"s0 AS (SELECT {id_expr} AS id, {text_expr} AS _t0 FROM {table_sql})"]
     carried = []
-    for i, (name, pat, tag) in enumerate(_PII_STEPS):
-        prev, cur = f"_t{i}", f"_t{i + 1}"
-        keep = ", ".join(["id", *carried])
+    stage = 0
+    for name, pat, tag, guarded in _PII_STEPS:
+        prev, keep = f"_t{stage}", ", ".join(["id", *carried])
+        if not guarded:
+            stage += 1
+            ctes.append(
+                f"s{stage} AS (SELECT {keep}, "
+                f"len(regexp_extract_all({prev}, '{esc(pat)}')) AS n_{name}, "
+                f"regexp_replace({prev}, '{esc(pat)}', '{tag}', 'g') AS _t{stage} "
+                f"FROM s{stage - 1})")
+            carried.append(f"n_{name}")
+            continue
+        repl = f"\\1{tag}\\3"
+        mid = f"_t{stage}a"
         ctes.append(
-            f"s{i + 1} AS (SELECT {keep}, "
-            f"len(regexp_extract_all({prev}, '{esc(pat)}')) AS n_{name}, "
-            f"regexp_replace({prev}, '{esc(pat)}', '{tag}', 'g') AS {cur} "
-            f"FROM s{i})")
+            f"s{stage}a AS (SELECT {keep}, "
+            f"len(regexp_extract_all({prev}, '{esc(pat)}', 2)) AS _n_{name}_1, "
+            f"regexp_replace({prev}, '{esc(pat)}', '{repl}', 'g') AS {mid} "
+            f"FROM s{stage})")
+        stage += 1
+        ctes.append(
+            f"s{stage} AS (SELECT {keep}, "
+            f"_n_{name}_1 + len(regexp_extract_all({mid}, '{esc(pat)}', 2)) "
+            f"AS n_{name}, "
+            f"regexp_replace({mid}, '{esc(pat)}', '{repl}', 'g') AS _t{stage} "
+            f"FROM s{stage - 1}a)")
         carried.append(f"n_{name}")
-    last = len(_PII_STEPS)
     return (f"WITH {', '.join(ctes)} "
-            f"SELECT id, _t{last} AS text_scrubbed, {', '.join(carried)} "
-            f"FROM s{last}")
+            f"SELECT id, _t{stage} AS text_scrubbed, {', '.join(carried)} "
+            f"FROM s{stage}")

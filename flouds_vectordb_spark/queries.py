@@ -1682,6 +1682,46 @@ def _scrub_pii_sql() -> str:
 
 _register_ext("text_scrub_pii", _scrub_pii_q, _scrub_pii_sql())
 
+
+# r7 PII classes (SSN / payment card / international + adjacent phones):
+# same injection pattern, different doc_id-derived payloads so every new
+# class and the two-pass adjacency path execute under the oracle
+def _scrub_pii_ext_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d4 = F.lpad((F.col("doc_id") % 9000).cast("string"), 4, "0")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" ssn 123-45-"), d4,
+                        F.lit(" card 4111 1111 1111 1111")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.col("text"), F.lit(" ring +44 20 7946 0958 or "
+                                            "555-123-4567 555-123-4568")))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.col("text"), F.lit(" ref 12345678901234")))
+        .otherwise(F.col("text")))
+    return scrub_pii(injected, id_col="doc_id")
+
+
+def _scrub_pii_ext_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii_sql
+
+    injected = (
+        "(SELECT doc_id, CASE "
+        "WHEN doc_id % 7 = 0 THEN text || ' ssn 123-45-' "
+        "|| lpad((doc_id % 9000)::VARCHAR, 4, '0') || ' card 4111 1111 1111 1111' "
+        "WHEN doc_id % 7 = 1 THEN text || "
+        "' ring +44 20 7946 0958 or 555-123-4567 555-123-4568' "
+        "WHEN doc_id % 7 = 2 THEN text || ' ref 12345678901234' "
+        "ELSE text END AS text FROM documents)"
+    )
+    return scrub_pii_sql(injected, id_expr="doc_id")
+
+
+_register_ext("text_scrub_pii_extended", _scrub_pii_ext_q, _scrub_pii_ext_sql())
+
 _TEXT_STATS_SQL = text_stats_sql("documents", id_expr="doc_id")
 _register("text_quality_rollup",
           lambda spark, sf_dir: corpus_rollup(

@@ -181,6 +181,55 @@ def test_scrub_pii_redacts_in_fixed_order(spark):
     assert got["d"]["text_scrubbed"] == ""
 
 
+def test_scrub_pii_ssn_ccard_intl_phone(spark):
+    """r7 classes: SSN, 16-digit payment card (plain + separated), and
+    the international +CC grouped phone form."""
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    docs = [
+        ("ssn", "taxpayer 123-45-6789 on file"),
+        ("cc1", "card 4111 1111 1111 1111 charged"),
+        ("cc2", "card 4111111111111111 charged"),
+        ("intl", "ring +44 20 7946 0958 today"),
+        # an SSN-shaped string inside a longer digit run must NOT match
+        ("run", "ref 123-45-67890 and 12345678901234"),
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got["ssn"]["text_scrubbed"] == "taxpayer <SSN> on file"
+    assert got["ssn"]["n_ssn"] == 1
+    assert got["cc1"]["text_scrubbed"] == "card <CCARD> charged"
+    assert got["cc2"]["text_scrubbed"] == "card <CCARD> charged"
+    assert got["cc1"]["n_ccard"] == 1 and got["cc1"]["n_phone"] == 0
+    assert got["intl"]["text_scrubbed"] == "ring <PHONE> today"
+    assert got["intl"]["n_phone"] == 1
+    assert got["run"]["text_scrubbed"] == docs[4][1]
+    assert got["run"]["n_ssn"] == 0 and got["run"]["n_phone"] == 0
+
+
+def test_scrub_pii_digit_boundaries_and_adjacency(spark):
+    """ADVICE r6: a 10+-digit run must not lose a prefix to <PHONE>; the
+    two-pass guarded replace must catch adjacent matches whose shared
+    separator the first pass consumed."""
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    docs = [
+        ("epoch", "ts 12345678901234 order 99912345678"),
+        ("adj2", "555-123-4567 555-123-4568"),
+        ("adj3", "415.555.0100 415.555.0101 415.555.0102"),
+        ("edge", "4155550100"),  # whole-string phone, ^/$ guards
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got["epoch"]["text_scrubbed"] == docs[0][1]
+    assert got["epoch"]["n_phone"] == 0
+    assert got["adj2"]["text_scrubbed"] == "<PHONE> <PHONE>"
+    assert got["adj2"]["n_phone"] == 2
+    assert got["adj3"]["text_scrubbed"] == "<PHONE> <PHONE> <PHONE>"
+    assert got["adj3"]["n_phone"] == 3
+    assert got["edge"]["text_scrubbed"] == "<PHONE>" and got["edge"]["n_phone"] == 1
+
+
 def test_scrub_pii_spares_benign_numbers(spark):
     """The structured phone pattern must not merge unrelated numbers
     (years, counts, adjacent numeric lines) into one redaction."""
