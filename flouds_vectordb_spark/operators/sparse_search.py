@@ -372,6 +372,13 @@ def sparse_search(
 
 # --- batched multi-query sparse search (r6) ----------------------------------
 
+# IN-list pruning cap for batched blocks: below this the posting scan gets
+# a static `term IN (...)` row-group-prunable filter; above it the list
+# becomes a broadcast semi-join (a 10k-element IN stops being pushed to the
+# parquet reader and bloats the plan string anyway).
+_ISIN_TERM_CAP = 512
+
+
 def _query_term_matrix(queries) -> tuple[list[str], list[tuple[int, list[int]]]]:
     """(union term list sorted, [(qid, qtf aligned to union terms)]).
     queries: (qid, query_text) pairs; tokenization identical to
@@ -401,19 +408,27 @@ def sparse_search_many(
 
     Plan (the set-of-queries shape, mirroring batch_search.py): ONE
     term-pruned posting scan serves the whole block — matched postings
-    pivot to one row per doc carrying a weight per UNION term (each doc
-    sums <=1 posting per term, so the pivot is deterministic), the tiny
-    (qid, qtf-vector) block cross-joins in, and each (qid, doc) score is
-    the same fixed-union-term-order weighted add both engines replay —
-    bit-identical to looping sparse_search per query. The k-cut is one
-    per-qid window over (qid, id, score) scalars.
+    pivot to one row per doc as a term->weight MAP (each doc has <=1
+    posting per term, the I1 build invariant, so map_from_entries is
+    well-defined and a violated invariant fails loudly under Spark's
+    duplicate-map-key EXCEPTION policy), the tiny per-qid (term, qtf)
+    block cross-joins in, and each (qid, doc) score is an F.aggregate
+    fold over the query's SORTED terms with map lookups. The fold adds
+    exactly the terms the per-query loop adds, in the same sorted order
+    (absent union terms contributed literal 0.0 before, a bitwise no-op
+    for IEEE doubles), so results stay bit-identical to looping
+    sparse_search per query AND to the fixed-union-order oracle twin.
+    The k-cut is one per-qid window over (qid, id, score) scalars.
 
-    Scale notes (100 TB): the scan is pruned to the union of the block's
-    query terms (term-range-sorted posting files skip everything else);
-    candidate volume is (docs matching any union term) x |block| rows of
-    three scalars; the qtf block is a genuine broadcast. Union terms
-    become agg expressions (one per term), so blocks are capped at 1024
-    union terms per call — chunk bigger blocks."""
+    Scale notes (100 TB): the plan is CONSTANT-WIDTH — block vocabulary
+    size changes data volume, never the number of columns or codegen
+    size, so there is no union-term cap (r6 capped at 1024 because terms
+    were agg columns). Small blocks prune the posting scan with an IN
+    filter (term-range-sorted posting files skip whole row groups); above
+    _ISIN_TERM_CAP the filter becomes a broadcast semi-join — dynamic
+    pruning instead of static, the honest trade at huge vocabularies.
+    Candidate volume is (docs matching any union term) x |block| rows of
+    three scalars; the qtf block is a genuine broadcast."""
     terms, qtf_rows = _query_term_matrix(queries)
     spark = postings.sparkSession
     if not terms:
@@ -422,28 +437,29 @@ def sparse_search_many(
         id_t = dict(postings.dtypes).get("id", "bigint")
         return spark.createDataFrame(
             [], f"qid long, id {id_t}, rank int, score double")
-    if len(terms) > 1024:
-        raise ValueError(
-            f"sparse query block has {len(terms)} union terms; cap is 1024 "
-            "per call — split the block")
 
-    matched = postings.filter(F.col("term").isin(terms))
-    aggs = [
-        F.sum(F.when(F.col("term") == t, F.col("weight"))).alias(f"_w{i}")
-        for i, t in enumerate(terms)
-    ]
-    per_doc = matched.groupBy("id").agg(*aggs)
+    if len(terms) <= _ISIN_TERM_CAP:
+        matched = postings.filter(F.col("term").isin(terms))
+    else:
+        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        matched = postings.join(F.broadcast(tdf), "term", "left_semi")
+    per_doc = matched.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("weight")))
+        ).alias("_wm"))
 
     qtf = spark.createDataFrame(
-        [(q, [int(c) for c in row]) for q, row in qtf_rows],
-        "qid bigint, _qtf array<int>")
+        [(q, [(t, int(c)) for t, c in zip(terms, row) if c > 0])
+         for q, row in qtf_rows],
+        "qid bigint, _qts array<struct<t:string,c:int>>")
     joined = per_doc.join(F.broadcast(qtf))
-    score = F.lit(0.0)
-    match_any = F.lit(False)
-    for i in range(len(terms)):
-        qc = F.element_at(F.col("_qtf"), i + 1).cast("double")
-        score = score + F.coalesce(F.col(f"_w{i}"), F.lit(0.0)) * qc
-        match_any = match_any | (F.col(f"_w{i}").isNotNull() & (qc > 0))
+    wm = F.col("_wm")
+    score = F.aggregate(
+        F.col("_qts"), F.lit(0.0),
+        lambda acc, e: acc + F.coalesce(F.element_at(wm, e["t"]), F.lit(0.0))
+        * e["c"].cast("double"))
+    match_any = F.exists(
+        F.col("_qts"), lambda e: F.element_at(wm, e["t"]).isNotNull())
     scored = (
         joined.filter(match_any)
         .select("qid", "id", score.alias("_score"))

@@ -211,6 +211,39 @@ def test_sparse_search_many_validation(spark, corpus):
     assert out.count() == 0
 
 
+def test_sparse_search_many_huge_union_vocabulary(spark):
+    """r7: the constant-width map-pivot plan removes the r6 1024-union-term
+    cap — a >1024-term block goes through the public API unchanged and
+    stays per-qid identical to the looped single-query scorer."""
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        _query_term_matrix,
+        bm25_postings,
+        sparse_search,
+        sparse_search_many,
+    )
+
+    docs = [(i, " ".join(f"t{(i * 17 + j * 13) % 1500:04d}" for j in range(30)))
+            for i in range(120)]
+    corpus = spark.createDataFrame(docs, "id long, chunk string")
+    posts = bm25_postings(corpus)
+    queries = [(q, " ".join(f"t{(q * 61 + j * 7) % 1500:04d}" for j in range(60)))
+               for q in range(25)]
+    terms, _ = _query_term_matrix(queries)
+    assert len(terms) > 1024, "fixture must exceed the old cap"
+    req = SparseSearchRequest(query_text="", limit=5)
+    got = {}
+    for r in sparse_search_many(posts, queries, req).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["id"], r["score"]))
+    # spot-check exact equivalence on three queries; ranks contiguous on all
+    for qid in (0, 12, 24):
+        single = [(r["rank"], r["id"], r["score"]) for r in sparse_search(
+            posts, SparseSearchRequest(query_text=queries[qid][1], limit=5)).collect()]
+        assert sorted(got.get(qid, [])) == single, qid
+    for qid, rows in got.items():
+        assert sorted(r[0] for r in rows) == list(range(1, len(rows) + 1)), qid
+
+
 # ---- batched hybrid RRF (hybrid_search_many) ---------------------------------
 
 def test_hybrid_search_many_matches_single_loop(spark, corpus):
