@@ -79,6 +79,8 @@ DEFAULT_M = 16          # HNSW default M (Milvus/hnswlib default)
 DEFAULT_EF = 64         # HNSW default search beam (Milvus default ef)
 CELL_TARGET = 1024      # build-time candidate cell size target
 MAX_ROUNDS = 32         # beam-round backstop; convergence is the normal exit
+BEAM_BLOCK_CAP = 256    # max queries per batched-beam chunk (driver state
+                        # is block x ef x M; bigger blocks auto-chunk)
 SPLIT_FACTOR = 4        # a cell is oversized above SPLIT_FACTOR * cell_target
 KMEANS_FLAT_MAX = 4096  # above this k, centroid training goes hierarchical
 PER_CELL_SAMPLE = 8192  # bounded per-cell sample for the refinement split
@@ -359,10 +361,24 @@ class HnswIndex:
         same as beam_search (no unexpanded member left in the top-ef);
         converged queries drop out of subsequent rounds, so the block
         finishes when the SLOWEST query does — at 2 jobs per round for
-        however many queries remain."""
+        however many queries remain.
+
+        Blocks larger than BEAM_BLOCK_CAP are transparently split and the
+        per-qid results unioned (chunking is semantics-free: every query's
+        beam is independent). The cap bounds the driver-side beam state —
+        scored/expanded dicts and the per-round frontier pairs grow as
+        block x ef x M, kilobytes at 64 queries but unbounded without a
+        cap (ADVICE r6: a 100k-query block would OOM the driver)."""
         from flouds_vectordb_spark.operators.batch_search import query_block
 
         queries = list(queries)
+        if len(queries) > BEAM_BLOCK_CAP:
+            out: dict = {}
+            for s in range(0, len(queries), BEAM_BLOCK_CAP):
+                out.update(self.beam_search_many(
+                    spark, queries[s:s + BEAM_BLOCK_CAP], ef=ef,
+                    max_rounds=max_rounds))
+            return out
         qb = query_block(spark, queries)
         ef = max(1, int(ef))
         qids = [int(q) for q, _ in queries]
@@ -953,11 +969,23 @@ def open_hnsw(path: str) -> HnswIndex:
 _VALIDATED_PATHS: dict[str, tuple] = {}
 
 
+def invalidate_hnsw_cache(path: str | None = None) -> None:
+    """Drop the process-level validation memo (one path, or all). Call
+    after changing the corpus a cached graph was built from WITHIN this
+    process — the next get_or_build_hnsw re-runs the row-count
+    fingerprint and rebuilds on mismatch."""
+    if path is None:
+        _VALIDATED_PATHS.clear()
+    else:
+        _VALIDATED_PATHS.pop(path, None)
+
+
 def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
                       metric: str = "COSINE", id_col: str = "id",
                       vector_col: str = "vector",
                       cell_target: int = CELL_TARGET,
-                      refine_rounds: int = 0) -> HnswIndex:
+                      refine_rounds: int = 0,
+                      force_rebuild: bool = False) -> HnswIndex:
     """Reuse the cached graph only when built with the SAME params AND the
     same input cardinality — cell_target and the row count are part of the
     key, so changing the build knob or the underlying df (grown/shrunk
@@ -965,11 +993,16 @@ def get_or_build_hnsw(df: DataFrame, path: str, m: int = DEFAULT_M,
     is a cheap fingerprint, not a content hash: an equal-size content swap
     still requires an explicit rebuild, documented limitation. The count
     job runs once per (process, path, params); later calls in the same
-    process skip straight to open.)"""
+    process skip straight to open. Consequence, ADVICE r6: an IN-PROCESS
+    corpus change after the first validated call is NOT detected — call
+    invalidate_hnsw_cache(path) after mutating the source, or pass
+    force_rebuild=True to bypass the cache entirely.)"""
     params = (metric.upper(), int(m), int(refine_rounds), int(cell_target),
               id_col, vector_col)
     meta_p = os.path.join(path, "_hnsw_meta.json")
-    if os.path.exists(meta_p):
+    if force_rebuild:
+        _VALIDATED_PATHS.pop(path, None)
+    if not force_rebuild and os.path.exists(meta_p):
         with open(meta_p) as f:
             meta = json.load(f)
         if (meta["metric"] == metric.upper() and meta["M"] == int(m)

@@ -461,3 +461,50 @@ def test_get_or_build_cache_key_and_process_memo(spark, tmp_path_factory):
     # different metric: rebuild
     i4 = get_or_build_hnsw(df, path, m=8, metric="L2", cell_target=32)
     assert i4.meta["metric"] == "L2"
+
+
+def test_get_or_build_invalidate_and_force_rebuild(spark, tmp_path_factory):
+    """r7 (ADVICE r6): the process memo skips the row-count fingerprint, so
+    an in-process corpus change needs invalidate_hnsw_cache(path) — after
+    which the grown corpus rebuilds — and force_rebuild always rebuilds."""
+    from flouds_vectordb_spark.plans.hnsw import (
+        get_or_build_hnsw,
+        invalidate_hnsw_cache,
+    )
+
+    df, q = _clustered_df(spark, n_bg=100, n_cl=10)
+    path = str(tmp_path_factory.mktemp("hnsw_inval") / "idx")
+    i1 = get_or_build_hnsw(df, path, m=8, metric="COSINE", cell_target=64)
+    n1 = i1.meta["n"]
+    grown = df.union(spark.createDataFrame(
+        [(int(9100 + i), [float(x) for x in np.array(q) * (1 + i * 1e-3)])
+         for i in range(5)], "id bigint, vector array<double>"))
+    # memo hit: the grown corpus is NOT detected (documented exposure)
+    i2 = get_or_build_hnsw(grown, path, m=8, metric="COSINE", cell_target=64)
+    assert i2.meta["n"] == n1
+    # explicit invalidation re-runs the fingerprint -> rebuild on mismatch
+    invalidate_hnsw_cache(path)
+    i3 = get_or_build_hnsw(grown, path, m=8, metric="COSINE", cell_target=64)
+    assert i3.meta["n"] == n1 + 5
+    # force_rebuild bypasses both memo and meta match
+    i4 = get_or_build_hnsw(df, path, m=8, metric="COSINE", cell_target=64,
+                           force_rebuild=True)
+    assert i4.meta["n"] == n1
+
+
+def test_beam_search_many_auto_chunks_large_blocks(spark, built, monkeypatch):
+    """r7: blocks above BEAM_BLOCK_CAP split transparently and stay
+    per-qid identical to an uncapped run. Run a 1000-query block through
+    the public API with a lowered cap (chunking math is cap-independent),
+    then equivalence-check a sample against the single-query beam."""
+    import flouds_vectordb_spark.plans.hnsw as H
+
+    df, q, idx = built
+    rng = np.random.RandomState(53)
+    queries = [(i, [float(x) for x in np.array(q) + rng.uniform(-0.05, 0.05, DIM)])
+               for i in range(1000)]
+    monkeypatch.setattr(H, "BEAM_BLOCK_CAP", 300)
+    beams = idx.beam_search_many(spark, queries, ef=8)
+    assert set(beams) == {qid for qid, _ in queries}
+    for qid in (0, 299, 300, 777, 999):  # spans chunk boundaries
+        assert beams[qid] == idx.beam_search(spark, queries[qid][1], ef=8), qid
