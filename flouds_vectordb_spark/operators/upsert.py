@@ -203,13 +203,32 @@ class CollectionWriter:
             # unique by construction.
             if not auto_id and int(counts["nk"]) != n:
                 raise ValueError("duplicate primary keys in batch")
-            stamped.write.mode("append").parquet(self.meta["path"])
-            # one watermark/high-water update AFTER the write succeeds
+            # COMMIT ORDER (crash contract, ADVICE r6): advance the
+            # watermark/high-water mark BEFORE the data write. The two
+            # steps cannot be atomic; ordering them write-intent-first
+            # picks the safe failure mode. Crash after the meta update but
+            # before the write: the ts is burned — a retry with the SAME
+            # ts is rejected by the strictly-increasing check and the
+            # caller re-inserts under a fresh ts (explicit, no
+            # corruption; auto-ids in the burned range become gaps, which
+            # INT64 pks tolerate). The old write-first order instead let
+            # a same-ts retry duplicate the whole batch on disk, silently
+            # breaking the (id, max batch_ts) uniqueness every latest-wins
+            # view and staleness semi-join relies on. Partial data files
+            # from a crash mid-write stay invisible (Spark's committer
+            # stages task output in _temporary until job commit).
             updates = {"last_batch_ts": int(batch_ts)}
             if auto_id:
                 updates["auto_id_next"] = int(self.meta.get("auto_id_next", 0)) + n
+            if int(self.meta.get("index_appends", 0)) == 0 and self._has_dense_index():
+                # the write below will append to the built index (see
+                # _append_dense_indexes); flag it pessimistically in the
+                # same meta write so a crash can only over-count, never
+                # let a stale index row evade the staleness semi-join
+                updates["index_appends"] = 1
             self.meta = self.catalog.update_collection_meta(
                 self.tenant, self.model, **updates)
+            stamped.write.mode("append").parquet(self.meta["path"])
             if auto_id:
                 # index maintenance reads the WRITTEN rows back (batch_ts
                 # row-group pruning makes this an O(batch) read): the ids
@@ -280,6 +299,27 @@ class CollectionWriter:
         cols = ["id"] + [c for c in stamped.columns if c != "id"]
         return assigned.select(*cols), n, nbad
 
+    def _has_dense_index(self) -> bool:
+        import os
+
+        return (os.path.exists(os.path.join(self.meta["path"] + "__hnsw",
+                                            "_hnsw_meta.json"))
+                or os.path.exists(os.path.join(self.meta["path"] + "__ivf",
+                                               "_centroids.json")))
+
+    def _ivf_needs_staleness_join(self) -> bool:
+        """True when the IVF/coded layouts may hold stale versions of
+        updated keys — i.e. any insert ran after the index build
+        (meta index_appends, reset to 0 by build_index, flagged by
+        insert_data BEFORE its data write). A never-appended index was
+        built from read_latest() and is duplicate-free, so the search
+        paths skip the full-collection _latest_keys semi-join entirely
+        (ADVICE r6: that join cost O(collection) per search even when no
+        append ever happened). Refreshes the catalog row first: another
+        process may have appended since this reader was constructed."""
+        self.meta = self.catalog.describe_collection(self.tenant, self.model)
+        return int(self.meta.get("index_appends", 1)) != 0
+
     def _latest_keys(self, id_col: str = "id") -> DataFrame:
         """(id, batch_ts) of each key's CURRENT version — the scalars-only
         key view the staleness semi-joins consume. groupBy+max instead of
@@ -329,9 +369,15 @@ class CollectionWriter:
         if itype_early == "HNSW":
             from flouds_vectordb_spark.plans.hnsw import build_hnsw
 
-            return build_hnsw(self.read_latest(), self.meta["path"] + "__hnsw",
+            gidx = build_hnsw(self.read_latest(), self.meta["path"] + "__hnsw",
                               metric=self.meta["metric_type"],
                               id_col="id", vector_col="vector")
+            # built from read_latest(): duplicate-free until the next
+            # append (gates _ivf_needs_staleness_join for IVF kinds; kept
+            # uniform for HNSW)
+            self.meta = self.catalog.update_collection_meta(
+                self.tenant, self.model, index_appends=0)
+            return gidx
 
         ivf_path = self.meta["path"] + "__ivf"
         idx = build_ivf(
@@ -358,6 +404,8 @@ class CollectionWriter:
             build_pq(spark.read.parquet(ivf_path), self.meta["path"] + "__pq",
                      m=m, k=256, metric=self.meta["metric_type"],
                      extra_cols=("centroid_id", "batch_ts"))
+        self.meta = self.catalog.update_collection_meta(
+            self.tenant, self.model, index_appends=0)
         return idx
 
     def _append_dense_indexes(self, stamped: DataFrame) -> bool:
@@ -472,9 +520,10 @@ class CollectionWriter:
             # which cells happened to be scanned (single vs batched probes
             # would then disagree).
             pruned = idx.scan(spark, cells)
-            fresh = pruned.join(self._latest_keys(id_col),
-                                [id_col, "batch_ts"], "left_semi")
-            return dense_search(fresh, req, **dense_kwargs)
+            if self._ivf_needs_staleness_join():
+                pruned = pruned.join(self._latest_keys(id_col),
+                                     [id_col, "batch_ts"], "left_semi")
+            return dense_search(pruned, req, **dense_kwargs)
 
         coded = self._decoded_scan(itype, cells, id_col, vector_col)
         # the payload join doubles as staleness resolution: read_latest is
@@ -566,18 +615,20 @@ class CollectionWriter:
             # which other queries share the batch (a union-cells window
             # would let one query's probed cells change another's dedup)
             pruned = idx.scan(spark, union_cells)
-            fresh = pruned.join(self._latest_keys(id_col),
-                                [id_col, "batch_ts"], "left_semi")
-            return ivf_search_many(idx, spark, queries, req, scan_df=fresh,
-                                   payload_df=fresh, **dense_kwargs)
+            if self._ivf_needs_staleness_join():
+                pruned = pruned.join(self._latest_keys(id_col),
+                                     [id_col, "batch_ts"], "left_semi")
+            return ivf_search_many(idx, spark, queries, req, scan_df=pruned,
+                                   payload_df=pruned, **dense_kwargs)
 
         coded = self._decoded_scan(itype, union_cells, id_col, vector_col,
                                    extra_cols=("centroid_id",))
         # scalars-only staleness semi-join: stale codes of updated keys
         # match no (id, batch_ts) pair in the latest view and drop out
-        coded_fresh = coded.join(self._latest_keys(id_col),
-                                 [id_col, "batch_ts"], "left_semi")
-        return ivf_search_many(idx, spark, queries, req, scan_df=coded_fresh,
+        if self._ivf_needs_staleness_join():
+            coded = coded.join(self._latest_keys(id_col),
+                               [id_col, "batch_ts"], "left_semi")
+        return ivf_search_many(idx, spark, queries, req, scan_df=coded,
                                payload_df=self.read_latest(), **dense_kwargs)
 
     # ---- sparse + hybrid over the stored collection (vector_store.py:594-692)

@@ -578,3 +578,82 @@ def test_auto_id_mark_read_fresh_under_lock(spark, tmp_path_factory):
     w_old.insert_data(batch, batch_ts=2)        # must be 5..9, not 0..4
     ids = sorted(r["id"] for r in w_old.read_latest().select("id").collect())
     assert ids == list(range(10))
+
+
+def test_crash_between_meta_and_write_burns_ts_no_duplicates(
+        spark, tmp_path_factory, monkeypatch):
+    """r7 commit-order contract (ADVICE r6): the watermark advances BEFORE
+    the data write, so a crash between the two burns the ts — a same-ts
+    retry is REJECTED (instead of silently duplicating the batch on disk)
+    and a fresh-ts retry succeeds with exactly one version per key."""
+    import pyspark.sql.readwriter as RW
+
+    cat, batch = _mini_collection(spark, tmp_path_factory, "wh_crash")
+    w = CollectionWriter(cat, "t0", "m4")
+    w.insert_data(batch, batch_ts=1)
+
+    orig = RW.DataFrameWriter.parquet
+    state = {"armed": True}
+
+    def boom(self, path, *a, **kw):
+        if state["armed"] and path == w.meta["path"]:
+            state["armed"] = False
+            raise RuntimeError("simulated crash after meta update")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", boom)
+    b2 = spark.createDataFrame(
+        [("k1", "c2", [0.0, 1.0, 0.0, 0.0])],
+        "id string, chunk string, vector array<float>")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        w.insert_data(b2, batch_ts=2)
+    # ts 2 is burned: watermark advanced, data absent
+    assert cat.describe_collection("t0", "m4")["last_batch_ts"] == 2
+    with pytest.raises(ValueError, match="strictly increasing"):
+        w.insert_data(b2, batch_ts=2)
+    w.insert_data(b2, batch_ts=3)
+    rows = w.read_latest().collect()
+    assert len(rows) == 1 and rows[0]["chunk"] == "c2"
+    # underlying segments: exactly TWO physical versions of k1 (ts 1 and 3)
+    phys = cat.read_collection("t0", "m4").select("batch_ts").collect()
+    assert sorted(r["batch_ts"] for r in phys) == [1, 3]
+
+
+def test_ivf_staleness_join_skipped_until_post_build_append(
+        spark, tmp_path_factory):
+    """r7 (ADVICE r6): a never-appended index skips the O(collection)
+    _latest_keys semi-join; the first post-build insert flips the meta
+    flag (pessimistically, BEFORE its data write) and search results stay
+    latest-wins correct through an update of an existing key."""
+    from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_skipj")))
+    cat.set_vector_store("t0")
+    cat.generate_schema(CollectionSpec("t0", "m4", dimension=4, nlist=2))
+    w = CollectionWriter(cat, "t0", "m4")
+    batch = spark.createDataFrame(
+        [(f"k{i}", "c", [float(i % 3), float(i % 5), 1.0, 0.0])
+         for i in range(20)],
+        "id string, chunk string, vector array<float>")
+    w.insert_data(batch, batch_ts=1, force_flush=True)
+    w.build_index()
+    assert w.meta["index_appends"] == 0
+    assert w._ivf_needs_staleness_join() is False
+    req = DenseSearchRequest(query_vector=[0.0, 0.0, 1.0, 0.0],
+                             metric="COSINE", limit=3, output_fields=())
+    base = {(r["id"], r["score"]) for r in w.search(req, use_index=True).collect()}
+    assert base == {(r["id"], r["score"]) for r in w.search(req).collect()}
+    # post-build UPDATE of k0: flag flips, stale version must not surface
+    upd = spark.createDataFrame(
+        [("k0", "new", [0.0, 0.0, 0.0, 1.0])],
+        "id string, chunk string, vector array<float>")
+    w.insert_data(upd, batch_ts=2)
+    assert w._ivf_needs_staleness_join() is True
+    got = {r["id"]: r["score"] for r in w.search(
+        DenseSearchRequest(query_vector=[0.0, 0.0, 0.0, 1.0], metric="COSINE",
+                           limit=20, output_fields=()),
+        use_index=True).collect()}
+    exact = {r["id"]: r["score"] for r in w.search(
+        DenseSearchRequest(query_vector=[0.0, 0.0, 0.0, 1.0], metric="COSINE",
+                           limit=20, output_fields=())).collect()}
+    assert got == exact  # one entry per key, k0 at its NEW vector's score
