@@ -677,3 +677,192 @@ SELECT id, count(DISTINCT tr._gh) AS matched_ngrams
 FROM tr JOIN te ON tr._gh = te._gh
 GROUP BY id HAVING count(DISTINCT tr._gh) >= {int(min_matches)}
 """
+
+
+# --- exact substring (span) dedup (r7) ---------------------------------------
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens): per document, the MAXIMAL
+    token spans every k-token window of which occurs >= min_occurrences
+    times in the corpus — the Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") exact-substring rule: cut every
+    >= k-token substring that repeats anywhere in the corpus (including
+    within one document). Positions are 1-based token indices, spans
+    inclusive.
+
+    Spark-first plan (the shuffle-friendly equivalent of the paper's
+    suffix array, which is a single-machine construction): a repeated
+    substring of length L >= k is exactly a run of L-k+1 consecutive
+    duplicated k-gram windows, so
+      1. ONE scan tokenizes and emits positioned k-gram hashes — explode
+         + hash ride the same projection, so only (id, pos, gh) scalars
+         ever shuffle, never text;
+      2. duplicated grams are a groupBy(gh) count filter (map-side
+         combinable, 60-bit near-unique keys -> no skew);
+      3. a scalars-only semi-join keeps the duplicated (id, pos) windows;
+      4. consecutive/overlapping windows stitch into maximal spans with a
+         per-document window (lag(pos) gap test + running group sum) —
+         partitioned by id, so at 100 TB the stitch is embarrassingly
+         parallel and each partition holds per-doc position lists only.
+    Two overlapping repeats from DIFFERENT sources merge into one span
+    (standard behavior — the span is "duplicated text", whatever its
+    origins). Documents shorter than k tokens emit no windows: they
+    cannot contain a >= k-token substring (document-level dedup is the
+    exact-hash/MinHash family's job)."""
+    from pyspark.sql import Window
+
+    kk = int(k)
+    toks = tokenize(F.col(text_col))
+    d = _spread(df).select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    n = F.size("_toks")
+    pos_seq = F.when(n >= kk, F.sequence(F.lit(1), n - F.lit(kk - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = (
+        d.select("id", "_toks", F.explode(pos_seq).alias("pos"))
+        .select("id", "pos",
+                hash64(F.array_join(
+                    F.slice(F.col("_toks"), F.col("pos"), kk), " ")).alias("_gh"))
+    )
+    grams = _persist(grams)  # read twice: dup detection + position join
+    dup = (grams.groupBy("_gh").count()
+           .filter(F.col("count") >= int(min_occurrences)).select("_gh"))
+    hits = grams.join(dup, "_gh", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    newgrp = F.when(lagp.isNull() | (F.col("pos") > lagp + kk), 1).otherwise(0)
+    grp = F.sum(newgrp).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        hits.withColumn("_g", grp)
+        .groupBy("id", "_g")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + F.lit(kk - 1)).alias("span_end"))
+        .select("id", "span_start", "span_end",
+                (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"))
+    )
+
+
+def exact_substring_spans_sql(
+    table_sql: str,
+    id_expr: str = "id",
+    text_expr: str = "text",
+    k: int = 50,
+    min_occurrences: int = 2,
+) -> str:
+    """DuckDB oracle twin of exact_substring_spans: same positioned gram
+    hashes, same duplicate rule, same lag/gap stitch."""
+    kk = int(k)
+    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    gh = hash64_sql(f"array_to_string(list_slice(_toks, pos, pos + {kk - 1}), ' ')")
+    return f"""
+WITH _toksed AS (
+  SELECT {id_expr} AS id, {tok} AS _toks FROM {table_sql}
+),
+_grams AS (
+  SELECT id, pos, {gh} AS _gh FROM (
+    SELECT id, _toks, unnest(generate_series(1, len(_toks) - {kk - 1})) AS pos
+    FROM _toksed WHERE len(_toks) >= {kk}
+  )
+),
+_dup AS (
+  SELECT _gh FROM _grams GROUP BY _gh HAVING count(*) >= {int(min_occurrences)}
+),
+_hits AS (
+  SELECT DISTINCT id, pos FROM _grams JOIN _dup USING (_gh)
+),
+_flagged AS (
+  SELECT id, pos,
+    CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+          OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + {kk}
+         THEN 1 ELSE 0 END AS _new
+  FROM _hits
+),
+_grouped AS (
+  SELECT id, pos,
+    sum(_new) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS _g
+  FROM _flagged
+)
+SELECT id, min(pos) AS span_start, max(pos) + {kk - 1} AS span_end,
+       max(pos) + {kk - 1} - min(pos) + 1 AS span_tokens
+FROM _grouped GROUP BY id, _g
+"""
+
+
+def remove_exact_substrings(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text_clean, n_tokens_removed): the cut step of Lee et al.'s
+    exact-substring dedup — drop every token lying inside one of the
+    document's duplicated spans (exact_substring_spans output) and
+    re-join the survivors with single spaces (tokenization normalizes
+    whitespace, so the surviving text is the token stream, not the raw
+    bytes — the standard behavior for token-level span removal).
+
+    Plan: spans collapse to one (id, [struct(s,e)]) row per document
+    (bounded: spans are maximal and disjoint, so there are at most
+    n_tokens/k of them) and join back; the token filter is a nested
+    higher-order expression (no UDF). Documents without spans pass
+    through with n_tokens_removed = 0."""
+    toks = tokenize(F.col(text_col))
+    d = _spread(df).select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    sp = spans.groupBy("id").agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                F.col("span_end").alias("e"))).alias("_spans"))
+    joined = d.join(sp, "id", "left")
+    in_span = lambda x, i: F.exists(  # noqa: E731 — 1-based token position
+        F.col("_spans"), lambda s: (i + 1 >= s["s"]) & (i + 1 <= s["e"]))
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")) \
+        .otherwise(F.filter(F.col("_toks"), lambda x, i: ~in_span(x, i)))
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("text_clean"),
+        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
+    )
+
+
+def remove_exact_substrings_sql(
+    table_sql: str,
+    id_expr: str = "id",
+    text_expr: str = "text",
+    k: int = 50,
+    min_occurrences: int = 2,
+) -> str:
+    """DuckDB twin of remove_exact_substrings composed over the spans twin
+    (DuckDB list lambdas are 1-based, matching the span positions
+    directly where Spark's 0-based filter index needs i + 1)."""
+    spans = exact_substring_spans_sql(table_sql, id_expr, text_expr,
+                                      k=k, min_occurrences=min_occurrences)
+    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    return f"""
+WITH _docs AS (
+  SELECT {id_expr} AS id, {tok} AS _toks FROM {table_sql}
+),
+_sp AS (
+  SELECT id, list(struct_pack(s := span_start, e := span_end)) AS _spans
+  FROM ({spans}) GROUP BY id
+),
+_joined AS (
+  SELECT d.id, d._toks,
+    CASE WHEN _spans IS NULL THEN d._toks
+         ELSE list_filter(d._toks,
+              (x, i) -> len(list_filter(_spans,
+                   sp -> i >= sp.s AND i <= sp.e)) = 0)
+    END AS _kept
+  FROM _docs d LEFT JOIN _sp ON d.id = _sp.id
+)
+SELECT id,
+       -- DuckDB: array_to_string on an EMPTY list is NULL; Spark's
+       -- array_join is '' — pin the fully-removed-document case to ''
+       coalesce(array_to_string(_kept, ' '), '') AS text_clean,
+       len(_toks) - len(_kept) AS n_tokens_removed
+FROM _joined
+"""

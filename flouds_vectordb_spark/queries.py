@@ -734,6 +734,74 @@ def _decontaminate_sql() -> str:
 _register_ext("dedup_decontaminate", _decontaminate_q, _decontaminate_sql())
 
 
+# --- exact substring (span) dedup (r7) ----------------------------------------
+# Lee et al. 2022's repeated->=k-token-span rule over the documents fixture:
+# both engines inject the same 24-token boilerplate paragraph into ~18% of
+# docs (suffix for doc_id%11==0, prefix for %11==1), k=20 — the gate checks
+# the stitched (id, span_start, span_end, span_tokens) rows byte-for-byte,
+# plus whatever natural >=20-gram repetitions the corpus itself carries.
+_SPAN_BOILER = ("this work is licensed under the creative commons attribution "
+                "share alike international license terms reproduction requires "
+                "attribution and a link to the original source")
+
+
+def _span_injected_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SPAN_BOILER)))
+        .when(F.col("doc_id") % 11 == 1,
+              F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")))
+        .otherwise(F.col("text")))
+
+
+_SPAN_INJECTED_SQL = (
+    "(SELECT doc_id, CASE "
+    f"WHEN doc_id % 11 = 0 THEN text || ' {_SPAN_BOILER}' "
+    f"WHEN doc_id % 11 = 1 THEN '{_SPAN_BOILER} ' || text "
+    "ELSE text END AS text FROM documents)"
+)
+
+
+def _span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(_span_injected_df(spark, sf_dir),
+                                 id_col="doc_id", k=20)
+
+
+def _span_dedup_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import exact_substring_spans_sql
+
+    return exact_substring_spans_sql(_SPAN_INJECTED_SQL, id_expr="doc_id",
+                                     k=20)
+
+
+_register_ext("dedup_exact_substring", _span_dedup_q, _span_dedup_sql())
+
+
+def _span_remove_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_exact_substrings,
+    )
+
+    injected = _span_injected_df(spark, sf_dir)
+    spans = exact_substring_spans(injected, id_col="doc_id", k=20)
+    return remove_exact_substrings(injected, spans, id_col="doc_id")
+
+
+def _span_remove_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import remove_exact_substrings_sql
+
+    return remove_exact_substrings_sql(_SPAN_INJECTED_SQL, id_expr="doc_id",
+                                       k=20)
+
+
+_register_ext("dedup_remove_substrings", _span_remove_q, _span_remove_sql())
+
+
 # --- deterministic sampling ------------------------------------------------------
 def _sample_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.sampling import sample_fraction

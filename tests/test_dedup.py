@@ -296,3 +296,64 @@ def test_decontaminate_short_documents_whole_text_shingle(spark):
     got = {r["id"] for r in
            decontaminate(train, test_set, n=8, min_matches=1).collect()}
     assert got == {"copy"}
+
+
+# ---- exact substring (span) dedup (r7) --------------------------------------
+
+def _span_fixture(spark):
+    D = " ".join(f"d{i}" for i in range(1, 13))         # 12 shared tokens
+    E = " ".join(f"e{i}" for i in range(1, 7))          # 6 tokens, repeated
+    docs = [
+        ("a", f"a1 a2 a3 {D} a4 a5"),
+        ("b", f"{D} b1"),
+        ("c", "c1 c2"),                                  # shorter than k
+        ("e", f"{E} {E}"),                               # within-doc repeat
+        ("f", "f1 f2 f3 f4 f5 f6 f7 f8"),                # no duplication
+    ]
+    return spark.createDataFrame(docs, "id string, text string")
+
+
+def test_exact_substring_spans_known_fixture(spark):
+    from flouds_vectordb_spark.operators.dedup import exact_substring_spans
+
+    df = _span_fixture(spark)
+    got = {(r["id"], r["span_start"], r["span_end"], r["span_tokens"])
+           for r in exact_substring_spans(df, k=5).collect()}
+    assert got == {
+        ("a", 4, 15, 12),   # the shared D region, exactly
+        ("b", 1, 12, 12),
+        ("e", 1, 12, 12),   # both copies of the repeated E merge
+    }
+
+
+def test_exact_substring_spans_two_disjoint_spans(spark):
+    from flouds_vectordb_spark.operators.dedup import exact_substring_spans
+
+    D1 = " ".join(f"p{i}" for i in range(1, 7))
+    D2 = " ".join(f"q{i}" for i in range(1, 7))
+    mid = " ".join(f"m{i}" for i in range(1, 9))         # 8-token separator
+    docs = [("x", f"{D1} {mid} {D2}"),
+            ("y", f"y0 {D1} y1 y2"), ("z", f"{D2} z1")]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = sorted((r["id"], r["span_start"], r["span_end"])
+                 for r in exact_substring_spans(df, k=6).collect())
+    # x: D1 at 1..6 and D2 at 15..20, separated by > k -> TWO spans
+    assert got == [("x", 1, 6), ("x", 15, 20),
+                   ("y", 2, 7), ("z", 1, 6)]
+
+
+def test_remove_exact_substrings_cuts_spans(spark):
+    from flouds_vectordb_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_exact_substrings,
+    )
+
+    df = _span_fixture(spark)
+    spans = exact_substring_spans(df, k=5)
+    got = {r["id"]: (r["text_clean"], r["n_tokens_removed"])
+           for r in remove_exact_substrings(df, spans).collect()}
+    assert got["a"] == ("a1 a2 a3 a4 a5", 12)
+    assert got["b"] == ("b1", 12)
+    assert got["c"] == ("c1 c2", 0)
+    assert got["e"] == ("", 12)
+    assert got["f"][1] == 0
