@@ -244,3 +244,38 @@ def test_scrub_pii_spares_benign_numbers(spark):
     for k in ("y", "s", "l"):
         assert got[k]["n_phone"] == 0 and "<PHONE>" not in got[k]["text_scrubbed"], k
     assert got["p"]["n_phone"] == 2
+
+
+def test_decode_media_nonimage_always_raises():
+    from flouds_vectordb_spark.operators.multimodal import decode_media
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="no decoder"):
+        decode_media(b"RIFF....WAVE", "audio/wav")
+
+
+def test_pil_image_extractor_real_decode(spark):
+    """Runs only where Pillow is installed (not this container): a real
+    PNG flows through the UNCHANGED mapInPandas pipeline with the real
+    extractor — schema, batching, and partitioning identical to the
+    fake-extractor path."""
+    import pytest as _pytest
+    _pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from flouds_vectordb_spark.operators.multimodal import (
+        extract_features,
+        pil_image_extractor,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 3), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png), "image/png")],
+                               "id long, payload binary, media_type string")
+    row = extract_features(df, extractor=pil_image_extractor).collect()[0]
+    assert row["n_bytes"] == len(png)
+    assert row["feat"][:3] == [7.0, 3.0, 3.0]
+    assert abs(row["feat"][3] - (255 / 3) / 255.0) < 1e-6  # mean luma of pure red
