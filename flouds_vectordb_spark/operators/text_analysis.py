@@ -213,23 +213,49 @@ def repetition_stats(df: DataFrame, id_col: str = "id",
     dup_line_frac = _ratio(n_lines - n_dlines, n_lines)
     line_chars = F.aggregate(
         F.transform("_lines", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    # duplicate-line chars via SORTED neighbors (r7 — the per-element
+    # filter-count was O(lines^2) per doc): an element occurs >1 times iff
+    # it equals its predecessor or successor in the sorted array. The
+    # greatest/least index clamp keeps element_at in 1..n; at the clamped
+    # boundary the equality degenerates to self-compare and the i>1 / i<n
+    # conjunct kills it. Values are identical to the quadratic form (sum
+    # over the multiset is order-free).
+    ls = F.array_sort("_lines")
+    eln = lambda i: F.element_at(ls, i)  # noqa: E731
     dup_line_chars = F.aggregate(
-        F.transform("_lines", lambda x: F.when(
-            F.size(F.filter("_lines", lambda y: y == x)) > 1,
-            F.length(x)).otherwise(F.lit(0))),
+        F.transform(
+            F.when(n_lines >= 1, F.sequence(F.lit(1), n_lines))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: F.when(
+                ((i > 1) & (eln(F.greatest(i - 1, F.lit(1))) == eln(i)))
+                | ((i < n_lines) & (eln(F.least(i + 1, n_lines)) == eln(i))),
+                F.length(eln(i))).otherwise(F.lit(0))),
         F.lit(0), lambda a, x: a + x)
     dup_line_char_frac = _ratio(dup_line_chars, line_chars)
 
     d = d.withColumn("_g2", shingles(F.col("_toks"), n=2))
     stream_chars = F.length(F.array_join("_toks", " "))
-    # only grams occurring MORE THAN ONCE count as repetition — otherwise
-    # any short document's longest singleton 2-gram trips the threshold
-    def _cover(g):
-        freq = F.size(F.filter("_g2", lambda y: y == g))
-        return F.when(freq > 1, freq * F.length(g)).otherwise(F.lit(0))
-
-    top_cover = F.coalesce(
-        F.array_max(F.transform(F.array_distinct("_g2"), _cover)), F.lit(0))
+    # top-2-gram coverage via sorted RUNS (r7, was O(grams^2)): sort the
+    # grams, find run-start indices, and each run of length > 1
+    # contributes run_len * gram_len; the max over runs equals the old
+    # max over distinct grams with freq > 1 (grams occurring once
+    # contribute 0 — a short clean doc never trips the threshold on a
+    # singleton gram). element_at past the end is NULL (non-ANSI), which
+    # coalesces to the one-past-the-end sentinel.
+    gs = F.array_sort("_g2")
+    ng = F.size(gs)
+    elg = lambda i: F.element_at(gs, i)  # noqa: E731
+    starts = F.filter(
+        F.when(ng >= 1, F.sequence(F.lit(1), ng))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: (i == 1) | (elg(i) != elg(F.greatest(i - 1, F.lit(1)))))
+    run_cover = F.transform(
+        starts,
+        lambda a, i: F.when(
+            F.coalesce(F.try_element_at(starts, i + 2), ng + 1) - a > 1,
+            (F.coalesce(F.try_element_at(starts, i + 2), ng + 1) - a)
+            * F.length(elg(a))).otherwise(F.lit(0)))
+    top_cover = F.coalesce(F.array_max(run_cover), F.lit(0))
     top_2gram_frac = F.when(F.size("_toks") >= 2,
                             _ratio(top_cover, stream_chars)).otherwise(F.lit(0.0))
 
@@ -274,17 +300,27 @@ SELECT id,
         THEN top_cover::DOUBLE / stream_chars ELSE 0.0 END, 6) > {REP_TOP_2GRAM_MAX})
    AS repetitive
 FROM (
+  -- r7: sorted-neighbor / sorted-run counting, mirroring the Spark side
+  -- (was O(n^2) list_filter counts per document). Out-of-range list
+  -- indexing is NULL in DuckDB, so the boundary compares fall out of the
+  -- CASE / feed the coalesced end sentinel naturally.
   SELECT id, _toks, _lines,
     coalesce(list_sum(list_transform(_lines, x -> length(x))), 0) AS list_sum_chars,
-    coalesce(list_sum(list_transform(_lines,
-      x -> CASE WHEN len(list_filter(_lines, y -> y = x)) > 1
-           THEN length(x) ELSE 0 END)), 0) AS dup_chars,
+    coalesce(list_sum(list_transform(generate_series(1, len(_ls)),
+      i -> CASE WHEN _ls[i-1] = _ls[i] OR _ls[i+1] = _ls[i]
+           THEN length(_ls[i]) ELSE 0 END)), 0) AS dup_chars,
     length(array_to_string(_toks, ' ')) AS stream_chars,
-    coalesce(list_max(list_transform(list_distinct(_g2),
-      g -> CASE WHEN len(list_filter(_g2, y -> y = g)) > 1
-           THEN len(list_filter(_g2, y -> y = g)) * length(g)
+    coalesce(list_max(list_transform(_starts,
+      (a, i) -> CASE WHEN coalesce(_starts[i+1], len(_gs) + 1) - a > 1
+           THEN (coalesce(_starts[i+1], len(_gs) + 1) - a) * length(_gs[a])
            ELSE 0 END)), 0) AS top_cover
-  FROM _g
+  FROM (
+    SELECT *, list_filter(generate_series(1, len(_gs)),
+                i -> i = 1 OR _gs[i] <> _gs[i-1]) AS _starts
+    FROM (
+      SELECT *, list_sort(_lines) AS _ls, list_sort(_g2) AS _gs FROM _g
+    )
+  )
 )
 """
 

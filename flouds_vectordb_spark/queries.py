@@ -167,9 +167,9 @@ def _register_ext(name: str, q, sql) -> None:
 # --- Q1: dense top-k, all three metrics --------------------------------------
 _register("q1_dense_cosine_topk", *_dense_pair(
     DenseSearchRequest(query_vector=fixture_query_vector(seed=1), metric="COSINE", limit=10)))
-_register("q1_dense_l2_topk", *_dense_pair(
+_register_ext("q1_dense_l2_topk", *_dense_pair(
     DenseSearchRequest(query_vector=fixture_query_vector(seed=2), metric="L2", limit=10)))
-_register("q1_dense_ip_topk", *_dense_pair(
+_register_ext("q1_dense_ip_topk", *_dense_pair(
     DenseSearchRequest(query_vector=fixture_query_vector(seed=3), metric="IP", limit=10)))
 
 # --- Q2: range search (score bounds inside the scan) --------------------------
@@ -181,7 +181,7 @@ _register_ext("q2_range_search", *_dense_pair(
 # L2 range semantics: Milvus bounds apply to the raw DISTANCE in Milvus's
 # unit (SQUARED euclidean; range_filter <= dist < radius), translated onto
 # the negated-distance score (ADVICE round 1; dense_search.py score_bounds)
-_register("q2_range_search_l2", *_dense_pair(
+_register_ext("q2_range_search_l2", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=18), metric="L2",
         limit=100, radius=20.25, range_filter=9.0)))
@@ -254,7 +254,7 @@ _register("q8_meta_filter", *_dense_pair(
         limit=50, meta_filter={"lang": "e", "source": "src1"}, meta_required=True)))
 
 # --- Q10: pagination (offset) ---------------------------------------------------
-_register("q10_pagination", *_dense_pair(
+_register_ext("q10_pagination", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=8), metric="COSINE",
         limit=20, offset=15)))
@@ -266,7 +266,7 @@ _register("q10_pagination", *_dense_pair(
 # ...and carries consistency_level so the accepted-and-ignored Q13
 # pass-through stays inside the driver window (the dedicated q13 fixture
 # lives in the extended registry)
-_register("q12_output_fields_none", *_dense_pair(
+_register_ext("q12_output_fields_none", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=15), metric="COSINE",
         limit=10, output_fields=("id",), consistency_level="Strong"),
@@ -474,7 +474,7 @@ def _q3_sparse_many_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         posts, _SPARSE_MQ, SparseSearchRequest(query_text="", limit=10, offset=2))
 
 
-_register_ext("q3_sparse_search_many", _q3_sparse_many_q,
+_register("q3_sparse_search_many", _q3_sparse_many_q,
               sparse_search_many_sql(
                   SparseSearchRequest(query_text="", limit=10, offset=2),
                   _SPARSE_MQ, POSTINGS_SQL))
@@ -495,7 +495,7 @@ def _q4_hybrid_many_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               chunk_col="chunk", meta_col="meta")
 
 
-_register_ext("q4_hybrid_search_many", _q4_hybrid_many_q,
+_register("q4_hybrid_search_many", _q4_hybrid_many_q,
               hybrid_search_many_sql(
                   _HYBRID_MQ_REQ, _HYBRID_MQ, COLLECTION_SQL + " t",
                   POSTINGS_SQL, id_expr="id", vector_expr="vector",
@@ -731,7 +731,7 @@ def _decontaminate_sql() -> str:
         id_expr="doc_id", text_expr="text", n=5, min_matches=1)
 
 
-_register_ext("dedup_decontaminate", _decontaminate_q, _decontaminate_sql())
+_register("dedup_decontaminate", _decontaminate_q, _decontaminate_sql())
 
 
 # --- exact substring (span) dedup (r7) ----------------------------------------
@@ -778,7 +778,7 @@ def _span_dedup_sql() -> str:
                                      k=20)
 
 
-_register_ext("dedup_exact_substring", _span_dedup_q, _span_dedup_sql())
+_register("dedup_exact_substring", _span_dedup_q, _span_dedup_sql())
 
 
 def _span_remove_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,7 +1069,7 @@ def _hnsw_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries int, recall_ge_090 boolean")
 
 
-_register_ext(
+_register(
     "q1_hnsw_recall_embeddings", _hnsw_recall_q,
     f"SELECT {_HNSW_RECALL_NQ} AS n_queries, TRUE AS recall_ge_090")
 
@@ -1748,7 +1748,7 @@ def _scrub_pii_sql() -> str:
     return scrub_pii_sql(injected, id_expr="doc_id")
 
 
-_register_ext("text_scrub_pii", _scrub_pii_q, _scrub_pii_sql())
+_register("text_scrub_pii", _scrub_pii_q, _scrub_pii_sql())
 
 
 # r7 PII classes (SSN / payment card / international + adjacent phones):
@@ -1819,7 +1819,7 @@ FROM ({_MM_BASE})
 
 
 # resize: nearest-neighbor resample to a fixed size (mapInPandas)
-_register("multimodal_resize",
+_register_ext("multimodal_resize",
           lambda spark, sf_dir: resize_media(
               with_binary_payload(load(spark, sf_dir, "documents"), text_col="text"),
               out_len=32, id_col="doc_id"),
