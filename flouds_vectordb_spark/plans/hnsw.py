@@ -413,10 +413,18 @@ class HnswIndex:
                 fdf = spark.createDataFrame([(i,) for i in union_fr],
                                             f"src {id_t}")
                 e = e.join(F.broadcast(fdf), "src")
-            adj_rows = e.select("src", "dst").distinct().collect()
+            # dedupe DRIVER-side: a .distinct() here costs a full shuffle
+            # stage per beam round, and the collected volume is already
+            # bounded by |frontier| x Mmax scalar pairs (r7 — removing it
+            # cut one exchange per round off every batched beam)
+            adj_rows = e.select("src", "dst").collect()
             adj: dict = {}
+            seen_pairs: set = set()
             for r in adj_rows:
-                adj.setdefault(r["src"], []).append(r["dst"])
+                p = (r["src"], r["dst"])
+                if p not in seen_pairs:
+                    seen_pairs.add(p)
+                    adj.setdefault(r["src"], []).append(r["dst"])
             pairs = []
             for q, fr in frontiers.items():
                 expanded[q].update(fr)
