@@ -450,3 +450,143 @@ def scrub_pii_sql(table_sql: str, id_expr: str = "id",
     return (f"WITH {', '.join(ctes)} "
             f"SELECT id, _t{stage} AS text_scrubbed, {', '.join(carried)} "
             f"FROM s{stage}")
+
+
+# --- Gopher quality-rule filter (r7) ------------------------------------------
+# The published MassiveText/Gopher document-quality rule stack (Rae et al.
+# 2021, Appendix A) as one single-scan operator: each rule is a pure
+# Column expression over the tokenized document, the verdict is their
+# conjunction, and every intermediate ratio is emitted (rounded to 6) so
+# the decision is auditable. No UDF, no shuffle — embarrassingly parallel
+# at any corpus size. Thresholds are the paper's.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.10
+GOPHER_MIN_STOPWORD_HITS = 2
+# the paper's "at least 2 of the following": a tiny fixed function-word set
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality(df: DataFrame, id_col: str = "id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_words, mean_word_len_r, bullet_line_frac_r,
+    ellipsis_line_frac_r, alpha_word_frac_r, symbol_word_ratio_r,
+    n_stop_hits, keep) — the Gopher rules, verdict = every rule passes:
+    50 <= words <= 100k; mean word length in [3, 10]; <90% of lines
+    bullet-led; <30% of lines ellipsis-ended; >=80% of words contain an
+    alphabetic character; (# + ellipsis)-to-word ratio < 0.1; >=2 distinct
+    hits from the 8-word function-word list. Alphabetic = [a-z] after the
+    tokenizer's lowercasing (documented ASCII approximation)."""
+    toks = tokenize(F.col(text_col))
+    d = spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+        toks.alias("_toks"))
+    n_words = F.size("_toks")
+    sum_len = F.aggregate(F.transform("_toks", lambda w: F.length(w)),
+                          F.lit(0), lambda a, x: a + x)
+    mean_len = _ratio(sum_len, n_words)
+    lines = F.filter(
+        F.transform(F.split(F.col("_t"), "\n"), lambda t: F.trim(t)),
+        lambda x: x != "")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(lines, lambda x: F.lit(False) | (
+        F.substring(x, 1, 1).isin(list(_GOPHER_BULLETS)))))
+    ellipsis = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")))
+    bullet_frac = _ratio(bullet, n_lines)
+    ellipsis_frac = _ratio(ellipsis, n_lines)
+    alpha = F.size(F.filter("_toks", lambda w: w.rlike("[a-z]")))
+    alpha_frac = _ratio(alpha, n_words)
+    # occurrence counts by length delta — no regex in the hot path
+    hashes = F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("#"), F.lit("")))
+    dots = (F.length("_t")
+            - F.length(F.replace(F.col("_t"), F.lit("..."), F.lit("")))) / 3
+    uni_ell = F.length("_t") - F.length(
+        F.replace(F.col("_t"), F.lit("…"), F.lit("")))
+    symbol_ratio = _ratio((hashes + dots + uni_ell).cast("int"), n_words)
+    stop_hits = sum(
+        (F.when(F.array_contains("_toks", w), 1).otherwise(0)
+         for w in GOPHER_STOPWORDS), F.lit(0))
+    mean_len_r = F.round(mean_len, 6)
+    bullet_r = F.round(bullet_frac, 6)
+    ellipsis_r = F.round(ellipsis_frac, 6)
+    alpha_r = F.round(alpha_frac, 6)
+    symbol_r = F.round(symbol_ratio, 6)
+    keep = ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_len_r >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_len_r <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (bullet_r < GOPHER_MAX_BULLET_LINE_FRAC)
+            & (ellipsis_r < GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+            & (alpha_r > GOPHER_MIN_ALPHA_WORD_FRAC)
+            & (symbol_r < GOPHER_MAX_SYMBOL_WORD_RATIO)
+            & (stop_hits >= GOPHER_MIN_STOPWORD_HITS))
+    return d.select(
+        "id", n_words.alias("n_words"),
+        mean_len_r.alias("mean_word_len_r"),
+        bullet_r.alias("bullet_line_frac_r"),
+        ellipsis_r.alias("ellipsis_line_frac_r"),
+        alpha_r.alias("alpha_word_frac_r"),
+        symbol_r.alias("symbol_word_ratio_r"),
+        stop_hits.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality_sql(table_sql: str, id_expr: str = "id",
+                       text_expr: str = "text") -> str:
+    """DuckDB oracle twin of gopher_quality (same rules, same rounding)."""
+    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    lines = (f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
+             f"t -> trim(t)), x -> x <> '')")
+    bullets = ", ".join(f"'{b}'" for b in _GOPHER_BULLETS)
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(_toks, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+WITH _b AS (
+  SELECT {id_expr} AS id, {text_expr} AS _t, {tok} AS _toks, {lines} AS _lines
+  FROM {table_sql}
+),
+_m AS (
+  SELECT id, _t, _toks, _lines,
+    len(_toks) AS n_words,
+    round(CASE WHEN len(_toks) > 0 THEN
+      coalesce(list_sum(list_transform(_toks, w -> length(w))), 0)::DOUBLE
+      / len(_toks) ELSE 0.0 END, 6) AS mean_word_len_r,
+    round(CASE WHEN len(_lines) > 0 THEN
+      len(list_filter(_lines, x -> substr(x, 1, 1) IN ({bullets})))::DOUBLE
+      / len(_lines) ELSE 0.0 END, 6) AS bullet_line_frac_r,
+    round(CASE WHEN len(_lines) > 0 THEN
+      len(list_filter(_lines, x -> x LIKE '%...' OR x LIKE '%' || chr(8230)))::DOUBLE
+      / len(_lines) ELSE 0.0 END, 6) AS ellipsis_line_frac_r,
+    round(CASE WHEN len(_toks) > 0 THEN
+      len(list_filter(_toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+      / len(_toks) ELSE 0.0 END, 6) AS alpha_word_frac_r,
+    round(CASE WHEN len(_toks) > 0 THEN
+      ((length(_t) - length(replace(_t, '#', '')))
+       + (length(_t) - length(replace(_t, '...', ''))) // 3
+       + (length(_t) - length(replace(_t, chr(8230), ''))))::INT::DOUBLE
+      / len(_toks) ELSE 0.0 END, 6) AS symbol_word_ratio_r,
+    ({stop_hits}) AS n_stop_hits
+  FROM _b
+)
+SELECT id, n_words, mean_word_len_r, bullet_line_frac_r,
+       ellipsis_line_frac_r, alpha_word_frac_r, symbol_word_ratio_r,
+       n_stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len_r >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len_r <= {GOPHER_MAX_MEAN_WORD_LEN}
+        AND bullet_line_frac_r < {GOPHER_MAX_BULLET_LINE_FRAC}
+        AND ellipsis_line_frac_r < {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+        AND alpha_word_frac_r > {GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND symbol_word_ratio_r < {GOPHER_MAX_SYMBOL_WORD_RATIO}
+        AND n_stop_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
+FROM _m
+"""

@@ -1751,6 +1751,24 @@ def _scrub_pii_sql() -> str:
 _register("text_scrub_pii", _scrub_pii_q, _scrub_pii_sql())
 
 
+# Gopher quality rules (r7, extended): the full published rule stack over
+# the documents fixture — every intermediate ratio plus the keep verdict
+# is value-hashed, so a drift in any single rule flips the gate
+def _gopher_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import gopher_quality
+
+    return gopher_quality(load(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+def _gopher_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import gopher_quality_sql
+
+    return gopher_quality_sql("documents", id_expr="doc_id")
+
+
+_register_ext("text_quality_gopher", _gopher_q, _gopher_sql())
+
+
 # r7 PII classes (SSN / payment card / international + adjacent phones):
 # same injection pattern, different doc_id-derived payloads so every new
 # class and the two-pass adjacency path execute under the oracle

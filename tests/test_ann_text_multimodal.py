@@ -279,3 +279,35 @@ def test_pil_image_extractor_real_decode(spark):
     assert row["n_bytes"] == len(png)
     assert row["feat"][:3] == [7.0, 3.0, 3.0]
     assert abs(row["feat"][3] - (255 / 3) / 255.0) < 1e-6  # mean luma of pure red
+
+
+# ---- Gopher quality rules (r7) -----------------------------------------------
+
+def test_gopher_quality_rules(spark):
+    from flouds_vectordb_spark.operators.text_analysis import gopher_quality
+
+    good = ("the quick brown fox jumps over that lazy dog and then runs away "
+            "to have some rest with friends of his pack because it was a long "
+            "day of running and jumping through fields and woods be sure "
+            "to note that every word here has letters and the text keeps "
+            "a natural mix of common function words") # > 50 words, clean
+    docs = [
+        ("good", good),
+        ("short", "too few words to keep"),
+        ("bullets", "\n".join("• item " + good for _ in range(10))),
+        ("numeric", " ".join("12345" for _ in range(60))),   # no alpha words
+        ("symbols", good + " " + "#" * 0 + " ".join("#tag" for _ in range(10))),
+        ("nostop", " ".join(f"w{i}x" for i in range(60))),   # no function words
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in gopher_quality(df).collect()}
+    assert got["good"]["keep"]
+    assert not got["short"]["keep"] and got["short"]["n_words"] < 50
+    assert not got["numeric"]["keep"] and got["numeric"]["alpha_word_frac_r"] == 0.0
+    assert not got["nostop"]["keep"] and got["nostop"]["n_stop_hits"] == 0
+    # the bullet doc: every line bullet-led -> frac 1.0 > 0.9
+    assert got["bullets"]["bullet_line_frac_r"] == 1.0
+    assert not got["bullets"]["keep"]
+    # symbol doc: 10 hashes over ~65 words > 0.1
+    assert got["symbols"]["symbol_word_ratio_r"] > 0.1
+    assert not got["symbols"]["keep"]
