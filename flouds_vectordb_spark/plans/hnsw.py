@@ -129,7 +129,14 @@ def _split_oversized_sample(x: np.ndarray, centroids: np.ndarray, n: int,
     bound = SPLIT_FACTOR * cell_target
     scale = n / max(1, len(x))
     for _ in range(rounds):
-        assign = _sample_assign(x, centroids, metric)
+        if len(centroids) > TWO_LEVEL_MIN_CELLS:
+            # same two-level routing the executor assignment uses — keeps
+            # the estimate consistent with the real layout AND drops the
+            # sample x ncells GEMM from the driver's split rounds
+            assign = _routed_argmin(x, centroids, metric,
+                                    _two_level_router(centroids, metric))
+        else:
+            assign = _sample_assign(x, centroids, metric)
         counts = np.bincount(assign, minlength=len(centroids))
         est = counts * scale
         bad = [int(c) for c in np.where(est > bound)[0] if counts[c] >= 2]
@@ -147,26 +154,120 @@ def _split_oversized_sample(x: np.ndarray, centroids: np.ndarray, n: int,
     return centroids
 
 
+def _dist_block(m: np.ndarray, cents: np.ndarray, metric: str) -> np.ndarray:
+    """Row-to-centroid 'distance' under the coarse-quantizer metric rule
+    (IP = negated inner product so argmin works uniformly; callers pass m
+    already normalized for COSINE)."""
+    if metric == "IP":
+        return -(m @ cents.T)
+    return _pairwise_d2(m, cents)
+
+
+# Above this many cells the per-row assignment goes TWO-LEVEL
+# (SPANN/ScaNN routing): cluster the centroids into ~sqrt(ncells) coarse
+# groups, route each row to its TWO_LEVEL_PROBES nearest groups, and only
+# score those groups' children. Cuts the n x ncells GEMM to
+# n x (sqrt(ncells) + probes * avg_children) — the difference between
+# hours and seconds at 60M rows (PLANS.md round-7 budget). Dormant at
+# every test/gate scale (they build < 2048 cells), exercised by its unit
+# test and the 600k stress profile.
+TWO_LEVEL_MIN_CELLS = 2048
+TWO_LEVEL_PROBES = 8
+
+
+def _two_level_router(centroids: np.ndarray, metric: str, seed: int = 42):
+    """(coarse_centroids, children) — children[c] = global centroid ids
+    routed under coarse group c. Deterministic: seeded k-means over the
+    centroid set, ties in parent assignment resolved by stable argmin."""
+    k1 = int(np.ceil(np.sqrt(len(centroids))))
+    coarse = _kmeans(centroids, k1, seed=seed)
+    parent = _dist_block(centroids, coarse, metric).argmin(axis=1)
+    children = [np.where(parent == c)[0] for c in range(len(coarse))]
+    # drop empty coarse groups WITH their centroids (alignment preserved)
+    keep = [i for i, ch in enumerate(children) if len(ch)]
+    return coarse[keep], [children[i] for i in keep]
+
+
+def _routed_argmin(m: np.ndarray, centroids: np.ndarray, metric: str,
+                   router) -> np.ndarray:
+    """Top-1 cell per row through the two-level router (driver-side use:
+    the split/verify sample estimates). Ties resolve to the lowest global
+    centroid index, matching the flat stable argmin."""
+    coarse, children = router
+    probes = min(TWO_LEVEL_PROBES, len(children))
+    dc = _dist_block(m, coarse, metric)
+    top = np.argsort(dc, axis=1, kind="stable")[:, :probes]
+    best_d = np.full(len(m), np.inf)
+    best_i = np.full(len(m), np.iinfo(np.int64).max, dtype=np.int64)
+    for c in range(len(children)):
+        rows = np.nonzero((top == c).any(axis=1))[0]
+        if not len(rows):
+            continue
+        gids = children[c]  # ascending (np.where), so stable argmin
+        db = _dist_block(m[rows], centroids[gids], metric)
+        pos = np.argmin(db, axis=1)
+        dmin = db[np.arange(len(rows)), pos]
+        gmin = gids[pos]
+        upd = (dmin < best_d[rows]) | ((dmin == best_d[rows])
+                                      & (gmin < best_i[rows]))
+        ridx = rows[upd]
+        best_d[ridx] = dmin[upd]
+        best_i[ridx] = gmin[upd]
+    return best_i
+
+
 def _cells_udf(centroids: np.ndarray, metric: str, spill: int = 2):
     """Vectorized 2-nearest-cell assignment + distance-to-primary (build
     path only). COSINE assigns on normalized vectors, IP by max inner
-    product — the same coarse-quantizer-metric rule as plans/ivf.py."""
+    product — the same coarse-quantizer-metric rule as plans/ivf.py.
+    Above TWO_LEVEL_MIN_CELLS centroids, assignment routes through the
+    two-level index (approximate: a row whose true best cell hides under
+    an unprobed coarse group lands in its best PROBED group's cell — the
+    standard SPANN trade; cell layout is candidate generation, exactness
+    comes from the query-time re-rank). Deterministic either way: stable
+    orderings with global-centroid-index tie-breaks."""
     metric = metric.upper()
     k = min(spill, len(centroids))
+    router = (_two_level_router(centroids, metric)
+              if len(centroids) > TWO_LEVEL_MIN_CELLS else None)
 
     @F.pandas_udf("struct<cells: array<int>, d0: double>")
     def assign(vecs: pd.Series) -> pd.DataFrame:
         m = np.array(vecs.tolist(), dtype=np.float64)
-        if metric == "IP":
-            d = -(m @ centroids.T)
-        else:
-            if metric == "COSINE":
-                m = _normalize_rows(m)
-            d = _pairwise_d2(m, centroids)
-        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        if metric == "COSINE":
+            m = _normalize_rows(m)
+        n = len(m)
+        if router is None:
+            d = _dist_block(m, centroids, metric)
+            order = np.argsort(d, axis=1, kind="stable")[:, :k]
+            return pd.DataFrame({
+                "cells": [row.astype("int32").tolist() for row in order],
+                "d0": d[np.arange(n), order[:, 0]],
+            })
+        coarse, children = router
+        probes = min(TWO_LEVEL_PROBES, len(children))
+        dc = _dist_block(m, coarse, metric)
+        top = np.argsort(dc, axis=1, kind="stable")[:, :probes]
+        # running best-k per row, merged group by group; tie-break on the
+        # GLOBAL centroid index (matches the flat path's stable argsort)
+        best_d = np.full((n, k), np.inf)
+        best_i = np.full((n, k), np.iinfo(np.int64).max, dtype=np.int64)
+        for c in range(len(children)):
+            rows = np.nonzero((top == c).any(axis=1))[0]
+            if not len(rows):
+                continue
+            gids = children[c]
+            db = _dist_block(m[rows], centroids[gids], metric)
+            cand_d = np.concatenate([best_d[rows], db], axis=1)
+            cand_i = np.concatenate(
+                [best_i[rows], np.broadcast_to(gids, db.shape)], axis=1)
+            sel = np.lexsort((cand_i, cand_d), axis=1)[:, :k]
+            rr = np.arange(len(rows))[:, None]
+            best_d[rows] = cand_d[rr, sel]
+            best_i[rows] = cand_i[rr, sel]
         return pd.DataFrame({
-            "cells": [row.astype("int32").tolist() for row in order],
-            "d0": d[np.arange(len(d)), order[:, 0]],
+            "cells": [row.astype("int32").tolist() for row in best_i],
+            "d0": best_d[:, 0],
         })
 
     return assign

@@ -508,3 +508,47 @@ def test_beam_search_many_auto_chunks_large_blocks(spark, built, monkeypatch):
     assert set(beams) == {qid for qid, _ in queries}
     for qid in (0, 299, 300, 777, 999):  # spans chunk boundaries
         assert beams[qid] == idx.beam_search(spark, queries[qid][1], ef=8), qid
+
+
+# ---- two-level assignment routing (r7) ---------------------------------------
+
+def test_two_level_routing_agrees_with_flat():
+    """Above TWO_LEVEL_MIN_CELLS the assignment routes through coarse
+    groups; on random data the routed primary cell must agree with the
+    flat argmin for the overwhelming majority of rows and never return an
+    invalid cell."""
+    import flouds_vectordb_spark.plans.hnsw as H
+
+    rng = np.random.RandomState(5)
+    cents = rng.standard_normal((2200, 8))
+    m = rng.standard_normal((400, 8))
+    router = H._two_level_router(cents, "L2")
+    routed = H._routed_argmin(m, cents, "L2", router)
+    flat = H._dist_block(m, cents, "L2").argmin(axis=1)
+    assert routed.min() >= 0 and routed.max() < len(cents)
+    agree = float((routed == flat).mean())
+    assert agree >= 0.9, agree
+    # routed distance can never beat the true minimum
+    d = H._dist_block(m, cents, "L2")
+    assert (d[np.arange(len(m)), routed] >= d[np.arange(len(m)), flat] - 1e-12).all()
+
+
+def test_two_level_build_deterministic_and_searchable(spark, tmp_path_factory):
+    """A build with > TWO_LEVEL_MIN_CELLS cells (cell_target=2) runs the
+    two-level executor assignment end to end: deterministic across builds
+    and the beam still finds the planted cluster exactly."""
+    import flouds_vectordb_spark.plans.hnsw as H
+
+    df, q = _clustered_df(spark, n_bg=4300, n_cl=10)
+    p1 = str(tmp_path_factory.mktemp("hnsw_2l_a") / "idx")
+    p2 = str(tmp_path_factory.mktemp("hnsw_2l_b") / "idx")
+    idx1 = build_hnsw(df, p1, m=8, metric="COSINE", cell_target=2)
+    assert idx1.meta["ncells"] > H.TWO_LEVEL_MIN_CELLS
+    idx2 = build_hnsw(df, p2, m=8, metric="COSINE", cell_target=2)
+    e1 = sorted((r["src"], r["dst"]) for r in
+                idx1.edges(spark).select("src", "dst").collect())
+    e2 = sorted((r["src"], r["dst"]) for r in
+                idx2.edges(spark).select("src", "dst").collect())
+    assert e1 == e2
+    got = idx1.beam_search(spark, q, ef=24)[:10]
+    assert sorted(got) == list(range(1000, 1010))  # the planted cluster ids
