@@ -590,3 +590,198 @@ SELECT id, n_words, mean_word_len_r, bullet_line_frac_r,
         AND n_stop_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
 FROM _m
 """
+
+
+# --- full MassiveText n-gram repetition family (r7) ---------------------------
+# Completes repetition_stats' rule set with the remaining published rules
+# (Rae et al. 2021, Table A1): top n-gram character coverage for n=3,4
+# (same sorted-run argmax-free rule as the existing top-2), and duplicated
+# n-gram coverage for the n=5 and n=10 endpoints — the fraction of TOKEN
+# positions covered by at least one n-gram occurring >= 2 times in the
+# document, computed as an exact interval union over duplicated window
+# starts (no double counting of overlaps, per the paper's care; coverage
+# is token-positional rather than character-weighted, a documented
+# deviation that keeps the union exact in pure Column expressions).
+# Everything is sort-based: O(g log g) per document, no UDF, no shuffle.
+
+REP_TOP_3GRAM_MAX = 0.18
+REP_TOP_4GRAM_MAX = 0.16
+REP_DUP_5GRAM_MAX = 0.15
+REP_DUP_10GRAM_MAX = 0.10
+
+
+def _int_seq(n: Column) -> Column:
+    # ANSI-safe 1..n (sequence(1, 0) would count DOWN)
+    return F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+
+
+def _starts_col(sg: Column) -> Column:
+    """Run-start indices of a SORTED array column (an attribute — lambdas
+    may reference it freely, it is evaluated once per row)."""
+    elg = lambda i: F.element_at(sg, i)  # noqa: E731
+    return F.filter(
+        _int_seq(F.size(sg)),
+        lambda i: (i == 1) | (elg(i) != elg(F.greatest(i - 1, F.lit(1)))))
+
+
+def _dup_pos_col(sp: Column) -> Column:
+    """Sorted positions whose gram has an equal neighbor in the sorted
+    (gram, pos) pair array (i.e. document frequency >= 2)."""
+    ln = F.size(sp)
+    pg = lambda i: F.element_at(sp, i)["g"]  # noqa: E731
+    raw = F.transform(
+        _int_seq(ln),
+        lambda i: F.when(
+            ((i > 1) & (pg(F.greatest(i - 1, F.lit(1))) == pg(i)))
+            | ((i < ln) & (pg(F.least(i + 1, ln)) == pg(i))),
+            F.element_at(sp, i)["p"]))
+    return F.array_sort(F.filter(raw, lambda x: x.isNotNull()))
+
+
+def _top_frac_col(st: Column, sg: Column, stream_chars: Column,
+                  n_toks: Column, n: int) -> Column:
+    ng = F.size(sg)
+    run_cover = F.transform(
+        st,
+        lambda a, i: F.when(
+            F.coalesce(F.try_element_at(st, i + 2), ng + 1) - a > 1,
+            (F.coalesce(F.try_element_at(st, i + 2), ng + 1) - a)
+            * F.length(F.element_at(sg, a))).otherwise(F.lit(0)))
+    top = F.coalesce(F.array_max(run_cover), F.lit(0))
+    return F.round(
+        F.when(n_toks >= n, _ratio(top, stream_chars)).otherwise(F.lit(0.0)), 6)
+
+
+def _dup_frac_col(dp: Column, n_toks: Column, n: int) -> Column:
+    gaps = F.transform(
+        dp,
+        lambda p, i: F.least(
+            F.lit(n), F.coalesce(F.try_element_at(dp, i + 2), p + n) - p))
+    covered = F.aggregate(gaps, F.lit(0), lambda a, x: a + x)
+    return F.round(
+        F.when(n_toks >= n, _ratio(covered, n_toks)).otherwise(F.lit(0.0)), 6)
+
+
+def repetition_stats_full(df: DataFrame, id_col: str = "id",
+                          text_col: str = "text") -> DataFrame:
+    """(id, top_2gram_frac_r, top_3gram_frac_r, top_4gram_frac_r,
+    dup_5gram_frac_r, dup_10gram_frac_r, repetitive_ngram) — the complete
+    published n-gram repetition rule family; composes with
+    repetition_stats (duplicate-line rules) for the full MassiveText
+    stack. STAGED projections: every sorted array becomes a named column
+    before anything indexes into it — a lambda that subscripts an inlined
+    sort expression re-executes the sort per element (O(g^2 log g) per
+    doc, measured in minutes over the 500-doc fixture), while an
+    attribute reference is evaluated once per row."""
+    from flouds_vectordb_spark.functions.hashing import shingles
+
+    toks = tokenize(F.col(text_col))
+    d = spread_small_input(df).select(
+        F.col(id_col).alias("id"), toks.alias("_toks"))
+    d = d.select(
+        "id", F.size("_toks").alias("_n"),
+        F.length(F.array_join("_toks", " ")).alias("_sc"),
+        *[F.array_sort(shingles(F.col("_toks"), n=n)).alias(f"_sg{n}")
+          for n in (2, 3, 4)],
+        *[shingles(F.col("_toks"), n=n).alias(f"_g{n}") for n in (5, 10)])
+    def _pairs_for(n: int) -> Column:
+        gcol = F.col(f"_g{n}")  # closure, NOT a lambda default — a second
+        # lambda parameter would flip Spark to (element, index) arity
+        return F.array_sort(F.transform(
+            _int_seq(F.size(gcol)),
+            lambda i: F.struct(F.element_at(gcol, i).alias("g"),
+                               i.alias("p")))).alias(f"_sp{n}")
+
+    d = d.select(
+        "id", "_n", "_sc", "_sg2", "_sg3", "_sg4",
+        *[_pairs_for(n) for n in (5, 10)])
+    d = d.select(
+        "id", "_n", "_sc", "_sg2", "_sg3", "_sg4",
+        *[_starts_col(F.col(f"_sg{n}")).alias(f"_st{n}") for n in (2, 3, 4)],
+        *[_dup_pos_col(F.col(f"_sp{n}")).alias(f"_dp{n}") for n in (5, 10)])
+    tops = {n: _top_frac_col(F.col(f"_st{n}"), F.col(f"_sg{n}"),
+                             F.col("_sc"), F.col("_n"), n)
+            for n in (2, 3, 4)}
+    dups = {n: _dup_frac_col(F.col(f"_dp{n}"), F.col("_n"), n)
+            for n in (5, 10)}
+    rep = ((tops[2] > REP_TOP_2GRAM_MAX) | (tops[3] > REP_TOP_3GRAM_MAX)
+           | (tops[4] > REP_TOP_4GRAM_MAX) | (dups[5] > REP_DUP_5GRAM_MAX)
+           | (dups[10] > REP_DUP_10GRAM_MAX))
+    return d.select(
+        "id",
+        tops[2].alias("top_2gram_frac_r"), tops[3].alias("top_3gram_frac_r"),
+        tops[4].alias("top_4gram_frac_r"), dups[5].alias("dup_5gram_frac_r"),
+        dups[10].alias("dup_10gram_frac_r"), rep.alias("repetitive_ngram"))
+
+
+def repetition_stats_full_sql(table_sql: str, id_expr: str = "id",
+                              text_expr: str = "text") -> str:
+    """DuckDB oracle twin of repetition_stats_full (1-based list lambdas
+    replace Spark's 0-based-index + try_element_at idioms)."""
+    from flouds_vectordb_spark.functions.hashing import shingles_sql
+
+    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+
+    # Staged CTEs: every sorted list is MATERIALIZED as a named column and
+    # referenced by name downstream — inlining the sort expression n times
+    # re-executes it n times per row (measured: minutes over the 500-doc
+    # fixture vs seconds staged). Columns also sidestep DuckDB's lambda-
+    # variable capture hazard: a subscript like
+    # `(expr-with-its-own-i-lambda)[i+1]` resolves `i` against the WRONG
+    # binding when names collide (measured: gaps [1,5,1,5] -> [0,0,0,5]),
+    # so outer folds still use distinct aa/jj and pp/ii names.
+    tops, dups = (2, 3, 4), (5, 10)
+    sort_cols = ", ".join(
+        f"list_sort({shingles_sql('_toks', n=n)}) AS _sg{n}" for n in tops)
+    pair_cols = ", ".join(
+        f"list_sort(list_transform(generate_series(1, len({shingles_sql('_toks', n=n)})), "
+        f"i -> struct_pack(g := ({shingles_sql('_toks', n=n)})[i], p := i))) AS _sp{n}"
+        for n in dups)
+    start_cols = ", ".join(
+        f"list_filter(generate_series(1, len(_sg{n})), "
+        f"i -> i = 1 OR _sg{n}[i] <> _sg{n}[i-1]) AS _st{n}" for n in tops)
+    dp_cols = ", ".join(
+        f"list_sort(list_filter(list_transform(generate_series(1, len(_sp{n})), "
+        f"i -> CASE WHEN (i > 1 AND _sp{n}[i-1].g = _sp{n}[i].g) "
+        f"OR (i < len(_sp{n}) AND _sp{n}[i+1].g = _sp{n}[i].g) "
+        f"THEN _sp{n}[i].p END), x -> x IS NOT NULL)) AS _dp{n}" for n in dups)
+    top_cols = ", ".join(f"""
+    round(CASE WHEN len(_toks) >= {n} AND stream_chars > 0 THEN
+      coalesce(list_max(list_transform(_st{n},
+        (aa, jj) -> CASE WHEN coalesce(_st{n}[jj+1], len(_sg{n}) + 1) - aa > 1
+          THEN (coalesce(_st{n}[jj+1], len(_sg{n}) + 1) - aa)
+               * length(_sg{n}[aa]) ELSE 0 END)), 0)::DOUBLE / stream_chars
+      ELSE 0.0 END, 6) AS top_{n}gram_frac_r""" for n in tops)
+    dup_cols = ", ".join(f"""
+    round(CASE WHEN len(_toks) >= {n} THEN
+      coalesce(list_sum(list_transform(_dp{n},
+        (pp, ii) -> least({n}, coalesce(_dp{n}[ii+1], pp + {n}) - pp))),
+        0)::DOUBLE / len(_toks)
+      ELSE 0.0 END, 6) AS dup_{n}gram_frac_r""" for n in dups)
+    return f"""
+WITH _b AS (
+  SELECT {id_expr} AS id, {tok} AS _toks FROM {table_sql}
+),
+_m AS (
+  SELECT id, _toks, length(array_to_string(_toks, ' ')) AS stream_chars,
+         {sort_cols}, {pair_cols}
+  FROM _b
+),
+_s AS (
+  SELECT id, _toks, stream_chars, _sg2, _sg3, _sg4,
+         {start_cols}, {dp_cols}
+  FROM _m
+),
+_f AS (
+  SELECT id, {top_cols}, {dup_cols} FROM _s
+)
+SELECT id, top_2gram_frac_r, top_3gram_frac_r, top_4gram_frac_r,
+       dup_5gram_frac_r, dup_10gram_frac_r,
+       (top_2gram_frac_r > {REP_TOP_2GRAM_MAX}
+        OR top_3gram_frac_r > {REP_TOP_3GRAM_MAX}
+        OR top_4gram_frac_r > {REP_TOP_4GRAM_MAX}
+        OR dup_5gram_frac_r > {REP_DUP_5GRAM_MAX}
+        OR dup_10gram_frac_r > {REP_DUP_10GRAM_MAX}) AS repetitive_ngram
+FROM _f
+"""

@@ -1769,6 +1769,25 @@ def _gopher_sql() -> str:
 _register_ext("text_quality_gopher", _gopher_q, _gopher_sql())
 
 
+def _repetition_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import repetition_stats_full
+
+    return repetition_stats_full(load(spark, sf_dir, "documents"),
+                                 id_col="doc_id")
+
+
+def _repetition_full_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import (
+        repetition_stats_full_sql,
+    )
+
+    return repetition_stats_full_sql("documents", id_expr="doc_id")
+
+
+_register_ext("text_repetition_full", _repetition_full_q,
+              _repetition_full_sql())
+
+
 # r7 PII classes (SSN / payment card / international + adjacent phones):
 # same injection pattern, different doc_id-derived payloads so every new
 # class and the two-pass adjacency path execute under the oracle

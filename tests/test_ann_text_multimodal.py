@@ -311,3 +311,56 @@ def test_gopher_quality_rules(spark):
     # symbol doc: 10 hashes over ~65 words > 0.1
     assert got["symbols"]["symbol_word_ratio_r"] > 0.1
     assert not got["symbols"]["keep"]
+
+
+def test_repetition_full_ngram_family(spark):
+    """r7: top-3/4-gram coverage and the exact duplicated-5/10-gram
+    position union (overlaps counted once)."""
+    from flouds_vectordb_spark.operators.text_analysis import repetition_stats_full
+
+    E5 = "a b c d e"
+    docs = [
+        # "a b c d e" twice, separated: dup-5-gram covers 10 of 11 tokens
+        ("dup5", f"{E5} x {E5}"),
+        # overlapping repeats: "a b c d e a b c d e a b c d e" — dup 5-grams
+        # at many consecutive starts; union = whole 15-token stream
+        ("dup5_overlap", f"{E5} {E5} {E5}"),
+        ("clean", "one two three four five six seven eight nine ten"),
+        ("tiny", "x y"),
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in repetition_stats_full(df).collect()}
+    assert abs(got["dup5"]["dup_5gram_frac_r"] - 10 / 11) < 1e-6
+    assert got["dup5"]["repetitive_ngram"]
+    assert got["dup5_overlap"]["dup_5gram_frac_r"] == 1.0
+    assert got["clean"]["dup_5gram_frac_r"] == 0.0
+    assert got["clean"]["top_3gram_frac_r"] == 0.0
+    assert not got["clean"]["repetitive_ngram"]
+    assert got["tiny"]["dup_5gram_frac_r"] == 0.0  # shorter than n
+
+
+def test_repetition_full_matches_duckdb(spark):
+    """Cross-engine parity on the hand fixture (the sf gate covers the
+    corpus; this pins the tricky union/sort logic on known inputs)."""
+    import duckdb
+
+    from flouds_vectordb_spark.operators.text_analysis import (
+        repetition_stats_full,
+        repetition_stats_full_sql,
+    )
+
+    docs = [("a", "p q r s t u p q r s t u"),
+            ("b", "m m m m m m m m m m m m"),
+            ("c", "one two three two three two three two three end")]
+    df = spark.createDataFrame(docs, "id string, text string")
+    spark_rows = {r["id"]: r.asDict() for r in repetition_stats_full(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    sql = repetition_stats_full_sql("t")
+    for row in con.execute(sql).fetchall():
+        cols = [d[0] for d in con.description]
+        duck = dict(zip(cols, row))
+        sp = spark_rows[duck["id"]]
+        for c in cols:
+            assert sp[c] == duck[c], (duck["id"], c, sp[c], duck[c])
