@@ -785,3 +785,100 @@ SELECT id, top_2gram_frac_r, top_3gram_frac_r, top_4gram_frac_r,
         OR dup_10gram_frac_r > {REP_DUP_10GRAM_MAX}) AS repetitive_ngram
 FROM _f
 """
+
+
+# --- C4 line/page cleaning (r7) -----------------------------------------------
+# The published C4 cleaning heuristics (Raffel et al. 2020, §2.2) as one
+# single-scan operator: line-level retention (terminal punctuation, >= 5
+# words, no "javascript") and page-level drops (lorem ipsum, curly brace,
+# < 3 sentences after line filtering — sentence count approximated as
+# terminal-punctuation occurrences in the retained text, a documented
+# deterministic proxy for the paper's sentence splitter). The policy
+# badword list is a pluggable parameter (the published filter uses an
+# external blocklist; the default here is empty = rule disabled).
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_clean(df: DataFrame, id_col: str = "id", text_col: str = "text",
+             badwords: tuple = ()) -> DataFrame:
+    """(id, text_clean, n_lines_kept, n_lines_dropped, n_sentences,
+    keep_page): C4's line filter + page-drop rules. text_clean joins the
+    retained lines with newlines; keep_page is False for pages with
+    lorem ipsum / '{' / a badword / fewer than 3 sentences retained."""
+    d = spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    lines = F.filter(
+        F.transform(F.split(F.col("_t"), "\n"), lambda t: F.trim(t)),
+        lambda x: x != "")
+    d = d.select("id", "_t", lines.alias("_lines"))
+
+    def _line_ok(x: Column) -> Column:
+        terminal = F.lit(False)
+        for t in _C4_TERMINALS:
+            terminal = terminal | x.endswith(t)
+        n_words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+        return (terminal & (n_words >= C4_MIN_LINE_WORDS)
+                & ~F.lower(x).contains("javascript"))
+
+    kept = F.filter(F.col("_lines"), _line_ok)
+    d = d.select("id", "_t", "_lines", kept.alias("_kept"))
+    clean = F.array_join(F.col("_kept"), "\n")
+    n_sent = F.lit(0)
+    for t in (".", "!", "?"):
+        n_sent = n_sent + (F.length(clean)
+                           - F.length(F.replace(clean, F.lit(t), F.lit(""))))
+    low = F.lower(F.col("_t"))
+    bad = F.lit(False)
+    for w in badwords:
+        bad = bad | low.contains(w.lower())
+    keep_page = (~low.contains("lorem ipsum") & ~F.col("_t").contains("{")
+                 & ~bad & (n_sent >= C4_MIN_SENTENCES))
+    return d.select(
+        "id", clean.alias("text_clean"),
+        F.size("_kept").alias("n_lines_kept"),
+        (F.size("_lines") - F.size("_kept")).alias("n_lines_dropped"),
+        n_sent.alias("n_sentences"),
+        keep_page.alias("keep_page"))
+
+
+def c4_clean_sql(table_sql: str, id_expr: str = "id",
+                 text_expr: str = "text", badwords: tuple = ()) -> str:
+    """DuckDB oracle twin of c4_clean."""
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    lines = (f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
+             f"t -> trim(t)), x -> x <> '')")
+    terminal = " OR ".join(
+        "x LIKE '%' || " + ("chr(34)" if t == '"' else f"'{esc(t)}'")
+        for t in _C4_TERMINALS)
+    line_ok = (f"({terminal}) AND "
+               f"len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) "
+               f">= {C4_MIN_LINE_WORDS} "
+               f"AND NOT contains(lower(x), 'javascript')")
+    n_sent = " + ".join(
+        f"(length(_clean) - length(replace(_clean, '{esc(t)}', '')))"
+        for t in (".", "!", "?"))
+    bad = " OR ".join(
+        f"contains(lower(_t), '{esc(w.lower())}')" for w in badwords) or "FALSE"
+    return f"""
+WITH _b AS (
+  SELECT {id_expr} AS id, {text_expr} AS _t, {lines} AS _lines FROM {table_sql}
+),
+_k AS (
+  SELECT id, _t, _lines, list_filter(_lines, x -> {line_ok}) AS _kept FROM _b
+),
+_c AS (
+  SELECT id, _t, _lines, _kept,
+         coalesce(array_to_string(_kept, chr(10)), '') AS _clean
+  FROM _k
+)
+SELECT id, _clean AS text_clean,
+       len(_kept) AS n_lines_kept,
+       len(_lines) - len(_kept) AS n_lines_dropped,
+       ({n_sent}) AS n_sentences,
+       (NOT contains(lower(_t), 'lorem ipsum') AND NOT contains(_t, '{{')
+        AND NOT ({bad}) AND ({n_sent}) >= {C4_MIN_SENTENCES}) AS keep_page
+FROM _c
+"""

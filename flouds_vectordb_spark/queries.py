@@ -1788,6 +1788,21 @@ _register_ext("text_repetition_full", _repetition_full_q,
               _repetition_full_sql())
 
 
+def _c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import c4_clean
+
+    return c4_clean(load(spark, sf_dir, "documents"), id_col="doc_id")
+
+
+def _c4_clean_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import c4_clean_sql
+
+    return c4_clean_sql("documents", id_expr="doc_id")
+
+
+_register_ext("text_c4_clean", _c4_clean_q, _c4_clean_sql())
+
+
 # r7 PII classes (SSN / payment card / international + adjacent phones):
 # same injection pattern, different doc_id-derived payloads so every new
 # class and the two-pass adjacency path execute under the oracle

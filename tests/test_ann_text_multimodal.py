@@ -364,3 +364,34 @@ def test_repetition_full_matches_duckdb(spark):
         sp = spark_rows[duck["id"]]
         for c in cols:
             assert sp[c] == duck[c], (duck["id"], c, sp[c], duck[c])
+
+
+def test_c4_clean_rules(spark):
+    from flouds_vectordb_spark.operators.text_analysis import c4_clean
+
+    good_line = "This is a perfectly ordinary sentence with many words."
+    docs = [
+        ("keep", "\n".join([good_line] * 3)),
+        ("shortline", "tiny line.\n" + good_line),          # <5 words dropped
+        ("nopunct", "this line has plenty of words but no terminal mark\n"
+                    + "\n".join([good_line] * 3)),
+        ("js", "Please enable javascript to view this page.\n"
+               + "\n".join([good_line] * 3)),
+        ("lorem", "\n".join([good_line] * 3) + "\nLorem Ipsum dolor sit amet."),
+        ("brace", "\n".join([good_line] * 3) + "\nfunction() { return 1; }"),
+        ("fewsent", good_line + "\nno more full sentences here"),
+    ]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in c4_clean(df).collect()}
+    assert got["keep"]["keep_page"] and got["keep"]["n_lines_kept"] == 3
+    assert got["shortline"]["n_lines_dropped"] == 1
+    assert got["nopunct"]["n_lines_dropped"] == 1
+    assert got["js"]["n_lines_dropped"] == 1  # javascript line removed
+    assert got["js"]["keep_page"]             # page itself survives
+    assert not got["lorem"]["keep_page"]
+    assert not got["brace"]["keep_page"]
+    assert not got["fewsent"]["keep_page"] and got["fewsent"]["n_sentences"] < 3
+    # badword plug-in
+    got2 = {r["id"]: r.asDict()
+            for r in c4_clean(df, badwords=("ordinary",)).collect()}
+    assert not got2["keep"]["keep_page"]
