@@ -444,6 +444,14 @@ class HnswIndex:
                     _pair_score(self.metric, self.vector_col).alias("_s"),
                     *(["batch_ts"] if has_ts else []))
         )
+        return self._collect_score_block(scored, has_ts)
+
+    def _collect_score_block(self, scored: DataFrame,
+                             has_ts: bool) -> list[tuple]:
+        """Latest-version resolution + collect shared by the pair-scoring
+        and fused expand-scoring jobs (append-upserts may leave stale rows
+        in `nodes` until compaction; never-appended indexes skip the keyed
+        shuffle entirely)."""
         if not self._versions_possible:
             agg = scored.select("qid", "_i", "_s")  # unique by build invariant
         elif has_ts:
@@ -453,6 +461,43 @@ class HnswIndex:
             agg = scored.groupBy("qid", "_i").agg(F.max("_s").alias("_s"))
         return [(r["qid"], r["_i"], r["_s"]) for r in agg.collect()
                 if r["_s"] is not None]
+
+    def _expand_score_many(self, spark: SparkSession, frontiers: dict,
+                           qb: DataFrame) -> list[tuple]:
+        """ONE fused job per batched-beam round for small corpora (the
+        block analogue of _expand_round's small path): the (qid, frontier)
+        block broadcasts into the frontier-pruned edge scan, the reachable
+        (qid, dst) candidates broadcast into the node table, and every
+        candidate scores against its query in the same action. Candidates
+        a query already scored rescore to the identical value (the driver
+        merge is idempotent), so results match the two-job path exactly;
+        the extra compute is bounded by frontier x Mmax rows. Above
+        SMALL_CORPUS_ROWS the two id-pruned scans win back their row-group
+        skipping and this path is not used."""
+        from flouds_vectordb_spark.operators.batch_search import _pair_score
+
+        id_t = dict(self.nodes(spark).dtypes)[self.id_col]
+        fdf = spark.createDataFrame(
+            [(int(q), m) for q, fr in frontiers.items() for m in fr],
+            f"qid bigint, _src {id_t}")
+        union_fr = sorted({m for fr in frontiers.values() for m in fr},
+                          key=lambda v: (str(type(v)), v))
+        e = self._ids_pruned(self.edges(spark), "src", union_fr)
+        cand = (e.join(F.broadcast(fdf), F.col("src") == F.col("_src"))
+                .select("qid", F.col("dst").alias("_i")))
+        nodes = self.nodes(spark)
+        has_ts = "batch_ts" in nodes.columns
+        proj = nodes.select(
+            F.col(self.id_col).alias("_i"), self.vector_col,
+            *(["batch_ts"] if has_ts else []))
+        scored = (
+            proj.join(F.broadcast(cand), "_i")
+            .join(F.broadcast(qb), "qid")
+            .select("qid", "_i",
+                    _pair_score(self.metric, self.vector_col).alias("_s"),
+                    *(["batch_ts"] if has_ts else []))
+        )
+        return self._collect_score_block(scored, has_ts)
 
     def beam_search_many(self, spark: SparkSession, queries,
                          ef: int = DEFAULT_EF,
@@ -504,6 +549,16 @@ class HnswIndex:
             active = list(frontiers)
             if not active:
                 break
+            if int(self.meta.get("n", 0)) <= self.SMALL_CORPUS_ROWS:
+                # ONE fused action per round (see _expand_score_many) —
+                # halves the batched beam's driver-job count where the
+                # full-table hash join is cheaper than a second job's
+                # scheduling overhead
+                for q, fr in frontiers.items():
+                    expanded[q].update(fr)
+                for q, i, sc in self._expand_score_many(spark, frontiers, qb):
+                    scored[q][i] = sc
+                continue
             union_fr = sorted({i for fr in frontiers.values() for i in fr},
                               key=lambda v: (str(type(v)), v))
             e = self.edges(spark)

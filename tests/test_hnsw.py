@@ -552,3 +552,16 @@ def test_two_level_build_deterministic_and_searchable(spark, tmp_path_factory):
     assert e1 == e2
     got = idx1.beam_search(spark, q, ef=24)[:10]
     assert sorted(got) == list(range(1000, 1010))  # the planted cluster ids
+
+
+def test_batched_big_corpus_two_scan_rounds_match(spark, built, monkeypatch):
+    """The batched beam's 100 TB shape (two id-pruned scans per round)
+    must be result-identical to the small-corpus fused single-job round."""
+    df, q, idx = built
+    rng = np.random.RandomState(61)
+    queries = [(i, [float(x) for x in np.array(q) + rng.uniform(-0.03, 0.03, DIM)])
+               for i in range(5)]
+    small = idx.beam_search_many(spark, queries, ef=16)
+    monkeypatch.setattr(HnswIndex, "SMALL_CORPUS_ROWS", -1)
+    big = open_hnsw(idx.path).beam_search_many(spark, queries, ef=16)
+    assert small == big
