@@ -76,10 +76,11 @@ def query_block(spark: SparkSession, queries: QueryBatch) -> DataFrame:
     the SAME literal both engines divide by for COSINE."""
     queries = list(queries)
     _check_batch(queries)
+    from flouds_vectordb_spark.functions.local import local_df
+
     rows = [(int(q), [float(x) for x in v], V.query_norm(list(v)))
             for q, v in queries]
-    return spark.createDataFrame(
-        rows, "qid bigint, _qv array<double>, _qn double")
+    return local_df(spark, rows, "qid bigint, _qv array<double>, _qn double")
 
 
 def _pair_score(metric: str, vector_col: str) -> Column:
