@@ -190,10 +190,13 @@ def test_nonconvergence_warns(spark, built):
 
 
 def test_nn_descent_refinement_improves_graph(spark, tmp_path_factory):
-    """NN-descent rounds may only improve the adjacency (every src's
-    neighbor list merges candidates and re-caps by score) and must not
-    hurt beam recall. Uniform-ish data with tiny cells is the case where
-    cell-local candidate generation misses true neighbors."""
+    """NN-descent rounds may only improve each node's BEST neighbor (the
+    merge always keeps the top-score candidate first — r8: the aggregate
+    MEAN score is intentionally not monotone anymore, because heuristic
+    selection trades mean edge score for reachability-preserving diverse
+    edges) and must not hurt beam recall. Uniform-ish data with tiny
+    cells is the case where cell-local candidate generation misses true
+    neighbors AND where a plain score-cap used to strand them."""
     rng = np.random.RandomState(17)
     rows = [(int(i), [float(x) for x in rng.uniform(-1, 1, DIM)])
             for i in range(400)]
@@ -208,13 +211,17 @@ def test_nn_descent_refinement_improves_graph(spark, tmp_path_factory):
         path = str(tmp_path_factory.mktemp(f"hnsw_r{refine}") / "idx")
         idx = build_hnsw(df, path, m=8, metric="COSINE", cell_target=32,
                          refine_rounds=refine)
-        mean_score = idx.edges(spark).agg(F.avg("score")).first()[0]
+        best = {r["src"]: r["b"] for r in idx.edges(spark)
+                .groupBy("src").agg(F.max("score").alias("b")).collect()}
         got = {r["id"] for r in idx.search(spark, req, ef=32).collect()}
-        return mean_score, len(got & exact) / len(exact)
+        return best, len(got & exact) / len(exact)
 
     s0, r0 = build(0)
     s1, r1 = build(1)
-    assert s1 >= s0  # adjacency quality is monotone under refinement
+    # per-src best neighbor is monotone under refinement (the one score
+    # property heuristic selection preserves by construction)
+    assert all(s1.get(src, float("-inf")) >= b - 1e-12
+               for src, b in s0.items())
     assert r1 >= r0  # beam recall must not regress
     assert r1 >= 0.8  # and lands in a usable range on this fixture
 
