@@ -373,9 +373,10 @@ def sparse_search(
 # --- batched multi-query sparse search (r6) ----------------------------------
 
 # IN-list pruning cap for batched blocks: below this the posting scan gets
-# a static `term IN (...)` row-group-prunable filter; above it the list
-# becomes a broadcast semi-join (a 10k-element IN stops being pushed to the
-# parquet reader and bloats the plan string anyway).
+# a static `term IN (...)` row-group-prunable filter on top of the
+# broadcast (qid, term) join; above it the join alone prunes dynamically
+# (a 10k-element IN stops being pushed to the parquet reader and bloats
+# the plan string anyway).
 _ISIN_TERM_CAP = 512
 
 
@@ -406,29 +407,29 @@ def sparse_search_many(
     req.query_text is IGNORED — the batch supplies the texts; every other
     knob (limit/offset/round_decimal/k1/b) applies to all queries.
 
-    Plan (the set-of-queries shape, mirroring batch_search.py): ONE
-    term-pruned posting scan serves the whole block — matched postings
-    pivot to one row per doc as a term->weight MAP (each doc has <=1
-    posting per term, the I1 build invariant, so map_from_entries is
-    well-defined and a violated invariant fails loudly under Spark's
-    duplicate-map-key EXCEPTION policy), the tiny per-qid (term, qtf)
-    block cross-joins in, and each (qid, doc) score is an F.aggregate
-    fold over the query's SORTED terms with map lookups. The fold adds
-    exactly the terms the per-query loop adds, in the same sorted order
-    (absent union terms contributed literal 0.0 before, a bitwise no-op
-    for IEEE doubles), so results stay bit-identical to looping
-    sparse_search per query AND to the fixed-union-order oracle twin.
-    The k-cut is one per-qid window over (qid, id, score) scalars.
+    Plan (r8 — the classic distributed inverted-index shape, VERDICT r7
+    ask #3): the per-qid (term, qtf) block explodes to a tiny broadcast
+    (qid, term, qtf) table that inner-joins the term-pruned posting scan —
+    so the joined rows are exactly the TRUE (qid, doc, term) matches, never
+    the (docs matching any union term) x |block| cross product the r7 map-
+    pivot plan produced. Each (qid, doc) score is an F.aggregate fold over
+    its matched contributions sorted by term — the same sorted-term order
+    the per-query loop uses, and the terms it skips contributed literal
+    0.0 there (a bitwise no-op for IEEE doubles: BM25 weights are strictly
+    positive, so the accumulator is never -0.0) — so results stay
+    bit-identical to looping sparse_search per query AND to the
+    fixed-union-order oracle twin. The k-cut is one per-qid window over
+    (qid, id, score) scalars.
 
-    Scale notes (100 TB): the plan is CONSTANT-WIDTH — block vocabulary
-    size changes data volume, never the number of columns or codegen
-    size, so there is no union-term cap (r6 capped at 1024 because terms
-    were agg columns). Small blocks prune the posting scan with an IN
+    Scale notes (100 TB): candidate rows are true matches only — strictly
+    less shuffle than any union-term plan at every block size. The plan is
+    CONSTANT-WIDTH (no per-term columns, no union-term cap). Small blocks
+    additionally prune the posting scan with a static `term IN (...)`
     filter (term-range-sorted posting files skip whole row groups); above
-    _ISIN_TERM_CAP the filter becomes a broadcast semi-join — dynamic
-    pruning instead of static, the honest trade at huge vocabularies.
-    Candidate volume is (docs matching any union term) x |block| rows of
-    three scalars; the qtf block is a genuine broadcast."""
+    _ISIN_TERM_CAP the broadcast join itself is the (dynamic) prune.
+    Duplicate (id, term) posting rows — an I1-invariant violation — now
+    degrade to a deterministic summed score instead of the r7 map plan's
+    config-dependent duplicate-map-key crash (ADVICE r7)."""
     terms, qtf_rows = _query_term_matrix(queries)
     spark = postings.sparkSession
     if not terms:
@@ -438,31 +439,25 @@ def sparse_search_many(
         return spark.createDataFrame(
             [], f"qid long, id {id_t}, rank int, score double")
 
+    pruned = postings
     if len(terms) <= _ISIN_TERM_CAP:
-        matched = postings.filter(F.col("term").isin(terms))
-    else:
-        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-        matched = postings.join(F.broadcast(tdf), "term", "left_semi")
-    per_doc = matched.groupBy("id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("term"), F.col("weight")))
-        ).alias("_wm"))
+        pruned = postings.filter(F.col("term").isin(terms))
+    from flouds_vectordb_spark.functions.local import local_df
 
-    qtf = spark.createDataFrame(
-        [(q, [(t, int(c)) for t, c in zip(terms, row) if c > 0])
-         for q, row in qtf_rows],
-        "qid bigint, _qts array<struct<t:string,c:int>>")
-    joined = per_doc.join(F.broadcast(qtf))
-    wm = F.col("_wm")
-    score = F.aggregate(
-        F.col("_qts"), F.lit(0.0),
-        lambda acc, e: acc + F.coalesce(F.element_at(wm, e["t"]), F.lit(0.0))
-        * e["c"].cast("double"))
-    match_any = F.exists(
-        F.col("_qts"), lambda e: F.element_at(wm, e["t"]).isNotNull())
+    qt = local_df(
+        spark, [(q, t, int(c)) for q, row in qtf_rows
+                for t, c in zip(terms, row) if c > 0],
+        "qid bigint, term string, _qtf int")
+    contrib = (
+        pruned.join(F.broadcast(qt), "term")
+        .select("qid", "id", "term",
+                (F.col("weight") * F.col("_qtf").cast("double")).alias("_wq"))
+    )
     scored = (
-        joined.filter(match_any)
-        .select("qid", "id", score.alias("_score"))
+        contrib.groupBy("qid", "id")
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "_wq"))),
+            F.lit(0.0), lambda acc, e: acc + e["_wq"]).alias("_score"))
         .withColumn("_score_r", F.round(F.col("_score"), RANK_DECIMALS))
     )
     fetch = req.effective_limit + req.offset
