@@ -134,7 +134,17 @@ class CollectionWriter:
         batch_ts must be STRICTLY GREATER than the collection's stored
         watermark (meta last_batch_ts): ts reuse would make the latest-wins
         merge tie nondeterministically and would let the (id, batch_ts)
-        staleness joins match several physical versions of one key."""
+        staleness joins match several physical versions of one key.
+
+        RETRY CONTRACT (ADVICE r7): the watermark advances BEFORE the data
+        write (crash-safe order, see COMMIT ORDER below), so after ANY
+        failure — raised here or a process crash — the caller must retry
+        with a FRESH, larger batch_ts; the failed ts is permanently burned
+        and a same-ts retry is rejected by the strictly-increasing check.
+        Auto-id collections may leak the failed batch's id range as gaps
+        (INT64 pks tolerate gaps). A failure raised from the data write
+        itself additionally compensates by clearing the index_appends flag
+        it pessimistically set, since nothing landed on disk."""
         # refresh the catalog row UNDER the collection lock: another
         # process may have inserted since this writer was constructed, and
         # both the auto-id high-water mark and the ts watermark below must
@@ -220,15 +230,34 @@ class CollectionWriter:
             updates = {"last_batch_ts": int(batch_ts)}
             if auto_id:
                 updates["auto_id_next"] = int(self.meta.get("auto_id_next", 0)) + n
+            flagged_appends = False
             if int(self.meta.get("index_appends", 0)) == 0 and self._has_dense_index():
                 # the write below will append to the built index (see
                 # _append_dense_indexes); flag it pessimistically in the
                 # same meta write so a crash can only over-count, never
                 # let a stale index row evade the staleness semi-join
                 updates["index_appends"] = 1
+                flagged_appends = True
             self.meta = self.catalog.update_collection_meta(
                 self.tenant, self.model, **updates)
-            stamped.write.mode("append").parquet(self.meta["path"])
+            try:
+                stamped.write.mode("append").parquet(self.meta["path"])
+            except Exception:
+                # COMPENSATION (ADVICE r7): a CAUGHT write failure (plain
+                # Spark job failure, not a process crash) is known to have
+                # landed nothing — the committer stages task output in
+                # _temporary until job commit — so the pessimistic
+                # index_appends flag set above can be safely cleared,
+                # keeping the pristine-index staleness-join skip alive.
+                # The burned batch_ts (and any reserved auto-id range)
+                # stays burned BY DESIGN: the retry contract below
+                # requires a fresh ts either way, and un-burning it would
+                # re-open the same-ts duplicate-batch hazard the
+                # write-intent-first order exists to close.
+                if flagged_appends:
+                    self.meta = self.catalog.update_collection_meta(
+                        self.tenant, self.model, index_appends=0)
+                raise
             if auto_id:
                 # index maintenance reads the WRITTEN rows back (batch_ts
                 # row-group pruning makes this an O(batch) read): the ids
