@@ -72,7 +72,8 @@ TWO_LEVEL_SUFFIXES: tuple[str, ...] = tuple(sorted([
     "com.pl", "org.pl", "net.pl",
 ]))
 
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+_HOST_RE = r"^\s*[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#\s]+)"
+_BARE_RE = r"^\s*(?://)?(?:[^/@?#\s]*@)?([^/:?#\s]+)"
 
 _ISIN_CAP = 512  # blocklists above this become a broadcast anti-join
 
@@ -84,8 +85,9 @@ def extract_host(url_col: Column) -> Column:
     scheme) fall back to everything before the first /:?#. Returns NULL
     for empty/whitespace input."""
     with_scheme = F.regexp_extract(url_col, _HOST_RE, 1)
-    # no scheme: take up to the first delimiter, still dropping userinfo
-    bare = F.regexp_extract(url_col, r"^(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    # no scheme: optional scheme-relative //, then up to the first
+    # delimiter, still dropping userinfo
+    bare = F.regexp_extract(url_col, _BARE_RE, 1)
     host = F.lower(F.when(with_scheme != "", with_scheme).otherwise(bare))
     host = F.regexp_replace(host, r"\.$", "")
     host = F.regexp_replace(host, r"^www\.", "")
@@ -156,7 +158,7 @@ def host_sql(url_expr: str) -> str:
     """DuckDB twin of extract_host."""
     with_scheme = (f"regexp_extract({url_expr}, "
                    f"'{_HOST_RE}', 1)")
-    bare = f"regexp_extract({url_expr}, '^(?:[^/@?#]*@)?([^/:?#]+)', 1)"
+    bare = f"regexp_extract({url_expr}, '{_BARE_RE}', 1)"
     host = (f"lower(CASE WHEN {with_scheme} <> '' THEN {with_scheme} "
             f"ELSE {bare} END)")
     host = f"regexp_replace({host}, '\\.$', '')"
