@@ -973,25 +973,39 @@ def _heuristic_cap(edges: DataFrame, nodes_iv: DataFrame, cap: int,
 def compact_hnsw(index: HnswIndex, spark: SparkSession) -> None:
     """Re-cap appended edges at Mmax=2M (append leaves reverse edges
     un-recapped — correct but degree-inflating; this is the DiskANN-style
-    periodic cleanup). One (src,dst) groupBy + one per-src window over
-    (src, dst, score) scalars, rewritten crash-safely: the live `edges`
-    dir is RENAMED aside (edges__old) before the built replacement swaps
-    in, so at every instant either the old or the new table is openable —
-    a crash between the two steps leaves edges__old, which open_hnsw
+    periodic cleanup). r8: the cap is the same heuristic neighbor
+    selection refinement uses (_heuristic_cap) — a plain top-by-score cap
+    on the append path evicts long-range edges exactly as it did in
+    refinement, and compaction is the one moment the append path decides
+    which edges survive. Cost: compaction (a periodic maintenance job,
+    not a query) shuffles latest-version dst vectors into per-src Arrow
+    groups — O(edges) rows once per compact, amortized over the appends
+    that triggered it. Crash-safe rewrite: the live `edges` dir is
+    RENAMED aside (edges__old) before the built replacement swaps in, so
+    at every instant either the old or the new table is openable — a
+    crash between the two steps leaves edges__old, which open_hnsw
     recovers (never a window with no edges table, the failure mode of the
     earlier rmtree-then-replace order)."""
     import shutil
 
     edges_path = os.path.join(index.path, "edges")
     cap = 2 * int(index.meta["M"])
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     tmp = edges_path + "__compacting"
     old = edges_path + "__old"
+    nodes = index.nodes(spark)
+    nodes_iv = nodes.select(F.col(index.id_col).alias("id"),
+                            F.col(index.vector_col).alias("vector"),
+                            *(["batch_ts"] if "batch_ts" in nodes.columns
+                              else []))
+    if "batch_ts" in nodes_iv.columns:
+        wv = Window.partitionBy("id").orderBy(F.col("batch_ts").desc())
+        nodes_iv = (nodes_iv.withColumn("_rn", F.row_number().over(wv))
+                    .filter(F.col("_rn") == 1).drop("_rn", "batch_ts"))
     (
-        spark.read.parquet(edges_path)
-        .groupBy("src", "dst").agg(F.max("score").alias("score"))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= cap).drop("_r")
+        _heuristic_cap(
+            spark.read.parquet(edges_path)
+            .groupBy("src", "dst").agg(F.max("score").alias("score")),
+            nodes_iv, cap, index.metric)
         .repartitionByRange(8, F.col("src"))
         .sortWithinPartitions("src", "dst")
         .write.mode("overwrite").parquet(tmp)

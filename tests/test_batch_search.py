@@ -365,3 +365,27 @@ def test_stale_version_in_probed_cell_never_surfaces(spark, tmp_path_factory):
     batched = {r["id"]: r["score"] for r in
                w.search_many([(0, qv)], req, use_index=True).collect()}
     assert batched == single
+
+
+def test_sparse_search_many_plan_is_inverted_term_join(spark, corpus):
+    """r8 (the VERDICT r7 #3 done-criterion): the batched sparse plan must
+    be the inverted (qid, term) broadcast JOIN — candidate rows are true
+    matches only — not the r7 doc x block cross product. The optimized
+    plan therefore contains a broadcast hash join keyed on term and NO
+    cartesian/cross join."""
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        bm25_postings,
+        sparse_search_many,
+    )
+
+    posts = bm25_postings(corpus.filter(F.col("chunk") != ""))
+    req = SparseSearchRequest(query_text="", limit=5)
+    df = sparse_search_many(posts, [(0, "spark vector"), (1, "scan")], req)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the first broadcast join in the plan tree is keyed on term
+    head = plan.split("BroadcastHashJoin", 1)[1][:120]
+    assert "term" in head, head
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
