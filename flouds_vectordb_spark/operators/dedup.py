@@ -866,3 +866,98 @@ SELECT id,
        len(_toks) - len(_kept) AS n_tokens_removed
 FROM _joined
 """
+
+
+def remove_common_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text_clean, n_lines_removed): drop every NON-EMPTY line that
+    occurs verbatim in >= min_docs DISTINCT documents — the C4/RefinedWeb
+    corpus-level boilerplate rule (navigation chrome, cookie banners,
+    footers repeat across a site's pages; content lines do not). Blank /
+    whitespace-only lines are never removal candidates (they are document
+    structure, and "" would trivially cross any threshold). Within-one-
+    document repetition alone never triggers removal (count is per
+    distinct doc — that case is the repetition FILTERS' job); but once a
+    line is flagged corpus-wide, every occurrence of it drops, including
+    repeats inside one document.
+
+    Plan (the exact_substring_spans shape, one level up): ONE scan splits
+    lines and hashes them in the same projection, so only (id, pos,
+    line-hash) scalars ever shuffle — never text; flagged hashes are a
+    groupBy(hash) distinct-doc count (60-bit near-unique keys, no skew);
+    a scalars-only semi-join finds each document's drop positions, which
+    collapse to one bounded int array per affected document and join back
+    for a pure-Column line filter. Documents with no flagged lines pass
+    through untouched."""
+    lines = F.split(F.col(text_col), "\n")
+    d = _spread(df).select(F.col(id_col).alias("id"), lines.alias("_lines"))
+    exploded = (
+        d.select("id", F.posexplode("_lines").alias("pos", "_ln"))
+        .filter(F.trim(F.col("_ln")) != "")
+        .select("id", "pos", hash64(F.col("_ln")).alias("_lh"))
+    )
+    exploded = _persist(exploded)  # read twice: flagging + position join
+    flagged = (exploded.groupBy("_lh")
+               .agg(F.countDistinct("id").alias("_nd"))
+               .filter(F.col("_nd") >= int(min_docs)).select("_lh"))
+    drops = (
+        exploded.join(flagged, "_lh", "left_semi")
+        .groupBy("id").agg(F.sort_array(F.collect_list("pos")).alias("_drops"))
+    )
+    joined = d.join(drops, "id", "left")
+    kept = F.when(F.col("_drops").isNull(), F.col("_lines")).otherwise(
+        F.filter(F.col("_lines"),
+                 lambda x, i: ~F.array_contains(F.col("_drops"), i)))
+    return joined.select(
+        "id",
+        F.array_join(kept, "\n").alias("text_clean"),
+        (F.size("_lines") - F.size(kept)).alias("n_lines_removed"),
+    )
+
+
+def remove_common_lines_sql(
+    table_sql: str,
+    min_docs: int = 3,
+    id_expr: str = "id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB oracle twin of remove_common_lines: same raw-line hashing,
+    same distinct-doc threshold, same per-position filter (DuckDB list
+    lambdas are 1-based where Spark's posexplode is 0-based — positions
+    are engine-internal, only membership matters)."""
+    lh = hash64_sql("_ln")
+    return f"""
+WITH _docs AS (
+  SELECT {id_expr} AS id, string_split({text_expr}, chr(10)) AS _lines
+  FROM {table_sql}
+),
+_exp AS (
+  SELECT id, pos, {lh} AS _lh FROM (
+    SELECT id, unnest(_lines) AS _ln,
+           unnest(generate_series(1, len(_lines))) AS pos
+    FROM _docs
+  ) WHERE trim(_ln) <> ''
+),
+_flagged AS (
+  SELECT _lh FROM _exp GROUP BY _lh HAVING count(DISTINCT id) >= {int(min_docs)}
+),
+_drops AS (
+  SELECT id, list(pos ORDER BY pos) AS _drops
+  FROM _exp JOIN _flagged USING (_lh) GROUP BY id
+),
+_joined AS (
+  SELECT d.id, d._lines,
+    CASE WHEN _drops IS NULL THEN d._lines
+         ELSE list_filter(d._lines, (x, i) -> NOT list_contains(_drops, i))
+    END AS _kept
+  FROM _docs d LEFT JOIN _drops ON d.id = _drops.id
+)
+SELECT id,
+       coalesce(array_to_string(_kept, chr(10)), '') AS text_clean,
+       len(_lines) - len(_kept) AS n_lines_removed
+FROM _joined
+"""

@@ -38,10 +38,14 @@ def decode_media(payload: bytes, media_type: str):
     """Real decode hook, import-guarded (VERDICT r6/r7): when Pillow is
     installed, image/* payloads decode for real and return a PIL.Image;
     when soundfile is installed, audio/* payloads decode to a
-    (numpy_samples, sample_rate) pair. Everything else (and every payload
-    when no media library exists, as in this container) raises the
-    documented NotImplementedError. A video hook (av) slots in the same
-    way."""
+    (numpy_samples, sample_rate) pair; when av (PyAV) is installed,
+    video/* payloads decode to an open av container (streams, frames and
+    duration readable lazily — a container, not a frame list, because
+    eagerly decoding all frames of a video inside a mapInPandas batch
+    would blow executor memory; frame_sample-style operators pull the
+    frames they need). Everything else (and every payload when no media
+    library exists, as in this container) raises the documented
+    NotImplementedError."""
     if media_type.startswith("image/"):
         try:
             import io
@@ -60,6 +64,15 @@ def decode_media(payload: bytes, media_type: str):
             pass
         else:
             return soundfile.read(io.BytesIO(payload))
+    if media_type.startswith("video/"):
+        try:
+            import io
+
+            import av
+        except ImportError:
+            pass
+        else:
+            return av.open(io.BytesIO(payload))
     raise NotImplementedError(
         f"no decoder available for {media_type!r}; install a media library "
         "and replace decode_media / the extractor passed to extract_features"
@@ -95,6 +108,26 @@ def soundfile_audio_extractor(payload: bytes) -> tuple[int, str, list[float]]:
         n_frames, n_ch = samples.shape[0], samples.shape[1]
     rms = float((samples.astype("float64") ** 2).mean() ** 0.5) if n_frames else 0.0
     return len(payload), h, [float(n_frames), float(rate), float(n_ch), rms]
+
+
+def av_video_extractor(payload: bytes) -> tuple[int, str, list[float]]:
+    """Real video extractor with the fake_feature_extractor signature
+    (usable only when av/PyAV is importable): features are
+    [duration_sec, n_video_streams, width, height] of the first video
+    stream — container metadata only, NO frame decode (a metadata read is
+    O(header); decoding frames belongs in a sampling operator). Mirrors
+    the image/audio extractors: swapping it in touches NOTHING else in
+    the mapInPandas pipeline."""
+    container = decode_media(payload, "video/*")
+    try:
+        vstreams = [s for s in container.streams if s.type == "video"]
+        dur = float(container.duration / 1_000_000) if container.duration else 0.0
+        w = float(vstreams[0].codec_context.width) if vstreams else 0.0
+        h = float(vstreams[0].codec_context.height) if vstreams else 0.0
+        md5 = hashlib.md5(payload).hexdigest()
+        return len(payload), md5, [dur, float(len(vstreams)), w, h]
+    finally:
+        container.close()
 
 
 def fake_feature_extractor(payload: bytes) -> tuple[int, str, list[float]]:

@@ -79,3 +79,117 @@ SELECT * EXCLUDE (_rk) FROM (
   FROM {table_sql}
 ) WHERE _rk <= {n_per_stratum}
 """
+
+
+# --- corpus mixing: per-source token budgets (r8) -------------------------------
+
+# range-bucket count for the two-phase budget scan; 60-bit hash space is
+# divided into _NB contiguous ranges so bucket order == hash order
+_NB = 1024
+_BUCKET_W = (1 << 60) // _NB + 1
+
+
+def sample_token_budget(df: DataFrame, budgets: dict, source_col: str = "source",
+                        text_col: str = "text", key_col: str = "id",
+                        seed: int = 0) -> DataFrame:
+    """Deterministic corpus mixing — the pretraining "data mixture" stage:
+    for each source with a token budget, keep the hash-ranked prefix of
+    its documents whose running (inclusive) whitespace-token total stays
+    within the budget; sources without a budget drop entirely. Membership
+    is a pure function of (seed, data): the rank key is the content hash,
+    so the kept prefix is an unbiased pseudo-random subset, reproducible
+    across partitioning, cluster size, and engine. Greedy-prefix rule:
+    once the running total exceeds the budget, every later-ranked doc of
+    that source drops even if it would individually fit (the standard
+    reproducible-mixture contract — no knapsack refitting).
+
+    100 TB shape (two-phase, no per-source serial window over the corpus):
+    a naive per-source running-sum window puts one whole source in one
+    window partition — the worst skew possible. Instead: (1) one scalar
+    projection (key, source, hash, n_tokens) range-buckets the hash space
+    into _NB (1024) contiguous ranges and aggregates token sums per (source,
+    bucket) — map-side combinable, |sources| x _NB rows to the driver;
+    (2) the driver prefix-sums each source's buckets in hash order and
+    classifies each bucket full-keep (cum_through <= B), full-drop
+    (cum_before > B), or THE one boundary bucket; (3) full-keep buckets
+    become a pure filter (no shuffle touches text), and only the boundary
+    bucket's rows (~1/_NB of one source) take the row-level running-sum
+    window with the remaining budget. Bit-identical to the single-window
+    definition the DuckDB twin uses."""
+    from flouds_vectordb_spark.functions.text import tokenize
+
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    for s, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(f"negative budget for source {s!r}")
+    h = hash64(F.col(key_col).cast("string"), seed=seed)
+    nt = F.size(tokenize(F.col(text_col)))
+    work = (df.filter(F.col(source_col).isin(list(budgets)))
+            .withColumn("_h", h).withColumn("_nt", nt)
+            .withColumn("_bk", F.floor(F.col("_h") / F.lit(_BUCKET_W))))
+    sums = (work.groupBy(source_col, "_bk").agg(F.sum("_nt").alias("_ts"))
+            .collect())
+    per_src: dict = {}
+    for r in sums:
+        per_src.setdefault(r[source_col], []).append((int(r["_bk"]), int(r["_ts"])))
+    keep_full: list = []   # (source, bucket) fully kept
+    boundary: dict = {}    # source -> (bucket, remaining_budget)
+    for src, buckets in per_src.items():
+        budget = int(budgets[src])
+        cum = 0
+        for bk, ts in sorted(buckets):
+            if cum + ts <= budget:
+                keep_full.append((src, bk))
+                cum += ts
+            elif cum <= budget:
+                boundary[src] = (bk, budget - cum)
+                break  # later buckets: cum_before > budget -> full drop
+            else:  # pragma: no cover - loop breaks before reaching here
+                break
+    full_cond = F.lit(False)
+    for src, bk in keep_full:
+        full_cond = full_cond | ((F.col(source_col) == src) & (F.col("_bk") == bk))
+    kept = work.filter(full_cond)
+    if boundary:
+        b_cond = F.lit(False)
+        rem = F.lit(None).cast("long")
+        for src, (bk, r) in sorted(boundary.items()):
+            b_cond = b_cond | ((F.col(source_col) == src) & (F.col("_bk") == bk))
+            rem = F.when(F.col(source_col) == src, F.lit(int(r))).otherwise(rem)
+        w = Window.partitionBy(source_col).orderBy(
+            F.col("_h").asc(), F.col(key_col).asc())
+        brows = (work.filter(b_cond)
+                 .withColumn("_cum", F.sum("_nt").over(
+                     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+                 .filter(F.col("_cum") <= rem).drop("_cum"))
+        kept = kept.unionByName(brows)
+    return kept.drop("_h", "_nt", "_bk")
+
+
+def sample_token_budget_sql(table_sql: str, budgets: dict,
+                            source_expr: str = "source",
+                            text_expr: str = "text", key_expr: str = "id",
+                            seed: int = 0) -> str:
+    """DuckDB twin: the single-window formulation of the same rule (keep
+    iff the running inclusive token sum in (hash, key) order <= the
+    source's budget) — the two-phase Spark plan is an execution strategy,
+    not a semantics change, so the results must hash-match exactly."""
+    h = hash64_sql(f"({key_expr})::VARCHAR", seed=seed)
+    tok = (f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+           f"x -> x <> ''))")
+    srcs = ", ".join("'" + str(s).replace("'", "''") + "'" for s in budgets)
+    cases = " ".join(
+        "WHEN '" + str(s).replace("'", "''") + f"' THEN {int(b)}"
+        for s, b in sorted(budgets.items()))
+    return f"""
+SELECT * EXCLUDE (_h, _nt, _cum) FROM (
+  SELECT *, sum(_nt) OVER (
+      PARTITION BY {source_expr} ORDER BY _h ASC, {key_expr} ASC
+      ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM (
+    SELECT *, {h} AS _h, {tok} AS _nt FROM {table_sql}
+    WHERE {source_expr} IN ({srcs})
+  )
+) WHERE _cum <= (CASE {source_expr} {cases} END)
+"""

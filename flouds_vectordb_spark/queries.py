@@ -2096,6 +2096,81 @@ def _url_blocklist_sql() -> str:
 _register_ext("url_blocklist_filter", _url_blocklist_q, _url_blocklist_sql())
 
 
+# --- corpus-level line dedup (r8): C4/RefinedWeb boilerplate removal ------------
+# documents carry no shared boilerplate, so both engines append the same
+# derived footer lines (cookie banner on doc_id % 3, newsletter plug on
+# doc_id % 4) — cross-document repeats by construction; each doc's own
+# body lines stay unique
+def _boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    footer = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nThis site uses cookies to improve your experience."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nSubscribe to our newsletter for updates.\n"
+                     "All rights reserved."))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", footer.alias("text"))
+
+
+_BOILER_DOCS_SQL = """(
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'This site uses cookies to improve your experience.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'Subscribe to our newsletter for updates.'
+                      || chr(10) || 'All rights reserved.'
+                 ELSE '' END AS text
+  FROM documents)"""
+
+
+def _corpus_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import remove_common_lines
+
+    return remove_common_lines(_boiler_docs(spark, sf_dir), min_docs=3,
+                               id_col="doc_id", text_col="text")
+
+
+def _corpus_lines_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import remove_common_lines_sql
+
+    return remove_common_lines_sql(_BOILER_DOCS_SQL, min_docs=3,
+                                   id_expr="doc_id", text_expr="text")
+
+
+_register_ext("dedup_corpus_lines", _corpus_lines_q, _corpus_lines_sql())
+
+
+# --- corpus mixing (r8): per-source token budgets -------------------------------
+_MIX_BUDGETS = {"src1": 800, "src2": 500, "src3": 100000}
+
+
+def _token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sampling import sample_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_token_budget(docs, _MIX_BUDGETS, source_col="source",
+                               text_col="text", key_col="doc_id",
+                               seed=7).select("doc_id", "source")
+
+
+def _token_budget_sql() -> str:
+    from flouds_vectordb_spark.operators.sampling import sample_token_budget_sql
+
+    inner = sample_token_budget_sql("documents", _MIX_BUDGETS,
+                                    source_expr="source", text_expr="text",
+                                    key_expr="doc_id", seed=7)
+    return f"SELECT doc_id, source FROM ({inner})"
+
+
+_register_ext("sample_token_budget_mix", _token_budget_q, _token_budget_sql())
+
+
 # --- event-stream rollup (batch view of the streaming windowed agg) -------------
 def _events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events(spark, sf_dir)

@@ -395,3 +395,75 @@ def test_c4_clean_rules(spark):
     got2 = {r["id"]: r.asDict()
             for r in c4_clean(df, badwords=("ordinary",)).collect()}
     assert not got2["keep"]["keep_page"]
+
+
+def test_decode_media_video_raises_without_av():
+    import pytest as _pytest
+
+    from flouds_vectordb_spark.operators.multimodal import decode_media
+
+    try:
+        import av  # noqa: F401
+        _pytest.skip("av installed; hook active")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="no decoder"):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+def test_soundfile_audio_extractor_real_decode(spark):
+    """Runs only where soundfile is installed (not this container): a real
+    WAV flows through the UNCHANGED mapInPandas pipeline with the real
+    audio extractor — same contract as the Pillow test above."""
+    import pytest as _pytest
+    _pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+    import soundfile
+
+    from flouds_vectordb_spark.operators.multimodal import (
+        extract_features,
+        soundfile_audio_extractor,
+    )
+
+    rate, freq, dur = 8000, 440.0, 0.1
+    t = np.arange(int(rate * dur)) / rate
+    samples = 0.5 * np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    soundfile.write(buf, samples, rate, format="WAV")
+    wav = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(wav), "audio/wav")],
+                               "id long, payload binary, media_type string")
+    row = extract_features(df, extractor=soundfile_audio_extractor).collect()[0]
+    assert row["n_bytes"] == len(wav)
+    n_frames, srate, n_ch, rms = row["feat"]
+    assert n_frames == len(samples) and srate == rate and n_ch == 1.0
+    assert abs(rms - 0.5 / 2 ** 0.5) < 0.01  # sine RMS = amp/sqrt(2)
+
+
+def test_av_video_extractor_importorskip(spark):
+    """Runs only where av (PyAV) is installed (not this container): the
+    extractor reads container metadata without decoding frames."""
+    import pytest as _pytest
+    av = _pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from flouds_vectordb_spark.operators.multimodal import av_video_extractor
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as c:
+        st = c.add_stream("h264", rate=4)
+        st.width, st.height, st.pix_fmt = 64, 32, "yuv420p"
+        for _ in range(8):
+            frame = av.VideoFrame.from_ndarray(
+                np.zeros((32, 64, 3), dtype=np.uint8), format="rgb24")
+            for pkt in st.encode(frame):
+                c.mux(pkt)
+        for pkt in st.encode():
+            c.mux(pkt)
+    n_bytes, _md5, feat = av_video_extractor(buf.getvalue())
+    dur, n_streams, w, h = feat
+    assert n_streams == 1.0 and w == 64.0 and h == 32.0 and dur > 0.0

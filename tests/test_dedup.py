@@ -357,3 +357,45 @@ def test_remove_exact_substrings_cuts_spans(spark):
     assert got["c"] == ("c1 c2", 0)
     assert got["e"] == ("", 12)
     assert got["f"][1] == 0
+
+
+# ---- corpus-level common-line removal (r8) -----------------------------------
+
+def test_remove_common_lines(spark):
+    from flouds_vectordb_spark.operators.dedup import remove_common_lines
+
+    footer = "all rights reserved"
+    docs = [
+        (1, f"unique one\n{footer}\nbody A"),
+        (2, f"unique two\n{footer}"),
+        (3, f"{footer}\nunique three\n{footer}"),   # in-doc repeat of a flagged line
+        (4, "repeated inside\nrepeated inside\nrepeated inside"),  # one doc only
+        (5, "\n\nonly blanks\n\n"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    got = {r["id"]: (r["text_clean"], r["n_lines_removed"])
+           for r in remove_common_lines(df, min_docs=3).collect()}
+    # footer appears in 3 distinct docs -> every occurrence drops
+    assert got[1] == ("unique one\nbody A", 1)
+    assert got[2] == ("unique two", 1)
+    assert got[3] == ("unique three", 2)
+    # within-one-doc repetition never triggers (distinct-doc count = 1)
+    assert got[4] == ("repeated inside\nrepeated inside\nrepeated inside", 0)
+    # blank lines are never candidates
+    assert got[5] == ("\n\nonly blanks\n\n", 0)
+    assert got[6] == ("", 0)
+
+
+def test_remove_common_lines_threshold(spark):
+    from flouds_vectordb_spark.operators.dedup import remove_common_lines
+
+    docs = [(i, "shared line\nbody %d" % i) for i in range(2)]
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    # 2 docs < min_docs=3 -> nothing removed
+    out = remove_common_lines(df, min_docs=3)
+    assert all(r["n_lines_removed"] == 0 for r in out.collect())
+    # min_docs=2 -> removed from both
+    out2 = {r["id"]: r["text_clean"]
+            for r in remove_common_lines(df, min_docs=2).collect()}
+    assert out2 == {0: "body 0", 1: "body 1"}

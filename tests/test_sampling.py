@@ -49,3 +49,71 @@ def test_sample_stratified_small_stratum_keeps_all(spark):
                                "id long, lang string")
     out = sample_stratified(df, "lang", 10)
     assert out.count() == 3
+
+
+# ---- corpus mixing: sample_token_budget (r8) ---------------------------------
+
+def _mix_df(spark):
+    import numpy as np
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(120):
+        src = f"s{i % 3}"
+        n = int(rng.randint(1, 30))
+        rows.append((i, src, " ".join(f"w{j}" for j in range(n))))
+    rows.append((200, "s0", ""))       # zero-token doc
+    rows.append((201, "s9", "never kept"))  # unbudgeted source
+    return spark.createDataFrame(rows, "id bigint, source string, text string")
+
+
+def test_token_budget_prefix_rule_and_determinism(spark):
+    from flouds_vectordb_spark.functions.hashing import hash64
+    from flouds_vectordb_spark.operators.sampling import sample_token_budget
+
+    df = _mix_df(spark)
+    budgets = {"s0": 120, "s1": 60, "s2": 10_000}
+    out = sample_token_budget(df, budgets, key_col="id", seed=3)
+    got = {(r["id"], r["source"]) for r in out.select("id", "source").collect()}
+    assert all(s != "s9" for _, s in got)
+
+    # reference: single-pass greedy prefix computed driver-side
+    h = hash64(F.col("id").cast("string"), seed=3)
+    rows = (df.withColumn("_h", h)
+            .select("id", "source", "_h", F.size(F.split(F.col("text"), r"\s+"))
+                    .alias("_raw")).collect())
+    ref = set()
+    by_src: dict = {}
+    for r in df.collect():
+        by_src.setdefault(r["source"], []).append(r)
+    hv = {r["id"]: r["_h"] for r in rows}
+    for src, docs in by_src.items():
+        if src not in budgets:
+            continue
+        cum = 0
+        for r in sorted(docs, key=lambda r: (hv[r["id"]], r["id"])):
+            n = len([t for t in r["text"].split() if t])
+            if cum + n <= budgets[src]:
+                cum += n
+                ref.add((r["id"], src))
+            else:
+                break
+    assert got == ref
+    # determinism: same seed -> same set; different seed -> (almost surely) different
+    again = {(r["id"], r["source"]) for r in
+             sample_token_budget(df, budgets, key_col="id", seed=3)
+             .select("id", "source").collect()}
+    assert again == got
+
+
+def test_token_budget_full_keep_and_validation(spark):
+    import pytest as _pytest
+
+    from flouds_vectordb_spark.operators.sampling import sample_token_budget
+
+    df = _mix_df(spark)
+    out = sample_token_budget(df, {"s0": 10**9}, key_col="id", seed=1)
+    assert out.count() == df.filter(F.col("source") == "s0").count()
+    with _pytest.raises(ValueError, match="at least one"):
+        sample_token_budget(df, {})
+    with _pytest.raises(ValueError, match="negative"):
+        sample_token_budget(df, {"s0": -1})
