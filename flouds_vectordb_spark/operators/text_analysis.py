@@ -882,3 +882,106 @@ SELECT id, _clean AS text_clean,
         AND NOT ({bad}) AND ({n_sent}) >= {C4_MIN_SENTENCES}) AS keep_page
 FROM _c
 """
+
+
+# --- unigram LM cross-entropy (r8): the CCNet-style perplexity proxy ------------
+
+def unigram_logprob(df: DataFrame, model_df: DataFrame | None = None,
+                    id_col: str = "id", text_col: str = "text",
+                    smoothing: int = 1) -> DataFrame:
+    """(id, n_tokens, bits_per_token_r): per-document cross-entropy under
+    an add-k-smoothed unigram language model — the cheap, fully
+    distributable proxy for the CCNet / Wenzek et al. 2020 perplexity
+    filter (there a KenLM 5-gram; at 100 TB the unigram pass is the
+    triage stage that needs no model artifact because the corpus IS the
+    model). Lower bits/token = more predictable text (boilerplate,
+    repetition); very high = noise/garbage — both tails get filtered.
+
+    model_df: optional (term, cnt) counts to score AGAINST (a held-out or
+    reference corpus); defaults to df itself (self-scoring). Unseen terms
+    take the smoothed OOV probability, so scoring never degenerates.
+
+    Plan: the model is one (term) count agg + two scalar literals
+    (total tokens N, vocab size V) read via ONE driver action; scoring is
+    one (id, term) count agg joined to the model on term — scalars only,
+    the text never shuffles — and a per-doc fold over the TERM-SORTED
+    contribution list, the same deterministic-order trick every scored
+    gate uses, so the result is bit-stable across partitionings and
+    engines. p(t) = (cnt + a) / (N + a·(V+1)); OOV = a / (N + a·(V+1))."""
+    a = int(smoothing)
+    if a < 1:
+        raise ValueError("smoothing must be >= 1")
+    src = model_df if model_df is not None else df
+    toks = tokenize(F.col(text_col))
+    model = (spread_small_input(src).select(F.explode(tokenize(F.col(text_col))).alias("term"))
+             .groupBy("term").count().withColumnRenamed("count", "_cnt"))
+    n_total, vocab = 0, 0
+    for r in model.agg(F.sum("_cnt"), F.count("*")).collect():
+        n_total, vocab = int(r[0] or 0), int(r[1])
+    denom = float(n_total + a * (vocab + 1))
+    d = spread_small_input(df).select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    per_term = (
+        d.select("id", F.size("_toks").alias("_n"), F.explode("_toks").alias("term"))
+        .groupBy("id", "_n", "term").count()
+        .join(F.broadcast(model), "term", "left")
+        .select(
+            "id", "_n", "term",
+            (F.col("count").cast("double")
+             * F.log2((F.coalesce(F.col("_cnt"), F.lit(0)).cast("double") + a)
+                      / F.lit(denom))).alias("_contrib"))
+    )
+    folded = per_term.groupBy("id", "_n").agg(
+        F.aggregate(F.array_sort(F.collect_list(F.struct("term", "_contrib"))),
+                    F.lit(0.0), lambda acc, e: acc + e["_contrib"]).alias("_lp"))
+    scored = d.select("id").join(folded, "id", "left")
+    return scored.select(
+        "id",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_tokens"),
+        F.round(-F.col("_lp") / F.col("_n"), 4).alias("bits_per_token_r"),
+    )
+
+
+def unigram_logprob_sql(table_sql: str, model_sql: str | None = None,
+                        id_expr: str = "id", text_expr: str = "text",
+                        smoothing: int = 1) -> str:
+    """DuckDB oracle twin of unigram_logprob: same counts, same smoothed
+    probabilities, same term-sorted left fold (DuckDB list_reduce over a
+    term-ordered list starts at the first element where Spark's aggregate
+    starts at literal 0.0 — bitwise identical because every contribution
+    is strictly negative, so 0.0 + c == c)."""
+    a = int(smoothing)
+    src = model_sql if model_sql is not None else table_sql
+    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+           f"x -> x <> '')")
+    return f"""
+WITH _model AS (
+  SELECT term, count(*) AS _cnt FROM (
+    SELECT unnest({tok}) AS term FROM {src}
+  ) GROUP BY term
+),
+_stats AS (
+  SELECT coalesce(sum(_cnt), 0)::DOUBLE + {a}.0 * (count(*) + 1) AS _denom
+  FROM _model
+),
+_docs AS (
+  SELECT {id_expr} AS id, {tok} AS _toks FROM {table_sql}
+),
+_per_term AS (
+  SELECT id, _n, term,
+         count(*)::DOUBLE * log2((coalesce(_cnt, 0)::DOUBLE + {a}) / _denom)
+           AS _contrib
+  FROM (
+    SELECT id, len(_toks) AS _n, unnest(_toks) AS term FROM _docs
+  ) LEFT JOIN _model USING (term), _stats
+  GROUP BY id, _n, term, _cnt, _denom
+),
+_folded AS (
+  SELECT id, _n,
+         list_reduce(list(_contrib ORDER BY term), (x, y) -> x + y) AS _lp
+  FROM _per_term GROUP BY id, _n
+)
+SELECT d.id,
+       coalesce(_n, 0) AS n_tokens,
+       round(-_lp / _n, 4) AS bits_per_token_r
+FROM _docs d LEFT JOIN _folded ON d.id = _folded.id
+"""

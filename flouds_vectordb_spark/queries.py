@@ -2171,6 +2171,24 @@ def _token_budget_sql() -> str:
 _register_ext("sample_token_budget_mix", _token_budget_q, _token_budget_sql())
 
 
+# --- unigram LM cross-entropy (r8): the CCNet-style perplexity proxy ------------
+def _unigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"),
+                           id_col="doc_id", text_col="text")
+
+
+def _unigram_lm_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import unigram_logprob_sql
+
+    return unigram_logprob_sql("documents", id_expr="doc_id",
+                               text_expr="text")
+
+
+_register_ext("text_unigram_logprob", _unigram_lm_q, _unigram_lm_sql())
+
+
 # --- event-stream rollup (batch view of the streaming windowed agg) -------------
 def _events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events(spark, sf_dir)

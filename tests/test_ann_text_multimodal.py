@@ -467,3 +467,38 @@ def test_av_video_extractor_importorskip(spark):
     n_bytes, _md5, feat = av_video_extractor(buf.getvalue())
     dur, n_streams, w, h = feat
     assert n_streams == 1.0 and w == 64.0 and h == 32.0 and dur > 0.0
+
+
+# ---- unigram LM cross-entropy (r8) -------------------------------------------
+
+def test_unigram_logprob_self_and_reference_model(spark):
+    import math
+
+    from flouds_vectordb_spark.operators.text_analysis import unigram_logprob
+
+    docs = [(1, "a a b"), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    got = {r["id"]: r.asDict() for r in unigram_logprob(df).collect()}
+    # model: N=6, V=3, denom = 6 + 1*(3+1) = 10; p(a)=4/10 p(b)=3/10 p(c)=2/10
+    lp = {"a": math.log2(0.4), "b": math.log2(0.3), "c": math.log2(0.2)}
+    exp1 = -(2 * lp["a"] + lp["b"]) / 3
+    exp2 = -(lp["a"] + lp["b"] + lp["c"]) / 3
+    assert abs(got[1]["bits_per_token_r"] - round(exp1, 4)) < 1e-9
+    assert abs(got[2]["bits_per_token_r"] - round(exp2, 4)) < 1e-9
+    assert got[3]["n_tokens"] == 0 and got[3]["bits_per_token_r"] is None
+
+    # reference-model scoring: OOV terms take the smoothed floor
+    model = spark.createDataFrame([(10, "x x y")], "id bigint, text string")
+    ref = {r["id"]: r["bits_per_token_r"]
+           for r in unigram_logprob(df, model_df=model).collect()}
+    # model: N=3, V=2, denom = 3 + 3 = 6; every doc term is OOV -> p=1/6
+    oov_bits = -math.log2(1 / 6)
+    assert abs(ref[1] - round(oov_bits, 4)) < 1e-9
+    assert abs(ref[2] - round(oov_bits, 4)) < 1e-9
+
+    # boilerplate scores fewer bits/token than rare text under self-model
+    mix = [(i, "common words repeated always common words repeated always")
+           for i in range(5)] + [(99, "zq7 kxv very unusual tokens wplf")]
+    mdf = spark.createDataFrame(mix, "id bigint, text string")
+    sc = {r["id"]: r["bits_per_token_r"] for r in unigram_logprob(mdf).collect()}
+    assert sc[0] < sc[99]
