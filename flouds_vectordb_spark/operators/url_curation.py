@@ -118,8 +118,16 @@ def registered_domain(host_col: Column) -> Column:
 
 def with_domain(df: DataFrame, url_col: str = "url",
                 domain_col: str = "domain") -> DataFrame:
-    """Convenience projection: df + normalized registered-domain column."""
-    return df.withColumn(domain_col, registered_domain(extract_host(F.col(url_col))))
+    """df + normalized registered-domain column, STAGED as two projections:
+    inlining registered_domain(extract_host(url)) repeats the regex host
+    expression once per reference (~12x) — per-row cost AND a codegen
+    bomb (the repo's documented expression-evaluation lesson: Catalyst
+    does not CSE non-codegen subtrees; a window sort over the inlined
+    tree blew the 64 KB JVM method limit). Two withColumns pin host and
+    domain to one evaluation each."""
+    staged = df.withColumn("__host", extract_host(F.col(url_col)))
+    out = staged.withColumn(domain_col, registered_domain(F.col("__host")))
+    return out.drop("__host")
 
 
 def domain_cap(df: DataFrame, n_per_domain: int, url_col: str = "url",
@@ -140,14 +148,14 @@ def blocklist_filter(df: DataFrame, blocked_domains, url_col: str = "url") -> Da
     NULL domains (unparseable URLs) are KEPT — blocklisting is a positive
     match, and unparseable URLs are a separate quality signal."""
     blocked = sorted({b.lower() for b in blocked_domains})
-    d = registered_domain(extract_host(F.col(url_col)))
+    staged = with_domain(df, url_col, "_rd")
+    d = F.col("_rd")
     if len(blocked) <= _ISIN_CAP:
-        return df.filter(d.isNull() | ~d.isin(blocked))
+        return staged.filter(d.isNull() | ~d.isin(blocked)).drop("_rd")
     spark = df.sparkSession
     bdf = spark.createDataFrame([(b,) for b in blocked], "_bd string")
     return (
-        df.withColumn("_rd", d)
-        .join(F.broadcast(bdf), F.col("_rd") == F.col("_bd"), "left_anti")
+        staged.join(F.broadcast(bdf), d == F.col("_bd"), "left_anti")
         .drop("_rd")
     )
 

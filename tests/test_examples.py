@@ -61,3 +61,19 @@ def test_batched_retrieval_example_runs(tmp_path_factory):
         assert marker in out.stdout
     # every block qid came back
     assert "qid=2 rank=1" in out.stdout
+
+
+def test_pretraining_pipeline_example_runs():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "pretraining_pipeline.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "input=500" in out.stdout and "mixed=" in out.stdout
+    # the funnel must actually filter at each gated stage
+    import re
+    counts = {k: int(v) for k, v in re.findall(r"(\w[\w-]*)=(\d+)", out.stdout)}
+    assert counts["input"] > counts["url-curated"] > counts["quality"] > 0
+    assert counts["mixed"] > 0
