@@ -899,12 +899,19 @@ def _nn_descent_round(edges: DataFrame, nodes_iv: DataFrame, m: int,
     fwd = _heuristic_cap(
         edges.unionByName(scored)
         .groupBy("src", "dst").agg(F.max("score").alias("score")),
-        nodes_iv, m, metric)
+        nodes_iv, m, metric).persist()
+    # persist BEFORE the symmetrize union: its two branches would
+    # otherwise each re-evaluate the fwd selection AND the whole
+    # proposal-scoring chain behind it (measured: 42.6 s -> 17.4 s for
+    # the sf0.1 recall-index build). The round returns an EAGER local
+    # checkpoint so the cache can drop immediately.
     sym = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "score"))
-    return _heuristic_cap(
+    out = _heuristic_cap(
         sym.groupBy("src", "dst").agg(F.max("score").alias("score")),
-        nodes_iv, 2 * m, metric)
+        nodes_iv, 2 * m, metric).localCheckpoint(eager=True)
+    fwd.unpersist()
+    return out
 
 
 def _heuristic_cap(edges: DataFrame, nodes_iv: DataFrame, cap: int,
@@ -944,23 +951,23 @@ def _heuristic_cap(edges: DataFrame, nodes_iv: DataFrame, cap: int,
             n[n == 0.0] = 1.0
             vecs = vecs / n
         scores = pdf["score"].to_numpy()
+        k = len(pdf)
+        # one BLAS pass precomputes all candidate-candidate sims (k is
+        # bounded by 2M + the round's proposals, ~1k at M=16; the per-pair
+        # numpy-call version of this loop was 6x slower end-to-end)
+        g = vecs @ vecs.T
+        if mt == "L2":
+            sq = np.einsum("ij,ij->i", vecs, vecs)
+            g = -(sq[:, None] + sq[None, :] - 2.0 * g)
         kept: list[int] = []
         pruned: list[int] = []
-        for i in range(len(pdf)):
+        for i in range(k):
             if len(kept) >= cap:
                 break
-            d = vecs[i]
-            diverse = True
-            for j in kept:
-                t = vecs[j]
-                if mt == "L2":
-                    s_td = -float(((t - d) ** 2).sum())
-                else:  # COSINE (normalized) and IP are both dots here
-                    s_td = float(t @ d)
-                if s_td > scores[i]:
-                    diverse = False
-                    break
-            (kept if diverse else pruned).append(i)
+            if kept and bool((g[i, kept] > scores[i]).any()):
+                pruned.append(i)
+            else:
+                kept.append(i)
         for i in pruned:
             if len(kept) >= cap:
                 break
@@ -1269,8 +1276,9 @@ def build_hnsw(
             nodes_iv = assigned.select(F.col(id_col).alias("id"),
                                        F.col(vector_col).alias("vector"))
             for _ in range(int(refine_rounds)):
-                edges = _nn_descent_round(edges, nodes_iv, m, metric) \
-                    .localCheckpoint(eager=True)
+                # the round returns an eager local checkpoint (it manages
+                # its own intra-round persist lifetime)
+                edges = _nn_descent_round(edges, nodes_iv, m, metric)
         (
             edges.repartitionByRange(8, F.col("src"))
             .sortWithinPartitions("src", "dst")

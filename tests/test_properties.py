@@ -174,3 +174,76 @@ def test_auto_id_allocator_dense_unique_any_partitioning(
         total += size
     ids = sorted(r["id"] for r in w.read_latest().select("id").collect())
     assert ids == list(range(total))
+
+
+# ---- r8 pipeline operators: pure-Python reference parity ----------------------
+
+_LINE_WORDS = ["alpha", "beta", "gamma", "delta", "footer", "menu"]
+line_st = st.lists(st.sampled_from(_LINE_WORDS), min_size=0, max_size=3).map(" ".join)
+doc_st = st.lists(line_st, min_size=0, max_size=5).map("\n".join)
+
+
+def _ref_remove_common_lines(docs: list[tuple[int, str]], min_docs: int):
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            if ln.strip():
+                seen[ln].add(i)
+    flagged = {ln for ln, ids in seen.items() if len(ids) >= min_docs}
+    out = {}
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln not in flagged or not ln.strip()]
+        out[i] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(doc_st, min_size=1, max_size=12),
+       min_docs=st.integers(2, 4))
+def test_remove_common_lines_matches_reference(spark, texts, min_docs):
+    from flouds_vectordb_spark.operators.dedup import remove_common_lines
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    got = {r["id"]: (r["text_clean"], r["n_lines_removed"])
+           for r in remove_common_lines(df, min_docs=min_docs).collect()}
+    assert got == _ref_remove_common_lines(docs, min_docs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.integers(0, 20)),  # token count per doc
+        min_size=1, max_size=20),
+    budgets=st.dictionaries(st.sampled_from(["s0", "s1"]),
+                            st.integers(0, 60), min_size=1, max_size=2),
+)
+def test_token_budget_matches_greedy_prefix_reference(spark, docs, budgets):
+    from flouds_vectordb_spark.functions.hashing import hash64
+    from flouds_vectordb_spark.operators.sampling import sample_token_budget
+
+    rows = [(i, src, " ".join(f"w{j}" for j in range(n)))
+            for i, (src, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id bigint, source string, text string")
+    got = {r["id"] for r in
+           sample_token_budget(df, budgets, key_col="id", seed=2)
+           .select("id").collect()}
+    hv = {r["id"]: r["h"] for r in df.select(
+        "id", hash64(F.col("id").cast("string"), seed=2).alias("h")).collect()}
+    ref = set()
+    for src in budgets:
+        cum = 0
+        for i, s, t in sorted(rows, key=lambda r: (hv[r[0]], r[0])):
+            if s != src:
+                continue
+            n = len(t.split())
+            if cum + n <= budgets[src]:
+                cum += n
+                ref.add(i)
+            else:
+                break
+    assert got == ref
