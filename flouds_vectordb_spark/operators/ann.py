@@ -136,12 +136,41 @@ def ann_lsh_topk(
     vector_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: probe the Hamming ball around the query signature,
-    re-rank candidates exactly. Registered rows-only (see module caveat)."""
+    re-rank candidates exactly. The CONTRACT is deterministic — "the exact
+    top-k restricted to the Hamming-ball bucket union" — so since r8 the
+    gate carries a full hash oracle (ann_lsh_topk_sql) even on uniform
+    data, where the module caveat only says the restricted top-k may
+    differ from the global one (an ANN quality property, graded on the
+    clustered fixture, not a correctness defect of this operator)."""
     planes = srp_planes(len(query_vector), bits)
     qsig = query_signature(query_vector, planes)
     buckets = hamming_ball(qsig, bits, radius)
     cand = df.filter(srp_signature(F.col(vector_col), planes).isin(buckets))
     return ann_topk(cand, query_vector, metric, limit, id_col, vector_col)
+
+
+def ann_lsh_topk_sql(
+    table_sql: str,
+    query_vector: list[float],
+    metric: str = "COSINE",
+    limit: int = 10,
+    bits: int = 12,
+    radius: int = 2,
+    id_expr: str = "id",
+    vector_expr: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of ann_lsh_topk: same rounded-literal planes,
+    same sequential signature fold, same driver-enumerated ball, same
+    exact re-rank — the operator's output is a pure function of the data,
+    so the twin matches hash-exactly on ANY input distribution."""
+    planes = srp_planes(len(query_vector), bits)
+    qsig = query_signature(query_vector, planes)
+    buckets = hamming_ball(qsig, bits, radius)
+    sig = srp_signature_sql(vector_expr, planes)
+    ball = ", ".join(str(b) for b in sorted(set(buckets)))
+    cand = (f"(SELECT * FROM {table_sql} "
+            f"WHERE ({sig}) IN ({ball}))")
+    return ann_topk_sql(cand, query_vector, metric, limit, id_expr, vector_expr)
 
 
 # --- cross-collection similarity join ----------------------------------------

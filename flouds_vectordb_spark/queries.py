@@ -868,16 +868,27 @@ _register("ann_bruteforce_topk",
           ann_topk_sql("embeddings", fixture_query_vector(seed=21), "COSINE", 10,
                        id_expr="vec_id"))
 
-# approximate LSH top-k on the RAW uniform table: rows-only (no oracle) — on
-# uniform-random synthetic vectors pruned-ANN recall is near-zero by
-# construction (see operators/ann.py); the oracle-gated variant below runs
-# on a clustered fixture where the Hamming ball provably holds the top-k.
+# approximate LSH top-k on the RAW uniform table — hash-exact oracle since
+# r8: the operator's CONTRACT (exact top-k restricted to the Hamming-ball
+# bucket union, seeded rounded-literal planes) is a pure function of the
+# data, so the twin replicates signature + ball + re-rank inline. The ANN
+# QUALITY property (restricted top-k ~= global top-k) is a different
+# question, graded on the clustered fixture below — on uniform vectors
+# recall is near-zero by construction (operators/ann.py caveat).
+def _ann_lsh_topk_sql() -> str:
+    from flouds_vectordb_spark.operators.ann import ann_lsh_topk_sql
+
+    return ann_lsh_topk_sql("embeddings", fixture_query_vector(seed=21),
+                            "COSINE", 10, bits=12, radius=2,
+                            id_expr="vec_id")
+
+
 _register_ext("ann_lsh_topk",
           lambda spark, sf_dir: ann_lsh_topk(
               load(spark, sf_dir, "embeddings"),
               fixture_query_vector(seed=21), "COSINE", 10, bits=12, radius=2,
               id_col="vec_id"),
-          None)
+          _ann_lsh_topk_sql())
 
 
 # --- clustered fixture: embeddings ∪ a tight deterministic cluster around q -----
