@@ -40,6 +40,7 @@ import warnings
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 VALID_METRICS = ("COSINE", "L2", "IP")
@@ -314,7 +315,20 @@ class Catalog:
             # mergeSchema one arbitrary footer wins and can drop it. Footer
             # merge is metadata-only (no data scan) — fine at scale.
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(path)
+        df = reader.parquet(path)
+        # SNAPSHOT ISOLATION (r8): only batches whose data write COMPLETED
+        # are visible — insert_data advances last_complete_ts strictly
+        # after its parquet commit, so a reader racing a multi-file append
+        # never sees a partial batch, and a crashed write's stray files
+        # (burned ts, never completed) stay invisible. The filter is a
+        # plain batch_ts predicate: parquet row-group stats prune it, and
+        # segments written by one batch share one ts, so complete segments
+        # pay only footer checks. Collections created before r8 carry no
+        # watermark and read unfiltered (old behavior, documented).
+        wm = meta.get("last_complete_ts")
+        if wm is not None and "batch_ts" in df.columns:
+            df = df.filter(F.col("batch_ts") <= int(wm))
+        return df
 
 
 class ConfigKV:

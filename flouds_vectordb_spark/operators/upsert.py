@@ -25,6 +25,7 @@ lowest-common-denominator the driver environment supports.
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -150,6 +151,7 @@ class CollectionWriter:
         # both the auto-id high-water mark and the ts watermark below must
         # start from the file's current values, not a cached snapshot
         self.meta = self.catalog.describe_collection(self.tenant, self.model)
+        self._vacuum_stray_files()
         auto_id = (str(self.meta.get("primary_key_data_type", "VARCHAR")).upper()
                    in ("INT64", "INT"))
         last_ts = self.meta.get("last_batch_ts")
@@ -258,6 +260,17 @@ class CollectionWriter:
                     self.meta = self.catalog.update_collection_meta(
                         self.tenant, self.model, index_appends=0)
                 raise
+            # BATCH VISIBILITY (r8): the data is fully committed, so the
+            # read-side snapshot watermark advances. Catalog.read_collection
+            # filters batch_ts <= last_complete_ts, so a concurrent reader
+            # NEVER observes a partially-moved multi-file commit, and a
+            # crashed write's stray files (ts > last_complete_ts forever —
+            # the retry contract burns that ts) stay invisible until flush
+            # compacts them away. Meta order is the mirror of the
+            # write-intent: intent BEFORE data (crash over-counts),
+            # visibility AFTER data (crash under-exposes) — both fail safe.
+            self.meta = self.catalog.update_collection_meta(
+                self.tenant, self.model, last_complete_ts=int(batch_ts))
             if auto_id:
                 # index maintenance reads the WRITTEN rows back (batch_ts
                 # row-group pruning makes this an O(batch) read): the ids
@@ -276,6 +289,43 @@ class CollectionWriter:
         return {"inserted": n, "flushed": flushed,
                 "sparse_indexed": sparse_indexed,
                 "dense_indexed": dense_indexed}
+
+    def _vacuum_stray_files(self) -> None:
+        """Delete data files left by a CRASHED append (r8, runs under the
+        writer lock at every insert): any parquet file whose batch_ts
+        column stats lie wholly ABOVE last_complete_ts belongs to a batch
+        whose completion watermark never advanced — the burned-ts retry
+        contract says those rows must never become visible, and the
+        read-side `batch_ts <= last_complete_ts` filter alone stops
+        protecting them once a LATER batch commits past the stray ts.
+        Each append writes only its own files, so file-level stats decide
+        whole files; footer reads are driver-side pyarrow (O(#files)
+        metadata, no data scan). Collections from before the watermark
+        (meta lacks last_complete_ts) are left untouched."""
+        wm = self.meta.get("last_complete_ts")
+        if wm is None:
+            return
+        import pyarrow.parquet as pq
+
+        path = self.meta["path"]
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, fn)
+                try:
+                    md = pq.ParquetFile(fp).metadata
+                    idx = {md.schema.column(i).name: i
+                           for i in range(md.num_columns)}.get("batch_ts")
+                    if idx is None:
+                        continue
+                    mins = [md.row_group(g).column(idx).statistics.min
+                            for g in range(md.num_row_groups)]
+                    if mins and all(m is not None and int(m) > int(wm)
+                                    for m in mins):
+                        os.remove(fp)
+                except (OSError, ValueError):  # unreadable footer: leave it
+                    continue
 
     def _assign_auto_ids(self, stamped: DataFrame, bad_pred):
         """Distributed INT64 auto-id allocation (the reference's auto_id=True

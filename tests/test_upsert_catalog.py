@@ -657,3 +657,45 @@ def test_ivf_staleness_join_skipped_until_post_build_append(
         DenseSearchRequest(query_vector=[0.0, 0.0, 0.0, 1.0], metric="COSINE",
                            limit=20, output_fields=())).collect()}
     assert got == exact  # one entry per key, k0 at its NEW vector's score
+
+
+def test_snapshot_isolation_hides_incomplete_batches(spark, tmp_path_factory):
+    """r8 batch-visibility watermark: read_collection shows a batch only
+    after its data write COMPLETED (last_complete_ts advances strictly
+    after the parquet commit), so a reader racing a multi-file append —
+    or a crashed write's stray files — never sees partial data; flush
+    then drops the strays for good (the burned-ts retry contract)."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_snap")))
+    cat.set_vector_store("ts1")
+    cat.generate_schema(CollectionSpec("ts1", "m", dimension=2))
+    w = CollectionWriter(cat, "ts1", "m")
+    b1 = spark.createDataFrame([("a", "v1", [1.0, 0.0])],
+                               "id string, chunk string, vector array<float>")
+    w.insert_data(b1, batch_ts=1, auto_flush_min_batch=-1)
+    assert cat.describe_collection("ts1", "m")["last_complete_ts"] == 1
+
+    # simulate a torn/crashed append: data files land with ts=2 but the
+    # completion watermark never advances (process died mid-commit)
+    path = cat.describe_collection("ts1", "m")["path"]
+    existing_cols = [f.name for f in spark.read.parquet(path).schema.fields]
+    torn = spark.createDataFrame(
+        [("b", "torn", [0.0, 1.0], 2)],
+        "id string, chunk string, vector array<float>, batch_ts int")
+    aligned = torn.select(*[torn[c] if c in torn.columns
+                            else F.lit(None).cast("string").alias(c)
+                            for c in existing_cols])
+    aligned.write.mode("append").parquet(path)
+
+    # invisible to every reader path
+    assert {r["id"] for r in cat.read_collection("ts1", "m").collect()} == {"a"}
+    assert {r["id"] for r in w.read_latest().collect()} == {"a"}
+    # a subsequent COMPLETE batch (fresh, larger ts per the retry
+    # contract) becomes visible; the stray stays hidden
+    b3 = spark.createDataFrame([("c", "v3", [0.5, 0.5])],
+                               "id string, chunk string, vector array<float>")
+    w.insert_data(b3, batch_ts=3, auto_flush_min_batch=-1)
+    assert {r["id"] for r in w.read_latest().collect()} == {"a", "c"}
+    # flush compacts through the snapshot: the stray is physically dropped
+    w.flush()
+    on_disk = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert on_disk == {"a", "c"}
