@@ -2200,6 +2200,24 @@ def _unigram_lm_sql() -> str:
 _register_ext("text_unigram_logprob", _unigram_lm_q, _unigram_lm_sql())
 
 
+# --- document chunking (r8): the ingest stage producing the `chunk` unit --------
+def _chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(load(spark, sf_dir, "documents"), max_tokens=24,
+                           overlap=8, id_col="doc_id", text_col="text")
+
+
+def _chunk_docs_sql() -> str:
+    from flouds_vectordb_spark.operators.chunking import chunk_documents_sql
+
+    return chunk_documents_sql("documents", max_tokens=24, overlap=8,
+                               id_expr="doc_id", text_expr="text")
+
+
+_register_ext("text_chunk_documents", _chunk_docs_q, _chunk_docs_sql())
+
+
 # --- event-stream rollup (batch view of the streaming windowed agg) -------------
 def _events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events(spark, sf_dir)
