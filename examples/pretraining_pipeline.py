@@ -115,8 +115,18 @@ def main(sf_dir: str) -> int:
                                 text_col="text", key_col="doc_id", seed=42)
     n7 = mixed.count()
 
+    # 8. chunking: the curated corpus becomes the CHUNK unit the vector
+    #    store indexes (embed + upsert are the examples/model_workflow.py
+    #    path from here)
+    from flouds_vectordb_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(mixed, max_tokens=32, overlap=8,
+                             id_col="doc_id", text_col="text")
+    n8 = chunks.count()
+
     print(f"input={n0} url-curated={n1} lang-kept={n2} quality={n3} "
-          f"line-cleaned={n4} deduped={n5} decontaminated={n6} mixed={n7}")
+          f"line-cleaned={n4} deduped={n5} decontaminated={n6} mixed={n7} "
+          f"chunks={n8}")
     assert n0 >= n1 >= n2 >= n3 >= n5 >= n6, "stages must only shrink"
     spark.stop()
     return 0
