@@ -985,3 +985,98 @@ SELECT d.id,
        round(-_lp / _n, 4) AS bits_per_token_r
 FROM _docs d LEFT JOIN _folded ON d.id = _folded.id
 """
+
+
+# --- perplexity bucketing (r8): the CCNet head/middle/tail corpus split ----------
+
+# bits/token quantization for the two-phase global rank: floor(bits * 16)
+# buckets are monotone in bits, so bucket order == rank order; bits are
+# bounded by -log2(p_oov) <= log2(N + a(V+1)) < 61, so there are at most
+# ~16*61 non-empty buckets regardless of corpus size
+_PPL_QUANT = 16
+
+
+def perplexity_buckets(df: DataFrame, model_df: DataFrame | None = None,
+                       n_buckets: int = 3, id_col: str = "id",
+                       text_col: str = "text",
+                       smoothing: int = 1) -> DataFrame:
+    """(id, n_tokens, bits_per_token_r, ppl_bucket): the CCNet corpus split
+    (Wenzek et al. 2020) — rank every document by LM cross-entropy
+    (unigram_logprob, lower = more predictable) and cut the ranking into
+    n_buckets equal-by-rank bands; bucket 0 is CCNet's "head" (most
+    fluent), the last is "tail". Zero-token documents are excluded (their
+    cross-entropy is undefined). Band rule, identical integer arithmetic
+    in both engines: bucket = min(((rank-1) * n_buckets) div n_docs,
+    n_buckets - 1) with rank ordered by (bits_per_token_r, id) — fully
+    deterministic under ties.
+
+    Scale shape (100 TB): a global rank is the textbook single-partition
+    window. Instead, two-phase: (1) quantize bits to floor(bits*16) — a
+    BOUNDED bucket key (<~1000 distinct values at any corpus size, see
+    _PPL_QUANT) — and collect one count per bucket; (2) the driver
+    prefix-sums counts in bucket order into per-bucket base ranks
+    (broadcast-joined literal table), and each row's global rank is its
+    base + an intra-bucket row_number — window partitions hold only ties
+    within 1/16th of a bit. Scoring itself (unigram_logprob) shuffles
+    scalars only."""
+    from pyspark.sql import Window
+
+    from flouds_vectordb_spark.functions.local import local_df
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    spark = df.sparkSession
+    scored = (unigram_logprob(df, model_df, id_col=id_col, text_col=text_col,
+                              smoothing=smoothing)
+              .filter(F.col("n_tokens") > 0)
+              .withColumn("_qb", F.floor(F.col("bits_per_token_r")
+                                         * F.lit(_PPL_QUANT)).cast("bigint")))
+    counts = sorted(
+        (int(r["_qb"]), int(r["_c"]))
+        for r in scored.groupBy("_qb").agg(F.count("*").alias("_c")).collect())
+    if not counts:
+        return spark.createDataFrame(
+            [], "id " + dict(df.dtypes)[id_col]
+            + ", n_tokens int, bits_per_token_r double, ppl_bucket int")
+    bases, cum = [], 0
+    for qb, c in counts:
+        bases.append((qb, cum))
+        cum += c
+    n = cum
+    base = F.broadcast(local_df(spark, bases, "_qb bigint, _base bigint"))
+    w = Window.partitionBy("_qb").orderBy(
+        F.col("bits_per_token_r").asc(), F.col("id").asc())
+    return (
+        scored.join(base, "_qb")
+        .withColumn("_rk", F.col("_base") + F.row_number().over(w))
+        .select(
+            "id", "n_tokens", "bits_per_token_r",
+            F.least(F.expr(f"(_rk - 1) * {n_buckets} div {n}"),
+                    F.lit(n_buckets - 1).cast("bigint"))
+            .cast("int").alias("ppl_bucket"))
+    )
+
+
+def perplexity_buckets_sql(table_sql: str, model_sql: str | None = None,
+                           n_buckets: int = 3, id_expr: str = "id",
+                           text_expr: str = "text",
+                           smoothing: int = 1) -> str:
+    """DuckDB oracle twin: single-window formulation of the same band rule
+    (row_number over (bits, id), count(*) over (), identical integer
+    division) — the two-phase Spark plan is an execution strategy only."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    inner = unigram_logprob_sql(table_sql, model_sql, id_expr=id_expr,
+                                text_expr=text_expr, smoothing=smoothing)
+    return f"""
+WITH _scored AS ({inner}),
+_r AS (
+  SELECT id, n_tokens, bits_per_token_r,
+         row_number() OVER (ORDER BY bits_per_token_r ASC, id ASC) AS _rk,
+         count(*) OVER () AS _n
+  FROM _scored WHERE n_tokens > 0
+)
+SELECT id, n_tokens, bits_per_token_r,
+       least((_rk - 1) * {n_buckets} // _n, {n_buckets - 1})::INT AS ppl_bucket
+FROM _r
+"""

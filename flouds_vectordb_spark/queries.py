@@ -2200,6 +2200,26 @@ def _unigram_lm_sql() -> str:
 _register_ext("text_unigram_logprob", _unigram_lm_q, _unigram_lm_sql())
 
 
+# --- perplexity bucketing (r8): the CCNet head/middle/tail corpus split ----------
+def _ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import perplexity_buckets
+
+    return perplexity_buckets(load(spark, sf_dir, "documents"),
+                              id_col="doc_id", text_col="text")
+
+
+def _ppl_buckets_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import (
+        perplexity_buckets_sql,
+    )
+
+    return perplexity_buckets_sql("documents", id_expr="doc_id",
+                                  text_expr="text")
+
+
+_register_ext("text_ppl_buckets", _ppl_buckets_q, _ppl_buckets_sql())
+
+
 # --- document chunking (r8): the ingest stage producing the `chunk` unit --------
 def _chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.chunking import chunk_documents
@@ -2216,6 +2236,25 @@ def _chunk_docs_sql() -> str:
 
 
 _register_ext("text_chunk_documents", _chunk_docs_q, _chunk_docs_sql())
+
+
+# --- sequence packing (r8): GPT-style concatenate-and-chop into seq_len windows --
+def _pack_seqs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), seq_len=256,
+                          id_col="doc_id", text_col="text", seed=5,
+                          drop_tail=True)
+
+
+def _pack_seqs_sql() -> str:
+    from flouds_vectordb_spark.operators.chunking import pack_sequences_sql
+
+    return pack_sequences_sql("documents", seq_len=256, id_expr="doc_id",
+                              text_expr="text", seed=5, drop_tail=True)
+
+
+_register_ext("text_pack_sequences", _pack_seqs_q, _pack_seqs_sql())
 
 
 # --- event-stream rollup (batch view of the streaming windowed agg) -------------

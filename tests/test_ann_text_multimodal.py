@@ -502,3 +502,39 @@ def test_unigram_logprob_self_and_reference_model(spark):
     mdf = spark.createDataFrame(mix, "id bigint, text string")
     sc = {r["id"]: r["bits_per_token_r"] for r in unigram_logprob(mdf).collect()}
     assert sc[0] < sc[99]
+
+
+def test_perplexity_buckets_band_rule(spark):
+    import pytest
+
+    from flouds_vectordb_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    # 7 scoreable docs + 1 empty: bands by rank with n=7, nb=3 ->
+    # bucket sizes 3/2/2 (rank 1-3 -> 0, 4-5 -> 1, 6-7 -> 2)
+    docs = [(i, "common words repeated always " * (i + 1)
+             + "rare%d " % i * i) for i in range(7)] + [(99, "")]
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    out = {r["id"]: r["ppl_bucket"] for r in perplexity_buckets(df).collect()}
+    assert 99 not in out  # zero-token doc has no perplexity
+    from collections import Counter
+    assert sorted(Counter(out.values()).items()) == [(0, 3), (1, 2), (2, 2)]
+
+    # head = lowest bits/token: the most repetitive docs land in bucket 0
+    from flouds_vectordb_spark.operators.text_analysis import unigram_logprob
+    bits = {r["id"]: r["bits_per_token_r"]
+            for r in unigram_logprob(df).collect() if r["n_tokens"] > 0}
+    ranked = sorted(bits, key=lambda i: (bits[i], i))
+    assert [out[i] for i in ranked] == [0, 0, 0, 1, 1, 2, 2]
+
+    # determinism under repartitioning (two-phase rank == global rank)
+    re = {r["id"]: r["ppl_bucket"]
+          for r in perplexity_buckets(df.repartition(5)).collect()}
+    assert re == out
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(df, n_buckets=1)
+    assert perplexity_buckets(
+        spark.createDataFrame([(1, "")], "id bigint, text string")
+    ).count() == 0

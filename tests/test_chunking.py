@@ -1,10 +1,14 @@
-"""Document chunking: window arithmetic, overlap, tails, edge cases."""
+"""Document chunking + sequence packing: window arithmetic, overlap,
+tails, packing tiling invariants, edge cases."""
 
 from __future__ import annotations
 
 import pytest
 
-from flouds_vectordb_spark.operators.chunking import chunk_documents
+from flouds_vectordb_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
 
 
 def _chunks(spark, text, max_tokens, overlap):
@@ -59,3 +63,77 @@ def test_chunk_validation(spark):
         chunk_documents(df, 0, 0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, 4, 4)
+
+
+# --- pack_sequences ---------------------------------------------------------------
+
+def _mk_corpus(spark, sizes):
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(sizes)]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_pack_tiles_documents_exactly(spark):
+    sizes = [5, 17, 1, 64, 3, 130, 0, 9]
+    out = pack_sequences(_mk_corpus(spark, sizes), seq_len=32).collect()
+    # per document: spans tile [0, n_tokens) exactly, in doc_offset order
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["doc_offset"], r["n_taken"]))
+    assert 6 not in by_doc  # zero-token doc packs nothing
+    for i, n in enumerate(sizes):
+        if n == 0:
+            continue
+        spans = sorted(by_doc[i])
+        assert spans[0][0] == 0
+        pos = 0
+        for off, take in spans:
+            assert off == pos and take >= 1
+            pos += take
+        assert pos == n
+
+
+def test_pack_full_sequences_and_tail(spark):
+    sizes = [5, 17, 1, 64, 3, 130, 9]
+    total = sum(sizes)
+    out = pack_sequences(_mk_corpus(spark, sizes), seq_len=32).collect()
+    per_seq: dict = {}
+    for r in out:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_taken"]
+        assert 0 <= r["seq_offset"] < 32
+    assert sorted(per_seq) == list(range(len(per_seq)))  # contiguous ids
+    *full, tail = [per_seq[s] for s in sorted(per_seq)]
+    assert all(v == 32 for v in full)
+    assert tail == total % 32 or (tail == 32 and total % 32 == 0)
+
+
+def test_pack_drop_tail_and_determinism(spark):
+    df = _mk_corpus(spark, [5, 17, 1, 64, 3, 130, 9])
+    kept = pack_sequences(df, seq_len=32, drop_tail=True)
+    n_full = sum([5, 17, 1, 64, 3, 130, 9]) // 32
+    per_seq = {r["seq_id"] for r in kept.collect()}
+    assert per_seq == set(range(n_full))
+    # repartitioning must not change the packing (content-hash order)
+    a = sorted(map(tuple, pack_sequences(df, seq_len=32).collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(df.repartition(7), seq_len=32).collect()))
+    assert a == b
+
+
+def test_pack_seed_changes_order_not_coverage(spark):
+    df = _mk_corpus(spark, [5, 17, 8, 3])
+    a = pack_sequences(df, seq_len=16, seed=0).collect()
+    b = pack_sequences(df, seq_len=16, seed=1).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+    for rows in (a, b):
+        assert sum(r["n_taken"] for r in rows) == 33
+
+
+def test_pack_validation_and_empty(spark):
+    df = _mk_corpus(spark, [3])
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, seq_len=0)
+    empty = pack_sequences(_mk_corpus(spark, [0, 0]), seq_len=8)
+    assert empty.count() == 0
+    assert [f[0] for f in empty.dtypes] == [
+        "seq_id", "id", "seq_offset", "doc_offset", "n_taken"]
