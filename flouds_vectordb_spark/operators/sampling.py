@@ -167,6 +167,93 @@ def sample_token_budget(df: DataFrame, budgets: dict, source_col: str = "source"
     return kept.drop("_h", "_nt", "_bk")
 
 
+def sample_temperature_mix(df: DataFrame, total_budget: int,
+                           alpha: float = 0.5, source_col: str = "source",
+                           text_col: str = "text", key_col: str = "id",
+                           seed: int = 0) -> DataFrame:
+    """Temperature-scaled corpus mixing (the multilingual-pretraining
+    sampling rule, Conneau & Lample 2019 / mT5): per-source budgets are
+    b_s = floor(T * n_s^alpha / sum_s n_s^alpha) tokens, where n_s is the
+    source's total token count — alpha < 1 up-weights small sources
+    (alpha=1 is proportional, alpha->0 is uniform) — then the greedy
+    hash-prefix keep of sample_token_budget applies within each source.
+
+    Determinism across engines: n_s is an exact integer aggregate; the
+    weight denominator is folded in SORTED SOURCE ORDER (floating addition
+    is order-sensitive — the same sorted-fold contract every scored
+    operator uses), and the budget formula is written identically here and
+    in the SQL twin, so both engines evaluate the same IEEE expression
+    tree. Scale shape: one map-side-combinable (source, sum) agg —
+    |sources| scalars to the driver — then sample_token_budget's two-phase
+    plan; the text column never shuffles."""
+    import math
+
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if not (alpha > 0.0):
+        raise ValueError("alpha must be > 0")
+    from flouds_vectordb_spark.functions.text import tokenize
+
+    totals = sorted(
+        (str(r[source_col]), int(r["_ns"]))
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.size(tokenize(F.col(text_col)))).alias("_ns"))
+        .collect())
+    denom = 0.0
+    for _, ns in totals:  # sorted-source fold order, mirrored in the twin
+        denom += math.pow(float(ns), alpha)
+    if denom <= 0.0:
+        raise ValueError("corpus has no tokens to budget")
+    budgets = {src: int(math.floor(total_budget * math.pow(float(ns), alpha)
+                                   / denom))
+               for src, ns in totals}
+    return sample_token_budget(df, budgets, source_col=source_col,
+                               text_col=text_col, key_col=key_col, seed=seed)
+
+
+def sample_temperature_mix_sql(table_sql: str, total_budget: int,
+                               alpha: float = 0.5,
+                               source_expr: str = "source",
+                               text_expr: str = "text", key_expr: str = "id",
+                               seed: int = 0) -> str:
+    """DuckDB twin: budgets computed in-query with the identical formula
+    (sorted-source weight fold, same expression order), then the
+    single-window greedy-prefix rule of sample_token_budget_sql."""
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if not (alpha > 0.0):
+        raise ValueError("alpha must be > 0")
+    h = hash64_sql(f"({key_expr})::VARCHAR", seed=seed)
+    tok = (f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+           f"x -> x <> ''))")
+    return f"""
+WITH _rows AS (
+  SELECT *, {h} AS _h, {tok} AS _nt FROM {table_sql}
+),
+_ns AS (
+  SELECT {source_expr} AS _src, sum(_nt)::BIGINT AS _tok_total
+  FROM _rows GROUP BY 1
+),
+_den AS (
+  SELECT list_reduce(list(pow(_tok_total::DOUBLE, {alpha!r}) ORDER BY _src),
+                     (x, y) -> x + y) AS _d
+  FROM _ns
+),
+_b AS (
+  SELECT _src,
+         floor({total_budget} * pow(_tok_total::DOUBLE, {alpha!r}) / _d)::BIGINT
+           AS _budget
+  FROM _ns, _den
+)
+SELECT * EXCLUDE (_h, _nt, _cum, _src, _budget) FROM (
+  SELECT *, sum(_nt) OVER (
+      PARTITION BY {source_expr} ORDER BY _h ASC, {key_expr} ASC
+      ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM _rows JOIN _b ON {source_expr} = _src
+) WHERE _cum <= _budget
+"""
+
+
 def sample_token_budget_sql(table_sql: str, budgets: dict,
                             source_expr: str = "source",
                             text_expr: str = "text", key_expr: str = "id",

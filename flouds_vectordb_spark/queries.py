@@ -2182,6 +2182,31 @@ def _token_budget_sql() -> str:
 _register_ext("sample_token_budget_mix", _token_budget_q, _token_budget_sql())
 
 
+# --- temperature-scaled mixing (r8): n_s^alpha source re-weighting ---------------
+def _temp_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sampling import sample_temperature_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_temperature_mix(docs, total_budget=4000, alpha=0.5,
+                                  source_col="source", text_col="text",
+                                  key_col="doc_id",
+                                  seed=13).select("doc_id", "source")
+
+
+def _temp_mix_sql() -> str:
+    from flouds_vectordb_spark.operators.sampling import (
+        sample_temperature_mix_sql,
+    )
+
+    inner = sample_temperature_mix_sql("documents", 4000, 0.5,
+                                       source_expr="source", text_expr="text",
+                                       key_expr="doc_id", seed=13)
+    return f"SELECT doc_id, source FROM ({inner})"
+
+
+_register_ext("sample_temperature_mix", _temp_mix_q, _temp_mix_sql())
+
+
 # --- unigram LM cross-entropy (r8): the CCNet-style perplexity proxy ------------
 def _unigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.text_analysis import unigram_logprob

@@ -117,3 +117,47 @@ def test_token_budget_full_keep_and_validation(spark):
         sample_token_budget(df, {})
     with _pytest.raises(ValueError, match="negative"):
         sample_token_budget(df, {"s0": -1})
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    import math
+
+    import pytest as _pytest
+
+    from flouds_vectordb_spark.operators.sampling import (
+        sample_temperature_mix,
+    )
+
+    # big source: 90 docs x 10 tokens; small source: 10 docs x 10 tokens
+    rows = [(i, "s_big", "tok " * 10) for i in range(90)] + \
+           [(100 + i, "s_small", "tok " * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, source string, text string")
+    out = sample_temperature_mix(df, total_budget=500, alpha=0.5,
+                                 key_col="id", seed=4)
+    kept = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    # alpha=0.5 weights: sqrt(900)=30, sqrt(100)=10 -> budgets 375/125
+    # tokens = 37/12 docs (10 tokens each, greedy prefix)
+    w_big, w_small = math.sqrt(900.0), math.sqrt(100.0)
+    b_big = int(500 * w_big / (w_big + w_small))
+    b_small = int(500 * w_small / (w_big + w_small))
+    # budget may exceed a small source's supply: capped at available docs
+    assert by_src == {"s_big": b_big // 10, "s_small": min(b_small // 10, 10)}
+    # small source keeps a 3.3x larger fraction than proportional would
+    assert by_src["s_small"] / 10 > by_src["s_big"] / 90
+
+    # alpha=1 is proportional: budgets 450/50
+    prop = {r["source"]: r["count"]
+            for r in sample_temperature_mix(df, 500, alpha=1.0, key_col="id",
+                                            seed=4)
+            .groupBy("source").count().collect()}
+    assert prop == {"s_big": 45, "s_small": 5}
+
+    with _pytest.raises(ValueError, match="alpha"):
+        sample_temperature_mix(df, 100, alpha=0.0)
+    with _pytest.raises(ValueError, match="total_budget"):
+        sample_temperature_mix(df, -1)
+    with _pytest.raises(ValueError, match="no tokens"):
+        sample_temperature_mix(
+            spark.createDataFrame([(1, "s", "")],
+                                  "id long, source string, text string"), 10)
