@@ -2207,6 +2207,29 @@ def _temp_mix_sql() -> str:
 _register_ext("sample_temperature_mix", _temp_mix_q, _temp_mix_sql())
 
 
+# --- DSIR importance resampling (r8): select raw docs toward a target dist -------
+def _dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.importance import dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_resample(docs.filter("source <> 'src0'"),
+                         docs.filter("source = 'src0'"),
+                         n_keep=40, n_buckets=4096, id_col="doc_id",
+                         text_col="text", seed=9)
+
+
+def _dsir_sql() -> str:
+    from flouds_vectordb_spark.operators.importance import dsir_resample_sql
+
+    return dsir_resample_sql("(SELECT * FROM documents WHERE source <> 'src0')",
+                             "(SELECT * FROM documents WHERE source = 'src0')",
+                             n_keep=40, n_buckets=4096, id_expr="doc_id",
+                             text_expr="text", seed=9)
+
+
+_register_ext("sample_dsir_resample", _dsir_q, _dsir_sql())
+
+
 # --- unigram LM cross-entropy (r8): the CCNet-style perplexity proxy ------------
 def _unigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.text_analysis import unigram_logprob

@@ -1,0 +1,70 @@
+"""DSIR importance resampling: weight direction, determinism, selection."""
+
+from __future__ import annotations
+
+import pytest
+
+from flouds_vectordb_spark.operators.importance import (
+    dsir_log_ratios,
+    dsir_resample,
+)
+
+
+def _corpora(spark):
+    # target speaks "science"; raw mixes science-y docs with noise docs
+    target = spark.createDataFrame(
+        [(100 + i, "the experiment measured the sample under the microscope")
+         for i in range(6)],
+        "id long, text string")
+    sci = [(i, "we measured the sample in the experiment carefully")
+           for i in range(5)]
+    noise = [(10 + i, f"zxq{i} blorp wug{i} flib vex{i} dran") for i in range(5)]
+    raw = spark.createDataFrame(sci + noise, "id long, text string")
+    return raw, target
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    raw, target = _corpora(spark)
+    out = {r["id"]: r["log_weight_r"]
+           for r in dsir_resample(raw, target, n_keep=10, n_buckets=512,
+                                  seed=2).collect()}
+    sci_w = [out[i] for i in range(5)]
+    noise_w = [out[10 + i] for i in range(5)]
+    assert min(sci_w) > max(noise_w)
+
+
+def test_dsir_topk_is_deterministic_and_partition_invariant(spark):
+    raw, target = _corpora(spark)
+    a = sorted(map(tuple, dsir_resample(raw, target, 4, n_buckets=512,
+                                        seed=7).collect()))
+    b = sorted(map(tuple, dsir_resample(raw.repartition(5), target, 4,
+                                        n_buckets=512, seed=7).collect()))
+    assert a == b and len(a) == 4
+    # a different seed re-rolls the Gumbel noise (and the feature hash)
+    c = sorted(map(tuple, dsir_resample(raw, target, 4, n_buckets=512,
+                                        seed=8).collect()))
+    assert {r[0] for r in c} != {r[0] for r in a} or c != a
+
+
+def test_dsir_zero_token_docs_compete_on_noise(spark):
+    raw, target = _corpora(spark)
+    raw2 = raw.union(
+        raw.sparkSession.createDataFrame([(99, "")], "id long, text string"))
+    rows = {r["id"]: r for r in
+            dsir_resample(raw2, target, 11, n_buckets=512, seed=2).collect()}
+    assert rows[99]["log_weight_r"] == 0.0  # no features -> weight 0
+
+
+def test_dsir_log_ratio_direction_and_validation(spark):
+    raw, target = _corpora(spark)
+    lr = dsir_log_ratios(raw, target, n_buckets=512, seed=2)
+    assert lr.count() == 512
+    with pytest.raises(ValueError, match="n_keep"):
+        dsir_resample(raw, target, 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_resample(raw, target, 1, n_buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_resample(raw, target, 1, smoothing=0)
+    empty = spark.createDataFrame([(1, "")], "id long, text string")
+    with pytest.raises(ValueError, match="tokens"):
+        dsir_resample(raw, empty, 1)
