@@ -987,6 +987,161 @@ FROM _docs d LEFT JOIN _folded ON d.id = _folded.id
 """
 
 
+# --- interpolated bigram LM (r8): one order up from the unigram proxy ------------
+
+_BOS = "<s>"
+
+
+def _bigram_events(text_col: str):
+    """(history, word) pairs for every token: position 1 gets the BOS
+    history, position i>1 gets token i-1 — so n tokens yield n events."""
+    toks = tokenize(F.col(text_col))
+    # the empty-doc branch matters: ANSI element_at errors out-of-range,
+    # and CASE WHEN is the guaranteed-lazy guard (same shape in the twin)
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.struct(
+                F.when(i == 1, F.lit(_BOS))
+                .otherwise(F.element_at(toks, i - 1)).alias("h"),
+                F.element_at(toks, i).alias("w")))
+    ).otherwise(F.array().cast("array<struct<h:string,w:string>>"))
+
+
+def _bigram_events_sql(text_expr: str) -> str:
+    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+           f"x -> x <> '')")
+    return (
+        f"CASE WHEN len({tok}) > 0 THEN "
+        f"list_transform(generate_series(1, len({tok})), "
+        f"i -> struct_pack(h := CASE WHEN i = 1 THEN '{_BOS}' "
+        f"ELSE {tok}[i - 1] END, w := {tok}[i])) "
+        f"ELSE [] END"
+    )
+
+
+def bigram_logprob(df: DataFrame, model_df: DataFrame | None = None,
+                   lam: float = 0.9, id_col: str = "id",
+                   text_col: str = "text", smoothing: int = 1) -> DataFrame:
+    """(id, n_tokens, bits_per_token_r): per-document cross-entropy under a
+    Jelinek-Mercer interpolated bigram LM — one order up from
+    unigram_logprob toward CCNet's KenLM 5-gram, still model-artifact-free
+    (the corpus is the model). p(w|h) = lam * c(h,w)/c(h) +
+    (1-lam) * p_uni(w), where p_uni is the add-k-smoothed unigram and the
+    ML term is 0 for unseen histories; the first token of every document
+    scores against the BOS history, so n tokens yield n scored events and
+    bits/token is comparable across document lengths.
+
+    Plan shape mirrors unigram_logprob: the model is two count aggs
+    (bigram events, unigram terms) + two scalar literals; scoring joins
+    per-doc (h, w) counts to the model — scalars only, text never
+    shuffles — and folds contributions in sorted (h, w) order, so results
+    are bit-stable across partitionings and engines. At 100 TB the bigram
+    model is too wide to broadcast: the (h, w) join is a plain shuffle
+    join on the event key, map-side combined on both sides."""
+    a = int(smoothing)
+    if a < 1:
+        raise ValueError("smoothing must be >= 1")
+    if not (0.0 < lam < 1.0):
+        raise ValueError("lam must be in (0, 1)")
+    src = model_df if model_df is not None else df
+    events = _bigram_events(text_col)
+    src_ev = spread_small_input(src).select(F.explode(_bigram_events(text_col)).alias("_e")) \
+        .select(F.col("_e.h").alias("h"), F.col("_e.w").alias("w"))
+    bi = src_ev.groupBy("h", "w").count().withColumnRenamed("count", "_cb")
+    hist = src_ev.groupBy("h").count().withColumnRenamed("count", "_ch")
+    uni = src_ev.groupBy("w").count().withColumnRenamed("count", "_cu")
+    n_total, vocab = 0, 0
+    for r in uni.agg(F.sum("_cu"), F.count("*")).collect():
+        n_total, vocab = int(r[0] or 0), int(r[1])
+    denom = float(n_total + a * (vocab + 1))
+    d = spread_small_input(df).select(F.col(id_col).alias("id"),
+                                      events.alias("_evs"),
+                                      F.size(tokenize(F.col(text_col))).alias("_n"))
+    p_uni = (F.coalesce(F.col("_cu"), F.lit(0)).cast("double") + a) / F.lit(denom)
+    p_ml = F.coalesce(
+        F.col("_cb").cast("double") / F.col("_ch").cast("double"), F.lit(0.0))
+    per_ev = (
+        d.filter(F.col("_n") > 0)
+        .select("id", "_n", F.explode("_evs").alias("_e"))
+        .select("id", "_n", F.col("_e.h").alias("h"), F.col("_e.w").alias("w"))
+        .groupBy("id", "_n", "h", "w").count()
+        .join(bi, ["h", "w"], "left").join(hist, "h", "left")
+        .join(uni, "w", "left")
+        .select("id", "_n", "h", "w",
+                (F.col("count").cast("double")
+                 * F.log2(F.lit(lam) * p_ml + F.lit(1.0 - lam) * p_uni))
+                .alias("_contrib"))
+    )
+    folded = per_ev.groupBy("id", "_n").agg(
+        F.aggregate(F.array_sort(F.collect_list(F.struct("h", "w", "_contrib"))),
+                    F.lit(0.0), lambda acc, e: acc + e["_contrib"]).alias("_lp"))
+    return d.select("id").join(folded, "id", "left").select(
+        "id",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_tokens"),
+        F.round(-F.col("_lp") / F.col("_n"), 4).alias("bits_per_token_r"),
+    )
+
+
+def bigram_logprob_sql(table_sql: str, model_sql: str | None = None,
+                       lam: float = 0.9, id_expr: str = "id",
+                       text_expr: str = "text", smoothing: int = 1) -> str:
+    """DuckDB oracle twin: same counts, same interpolation expression tree,
+    same (h, w)-sorted left fold (contributions strictly negative because
+    p(w|h) < 1, so DuckDB's first-element fold start == Spark's 0.0)."""
+    a = int(smoothing)
+    if a < 1:
+        raise ValueError("smoothing must be >= 1")
+    if not (0.0 < lam < 1.0):
+        raise ValueError("lam must be in (0, 1)")
+    src = model_sql if model_sql is not None else table_sql
+    ev = _bigram_events_sql(text_expr)
+    tok_n = (f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+             f"x -> x <> ''))")
+    return f"""
+WITH _src_ev AS (
+  SELECT _e.h AS h, _e.w AS w FROM (
+    SELECT unnest({ev}) AS _e FROM {src} WHERE {tok_n} > 0
+  )
+),
+_bi AS (SELECT h, w, count(*) AS _cb FROM _src_ev GROUP BY h, w),
+_hist AS (SELECT h, count(*) AS _ch FROM _src_ev GROUP BY h),
+_uni AS (SELECT w, count(*) AS _cu FROM _src_ev GROUP BY w),
+_stats AS (
+  SELECT coalesce(sum(_cu), 0)::DOUBLE + {a}.0 * (count(*) + 1) AS _denom
+  FROM _uni
+),
+_docs AS (
+  SELECT {id_expr} AS id, {tok_n} AS _n, {ev} AS _evs FROM {table_sql}
+),
+_per_ev AS (
+  SELECT id, _n, h, w,
+         count(*)::DOUBLE * log2(
+             {lam!r} * coalesce(_cb::DOUBLE / _ch::DOUBLE, 0.0)
+             + {1.0 - lam!r} * ((coalesce(_cu, 0)::DOUBLE + {a}) / _denom))
+           AS _contrib
+  FROM (
+    SELECT id, _n, _e.h AS h, _e.w AS w FROM (
+      SELECT id, _n, unnest(_evs) AS _e FROM _docs WHERE _n > 0
+    )
+  )
+  LEFT JOIN _bi USING (h, w) LEFT JOIN _hist USING (h)
+  LEFT JOIN _uni USING (w), _stats
+  GROUP BY id, _n, h, w, _cb, _ch, _cu, _denom
+),
+_folded AS (
+  SELECT id, _n,
+         list_reduce(list(_contrib ORDER BY h, w), (x, y) -> x + y) AS _lp
+  FROM _per_ev GROUP BY id, _n
+)
+SELECT d.id,
+       coalesce(d._n, 0) AS n_tokens,
+       round(-_lp / d._n, 4) AS bits_per_token_r
+FROM _docs d LEFT JOIN _folded ON d.id = _folded.id
+"""
+
+
 # --- perplexity bucketing (r8): the CCNet head/middle/tail corpus split ----------
 
 # bits/token quantization for the two-phase global rank: floor(bits * 16)

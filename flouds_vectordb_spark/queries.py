@@ -2268,6 +2268,24 @@ def _ppl_buckets_sql() -> str:
 _register_ext("text_ppl_buckets", _ppl_buckets_q, _ppl_buckets_sql())
 
 
+# --- interpolated bigram LM (r8): one order up from the unigram proxy ------------
+def _bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"),
+                          lam=0.8, id_col="doc_id", text_col="text")
+
+
+def _bigram_lm_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import bigram_logprob_sql
+
+    return bigram_logprob_sql("documents", lam=0.8, id_expr="doc_id",
+                              text_expr="text")
+
+
+_register_ext("text_bigram_logprob", _bigram_lm_q, _bigram_lm_sql())
+
+
 # --- document chunking (r8): the ingest stage producing the `chunk` unit --------
 def _chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.chunking import chunk_documents

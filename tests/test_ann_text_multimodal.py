@@ -504,6 +504,41 @@ def test_unigram_logprob_self_and_reference_model(spark):
     assert sc[0] < sc[99]
 
 
+def test_bigram_logprob_interpolation(spark):
+    import math
+
+    import pytest as _pytest
+
+    from flouds_vectordb_spark.operators.text_analysis import bigram_logprob
+
+    # model corpus: "a b" always; doc 1 follows the pattern, doc 2 breaks it
+    model = spark.createDataFrame([(10, "a b a b a b")], "id bigint, text string")
+    df = spark.createDataFrame([(1, "a b"), (2, "b a"), (3, "")],
+                               "id bigint, text string")
+    got = {r["id"]: r.asDict()
+           for r in bigram_logprob(df, model_df=model, lam=0.5).collect()}
+    # model events: (<s>,a) (a,b) (b,a) (a,b) (b,a) (a,b)
+    # histories: <s>:1, a:3, b:2 ; unigrams: a:3 b:3, N=6 V=2 denom=9
+    pu_a, pu_b = 4 / 9, 4 / 9
+    p_s_a = 0.5 * 1.0 + 0.5 * pu_a       # c(<s>,a)/c(<s>) = 1
+    p_a_b = 0.5 * 1.0 + 0.5 * pu_b       # c(a,b)/c(a) = 3/3
+    exp1 = -(math.log2(p_s_a) + math.log2(p_a_b)) / 2
+    assert abs(got[1]["bits_per_token_r"] - round(exp1, 4)) < 1e-9
+    # doc 2: (<s>,b) unseen -> ML 0; (b,a) = 2/2
+    p_s_b = 0.5 * 0.0 + 0.5 * pu_b
+    p_b_a = 0.5 * 1.0 + 0.5 * pu_a
+    exp2 = -(math.log2(p_s_b) + math.log2(p_b_a)) / 2
+    assert abs(got[2]["bits_per_token_r"] - round(exp2, 4)) < 1e-9
+    assert got[3]["n_tokens"] == 0 and got[3]["bits_per_token_r"] is None
+    # pattern-following text scores fewer bits than pattern-breaking
+    assert got[1]["bits_per_token_r"] < got[2]["bits_per_token_r"]
+
+    with _pytest.raises(ValueError, match="lam"):
+        bigram_logprob(df, lam=1.0)
+    with _pytest.raises(ValueError, match="smoothing"):
+        bigram_logprob(df, smoothing=0)
+
+
 def test_perplexity_buckets_band_rule(spark):
     import pytest
 
