@@ -4,11 +4,15 @@ LLM-pipeline operators — the stage order real web pipelines use
 
   1. URL curation        — blocklist, then per-domain caps
   2. Language ID         — Cavnar-Trenkle n-gram profiles, keep target langs
-  3. Quality filters     — Gopher rules + unigram-LM bits/token band
+  3. Quality filters     — Gopher rules + CCNet perplexity bands (keep
+                           head+middle of the unigram-LM bits/token ranking)
   4. Boilerplate removal — corpus-level common-line dedup
   5. Near-dup removal    — MinHash-LSH pairs -> connected components -> keepers
   6. Decontamination     — drop train docs sharing 5-grams with a test set
-  7. Corpus mixing       — per-source token budgets, deterministic prefix
+  7. Targeted selection  — DSIR importance resampling toward a target corpus
+  8. Corpus mixing       — temperature-scaled per-source budgets (n_s^alpha)
+  9. Packing             — chunks for the vector store, fixed-length
+                           sequences for the trainer
 
 Run:
 
@@ -36,10 +40,15 @@ from flouds_vectordb_spark.operators.dedup import (
     decontaminate,
     remove_common_lines,
 )
-from flouds_vectordb_spark.operators.sampling import sample_token_budget
+from flouds_vectordb_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
+from flouds_vectordb_spark.operators.importance import dsir_resample
+from flouds_vectordb_spark.operators.sampling import sample_temperature_mix
 from flouds_vectordb_spark.operators.text_analysis import (
     gopher_quality,
-    unigram_logprob,
+    perplexity_buckets,
 )
 from flouds_vectordb_spark.operators.url_curation import blocklist_filter, domain_cap
 from flouds_vectordb_spark.session import get_spark
@@ -63,23 +72,29 @@ def main(sf_dir: str) -> int:
     # 2. language ID; keep English (the synthetic corpus is English)
     lid = lang_id(curated.select(F.col("doc_id").alias("id"), "text"))
     keep_ids = lid.filter(F.col("lang") == "en").select("id")
-    by_lang = curated.join(keep_ids, curated.doc_id == keep_ids.id, "left_semi")
+    # lang_id's profile expressions are the widest in the repo — persist so
+    # stage 3's several jobs (Gopher + the perplexity ranking) never
+    # re-evaluate them
+    by_lang = curated.join(keep_ids, curated.doc_id == keep_ids.id,
+                           "left_semi").persist()
     n2 = by_lang.count()
 
-    # 3. quality: Gopher signals AND a unigram-LM bits/token band (both
-    #    tails filtered: too predictable = boilerplate, too surprising =
-    #    noise). The synthetic corpus has no English function words, so
-    #    the full Gopher verdict (`keep`, tuned for web English) would
-    #    reject everything; a real pipeline would use it directly — here
-    #    the component signals demonstrate the same thresholding.
+    # 3. quality: Gopher signals AND the CCNet perplexity split — rank by
+    #    unigram-LM bits/token, keep head+middle bands (CCNet's rule: the
+    #    tail is noise; the head here is NOT boilerplate because stage 4
+    #    handles that separately). The synthetic corpus has no English
+    #    function words, so the full Gopher verdict (`keep`, tuned for web
+    #    English) would reject everything; a real pipeline would use it
+    #    directly — here the component signals demonstrate the same
+    #    thresholding.
     gq = gopher_quality(by_lang, id_col="doc_id", text_col="text")
-    lm = unigram_logprob(by_lang, id_col="doc_id", text_col="text")
+    ppl = perplexity_buckets(by_lang, id_col="doc_id", text_col="text")
     good_ids = (
         gq.filter((F.col("n_words") >= 30)
                   & (F.col("alpha_word_frac_r") >= 0.8)
                   & (F.col("bullet_line_frac_r") <= 0.9)).select(F.col("id"))
-        .join(lm.filter(F.col("bits_per_token_r").between(3.0, 8.0))
-              .select("id"), "id", "left_semi"))
+        .join(ppl.filter(F.col("ppl_bucket") <= 1).select("id"),
+              "id", "left_semi"))
     quality = by_lang.join(good_ids, by_lang.doc_id == good_ids.id, "left_semi")
     n3 = quality.count()
 
@@ -88,7 +103,7 @@ def main(sf_dir: str) -> int:
                                   id_col="doc_id", text_col="text") \
         .withColumnRenamed("text_clean", "text") \
         .join(quality.drop("text"), quality.doc_id == F.col("id"), "inner") \
-        .drop("id", "n_lines_removed")
+        .drop("id", "n_lines_removed").persist()
     n4 = cleaned.count()
 
     # 5. near-dup: MinHash-LSH candidate pairs -> components -> keep the
@@ -106,28 +121,50 @@ def main(sf_dir: str) -> int:
         .select(F.col("doc_id").alias("id"), "text")
     dirty = decontaminate(deduped.select(F.col("doc_id").alias("id"), "text"),
                           test_set).select("id")
-    decon = deduped.join(dirty, deduped.doc_id == dirty.id, "left_anti")
+    # stages 7-9 each run several jobs (DSIR's model counts, the mixer's
+    # two-phase budgets, packing's offset scan) — persist the funnel here
+    # so the dedup/decontamination lineage materializes exactly once
+    decon = deduped.join(dirty, deduped.doc_id == dirty.id, "left_anti") \
+        .persist()
     n6 = decon.count()
 
-    # 7. mixing: per-source token budgets (deterministic hash-ranked prefix)
-    budgets = {f"src{i}": 2_000 for i in range(0, 20, 2)}
-    mixed = sample_token_budget(decon, budgets, source_col="source",
-                                text_col="text", key_col="doc_id", seed=42)
-    n7 = mixed.count()
+    # 7. targeted selection: DSIR importance resampling — keep the docs
+    #    whose hashed n-gram profile looks most like a target corpus
+    #    (here src0 stands in for the curated high-quality target)
+    target = docs.filter(F.col("source") == "src0") \
+        .select(F.col("doc_id").alias("id"), "text")
+    picked = dsir_resample(decon, target, n_keep=max(1, int(n6 * 0.8)),
+                           n_buckets=4096, id_col="doc_id", text_col="text",
+                           seed=21).select("id")
+    selected = decon.join(picked, decon.doc_id == picked.id, "left_semi") \
+        .persist()
+    n7 = selected.count()
 
-    # 8. chunking: the curated corpus becomes the CHUNK unit the vector
-    #    store indexes (embed + upsert are the examples/model_workflow.py
-    #    path from here)
-    from flouds_vectordb_spark.operators.chunking import chunk_documents
+    # 8. mixing: temperature-scaled per-source token budgets (alpha=0.5
+    #    up-weights small sources — the multilingual-pretraining rule)
+    mixed = sample_temperature_mix(selected, total_budget=20_000, alpha=0.5,
+                                   source_col="source", text_col="text",
+                                   key_col="doc_id", seed=42).persist()
+    n8 = mixed.count()
 
+    # 9a. chunking: the curated corpus becomes the CHUNK unit the vector
+    #     store indexes (embed + upsert are the examples/model_workflow.py
+    #     path from here)
     chunks = chunk_documents(mixed, max_tokens=32, overlap=8,
                              id_col="doc_id", text_col="text")
-    n8 = chunks.count()
+    n9a = chunks.count()
+
+    # 9b. packing: the same corpus as fixed-length training sequences —
+    #     the (seq, doc, span) map a tokenizer-sharding job consumes
+    packed = pack_sequences(mixed, seq_len=256, id_col="doc_id",
+                            text_col="text", seed=42, drop_tail=True)
+    n9b = packed.select("seq_id").distinct().count()
 
     print(f"input={n0} url-curated={n1} lang-kept={n2} quality={n3} "
-          f"line-cleaned={n4} deduped={n5} decontaminated={n6} mixed={n7} "
-          f"chunks={n8}")
-    assert n0 >= n1 >= n2 >= n3 >= n5 >= n6, "stages must only shrink"
+          f"line-cleaned={n4} deduped={n5} decontaminated={n6} "
+          f"dsir-selected={n7} mixed={n8} chunks={n9a} train-seqs={n9b}")
+    assert n0 >= n1 >= n2 >= n3 >= n5 >= n6 >= n7 >= n8, \
+        "stages must only shrink"
     spark.stop()
     return 0
 
