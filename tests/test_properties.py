@@ -247,3 +247,34 @@ def test_token_budget_matches_greedy_prefix_reference(spark, docs, budgets):
             else:
                 break
     assert got == ref
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 40), min_size=1, max_size=16),
+    seq_len=st.integers(1, 24),
+)
+def test_pack_sequences_matches_concat_and_chop_reference(spark, sizes, seq_len):
+    from flouds_vectordb_spark.functions.hashing import hash64
+    from flouds_vectordb_spark.operators.chunking import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = sorted(map(tuple,
+                     pack_sequences(df, seq_len=seq_len, seed=6).collect()))
+    hv = {r["id"]: r["h"] for r in df.select(
+        "id", hash64(F.col("id").cast("string"), seed=6).alias("h")).collect()}
+    # reference: concatenate in (hash, id) order, chop every seq_len tokens
+    ref = []
+    pos = 0
+    for i, text in sorted(rows, key=lambda r: (hv[r[0]], r[0])):
+        n = len(text.split())
+        if n == 0:
+            continue
+        start, end = pos, pos + n
+        for seq in range(start // seq_len, (end - 1) // seq_len + 1):
+            lo, hi = max(start, seq * seq_len), min(end, (seq + 1) * seq_len)
+            ref.append((seq, i, lo - seq * seq_len, lo - start, hi - lo))
+        pos = end
+    assert got == sorted(ref)
