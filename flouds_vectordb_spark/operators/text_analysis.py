@@ -1153,27 +1153,30 @@ _PPL_QUANT = 16
 
 def perplexity_buckets(df: DataFrame, model_df: DataFrame | None = None,
                        n_buckets: int = 3, id_col: str = "id",
-                       text_col: str = "text",
-                       smoothing: int = 1) -> DataFrame:
-    """(id, n_tokens, bits_per_token_r, ppl_bucket): the CCNet corpus split
-    (Wenzek et al. 2020) — rank every document by LM cross-entropy
-    (unigram_logprob, lower = more predictable) and cut the ranking into
-    n_buckets equal-by-rank bands; bucket 0 is CCNet's "head" (most
-    fluent), the last is "tail". Zero-token documents are excluded (their
+                       text_col: str = "text", smoothing: int = 1,
+                       stratum_col: str | None = None) -> DataFrame:
+    """(id[, stratum], n_tokens, bits_per_token_r, ppl_bucket): the CCNet
+    corpus split (Wenzek et al. 2020) — rank every document by LM
+    cross-entropy (unigram_logprob, lower = more predictable) and cut the
+    ranking into n_buckets equal-by-rank bands; bucket 0 is CCNet's
+    "head" (most fluent), the last is "tail". With stratum_col the
+    ranking and the band cut run WITHIN each stratum — CCNet's actual
+    rule is per-language. Zero-token documents are excluded (their
     cross-entropy is undefined). Band rule, identical integer arithmetic
-    in both engines: bucket = min(((rank-1) * n_buckets) div n_docs,
+    in both engines: bucket = min(((rank-1) * n_buckets) div n_stratum,
     n_buckets - 1) with rank ordered by (bits_per_token_r, id) — fully
     deterministic under ties.
 
-    Scale shape (100 TB): a global rank is the textbook single-partition
-    window. Instead, two-phase: (1) quantize bits to floor(bits*16) — a
-    BOUNDED bucket key (<~1000 distinct values at any corpus size, see
-    _PPL_QUANT) — and collect one count per bucket; (2) the driver
-    prefix-sums counts in bucket order into per-bucket base ranks
-    (broadcast-joined literal table), and each row's global rank is its
-    base + an intra-bucket row_number — window partitions hold only ties
-    within 1/16th of a bit. Scoring itself (unigram_logprob) shuffles
-    scalars only."""
+    Scale shape (100 TB): a global (or per-stratum) rank is the textbook
+    single-partition window. Instead, two-phase: (1) quantize bits to
+    floor(bits*16) — a BOUNDED bucket key (<~1000 distinct values at any
+    corpus size, see _PPL_QUANT) — and collect one count per (stratum,
+    bucket); (2) the driver prefix-sums counts in bucket order into
+    per-(stratum, bucket) base ranks and per-stratum totals
+    (broadcast-joined literal table), and each row's rank is its base +
+    an intra-bucket row_number — window partitions hold only ties within
+    1/16th of a bit of one stratum. Scoring itself (unigram_logprob)
+    shuffles scalars only."""
     from pyspark.sql import Window
 
     from flouds_vectordb_spark.functions.local import local_df
@@ -1186,27 +1189,50 @@ def perplexity_buckets(df: DataFrame, model_df: DataFrame | None = None,
               .filter(F.col("n_tokens") > 0)
               .withColumn("_qb", F.floor(F.col("bits_per_token_r")
                                          * F.lit(_PPL_QUANT)).cast("bigint")))
+    out_cols = ["id", "n_tokens", "bits_per_token_r"]
+    if stratum_col is not None:
+        # join the stratum back (the scorer returns scalars only); the
+        # internal key coalesces NULL strata to a sentinel so the
+        # broadcast join below stays null-safe
+        strata = df.select(F.col(id_col).alias("id"),
+                           F.col(stratum_col).alias(stratum_col))
+        scored = scored.join(strata, "id").withColumn(
+            "_sk", F.coalesce(F.col(stratum_col).cast("string"),
+                              F.lit("\x00")))
+        out_cols.insert(1, stratum_col)
+    else:
+        scored = scored.withColumn("_sk", F.lit(""))
     counts = sorted(
-        (int(r["_qb"]), int(r["_c"]))
-        for r in scored.groupBy("_qb").agg(F.count("*").alias("_c")).collect())
+        (str(r["_sk"]), int(r["_qb"]), int(r["_c"]))
+        for r in scored.groupBy("_sk", "_qb")
+        .agg(F.count("*").alias("_c")).collect())
     if not counts:
+        schema = "id " + dict(df.dtypes)[id_col]
+        if stratum_col is not None:
+            schema += f", {stratum_col} " + dict(df.dtypes)[stratum_col]
         return spark.createDataFrame(
-            [], "id " + dict(df.dtypes)[id_col]
-            + ", n_tokens int, bits_per_token_r double, ppl_bucket int")
-    bases, cum = [], 0
-    for qb, c in counts:
-        bases.append((qb, cum))
-        cum += c
-    n = cum
-    base = F.broadcast(local_df(spark, bases, "_qb bigint, _base bigint"))
-    w = Window.partitionBy("_qb").orderBy(
+            [], schema + ", n_tokens int, bits_per_token_r double, "
+            "ppl_bucket int")
+    per_sk: dict = {}
+    for sk, qb, c in counts:
+        per_sk.setdefault(sk, []).append((qb, c))
+    bases = []
+    for sk, lst in per_sk.items():
+        cum = 0
+        total = sum(c for _, c in lst)
+        for qb, c in lst:  # already qb-sorted within sk by the sort above
+            bases.append((sk, qb, cum, total))
+            cum += c
+    base = F.broadcast(local_df(
+        spark, bases, "_sk string, _qb bigint, _base bigint, _n bigint"))
+    w = Window.partitionBy("_sk", "_qb").orderBy(
         F.col("bits_per_token_r").asc(), F.col("id").asc())
     return (
-        scored.join(base, "_qb")
+        scored.join(base, ["_sk", "_qb"])
         .withColumn("_rk", F.col("_base") + F.row_number().over(w))
         .select(
-            "id", "n_tokens", "bits_per_token_r",
-            F.least(F.expr(f"(_rk - 1) * {n_buckets} div {n}"),
+            *out_cols,
+            F.least(F.expr(f"(_rk - 1) * {n_buckets} div _n"),
                     F.lit(n_buckets - 1).cast("bigint"))
             .cast("int").alias("ppl_bucket"))
     )
@@ -1214,24 +1240,33 @@ def perplexity_buckets(df: DataFrame, model_df: DataFrame | None = None,
 
 def perplexity_buckets_sql(table_sql: str, model_sql: str | None = None,
                            n_buckets: int = 3, id_expr: str = "id",
-                           text_expr: str = "text",
-                           smoothing: int = 1) -> str:
+                           text_expr: str = "text", smoothing: int = 1,
+                           stratum_expr: str | None = None) -> str:
     """DuckDB oracle twin: single-window formulation of the same band rule
-    (row_number over (bits, id), count(*) over (), identical integer
-    division) — the two-phase Spark plan is an execution strategy only."""
+    (row_number over ([stratum,] bits, id), count(*) over ([stratum]),
+    identical integer division) — the two-phase Spark plan is an
+    execution strategy only."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     inner = unigram_logprob_sql(table_sql, model_sql, id_expr=id_expr,
                                 text_expr=text_expr, smoothing=smoothing)
+    if stratum_expr is None:
+        strat_sel, strat_join, part = "", "", ""
+    else:
+        strat_sel = f"_st.{stratum_expr}, "
+        strat_join = (f" JOIN (SELECT {id_expr} AS id, {stratum_expr} "
+                      f"FROM {table_sql}) _st USING (id)")
+        part = f"PARTITION BY _st.{stratum_expr} "
     return f"""
 WITH _scored AS ({inner}),
 _r AS (
-  SELECT id, n_tokens, bits_per_token_r,
-         row_number() OVER (ORDER BY bits_per_token_r ASC, id ASC) AS _rk,
-         count(*) OVER () AS _n
-  FROM _scored WHERE n_tokens > 0
+  SELECT id, {strat_sel}n_tokens, bits_per_token_r,
+         row_number() OVER ({part}ORDER BY bits_per_token_r ASC, id ASC)
+           AS _rk,
+         count(*) OVER ({part.rstrip()}) AS _n
+  FROM _scored{strat_join} WHERE n_tokens > 0
 )
-SELECT id, n_tokens, bits_per_token_r,
+SELECT id, {strat_sel.replace('_st.', '')}n_tokens, bits_per_token_r,
        least((_rk - 1) * {n_buckets} // _n, {n_buckets - 1})::INT AS ppl_bucket
 FROM _r
 """

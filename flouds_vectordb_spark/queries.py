@@ -2268,6 +2268,27 @@ def _ppl_buckets_sql() -> str:
 _register_ext("text_ppl_buckets", _ppl_buckets_q, _ppl_buckets_sql())
 
 
+def _ppl_buckets_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import perplexity_buckets
+
+    return perplexity_buckets(load(spark, sf_dir, "documents"),
+                              id_col="doc_id", text_col="text",
+                              stratum_col="lang")
+
+
+def _ppl_buckets_lang_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import (
+        perplexity_buckets_sql,
+    )
+
+    return perplexity_buckets_sql("documents", id_expr="doc_id",
+                                  text_expr="text", stratum_expr="lang")
+
+
+_register_ext("text_ppl_buckets_by_lang", _ppl_buckets_lang_q,
+              _ppl_buckets_lang_sql())
+
+
 # --- interpolated bigram LM (r8): one order up from the unigram proxy ------------
 def _bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.text_analysis import bigram_logprob

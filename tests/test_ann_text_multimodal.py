@@ -573,3 +573,26 @@ def test_perplexity_buckets_band_rule(spark):
     assert perplexity_buckets(
         spark.createDataFrame([(1, "")], "id bigint, text string")
     ).count() == 0
+
+
+def test_perplexity_buckets_per_stratum(spark):
+    from collections import Counter
+
+    from flouds_vectordb_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    # two strata of different sizes: bands cut within each stratum
+    rows = [(i, "la", "word common stuff " * (1 + i % 5)) for i in range(6)] \
+        + [(100 + i, "lb", "other text here " * (1 + i % 7)) for i in range(9)]
+    df = spark.createDataFrame(rows, "id bigint, lang string, text string")
+    out = perplexity_buckets(df, id_col="id", text_col="text",
+                             stratum_col="lang").collect()
+    assert set(out[0].asDict()) == {"id", "lang", "n_tokens",
+                                    "bits_per_token_r", "ppl_bucket"}
+    sizes = Counter((r["lang"], r["ppl_bucket"]) for r in out)
+    assert sizes[("la", 0)] + sizes[("la", 1)] + sizes[("la", 2)] == 6
+    assert sizes[("lb", 0)] == 3 and sizes[("lb", 1)] == 3 \
+        and sizes[("lb", 2)] == 3
+    # each stratum's bands are balanced by the same rank rule
+    assert sorted(sizes[("la", b)] for b in (0, 1, 2)) == [2, 2, 2]
