@@ -257,6 +257,153 @@ SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {float(jaccard_thres
 """
 
 
+def dedup_minhash_incremental(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the new snapshot only: (id_a, id_b,
+    b_is_old, jaccard_r) where id_a is always a new document and id_b is
+    either an old document (b_is_old) or a later-id new one (id_a < id_b,
+    the dedup_minhash rule). The production snapshot shape: deduping a
+    new crawl against an accumulated corpus must never re-pair the old
+    corpus against itself — old×old candidates are O(|old|²·dup-rate)
+    work that was already done when those snapshots landed. Ids must be
+    globally unique across both inputs (the upsert pk contract).
+
+    Same bands/hashes as dedup_minhash, so (new ∪ old) batch results and
+    incremental results agree on every pair touching a new doc (tested).
+    At 100 TB the old side's (id, band_idx, band_hash) entries and
+    shingle sets are the PERSISTED artifact minhash_signatures documents
+    — this operator recomputes them only because it takes raw text; feed
+    a narrowed old_df (e.g. the candidate buckets' rows) where the
+    artifact exists. Shuffle shape: band-bucket join on scalars, shingle
+    arrays join back only for verified candidates."""
+    rows_per_band = n_sigs // n_bands
+
+    def _entries(df: DataFrame):
+        sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n)
+        band_hashes = []
+        for b in range(n_bands):
+            parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
+                     for r in range(rows_per_band)]
+            band_hashes.append(hash64(F.concat_ws("|", *parts),
+                                      seed=1000 + b).alias(f"band{b}"))
+        banded = sigs.select("id", *band_hashes).transform(_persist)
+        ent = banded.select(
+            "id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band_idx"),
+                         F.col(f"band{b}").alias("band_hash"))
+                for b in range(n_bands)
+            ])).alias("e"),
+        ).select("id", "e.band_idx", "e.band_hash")
+        return ent, sigs.select("id", "shingles")
+
+    new_ent, new_sets = _entries(new_df)
+    old_ent, old_sets = _entries(old_df)
+
+    a = new_ent.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    nn = (
+        a.join(new_ent.select(F.col("id").alias("id_b"), "band_idx",
+                              "band_hash"), ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(False).alias("b_is_old"))
+    )
+    no = (
+        a.join(old_ent.select(F.col("id").alias("id_b"), "band_idx",
+                              "band_hash"), ["band_idx", "band_hash"])
+        .select("id_a", "id_b", F.lit(True).alias("b_is_old"))
+    )
+    cand = nn.unionByName(no).dropDuplicates(["id_a", "id_b", "b_is_old"])
+    sets_b = new_sets.select(F.col("id").alias("id_b"),
+                             F.col("shingles").alias("sh_b")).unionByName(
+        old_sets.select(F.col("id").alias("id_b"),
+                        F.col("shingles").alias("sh_b")))
+    pairs = (
+        cand.join(new_sets.select(F.col("id").alias("id_a"),
+                                  F.col("shingles").alias("sh_a")), "id_a")
+        .join(sets_b, "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard_r", F.round(inter / union, 6))
+        .filter(F.col("jaccard_r") >= F.lit(float(jaccard_threshold)))
+        .select("id_a", "id_b", "b_is_old", "jaccard_r")
+    )
+
+
+def dedup_minhash_incremental_sql(
+    new_sql: str,
+    old_sql: str,
+    id_expr: str = "id",
+    text_expr: str = "text",
+    jaccard_threshold: float = 0.5,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> str:
+    """DuckDB oracle twin of dedup_minhash_incremental."""
+    rows_per_band = n_sigs // n_bands
+    toks = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+            f"x -> x <> '')")
+    sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
+    h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
+    sig_sel = "".join(
+        f", {_minhash_sig_sql('_h32', i)} AS sig{i}" for i in range(n_sigs))
+    band_sel = ""
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"sig{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band))
+        band_sel += f", {hash64_sql(f'({parts})', seed=1000 + b)} AS band{b}"
+
+    def _side(src: str, tag: str) -> str:
+        union_entries = " UNION ALL ".join(
+            f"SELECT id, {b} AS band_idx, band{b} AS band_hash "
+            f"FROM _banded_{tag}" for b in range(n_bands))
+        return f"""
+_sh_{tag} AS (SELECT {id_expr} AS id, {sh} AS shingles FROM {src}),
+_hashed_{tag} AS (SELECT id, shingles, {h32} AS _h32 FROM _sh_{tag}),
+_sigs_{tag} AS (SELECT id, shingles{sig_sel} FROM _hashed_{tag}),
+_banded_{tag} AS (SELECT *{band_sel} FROM _sigs_{tag}),
+_entries_{tag} AS ({union_entries})"""
+
+    return f"""
+WITH {_side(new_sql, 'n')},{_side(old_sql, 'o')},
+_cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, FALSE AS b_is_old
+  FROM _entries_n a JOIN _entries_n b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+  UNION
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, TRUE AS b_is_old
+  FROM _entries_n a JOIN _entries_o b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+),
+_sets_b AS (
+  SELECT id, shingles FROM _sh_n UNION ALL SELECT id, shingles FROM _sh_o
+),
+_pairs AS (
+  SELECT c.id_a, c.id_b, c.b_is_old,
+         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+               6) AS jaccard_r
+  FROM _cand c
+  JOIN _sh_n sa ON c.id_a = sa.id
+  JOIN _sets_b sb ON c.id_b = sb.id
+)
+SELECT id_a, id_b, b_is_old, jaccard_r FROM _pairs
+WHERE jaccard_r >= {float(jaccard_threshold)!r}
+"""
+
+
 # --- exact n-gram Jaccard (AllPairs prefix-filter join) ----------------------
 
 def _shingle_hashes(text_col: Column, shingle_n: int) -> Column:

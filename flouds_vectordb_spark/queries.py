@@ -2157,6 +2157,30 @@ def _corpus_lines_sql() -> str:
 _register_ext("dedup_corpus_lines", _corpus_lines_q, _corpus_lines_sql())
 
 
+# --- incremental near-dup (r8): new snapshot vs accumulated corpus ---------------
+def _minhash_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import dedup_minhash_incremental
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_minhash_incremental(
+        docs.filter("doc_id % 3 = 0"), docs.filter("doc_id % 3 <> 0"),
+        id_col="doc_id", text_col="text", jaccard_threshold=0.4)
+
+
+def _minhash_incr_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import (
+        dedup_minhash_incremental_sql,
+    )
+
+    return dedup_minhash_incremental_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+        id_expr="doc_id", text_expr="text", jaccard_threshold=0.4)
+
+
+_register_ext("dedup_minhash_incremental", _minhash_incr_q, _minhash_incr_sql())
+
+
 # --- corpus mixing (r8): per-source token budgets -------------------------------
 _MIX_BUDGETS = {"src1": 800, "src2": 500, "src3": 100000}
 

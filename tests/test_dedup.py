@@ -48,6 +48,34 @@ def test_minhash_finds_near_dup_pair(docs):
     assert not any({4, 5} & {a, b} for a, b in pairs)
 
 
+def test_minhash_incremental_agrees_with_batch_on_new_pairs(docs):
+    from flouds_vectordb_spark.operators.dedup import (
+        dedup_minhash_incremental,
+    )
+
+    new = docs.filter("id IN (2, 3)")
+    old = docs.filter("id NOT IN (2, 3)")
+    got = {(r["id_a"], r["id_b"], r["b_is_old"]): r["jaccard_r"]
+           for r in dedup_minhash_incremental(
+               new, old, jaccard_threshold=0.3).collect()}
+    batch = {(r["id_a"], r["id_b"]): r["jaccard_r"]
+             for r in dedup_minhash(docs, jaccard_threshold=0.3).collect()}
+    # batch finds (1,2)=1.0 and (1,3); incrementally those surface as
+    # new-vs-old pairs keyed by the NEW id
+    ref = {}
+    for (a, b), j in batch.items():
+        a_new, b_new = a in (2, 3), b in (2, 3)
+        if a_new and b_new:
+            ref[(a, b, False)] = j
+        elif a_new:
+            ref[(a, b, True)] = j
+        elif b_new:
+            ref[(b, a, True)] = j
+    assert got == ref and any(k[2] for k in got)
+    # old x old pairs never surface
+    assert not any(a not in (2, 3) for a, _, _ in got)
+
+
 def test_minhash_signature_is_order_insensitive_hash(spark):
     # same text -> same signatures regardless of row order / partitioning
     df1 = spark.createDataFrame([(1, "alpha beta gamma delta")], "id long, text string")
