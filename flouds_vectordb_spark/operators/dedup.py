@@ -98,6 +98,68 @@ FROM _hashed
 """
 
 
+def dedup_exact_incremental(new_df: DataFrame, old_df: DataFrame,
+                            id_col: str = "id",
+                            text_col: str = "text") -> DataFrame:
+    """(id, keeper_id, keeper_is_old, content_hash) for NEW rows only: the
+    snapshot shape of dedup_exact. A new row's keeper is the minimum OLD
+    id holding identical normalized content when one exists (the
+    accumulated corpus is canonical — its own dedup already ran when
+    those snapshots landed), else the minimum NEW id of its hash group.
+    keeper_id == id -> the row survives ingestion.
+
+    Plan: both sides reduce to (hash, min-id) scalars with map-side
+    combine before any shuffle — the old corpus contributes ONE row per
+    distinct hash, so deduping a daily batch against years of corpus
+    shuffles |new| + |distinct old hashes| scalars, never the old text.
+    skew note: the groupBy sides pre-shrink hot hashes per map task; the
+    probe join inherits AQE skew splitting (same contract as
+    dedup_exact(skew_safe=True))."""
+    h_new = hash64(_norm(F.col(text_col)))
+    hashed = new_df.select(F.col(id_col).alias("id"), h_new.alias("content_hash"))
+    new_keep = hashed.groupBy("content_hash").agg(
+        F.min("id").alias("_new_keeper"))
+    old_keep = (
+        old_df.select(F.col(id_col).alias("id"),
+                      hash64(_norm(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash").agg(F.min("id").alias("_old_keeper"))
+    )
+    return (
+        hashed.join(new_keep, "content_hash")
+        .join(old_keep, "content_hash", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_old_keeper"), F.col("_new_keeper"))
+            .alias("keeper_id"),
+            F.col("_old_keeper").isNotNull().alias("keeper_is_old"),
+            "content_hash")
+    )
+
+
+def dedup_exact_incremental_sql(new_sql: str, old_sql: str,
+                                id_expr: str = "id",
+                                text_expr: str = "text") -> str:
+    h = hash64_sql(_norm_sql(text_expr))
+    return f"""
+WITH _hashed AS (SELECT {id_expr} AS id, {h} AS content_hash FROM {new_sql}),
+_new_keep AS (
+  SELECT content_hash, min(id) AS _new_keeper FROM _hashed GROUP BY 1
+),
+_old_keep AS (
+  SELECT content_hash, min(id) AS _old_keeper FROM (
+    SELECT {id_expr} AS id, {h} AS content_hash FROM {old_sql}
+  ) GROUP BY 1
+)
+SELECT h.id,
+       coalesce(_old_keeper, _new_keeper) AS keeper_id,
+       _old_keeper IS NOT NULL AS keeper_is_old,
+       h.content_hash
+FROM _hashed h
+JOIN _new_keep USING (content_hash)
+LEFT JOIN _old_keep USING (content_hash)
+"""
+
+
 # --- minhash + LSH near-dup --------------------------------------------------
 
 MINHASH_SIGS = 16

@@ -2181,6 +2181,29 @@ def _minhash_incr_sql() -> str:
 _register_ext("dedup_minhash_incremental", _minhash_incr_q, _minhash_incr_sql())
 
 
+def _exact_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import dedup_exact_incremental
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact_incremental(
+        docs.filter("doc_id % 4 = 0"), docs.filter("doc_id % 4 <> 0"),
+        id_col="doc_id", text_col="text")
+
+
+def _exact_incr_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import (
+        dedup_exact_incremental_sql,
+    )
+
+    return dedup_exact_incremental_sql(
+        "(SELECT * FROM documents WHERE doc_id % 4 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 4 <> 0)",
+        id_expr="doc_id", text_expr="text")
+
+
+_register_ext("dedup_exact_incremental", _exact_incr_q, _exact_incr_sql())
+
+
 # --- corpus mixing (r8): per-source token budgets -------------------------------
 _MIX_BUDGETS = {"src1": 800, "src2": 500, "src3": 100000}
 

@@ -48,6 +48,23 @@ def test_minhash_finds_near_dup_pair(docs):
     assert not any({4, 5} & {a, b} for a, b in pairs)
 
 
+def test_exact_incremental_prefers_old_keepers(spark):
+    from flouds_vectordb_spark.operators.dedup import dedup_exact_incremental
+
+    old = spark.createDataFrame(
+        [(1, "the same text"), (2, "only in old")], "id long, text string")
+    new = spark.createDataFrame(
+        [(10, "The  Same   TEXT"),   # normalizes to old 1's content
+         (11, "fresh content"), (12, "fresh content"),  # new dup group
+         (13, "unique new")], "id long, text string")
+    out = {r["id"]: (r["keeper_id"], r["keeper_is_old"])
+           for r in dedup_exact_incremental(new, old).collect()}
+    assert out[10] == (1, True)     # old corpus is canonical
+    assert out[11] == (11, False) and out[12] == (11, False)
+    assert out[13] == (13, False)
+    assert set(out) == {10, 11, 12, 13}  # old rows never re-emitted
+
+
 def test_minhash_incremental_agrees_with_batch_on_new_pairs(docs):
     from flouds_vectordb_spark.operators.dedup import (
         dedup_minhash_incremental,
