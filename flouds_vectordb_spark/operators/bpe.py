@@ -1,0 +1,241 @@
+"""BPE tokenizer training and encoding (Sennrich et al. 2016).
+
+The tokenizer-induction stage of a pretraining pipeline: learn byte-pair
+-style merges from the corpus, then encode documents with them. The
+classic word-level algorithm (subword-nmt, public):
+
+- split every distinct word into characters + an end-of-word marker;
+- repeat n_merges times: count adjacent symbol pairs weighted by word
+  frequency, merge the most frequent pair everywhere (left-to-right,
+  non-overlapping), record it.
+
+Distributed shape (the shape real trainers use): the working set is the
+DISTINCT WORD table with counts — corpus text is touched exactly once
+(one tokenize + word count); every merge round is one pair-count
+aggregation over (word, syms) rows + a driver-side argmax of |pairs|
+scalars, then a stateless fold that applies the merge. At 100 TB the
+distinct-word table (pruned by min_count) is millions of rows, not
+billions — rounds cost one small shuffle each, independent of corpus
+size.
+
+Determinism: ties in pair counts break lexicographically (count DESC,
+lhs ASC, rhs ASC) — the same rule in the DuckDB twin, so the full merge
+list is oracle-checkable for a fixed n_merges (the twin generates one
+CTE stage per round; the merge application is a same-type string fold,
+list_reduce-compatible). The left-to-right non-overlap rule is the fold
+"if last(acc) == lhs and cur == rhs then replace last with lhs||rhs" —
+equivalent to subword-nmt's index walk because a merged symbol
+(lhs||rhs, rhs non-empty) can never equal lhs, so merges never chain
+within a pass; only lhs == rhs pairs could overlap and the fold takes
+them greedily left-to-right exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.functions.text import tokenize
+
+EOW = "</w>"
+
+
+def _chars_plus_eow(word):
+    return F.concat(
+        F.transform(F.sequence(F.lit(1), F.length(word)),
+                    lambda i: word.substr(i, F.lit(1))),
+        F.array(F.lit(EOW)))
+
+
+def _merge_fold(syms, lhs: str, rhs: str):
+    """Apply one merge left-to-right, non-overlapping (see module doc)."""
+    merged = lhs + rhs
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs)) & (x == F.lit(rhs)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
+              min_count: int = 1) -> list[tuple[int, str, str, int]]:
+    """Learn n_merges BPE merges; returns [(rank, lhs, rhs, pair_count)]
+    with rank 1-based in merge order. min_count prunes the distinct-word
+    working set (words rarer than min_count cannot influence early merges
+    materially; at scale this is the standard working-set bound).
+
+    Jobs: 1 word-count aggregation + n_merges x (1 pair-count agg). The
+    word table persists between rounds (each round's syms column is one
+    fold over the previous round's cached rows — lineage stays one fold
+    deep)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word").count().withColumnRenamed("count", "cnt")
+        .filter(F.col("cnt") >= min_count)
+        .select("word", "cnt", _chars_plus_eow(F.col("word")).alias("syms"))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    try:
+        for rank in range(1, n_merges + 1):
+            # guard single-symbol words: sequence(1, 0) DESCENDS in Spark,
+            # which would index element 0 (ANSI error)
+            pair_arr = F.when(
+                F.size("syms") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r")))
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            pairs = (
+                cur.select("cnt", F.explode(pair_arr).alias("p"))
+                .groupBy("p.l", "p.r").agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(),
+                         F.col("r").asc())
+                .limit(1).collect())
+            if not pairs:
+                break  # every word fully merged to one symbol
+            lhs, rhs, c = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["c"])
+            merges.append((rank, lhs, rhs, c))
+            nxt = cur.select(
+                "word", "cnt",
+                _merge_fold(F.col("syms"), lhs, rhs).alias("syms")).persist()
+            nxt.count()  # materialize before dropping the previous round
+            if cur is not words:
+                cur.unpersist()
+            cur = nxt
+    finally:
+        if cur is not words:
+            cur.unpersist()
+        words.unpersist()
+    return merges
+
+
+def bpe_train_df(df: DataFrame, n_merges: int = 32, text_col: str = "text",
+                 min_count: int = 1) -> DataFrame:
+    """bpe_train as a DataFrame (rank, lhs, rhs, pair_count) — the gate
+    surface."""
+    from flouds_vectordb_spark.functions.local import local_df
+
+    merges = bpe_train(df, n_merges=n_merges, text_col=text_col,
+                       min_count=min_count)
+    if not merges:
+        return df.sparkSession.createDataFrame(
+            [], "rank int, lhs string, rhs string, pair_count bigint")
+    return local_df(df.sparkSession, merges,
+                    "rank int, lhs string, rhs string, pair_count bigint")
+
+
+def bpe_encode(df: DataFrame, merges, id_col: str = "id",
+               text_col: str = "text") -> DataFrame:
+    """(id, tokens): encode documents with a learned merge list — split
+    each word to chars+EOW, apply merges in rank order (lowest rank
+    first wherever it matches, the standard greedy loop). Arrow-batched
+    mapInPandas: the per-word merge loop is data-dependent control flow
+    no Column expression expresses at fixed depth; encoding memoizes per
+    distinct word within a batch. Stateless over rows — embarrassingly
+    parallel at any scale."""
+    ranks = {(l, r): k for k, l, r, _ in
+             (m if len(m) == 4 else (m[0], m[1], m[2], 0) for m in merges)}
+    id_t = dict(df.dtypes)[id_col]
+    out_schema = f"id {id_t}, tokens array<string>"
+
+    def _encode_word(word: str, memo: dict) -> list:
+        if word in memo:
+            return memo[word]
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), rk
+            if best is None:
+                break
+            l, r = best
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    def _batches(it):
+        import pandas as pd
+        for pdf in it:
+            memo: dict = {}
+            toks = [
+                [s for w in str(t).lower().split() if w
+                 for s in _encode_word(w, memo)]
+                if t is not None else []
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"id": pdf[id_col], "tokens": toks})
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+def bpe_train_sql(table_sql: str, n_merges: int = 32,
+                  text_expr: str = "text", min_count: int = 1) -> str:
+    """DuckDB oracle twin of bpe_train_df: one generated CTE stage per
+    merge round. The merge application is a list_reduce fold over the
+    symbol list with a STRING accumulator (list_reduce requires acc type
+    == element type): the space-joined prefix, where 'last symbol == lhs
+    and current == rhs' pops the trailing lhs and appends lhs||rhs.
+    Symbols never contain spaces (whitespace tokenization), so the join
+    is lossless. Each round's argmax is a 1-row CTE cross-joined into
+    the next stage."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
+           f"x -> x <> '')")
+    chars = ("list_append(list_transform(generate_series(1, length(word)), "
+             "cp -> substr(word, cp, 1)), '" + EOW + "')")
+    ctes = [f"""_w0 AS (
+  SELECT word, count(*) AS cnt, {chars} AS syms FROM (
+    SELECT unnest({tok}) AS word FROM {table_sql}
+  ) GROUP BY word HAVING count(*) >= {min_count}
+)"""]
+    for k in range(1, n_merges + 1):
+        p, m, wp, wn = f"_p{k}", f"_m{k}", f"_w{k - 1}", f"_w{k}"
+        ctes.append(f"""{p} AS (
+  SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+    SELECT cnt, syms[pi] AS l, syms[pi + 1] AS r
+    FROM {wp}, unnest(generate_series(1, len(syms) - 1)) AS _u(pi)
+  ) GROUP BY l, r
+)""")
+        ctes.append(f"""{m} AS (
+  SELECT l, r, c FROM {p} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+)""")
+        # string-fold merge application; lambda vars unique per stage
+        # ends_with (not LIKE) — symbols may contain LIKE metachars
+        fold = (f"list_reduce(syms, (a{k}, x{k}) -> CASE "
+                f"WHEN (a{k} = l OR ends_with(a{k}, ' ' || l)) "
+                f"AND x{k} = r THEN "
+                f"left(a{k}, length(a{k}) - length(l)) || l || r "
+                f"ELSE a{k} || ' ' || x{k} END)")
+        ctes.append(f"""{wn} AS (
+  SELECT word, cnt, string_split({fold}, ' ') AS syms FROM {wp}, {m}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, l AS lhs, r AS rhs, c AS pair_count FROM _m{k}"
+        for k in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY rank"

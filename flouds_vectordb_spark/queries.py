@@ -2354,6 +2354,23 @@ def _bigram_lm_sql() -> str:
 _register_ext("text_bigram_logprob", _bigram_lm_q, _bigram_lm_sql())
 
 
+# --- BPE tokenizer training (r8): the full learned merge list, oracle-checked ----
+def _bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.bpe import bpe_train_df
+
+    return bpe_train_df(load(spark, sf_dir, "documents"), n_merges=10,
+                        text_col="text")
+
+
+def _bpe_train_sql() -> str:
+    from flouds_vectordb_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql("documents", n_merges=10, text_expr="text")
+
+
+_register_ext("text_bpe_train", _bpe_train_q, _bpe_train_sql())
+
+
 # --- document chunking (r8): the ingest stage producing the `chunk` unit --------
 def _chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.chunking import chunk_documents
