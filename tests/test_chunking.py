@@ -129,6 +129,18 @@ def test_pack_seed_changes_order_not_coverage(spark):
         assert sum(r["n_taken"] for r in rows) == 33
 
 
+def test_pack_drop_tail_edge_cases(spark):
+    # exact multiple: nothing to drop, all sequences survive
+    df = _mk_corpus(spark, [16, 16])
+    full = pack_sequences(df, seq_len=16, drop_tail=True).collect()
+    assert {r["seq_id"] for r in full} == {0, 1}
+    assert sum(r["n_taken"] for r in full) == 32
+    # corpus smaller than one sequence: drop_tail drops everything
+    tiny = pack_sequences(_mk_corpus(spark, [3, 4]), seq_len=16,
+                          drop_tail=True)
+    assert tiny.count() == 0
+
+
 def test_pack_validation_and_empty(spark):
     df = _mk_corpus(spark, [3])
     with pytest.raises(ValueError, match="seq_len"):

@@ -46,6 +46,12 @@ def test_dsir_topk_is_deterministic_and_partition_invariant(spark):
     assert {r[0] for r in c} != {r[0] for r in a} or c != a
 
 
+def test_dsir_n_keep_exceeding_corpus_returns_all(spark):
+    raw, target = _corpora(spark)
+    out = dsir_resample(raw, target, n_keep=1000, n_buckets=512, seed=2)
+    assert out.count() == raw.count()
+
+
 def test_dsir_zero_token_docs_compete_on_noise(spark):
     raw, target = _corpora(spark)
     raw2 = raw.union(
