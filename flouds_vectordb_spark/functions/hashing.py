@@ -15,6 +15,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# contiguous range-bucketing of the 60-bit hash64 space, shared by every
+# two-phase prefix-sum operator (sample_token_budget, pack_sequences):
+# bucket order == hash order, so per-bucket driver prefix-sums compose
+# into exact global offsets
+RANGE_BUCKETS = 1024
+RANGE_BUCKET_W = (1 << 60) // RANGE_BUCKETS + 1
+
+
 def hash64(col: Column, seed: int = 0) -> Column:
     """60-bit deterministic hash of a string column (md5-derived)."""
     s = F.concat(F.lit(f"{seed}|"), col) if seed else col

@@ -25,6 +25,14 @@ def tokenize(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
 
 
+def tokenize_sql(expr: str) -> str:
+    """The DuckDB twin of tokenize(), byte-identical to the inline snippet
+    every oracle uses — single source of truth for the cross-engine
+    tokenization contract."""
+    return (f"list_filter(string_split_regex(lower({expr}), '\\s+'), "
+            f"x -> x <> '')")
+
+
 def filter_words(text_filter: str, include_stop_words: bool = False, stop_words=None) -> list[str]:
     """Driver-side: the filter's effective word list (tiny, query-scoped)."""
     words = [w for w in text_filter.lower().split() if w]

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flouds_vectordb_spark.functions.text import tokenize
+from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
 
 EOW = "</w>"
 
@@ -176,12 +176,20 @@ def bpe_encode(df: DataFrame, merges, id_col: str = "id",
         memo[word] = syms
         return syms
 
+    # the SAME split the pipeline tokenize() uses: Java \s is ASCII-only
+    # ([ \t\n\x0b\f\r]) where Python str.split() is Unicode-aware — a
+    # NBSP-joined word must stay ONE word here exactly as it did in
+    # training, or the encoder inserts an EOW the merges never saw
+    import re
+
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def _batches(it):
         import pandas as pd
         for pdf in it:
             memo: dict = {}
             toks = [
-                [s for w in str(t).lower().split() if w
+                [s for w in _ws.split(str(t).lower()) if w
                  for s in _encode_word(w, memo)]
                 if t is not None else []
                 for t in pdf[text_col]
@@ -205,8 +213,7 @@ def bpe_train_sql(table_sql: str, n_merges: int = 32,
         raise ValueError("n_merges must be >= 1")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> '')")
+    tok = tokenize_sql(text_expr)
     chars = ("list_append(list_transform(generate_series(1, length(word)), "
              "cp -> substr(word, cp, 1)), '" + EOW + "')")
     ctes = [f"""_w0 AS (

@@ -38,14 +38,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
-from flouds_vectordb_spark.functions.text import tokenize
-
-# range-bucket count for the two-phase packing offset scan (same trick as
-# sampling.sample_token_budget): the 60-bit hash space divides into _NB
-# contiguous ranges so bucket order == concatenation order
-_NB = 1024
-_BUCKET_W = (1 << 60) // _NB + 1
+from flouds_vectordb_spark.functions.hashing import (
+    RANGE_BUCKET_W as _BUCKET_W,
+    RANGE_BUCKETS as _NB,
+    hash64,
+    hash64_sql,
+)
+from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
 
 
 def _validate(max_tokens: int, overlap: int) -> int:
@@ -86,8 +85,7 @@ def chunk_documents_sql(table_sql: str, max_tokens: int = 128,
     (DuckDB list_slice(l, a, b) is INCLUSIVE-bounds 1-based where Spark
     slice(l, start, length) takes a length — bounds converted here)."""
     stride = _validate(max_tokens, overlap)
-    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> '')")
+    tok = tokenize_sql(text_expr)
     return f"""
 WITH _docs AS (
   SELECT {id_expr} AS id, {tok} AS _toks FROM {table_sql}
@@ -205,8 +203,7 @@ def pack_sequences_sql(table_sql: str, seq_len: int = 2048,
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     h = hash64_sql(f"({id_expr})::VARCHAR", seed=seed)
-    tok = (f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> ''))")
+    tok = f"len({tokenize_sql(text_expr)})"
     tail = (f"WHERE seq_id < (SELECT sum(_nt)::BIGINT // {seq_len} FROM _docs)"
             if drop_tail else "")
     return f"""

@@ -41,7 +41,7 @@ from flouds_vectordb_spark.functions.hashing import (
     shingles,
     shingles_sql,
 )
-from flouds_vectordb_spark.functions.text import tokenize
+from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
 from flouds_vectordb_spark.lifecycle import tracked_persist as _persist
 from flouds_vectordb_spark.sources.tables import spread_small_input as _spread
 
@@ -114,19 +114,26 @@ def dedup_exact_incremental(new_df: DataFrame, old_df: DataFrame,
     shuffles |new| + |distinct old hashes| scalars, never the old text.
     skew note: the groupBy sides pre-shrink hot hashes per map task; the
     probe join inherits AQE skew splitting (same contract as
-    dedup_exact(skew_safe=True))."""
+    dedup_exact(skew_safe=True)). NULL-text rows hash NULL and group
+    together (null-safe joins) — the same one-group semantics the batch
+    operator's window gives them, so batch and incremental agree on
+    every input."""
     h_new = hash64(_norm(F.col(text_col)))
     hashed = new_df.select(F.col(id_col).alias("id"), h_new.alias("content_hash"))
     new_keep = hashed.groupBy("content_hash").agg(
-        F.min("id").alias("_new_keeper"))
+        F.min("id").alias("_new_keeper")) \
+        .withColumnRenamed("content_hash", "_ch_n")
     old_keep = (
         old_df.select(F.col(id_col).alias("id"),
                       hash64(_norm(F.col(text_col))).alias("content_hash"))
         .groupBy("content_hash").agg(F.min("id").alias("_old_keeper"))
+        .withColumnRenamed("content_hash", "_ch_o")
     )
     return (
-        hashed.join(new_keep, "content_hash")
-        .join(old_keep, "content_hash", "left")
+        hashed.join(new_keep,
+                    F.col("content_hash").eqNullSafe(F.col("_ch_n")))
+        .join(old_keep,
+              F.col("content_hash").eqNullSafe(F.col("_ch_o")), "left")
         .select(
             "id",
             F.coalesce(F.col("_old_keeper"), F.col("_new_keeper"))
@@ -155,8 +162,8 @@ SELECT h.id,
        _old_keeper IS NOT NULL AS keeper_is_old,
        h.content_hash
 FROM _hashed h
-JOIN _new_keep USING (content_hash)
-LEFT JOIN _old_keep USING (content_hash)
+JOIN _new_keep n ON h.content_hash IS NOT DISTINCT FROM n.content_hash
+LEFT JOIN _old_keep o ON h.content_hash IS NOT DISTINCT FROM o.content_hash
 """
 
 
@@ -279,7 +286,7 @@ def dedup_minhash_sql(
 ) -> str:
     """DuckDB oracle twin of dedup_minhash."""
     rows_per_band = n_sigs // n_bands
-    toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    toks = tokenize_sql(text_expr)
     sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
     h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
     sig_sel = "".join(
@@ -413,8 +420,7 @@ def dedup_minhash_incremental_sql(
 ) -> str:
     """DuckDB oracle twin of dedup_minhash_incremental."""
     rows_per_band = n_sigs // n_bands
-    toks = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-            f"x -> x <> '')")
+    toks = tokenize_sql(text_expr)
     sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
     h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
     sig_sel = "".join(
@@ -476,7 +482,7 @@ def _shingle_hashes(text_col: Column, shingle_n: int) -> Column:
 
 
 def _shingle_hashes_sql(text_expr: str, shingle_n: int) -> str:
-    toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    toks = tokenize_sql(text_expr)
     return (
         f"list_sort(list_distinct(list_transform({shingles_sql(toks, n=shingle_n)}, "
         f"s -> {hash64_sql('s')})))"
@@ -789,7 +795,7 @@ def dedup_simhash(df: DataFrame, id_col: str = "id", text_col: str = "text",
 
 def dedup_simhash_sql(table_sql: str, id_expr: str = "id", text_expr: str = "text",
                       max_hamming: int = 3) -> str:
-    toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    toks = tokenize_sql(text_expr)
     sh = simhash_sql(toks)
     union_entries = " UNION ALL ".join(
         f"SELECT id, simhash, {b} AS band_idx, (simhash >> {16 * b}) & 65535 AS band_val "
@@ -967,7 +973,7 @@ def exact_substring_spans_sql(
     """DuckDB oracle twin of exact_substring_spans: same positioned gram
     hashes, same duplicate rule, same lag/gap stitch."""
     kk = int(k)
-    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    tok = tokenize_sql(text_expr)
     gh = hash64_sql(f"array_to_string(list_slice(_toks, pos, pos + {kk - 1}), ' ')")
     return f"""
 WITH _toksed AS (
@@ -1050,7 +1056,7 @@ def remove_exact_substrings_sql(
     directly where Spark's 0-based filter index needs i + 1)."""
     spans = exact_substring_spans_sql(table_sql, id_expr, text_expr,
                                       k=k, min_occurrences=min_occurrences)
-    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    tok = tokenize_sql(text_expr)
     return f"""
 WITH _docs AS (
   SELECT {id_expr} AS id, {tok} AS _toks FROM {table_sql}

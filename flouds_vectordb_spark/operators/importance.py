@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
-from flouds_vectordb_spark.functions.text import tokenize
+from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
 
 _DENOM_U = float((1 << 60) + 1)  # maps hash64's [0, 2^60) onto (0, 1)
 
@@ -53,8 +53,7 @@ def _features(text_col: str):
 
 
 def _features_sql(text_expr: str) -> str:
-    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> '')")
+    tok = tokenize_sql(text_expr)
     return (
         f"list_concat({tok}, "
         f"list_transform(generate_series(1, greatest(len({tok}) - 1, 0)), "
@@ -73,19 +72,13 @@ def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int,
     )
 
 
-def dsir_log_ratios(raw: DataFrame, target: DataFrame, n_buckets: int = 8192,
-                    text_col: str = "text", smoothing: int = 1,
-                    seed: int = 0) -> DataFrame:
-    """(_b, _lr): per-bucket log p_target(b) - log p_raw(b), add-k smoothed
-    over hashed unigram+bigram features. B rows — broadcastable anywhere."""
+def _ratios_from_counts(rc: DataFrame, tc: DataFrame, n_buckets: int,
+                        smoothing: int) -> DataFrame:
+    """(_b, _lr) from PERSISTED (_b, _cnt) count tables — the totals
+    collect and the ratio join both read the cache, so each corpus's
+    feature extraction runs exactly once."""
     a = int(smoothing)
-    if a < 1:
-        raise ValueError("smoothing must be >= 1")
-    if n_buckets < 2:
-        raise ValueError("n_buckets must be >= 2")
-    spark = raw.sparkSession
-    rc = _bucket_counts(raw, text_col, n_buckets, seed)
-    tc = _bucket_counts(target, text_col, n_buckets, seed)
+    spark = rc.sparkSession
     r_tot = int((rc.agg(F.sum("_cnt")).collect()[0][0]) or 0)
     t_tot = int((tc.agg(F.sum("_cnt")).collect()[0][0]) or 0)
     if r_tot == 0 or t_tot == 0:
@@ -106,6 +99,20 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame, n_buckets: int = 8192,
     )
 
 
+def dsir_log_ratios(raw: DataFrame, target: DataFrame, n_buckets: int = 8192,
+                    text_col: str = "text", smoothing: int = 1,
+                    seed: int = 0) -> DataFrame:
+    """(_b, _lr): per-bucket log p_target(b) - log p_raw(b), add-k smoothed
+    over hashed unigram+bigram features. B rows — broadcastable anywhere."""
+    if int(smoothing) < 1:
+        raise ValueError("smoothing must be >= 1")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    rc = _bucket_counts(raw, text_col, n_buckets, seed).persist()
+    tc = _bucket_counts(target, text_col, n_buckets, seed).persist()
+    return _ratios_from_counts(rc, tc, n_buckets, smoothing)
+
+
 def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
                   n_buckets: int = 8192, id_col: str = "id",
                   text_col: str = "text", smoothing: int = 1,
@@ -119,16 +126,25 @@ def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
     total so every input row is accounted for)."""
     if n_keep < 1:
         raise ValueError("n_keep must be >= 1")
-    lr = F.broadcast(dsir_log_ratios(raw, target, n_buckets=n_buckets,
-                                     text_col=text_col, smoothing=smoothing,
-                                     seed=seed))
+    if int(smoothing) < 1:
+        raise ValueError("smoothing must be >= 1")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
     d = raw.select(F.col(id_col).alias("id"), _features(text_col).alias("_fs"))
-    per_bucket = (
+    # per-doc bucket counts persist ONCE and the raw bucket counts derive
+    # from them — the raw corpus's feature extraction (the expensive
+    # tokenize+bigram+hash projection) runs a single time
+    per_doc = (
         d.select("id", F.explode("_fs").alias("_f"))
         .select("id", F.pmod(hash64(F.col("_f"), seed=seed),
                              F.lit(n_buckets)).alias("_b"))
-        .groupBy("id", "_b").count()
-        .join(lr, "_b")
+        .groupBy("id", "_b").count().persist()
+    )
+    rc = per_doc.groupBy("_b").agg(F.sum("count").alias("_cnt")).persist()
+    tc = _bucket_counts(target, text_col, n_buckets, seed).persist()
+    lr = F.broadcast(_ratios_from_counts(rc, tc, n_buckets, smoothing))
+    per_bucket = (
+        per_doc.join(lr, "_b")
         .select("id", "_b",
                 (F.col("count").cast("double") * F.col("_lr")).alias("_c"))
     )

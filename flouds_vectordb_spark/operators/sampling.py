@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
+from flouds_vectordb_spark.functions.hashing import (
+    RANGE_BUCKET_W,
+    RANGE_BUCKETS,
+    hash64,
+    hash64_sql,
+)
+from flouds_vectordb_spark.functions.text import tokenize_sql
 
 _DENOM = 1_000_000
 
@@ -83,10 +89,10 @@ SELECT * EXCLUDE (_rk) FROM (
 
 # --- corpus mixing: per-source token budgets (r8) -------------------------------
 
-# range-bucket count for the two-phase budget scan; 60-bit hash space is
-# divided into _NB contiguous ranges so bucket order == hash order
-_NB = 1024
-_BUCKET_W = (1 << 60) // _NB + 1
+# range-bucket geometry shared across the two-phase operators
+# (functions/hashing.py owns it so retuning can't drift per operator)
+_NB = RANGE_BUCKETS
+_BUCKET_W = RANGE_BUCKET_W
 
 
 def sample_token_budget(df: DataFrame, budgets: dict, source_col: str = "source",
@@ -124,7 +130,9 @@ def sample_token_budget(df: DataFrame, budgets: dict, source_col: str = "source"
         if int(b) < 0:
             raise ValueError(f"negative budget for source {s!r}")
     h = hash64(F.col(key_col).cast("string"), seed=seed)
-    nt = F.size(tokenize(F.col(text_col)))
+    # NULL text tokenizes to NULL: count it as 0 tokens (keepable for
+    # free) in BOTH engines rather than crash/NULL-poison the sums
+    nt = F.coalesce(F.size(tokenize(F.col(text_col))), F.lit(0))
     work = (df.filter(F.col(source_col).isin(list(budgets)))
             .withColumn("_h", h).withColumn("_nt", nt)
             .withColumn("_bk", F.floor(F.col("_h") / F.lit(_BUCKET_W))))
@@ -132,7 +140,7 @@ def sample_token_budget(df: DataFrame, budgets: dict, source_col: str = "source"
             .collect())
     per_src: dict = {}
     for r in sums:
-        per_src.setdefault(r[source_col], []).append((int(r["_bk"]), int(r["_ts"])))
+        per_src.setdefault(r[source_col], []).append((int(r["_bk"]), int(r["_ts"] or 0)))
     keep_full: list = []   # (source, bucket) fully kept
     boundary: dict = {}    # source -> (bucket, remaining_budget)
     for src, buckets in per_src.items():
@@ -194,8 +202,12 @@ def sample_temperature_mix(df: DataFrame, total_budget: int,
         raise ValueError("alpha must be > 0")
     from flouds_vectordb_spark.functions.text import tokenize
 
+    # native source values (str() keys would KeyError in the budget lookup
+    # for non-string source columns, and would fold in text order where
+    # the twin folds in native order); all-NULL-text sources sum to NULL
+    # -> 0 tokens (the twin coalesces identically)
     totals = sorted(
-        (str(r[source_col]), int(r["_ns"]))
+        (r[source_col], int(r["_ns"] or 0))
         for r in df.groupBy(source_col)
         .agg(F.sum(F.size(tokenize(F.col(text_col)))).alias("_ns"))
         .collect())
@@ -224,14 +236,13 @@ def sample_temperature_mix_sql(table_sql: str, total_budget: int,
     if not (alpha > 0.0):
         raise ValueError("alpha must be > 0")
     h = hash64_sql(f"({key_expr})::VARCHAR", seed=seed)
-    tok = (f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> ''))")
+    tok = f"coalesce(len({tokenize_sql(text_expr)}), 0)"
     return f"""
 WITH _rows AS (
   SELECT *, {h} AS _h, {tok} AS _nt FROM {table_sql}
 ),
 _ns AS (
-  SELECT {source_expr} AS _src, sum(_nt)::BIGINT AS _tok_total
+  SELECT {source_expr} AS _src, coalesce(sum(_nt), 0)::BIGINT AS _tok_total
   FROM _rows GROUP BY 1
 ),
 _den AS (
@@ -263,8 +274,7 @@ def sample_token_budget_sql(table_sql: str, budgets: dict,
     source's budget) — the two-phase Spark plan is an execution strategy,
     not a semantics change, so the results must hash-match exactly."""
     h = hash64_sql(f"({key_expr})::VARCHAR", seed=seed)
-    tok = (f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> ''))")
+    tok = f"coalesce(len({tokenize_sql(text_expr)}), 0)"
     srcs = ", ".join("'" + str(s).replace("'", "''") + "'" for s in budgets)
     cases = " ".join(
         "WHEN '" + str(s).replace("'", "''") + f"' THEN {int(b)}"

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
-from flouds_vectordb_spark.functions.text import tokenize
+from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
 from flouds_vectordb_spark.sources.tables import spread_small_input
 from flouds_vectordb_spark.stopwords import NLTK_ENGLISH
 
@@ -99,7 +99,7 @@ def text_stats(df: DataFrame, id_col: str = "id", text_col: str = "text") -> Dat
 
 def text_stats_sql(table_sql: str, id_expr: str = "id", text_expr: str = "text") -> str:
     """DuckDB oracle twin of text_stats."""
-    toks = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    toks = tokenize_sql(text_expr)
     sw_list = ", ".join("'" + w.replace("'", "''") + "'" for w in _STOPWORDS_SORTED)
     langs = sorted(LANG_MARKERS)
     hit_sel = ""
@@ -275,7 +275,7 @@ def repetition_stats_sql(table_sql: str, id_expr: str = "id",
     """DuckDB oracle twin of repetition_stats."""
     from flouds_vectordb_spark.functions.hashing import shingles_sql
 
-    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    tok = tokenize_sql(text_expr)
     lines = (f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
              f"t -> trim(t)), x -> x <> '')")
     g2 = shingles_sql("_toks", n=2)
@@ -542,7 +542,7 @@ def gopher_quality(df: DataFrame, id_col: str = "id",
 def gopher_quality_sql(table_sql: str, id_expr: str = "id",
                        text_expr: str = "text") -> str:
     """DuckDB oracle twin of gopher_quality (same rules, same rounding)."""
-    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    tok = tokenize_sql(text_expr)
     lines = (f"list_filter(list_transform(string_split({text_expr}, chr(10)), "
              f"t -> trim(t)), x -> x <> '')")
     bullets = ", ".join(f"'{b}'" for b in _GOPHER_BULLETS)
@@ -721,7 +721,7 @@ def repetition_stats_full_sql(table_sql: str, id_expr: str = "id",
     replace Spark's 0-based-index + try_element_at idioms)."""
     from flouds_vectordb_spark.functions.hashing import shingles_sql
 
-    tok = f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')"
+    tok = tokenize_sql(text_expr)
 
     # Staged CTEs: every sorted list is MATERIALIZED as a named column and
     # referenced by name downstream — inlining the sort expression n times
@@ -951,8 +951,7 @@ def unigram_logprob_sql(table_sql: str, model_sql: str | None = None,
     is strictly negative, so 0.0 + c == c)."""
     a = int(smoothing)
     src = model_sql if model_sql is not None else table_sql
-    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> '')")
+    tok = tokenize_sql(text_expr)
     return f"""
 WITH _model AS (
   SELECT term, count(*) AS _cnt FROM (
@@ -1010,8 +1009,7 @@ def _bigram_events(text_col: str):
 
 
 def _bigram_events_sql(text_expr: str) -> str:
-    tok = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-           f"x -> x <> '')")
+    tok = tokenize_sql(text_expr)
     return (
         f"CASE WHEN len({tok}) > 0 THEN "
         f"list_transform(generate_series(1, len({tok})), "
@@ -1047,8 +1045,10 @@ def bigram_logprob(df: DataFrame, model_df: DataFrame | None = None,
         raise ValueError("lam must be in (0, 1)")
     src = model_df if model_df is not None else df
     events = _bigram_events(text_col)
+    # persist: the event explode (the widest projection here) otherwise
+    # re-evaluates for each of the three model aggs + the totals collect
     src_ev = spread_small_input(src).select(F.explode(_bigram_events(text_col)).alias("_e")) \
-        .select(F.col("_e.h").alias("h"), F.col("_e.w").alias("w"))
+        .select(F.col("_e.h").alias("h"), F.col("_e.w").alias("w")).persist()
     bi = src_ev.groupBy("h", "w").count().withColumnRenamed("count", "_cb")
     hist = src_ev.groupBy("h").count().withColumnRenamed("count", "_ch")
     uni = src_ev.groupBy("w").count().withColumnRenamed("count", "_cu")
@@ -1097,8 +1097,7 @@ def bigram_logprob_sql(table_sql: str, model_sql: str | None = None,
         raise ValueError("lam must be in (0, 1)")
     src = model_sql if model_sql is not None else table_sql
     ev = _bigram_events_sql(text_expr)
-    tok_n = (f"len(list_filter(string_split_regex(lower({text_expr}), '\\s+'), "
-             f"x -> x <> ''))")
+    tok_n = f"len({tokenize_sql(text_expr)})"
     return f"""
 WITH _src_ev AS (
   SELECT _e.h AS h, _e.w AS w FROM (
@@ -1184,11 +1183,15 @@ def perplexity_buckets(df: DataFrame, model_df: DataFrame | None = None,
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     spark = df.sparkSession
+    # persist: the full unigram_logprob lineage (model agg + per-term join
+    # + fold) otherwise re-executes for BOTH the counts collect below and
+    # the final rank join
     scored = (unigram_logprob(df, model_df, id_col=id_col, text_col=text_col,
                               smoothing=smoothing)
               .filter(F.col("n_tokens") > 0)
               .withColumn("_qb", F.floor(F.col("bits_per_token_r")
-                                         * F.lit(_PPL_QUANT)).cast("bigint")))
+                                         * F.lit(_PPL_QUANT)).cast("bigint"))
+              .persist())
     out_cols = ["id", "n_tokens", "bits_per_token_r"]
     if stratum_col is not None:
         # join the stratum back (the scorer returns scalars only); the

@@ -65,6 +65,22 @@ def test_exact_incremental_prefers_old_keepers(spark):
     assert set(out) == {10, 11, 12, 13}  # old rows never re-emitted
 
 
+def test_exact_incremental_null_text_rows_group_like_batch(spark):
+    from flouds_vectordb_spark.operators.dedup import dedup_exact_incremental
+
+    old = spark.createDataFrame([(1, None), (2, "real")],
+                                "id long, text string")
+    new = spark.createDataFrame([(10, None), (11, None), (12, "fresh")],
+                                "id long, text string")
+    out = {r["id"]: (r["keeper_id"], r["keeper_is_old"])
+           for r in dedup_exact_incremental(new, old).collect()}
+    # NULL-text rows are one content group (the batch window semantics):
+    # the old NULL-text doc 1 is their canonical keeper
+    assert set(out) == {10, 11, 12}  # no new row silently dropped
+    assert out[10] == (1, True) and out[11] == (1, True)
+    assert out[12] == (12, False)
+
+
 def test_minhash_incremental_agrees_with_batch_on_new_pairs(docs):
     from flouds_vectordb_spark.operators.dedup import (
         dedup_minhash_incremental,

@@ -153,6 +153,24 @@ def test_temperature_mix_upweights_small_sources(spark):
             .groupBy("source").count().collect()}
     assert prop == {"s_big": 45, "s_small": 5}
 
+    # non-string source column: budgets key on the NATIVE value
+    idf = spark.createDataFrame(
+        [(i, i % 2, "tok " * 10) for i in range(20)],
+        "id long, source long, text string")
+    ikept = sample_temperature_mix(idf, 100, alpha=0.5, key_col="id")
+    assert 0 < ikept.count() <= 20
+
+    # a source whose every row has NULL text gets weight 0 -> budget 0
+    # (no crash); its 0-token docs ride along for free (0 <= 0), the
+    # same rule the DuckDB twin applies
+    ndf = spark.createDataFrame(
+        [(1, "s_ok", "tok tok tok"), (2, "s_null", None), (3, "s_null", None)],
+        "id long, source string, text string")
+    nkept = {r["id"] for r in
+             sample_temperature_mix(ndf, 100, alpha=0.5, key_col="id")
+             .select("id").collect()}
+    assert nkept == {1, 2, 3}
+
     with _pytest.raises(ValueError, match="alpha"):
         sample_temperature_mix(df, 100, alpha=0.0)
     with _pytest.raises(ValueError, match="total_budget"):
