@@ -1,0 +1,99 @@
+"""Training-data export: deterministic sharding with a manifest.
+
+The last stage of the curation funnel: write the curated corpus (or the
+packed-sequence map) as a fixed set of shard directories a training job
+can consume — deterministic membership, byte-stable content ordering,
+and a driver-written _manifest.json recording per-shard row counts and
+key ranges for resumable/verifiable loads.
+
+Shard rule: shard = pmod(hash64(seed|key), n_shards) for hash sharding
+(default — uniform, key-stable), or shard = key div rows-per-shard for
+RANGE sharding of a dense integer key (pack_sequences' seq_id — keeps
+each shard's sequences contiguous, the layout samplers that stream in
+order want). Either way membership is a pure function of (seed, data):
+re-running the export reproduces identical shard contents.
+
+Scale shape (100 TB): one keyed repartition (the write shuffle every
+sharded export pays) + an embarrassingly-parallel sorted write; the
+manifest aggregation reuses the same single pass — per-shard counts and
+min/max are map-side combinable scalars. No driver data paths: the
+manifest holds |shards| rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flouds_vectordb_spark.functions.hashing import hash64
+
+
+def shard_assignments(df: DataFrame, n_shards: int, key_col: str = "id",
+                      mode: str = "hash", rows_hint: int | None = None,
+                      seed: int = 0) -> DataFrame:
+    """df + a `shard` column. mode='hash': pmod(hash64(seed|key),
+    n_shards). mode='range': key div ceil((max_key+1)/n_shards) for a
+    non-negative integer key — contiguous key runs per shard (one extra
+    tiny agg for the max unless rows_hint gives the key-space size)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if mode == "hash":
+        sh = F.pmod(hash64(F.col(key_col).cast("string"), seed=seed),
+                    F.lit(n_shards))
+    elif mode == "range":
+        if rows_hint is not None:
+            hi = int(rows_hint)
+        else:
+            hi = int(df.agg(F.max(F.col(key_col))).collect()[0][0] or 0) + 1
+        per = max(1, -(-hi // n_shards))  # ceil
+        sh = F.expr(f"{key_col} div {per}")
+    else:
+        raise ValueError(f"unknown shard mode {mode!r}")
+    return df.withColumn("shard", sh.cast("int"))
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          key_col: str = "id", mode: str = "hash",
+                          seed: int = 0) -> dict:
+    """Write df as `path/shard=K/*.parquet` + `path/_manifest.json`
+    (underscore prefix: Spark's file index skips it on read-back);
+    returns the manifest dict. Rows within a shard are sorted by
+    key_col, so shard content ordering is byte-stable across runs and
+    partitionings. The manifest records per-shard rows and key min/max —
+    enough for a loader to verify completeness and range-prune."""
+    sharded = shard_assignments(df, n_shards, key_col=key_col, mode=mode,
+                                seed=seed)
+    (sharded.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", key_col)
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    stats = (sharded.groupBy("shard")
+             .agg(F.count("*").alias("rows"),
+                  F.min(key_col).alias("key_min"),
+                  F.max(key_col).alias("key_max"))
+             .collect())
+    manifest = {
+        "n_shards": n_shards,
+        "mode": mode,
+        "key_col": key_col,
+        "seed": seed,
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "shards": {int(r["shard"]): {"rows": int(r["rows"]),
+                                     "key_min": r["key_min"],
+                                     "key_max": r["key_max"]}
+                   for r in sorted(stats, key=lambda r: r["shard"])},
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True, default=str)
+    return manifest
+
+
+def read_training_shards(spark, path: str, shards: list | None = None):
+    """Read back an export — optionally only the named shards (partition
+    pruning makes this a file-subset scan, no data skipped row-wise)."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df
