@@ -1,7 +1,7 @@
 """DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
 
 The pretraining data-selection stage: given a RAW corpus and a small
-TARGET corpus (the distribution you want more of — e.g. curated wiki/книги
+TARGET corpus (the distribution you want more of — e.g. curated wiki-grade
 quality text), estimate per-document importance weights under hashed
 n-gram bag-of-words models and resample raw documents with Gumbel-top-k,
 so the kept subset is distributed like the target.
@@ -34,7 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
+from flouds_vectordb_spark.functions.local import local_df
 from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
+from flouds_vectordb_spark.lifecycle import tracked_persist as _persist
 
 _DENOM_U = float((1 << 60) + 1)  # maps hash64's [0, 2^60) onto (0, 1)
 
@@ -76,7 +78,10 @@ def _ratios_from_counts(rc: DataFrame, tc: DataFrame, n_buckets: int,
                         smoothing: int) -> DataFrame:
     """(_b, _lr) from PERSISTED (_b, _cnt) count tables — the totals
     collect and the ratio join both read the cache, so each corpus's
-    feature extraction runs exactly once."""
+    feature extraction runs exactly once. The B-row result materializes
+    eagerly into a LocalRelation (it is broadcast by every consumer
+    anyway, and doubles survive the repr round-trip bit-exactly), so the
+    caller may unpersist rc/tc as soon as this returns."""
     a = int(smoothing)
     spark = rc.sparkSession
     r_tot = int((rc.agg(F.sum("_cnt")).collect()[0][0]) or 0)
@@ -88,7 +93,7 @@ def _ratios_from_counts(rc: DataFrame, tc: DataFrame, n_buckets: int,
     # log((tc+a)/t_den) - log((rc+a)/r_den), written as the identical
     # expression tree the SQL twin uses
     buckets = spark.range(n_buckets).select(F.col("id").alias("_b"))
-    return (
+    lazy = (
         buckets.join(rc, "_b", "left").join(tc, "_b", "left")
         .select(
             "_b",
@@ -97,6 +102,8 @@ def _ratios_from_counts(rc: DataFrame, tc: DataFrame, n_buckets: int,
              - F.log((F.coalesce(rc["_cnt"], F.lit(0)).cast("double") + a)
                      / F.lit(r_den))).alias("_lr"))
     )
+    rows = [(r["_b"], r["_lr"]) for r in lazy.collect()]
+    return local_df(spark, rows, "_b bigint, _lr double")
 
 
 def dsir_log_ratios(raw: DataFrame, target: DataFrame, n_buckets: int = 8192,
@@ -108,9 +115,15 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame, n_buckets: int = 8192,
         raise ValueError("smoothing must be >= 1")
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    rc = _bucket_counts(raw, text_col, n_buckets, seed).persist()
-    tc = _bucket_counts(target, text_col, n_buckets, seed).persist()
-    return _ratios_from_counts(rc, tc, n_buckets, smoothing)
+    rc = _persist(_bucket_counts(raw, text_col, n_buckets, seed))
+    tc = _persist(_bucket_counts(target, text_col, n_buckets, seed))
+    try:
+        return _ratios_from_counts(rc, tc, n_buckets, smoothing)
+    finally:
+        # _ratios_from_counts returned a LocalRelation: the count tables
+        # have no remaining consumers and this operator owns their lifetime
+        rc.unpersist()
+        tc.unpersist()
 
 
 def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
@@ -138,11 +151,17 @@ def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
         d.select("id", F.explode("_fs").alias("_f"))
         .select("id", F.pmod(hash64(F.col("_f"), seed=seed),
                              F.lit(n_buckets)).alias("_b"))
-        .groupBy("id", "_b").count().persist()
+        .groupBy("id", "_b").count()
     )
-    rc = per_doc.groupBy("_b").agg(F.sum("count").alias("_cnt")).persist()
-    tc = _bucket_counts(target, text_col, n_buckets, seed).persist()
+    per_doc = _persist(per_doc)
+    rc = _persist(per_doc.groupBy("_b").agg(F.sum("count").alias("_cnt")))
+    tc = _persist(_bucket_counts(target, text_col, n_buckets, seed))
     lr = F.broadcast(_ratios_from_counts(rc, tc, n_buckets, smoothing))
+    # the ratio table is now a LocalRelation: rc/tc are fully consumed and
+    # this operator owns their lifetime. per_doc must stay cached — the
+    # returned frame still reads it lazily (persist_scope releases it).
+    rc.unpersist()
+    tc.unpersist()
     per_bucket = (
         per_doc.join(lr, "_b")
         .select("id", "_b",

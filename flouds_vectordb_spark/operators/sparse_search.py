@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.text import tokenize
+from flouds_vectordb_spark.lifecycle import tracked_persist as _tracked_persist
 
 MAX_LIMIT = 100  # reference vector_store.py:457
 RANK_DECIMALS = 6
@@ -117,7 +118,8 @@ def bm25_postings(
         # persist: the offsets below are valid only for THIS materialization's
         # partition boundaries (range sampling), so the final plan must read
         # the same partitions, not re-shuffle
-        ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+        ranged = _tracked_persist(
+            ranged.withColumn("_pid", F.spark_partition_id()))
         sizes = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
         offsets, acc = {}, 0
         for pid in sorted(sizes):

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.hashing import hash64, hash64_sql
 from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
+from flouds_vectordb_spark.lifecycle import tracked_persist as _tracked_persist
 from flouds_vectordb_spark.sources.tables import spread_small_input
 from flouds_vectordb_spark.stopwords import NLTK_ENGLISH
 
@@ -1047,8 +1048,10 @@ def bigram_logprob(df: DataFrame, model_df: DataFrame | None = None,
     events = _bigram_events(text_col)
     # persist: the event explode (the widest projection here) otherwise
     # re-evaluates for each of the three model aggs + the totals collect
-    src_ev = spread_small_input(src).select(F.explode(_bigram_events(text_col)).alias("_e")) \
-        .select(F.col("_e.h").alias("h"), F.col("_e.w").alias("w")).persist()
+    src_ev = _tracked_persist(
+        spread_small_input(src)
+        .select(F.explode(_bigram_events(text_col)).alias("_e"))
+        .select(F.col("_e.h").alias("h"), F.col("_e.w").alias("w")))
     bi = src_ev.groupBy("h", "w").count().withColumnRenamed("count", "_cb")
     hist = src_ev.groupBy("h").count().withColumnRenamed("count", "_ch")
     uni = src_ev.groupBy("w").count().withColumnRenamed("count", "_cu")
@@ -1190,8 +1193,8 @@ def perplexity_buckets(df: DataFrame, model_df: DataFrame | None = None,
                               smoothing=smoothing)
               .filter(F.col("n_tokens") > 0)
               .withColumn("_qb", F.floor(F.col("bits_per_token_r")
-                                         * F.lit(_PPL_QUANT)).cast("bigint"))
-              .persist())
+                                         * F.lit(_PPL_QUANT)).cast("bigint")))
+    scored = _tracked_persist(scored)
     out_cols = ["id", "n_tokens", "bits_per_token_r"]
     if stratum_col is not None:
         # join the stratum back (the scorer returns scalars only); the

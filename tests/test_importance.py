@@ -74,3 +74,46 @@ def test_dsir_log_ratio_direction_and_validation(spark):
     empty = spark.createDataFrame([(1, "")], "id long, text string")
     with pytest.raises(ValueError, match="tokens"):
         dsir_resample(raw, empty, 1)
+
+
+def test_persist_scope_releases_importance_and_lm_intermediates(spark):
+    # VERDICT r8 #2: the r8 operators route persists through tracked_persist
+    # so persist_scope() can release them; the ratio-count tables are
+    # owned-lifetime and must already be cold on return (the ratio table
+    # materializes as a LocalRelation, so rc/tc have no remaining readers).
+    from flouds_vectordb_spark.lifecycle import persist_scope
+    from flouds_vectordb_spark.operators.text_analysis import (
+        bigram_logprob,
+        perplexity_buckets,
+    )
+
+    raw, target = _corpora(spark)
+    with persist_scope() as tracked:
+        dsir_resample(raw, target, 4, n_buckets=512, seed=7).collect()
+        dsir_log_ratios(raw, target, n_buckets=512, seed=7).collect()
+        bigram_logprob(raw).collect()
+        perplexity_buckets(raw).collect()
+        # per_doc (resample) + rc/tc x2 runs + bigram src_ev + ppl scored
+        assert len(tracked) >= 6
+        # owned-lifetime: every rc/tc count table was unpersisted by the
+        # operator itself before returning — only the frames the returned
+        # plans still read (per_doc, src_ev, scored) may remain warm
+        warm = [df for df in tracked
+                if df.storageLevel.useMemory or df.storageLevel.useDisk]
+        assert len(warm) <= 3
+    assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+               for df in tracked)
+
+
+def test_persist_scope_releases_bm25_drop_ratio_intermediates(spark):
+    from flouds_vectordb_spark.lifecycle import persist_scope
+    from flouds_vectordb_spark.operators.sparse_search import bm25_postings
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 4} common word body {i}") for i in range(40)],
+        "id long, chunk string")
+    with persist_scope() as tracked:
+        bm25_postings(docs, drop_ratio_build=0.2).collect()
+        assert len(tracked) >= 1
+    assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+               for df in tracked)
