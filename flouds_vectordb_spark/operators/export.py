@@ -14,10 +14,12 @@ order want). Either way membership is a pure function of (seed, data):
 re-running the export reproduces identical shard contents.
 
 Scale shape (100 TB): one keyed repartition (the write shuffle every
-sharded export pays) + an embarrassingly-parallel sorted write; the
-manifest aggregation reuses the same single pass — per-shard counts and
-min/max are map-side combinable scalars. No driver data paths: the
-manifest holds |shards| rows.
+sharded export pays) + an embarrassingly-parallel sorted write. The
+manifest stats come from a column-pruned read-back of the files just
+written (shard + key only; parquet row-group stats make the min/max/count
+agg a footer-weight scan) — the upstream curation lineage evaluates
+exactly ONCE, at the write. No driver data paths: the manifest holds
+|shards| rows.
 """
 
 from __future__ import annotations
@@ -69,7 +71,12 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     (sharded.repartition(n_shards, "shard")
      .sortWithinPartitions("shard", key_col)
      .write.mode("overwrite").partitionBy("shard").parquet(path))
-    stats = (sharded.groupBy("shard")
+    # stats from the WRITTEN files, not the input frame: re-aggregating
+    # `sharded` would re-evaluate the entire upstream curation lineage a
+    # second time (r8 VERDICT finding #2). The read-back prunes to
+    # (shard, key) and the agg folds parquet row-group statistics.
+    stats = (df.sparkSession.read.parquet(path)
+             .groupBy("shard")
              .agg(F.count("*").alias("rows"),
                   F.min(key_col).alias("key_min"),
                   F.max(key_col).alias("key_max"))

@@ -72,3 +72,22 @@ def test_export_validation(spark):
         shard_assignments(df, 0)
     with pytest.raises(ValueError, match="mode"):
         shard_assignments(df, 2, mode="zigzag")
+
+
+def test_export_evaluates_upstream_lineage_once(spark, tmp_path):
+    # r8 VERDICT #2: the manifest stats must come from the written files —
+    # the upstream lineage (here: an accumulator-counting UDF) runs exactly
+    # once, at the write, not a second time for the per-shard aggregation.
+    from pyspark.sql.functions import udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count(x):
+        acc.add(1)
+        return x
+
+    counted = udf(_count, "long").asNondeterministic()
+    df = spark.range(100).select(counted("id").alias("id"))
+    manifest = write_training_shards(df, str(tmp_path / "exp_once"), 4)
+    assert manifest["total_rows"] == 100
+    assert acc.value == 100
