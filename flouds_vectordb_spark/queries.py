@@ -2039,13 +2039,15 @@ _register_ext("sample_stratified_langid", _stratified_langid_q,
               _stratified_langid_sql())
 
 
-# --- URL / domain curation (r8): derived URL-bearing fixture --------------------
+# --- URL / domain curation (r8; PSL fixtures r9) -------------------------------
 # documents carries no URL column, so both engines derive the same URLs
-# from (source, doc_id) — four patterns exercising scheme case, www,
-# ports, paths, trailing dots, and a two-level public suffix (.co.uk)
+# from (source, doc_id) — six patterns exercising scheme case, www,
+# ports, paths, trailing dots, a two-level public suffix (.co.uk), a
+# PSL WILDCARD suffix (*.nagoya.jp — registered domain keeps 3 labels),
+# and a 4-label normal PSL rule (pvt.k12.ma.us — keeps 5 labels)
 def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 6
     sid = F.col("doc_id").cast("string")
     url = (
         F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"),
@@ -2054,6 +2056,10 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit(".co.uk:8080/a?id="), sid))
         .when(m == 2, F.concat(F.lit("https://cdn."), F.col("source"),
                                F.lit("-media.org/file/"), sid))
+        .when(m == 3, F.concat(F.lit("https://"), F.col("source"),
+                               F.lit(".web.nagoya.jp/p/"), sid))
+        .when(m == 4, F.concat(F.lit("http://docs."), F.col("source"),
+                               F.lit(".pvt.k12.ma.us/x/"), sid))
         .otherwise(F.concat(F.lit("HTTPS://WWW."), F.upper(F.col("source")),
                             F.lit(".NET./p/"), sid))
     )
@@ -2062,16 +2068,18 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_DOCS_SQL = """(
   SELECT doc_id,
-         CASE doc_id % 4
+         CASE doc_id % 6
            WHEN 0 THEN 'https://www.' || source || '-news.com/articles/' || doc_id::VARCHAR
            WHEN 1 THEN 'http://' || source || '.co.uk:8080/a?id=' || doc_id::VARCHAR
            WHEN 2 THEN 'https://cdn.' || source || '-media.org/file/' || doc_id::VARCHAR
+           WHEN 3 THEN 'https://' || source || '.web.nagoya.jp/p/' || doc_id::VARCHAR
+           WHEN 4 THEN 'http://docs.' || source || '.pvt.k12.ma.us/x/' || doc_id::VARCHAR
            ELSE 'HTTPS://WWW.' || upper(source) || '.NET./p/' || doc_id::VARCHAR
          END AS url
   FROM documents)"""
 
 _URL_BLOCKED = ["src3-news.com", "src7.co.uk", "src1-media.org", "src5.net",
-                "src2.net"]
+                "src2.net", "src4.web.nagoya.jp", "src6.pvt.k12.ma.us"]
 
 
 def _url_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
