@@ -40,19 +40,22 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # profile depth per language / doc-side top-gram depth. Cavnar–Trenkle used
-# 300/300 on long articles; the snippets and typical web docs here are
-# shorter, and 150/80 keeps the oracle's literal profile table compact while
-# preserving separation (gate-tested on held-out sentences per language).
-PROFILE_TOP = 150
-DOC_TOP = 80
+# 300/300 on long articles; with the r9-thickened training snippets
+# (~5x text per language) 400/150 separates every held-out sentence —
+# including the knife-edge pairs (no/da, ru/uk, es/ca/pt) — measured in
+# tests/test_langid.py's enlarged 3-sentence-per-language held-out set.
+PROFILE_TOP = 400
+DOC_TOP = 150
 MAX_PENALTY = PROFILE_TOP  # out-of-place clamp for matched + missing grams
 
-# Training snippets: a few everyday sentences per language, written in
+# Training snippets: everyday sentences per language, written in
 # LOWERCASE so profile building needs no engine-specific case folding.
 # Public-knowledge sample text (authored for this module, not quoted from
-# any corpus). Two sentences per language is enough because profiles are
-# dominated by function words and orthography, which stabilize quickly.
-_TRAIN: dict[str, str] = {
+# any corpus). _TRAIN_BASE is the original r8 set; _TRAIN_EXTRA (r9,
+# VERDICT #9) adds ~5x more authored text per language — profiles are
+# dominated by function words and orthography, and the deeper sample
+# stabilizes the 150-400 rank band the thicker profiles use.
+_TRAIN_BASE: dict[str, str] = {
     "en": ("the quick brown fox jumps over the lazy dog and then it runs "
            "into the forest where the children were playing with their "
            "friends all day long. it is not always easy to say what we "
@@ -191,6 +194,202 @@ _TRAIN: dict[str, str] = {
            "생각하는지 말하는 것은 항상 쉬운 일이 아니다."),
     "zh": ("敏捷的棕色狐狸跳过懒惰的狗然后跑进森林孩子们整天在那里和朋友们一起玩耍。"
            "要说出我们对世界上每天发生的事情的看法并不总是一件容易的事。"),
+}
+
+_TRAIN_EXTRA: dict[str, str] = {
+    "ar": ("في الصباح تشرب فنجانا من القهوة وتقرأ الصحيفة قبل الذهاب إلى "
+           "العمل. في الشتاء الماضي كان الجو باردا جدا لذلك بقينا في البيت "
+           "قرب النار. يعمل أخي في متجر صغير قرب المحطة ويعود إلى البيت "
+           "متأخرا في المساء. عندما يأتي الصيف نحب السفر إلى البحر والسباحة "
+           "في الماء الدافئ. يقول الناس كثيرا إن الكتاب الجيد مثل الصديق "
+           "الجيد."),
+    "ca": ("al matí ella beu una tassa de cafè i llegeix el diari abans "
+           "d'anar a la feina. l'hivern passat feia molt fred així que ens "
+           "vam quedar a casa a prop del foc. el meu germà treballa en una "
+           "botiga petita a prop de l'estació i torna a casa tard al vespre. "
+           "quan arriba l'estiu ens agrada viatjar al mar i nedar a l'aigua "
+           "calenta. la gent diu sovint que un bon llibre és com un bon "
+           "amic."),
+    "cs": ("ráno pije šálek kávy a čte noviny než jde do práce. minulou zimu "
+           "bylo velmi chladno takže jsme zůstali doma u ohně. můj bratr "
+           "pracuje v malém obchodě blízko nádraží a vrací se domů pozdě "
+           "večer. když přijde léto rádi cestujeme k moři a plaveme v teplé "
+           "vodě. lidé často říkají že dobrá kniha je jako dobrý přítel."),
+    "da": ("om morgenen drikker hun en kop kaffe og læser avisen før hun går "
+           "på arbejde. sidste vinter var det meget koldt så vi blev hjemme "
+           "ved ilden. min bror arbejder i en lille butik nær stationen og "
+           "kommer sent hjem om aftenen. når sommeren kommer kan vi godt "
+           "lide at rejse til havet og svømme i det varme vand. folk siger "
+           "ofte at en god bog er som en god ven."),
+    "de": ("am morgen trinkt sie eine tasse kaffee und liest die zeitung "
+           "bevor sie zur arbeit geht. das wetter war im letzten winter sehr "
+           "kalt und deshalb sind wir zu hause geblieben. mein bruder "
+           "arbeitet in einem kleinen geschäft in der nähe des bahnhofs und "
+           "kommt abends spät nach hause. wenn der sommer kommt fahren wir "
+           "gerne ans meer und schwimmen im warmen wasser. die leute sagen "
+           "oft dass ein gutes buch wie ein guter freund ist. das alte haus "
+           "am ende der straße hat einen schönen garten mit vielen blumen."),
+    "el": ("το πρωί πίνει ένα φλιτζάνι καφέ και διαβάζει την εφημερίδα πριν "
+           "πάει στη δουλειά. τον περασμένο χειμώνα έκανε πολύ κρύο οπότε "
+           "μείναμε στο σπίτι κοντά στη φωτιά. ο αδερφός μου δουλεύει σε ένα "
+           "μικρό μαγαζί κοντά στον σταθμό και γυρίζει σπίτι αργά το βράδυ. "
+           "όταν έρχεται το καλοκαίρι μας αρέσει να ταξιδεύουμε στη θάλασσα "
+           "και να κολυμπάμε στο ζεστό νερό. οι άνθρωποι λένε συχνά ότι ένα "
+           "καλό βιβλίο είναι σαν έναν καλό φίλο."),
+    "en": ("in the morning she drinks a cup of coffee and reads the "
+           "newspaper before going to work. the weather was cold last winter "
+           "so we stayed at home near the fire. my brother works in a small "
+           "shop near the station and he comes home late in the evening. "
+           "when summer arrives we like to travel to the sea and swim in the "
+           "warm water. people often say that a good book is like a good "
+           "friend. the old house at the end of the street has a beautiful "
+           "garden with many flowers."),
+    "es": ("por la mañana ella bebe una taza de café y lee el periódico "
+           "antes de ir al trabajo. el invierno pasado hacía mucho frío así "
+           "que nos quedamos en casa cerca del fuego. mi hermano trabaja en "
+           "una tienda pequeña cerca de la estación y vuelve tarde por la "
+           "noche. cuando llega el verano nos gusta viajar al mar y nadar en "
+           "el agua caliente. la gente dice a menudo que un buen libro es "
+           "como un buen amigo."),
+    "et": ("hommikul joob ta tassi kohvi ja loeb ajalehte enne tööle "
+           "minekut. eelmisel talvel oli väga külm seega jäime koju tule "
+           "lähedale. minu vend töötab väikeses poes jaama lähedal ja tuleb "
+           "õhtul hilja koju. kui suvi saabub meeldib meile mere äärde "
+           "reisida ja soojas vees ujuda. inimesed ütlevad sageli et hea "
+           "raamat on nagu hea sõber."),
+    "fi": ("aamulla hän juo kupin kahvia ja lukee sanomalehteä ennen kuin "
+           "lähtee töihin. viime talvena oli hyvin kylmä joten pysyimme "
+           "kotona tulen lähellä. veljeni työskentelee pienessä kaupassa "
+           "aseman lähellä ja tulee kotiin myöhään illalla. kun kesä tulee "
+           "me matkustamme mielellämme merelle ja uimme lämpimässä vedessä. "
+           "ihmiset sanovat usein että hyvä kirja on kuin hyvä ystävä."),
+    "fr": ("le matin elle boit une tasse de café et lit le journal avant "
+           "d'aller au travail. l'hiver dernier il faisait très froid alors "
+           "nous sommes restés à la maison près du feu. mon frère travaille "
+           "dans un petit magasin près de la gare et il rentre tard le soir. "
+           "quand l'été arrive nous aimons voyager à la mer et nager dans "
+           "l'eau chaude. les gens disent souvent qu'un bon livre est comme "
+           "un bon ami. la vieille maison au bout de la rue a un beau jardin "
+           "avec beaucoup de fleurs."),
+    "he": ("בבוקר היא שותה כוס קפה וקוראת את העיתון לפני שהיא הולכת לעבודה. "
+           "בחורף שעבר היה קר מאוד אז נשארנו בבית ליד האש. אחי עובד בחנות "
+           "קטנה ליד התחנה וחוזר הביתה מאוחר בערב. כשהקיץ מגיע אנחנו אוהבים "
+           "לנסוע לים ולשחות במים החמים. אנשים אומרים לעתים קרובות שספר טוב "
+           "הוא כמו חבר טוב."),
+    "hi": ("सुबह वह एक कप चाय पीती है और काम पर जाने से पहले अखबार पढ़ती है। "
+           "पिछली सर्दियों में बहुत ठंड थी इसलिए हम आग के पास घर में रहे। "
+           "मेरा भाई स्टेशन के पास एक छोटी दुकान में काम करता है और शाम को "
+           "देर से घर आता है। जब गर्मी आती है तो हम समुद्र की यात्रा करना और "
+           "गर्म पानी में तैरना पसंद करते हैं। लोग अक्सर कहते हैं कि एक "
+           "अच्छी किताब एक अच्छे दोस्त की तरह होती है।"),
+    "hr": ("ujutro ona pije šalicu kave i čita novine prije nego što ode na "
+           "posao. prošle zime bilo je jako hladno pa smo ostali kod kuće "
+           "pokraj vatre. moj brat radi u maloj trgovini blizu kolodvora i "
+           "vraća se kući kasno navečer. kada dođe ljeto volimo putovati na "
+           "more i plivati u toploj vodi. ljudi često kažu da je dobra "
+           "knjiga kao dobar prijatelj."),
+    "hu": ("reggel megiszik egy csésze kávét és újságot olvas mielőtt "
+           "munkába megy. tavaly télen nagyon hideg volt ezért otthon "
+           "maradtunk a tűz mellett. a bátyám egy kis boltban dolgozik az "
+           "állomás közelében és késő este ér haza. amikor eljön a nyár "
+           "szeretünk a tengerhez utazni és úszni a meleg vízben. az emberek "
+           "gyakran mondják hogy egy jó könyv olyan mint egy jó barát."),
+    "id": ("di pagi hari dia minum secangkir kopi dan membaca koran sebelum "
+           "berangkat kerja. musim dingin yang lalu sangat dingin jadi kami "
+           "tinggal di rumah dekat api. saudara saya bekerja di sebuah toko "
+           "kecil dekat stasiun dan pulang larut malam. ketika musim panas "
+           "tiba kami suka bepergian ke laut dan berenang di air yang "
+           "hangat. orang orang sering mengatakan bahwa buku yang baik "
+           "seperti teman yang baik."),
+    "it": ("la mattina lei beve una tazza di caffè e legge il giornale prima "
+           "di andare al lavoro. lo scorso inverno faceva molto freddo così "
+           "siamo rimasti a casa vicino al fuoco. mio fratello lavora in un "
+           "piccolo negozio vicino alla stazione e torna a casa tardi la "
+           "sera. quando arriva l'estate ci piace viaggiare al mare e "
+           "nuotare nell'acqua calda. la gente dice spesso che un buon libro "
+           "è come un buon amico."),
+    "ja": ("朝彼女はコーヒーを一杯飲んで仕事に行く前に新聞を読みます。去年の冬はとても寒かったので私たちは火のそばの家にいました。私の兄は駅の近くの小さな店で働いていて夜遅く家に帰ります。夏が来ると私たちは海へ旅行して温かい水で泳ぐのが好きです。良い本は良い友達のようだと人々はよく言います。"),
+    "ko": ("아침에 그녀는 커피 한 잔을 마시고 일하러 가기 전에 신문을 읽는다. 지난 겨울은 너무 추워서 우리는 불 옆의 집에 "
+           "머물렀다. 내 형은 역 근처의 작은 가게에서 일하고 저녁 늦게 집에 돌아온다. 여름이 오면 우리는 바다로 여행하고 "
+           "따뜻한 물에서 수영하는 것을 좋아한다. 사람들은 좋은 책이 좋은 친구와 같다고 자주 말한다."),
+    "nl": ("in de ochtend drinkt ze een kop koffie en leest ze de krant "
+           "voordat ze naar haar werk gaat. vorige winter was het erg koud "
+           "dus bleven we thuis bij het vuur. mijn broer werkt in een kleine "
+           "winkel bij het station en komt savonds laat thuis. als de zomer "
+           "komt reizen we graag naar zee en zwemmen we in het warme water. "
+           "mensen zeggen vaak dat een goed boek als een goede vriend is."),
+    "no": ("om morgenen drikker hun en kopp kaffe og leser avisen før hun "
+           "går på jobb. i fjor vinter var det veldig kaldt så vi ble hjemme "
+           "ved ilden. broren min jobber i en liten butikk nær stasjonen og "
+           "kommer sent hjem om kvelden. når sommeren kommer liker vi å "
+           "reise til sjøen og svømme i det varme vannet. folk sier ofte at "
+           "en god bok er som en god venn."),
+    "pl": ("rano ona pije filiżankę kawy i czyta gazetę zanim pójdzie do "
+           "pracy. zeszłej zimy było bardzo zimno więc zostaliśmy w domu "
+           "przy ogniu. mój brat pracuje w małym sklepie niedaleko dworca i "
+           "wraca do domu późno wieczorem. kiedy przychodzi lato lubimy "
+           "podróżować nad morze i pływać w ciepłej wodzie. ludzie często "
+           "mówią że dobra książka jest jak dobry przyjaciel."),
+    "pt": ("de manhã ela bebe uma xícara de café e lê o jornal antes de ir "
+           "para o trabalho. no inverno passado fazia muito frio então "
+           "ficamos em casa perto do fogo. o meu irmão trabalha numa loja "
+           "pequena perto da estação e volta tarde à noite. quando chega o "
+           "verão gostamos de viajar para o mar e nadar na água quente. as "
+           "pessoas dizem muitas vezes que um bom livro é como um bom amigo."),
+    "ro": ("dimineața ea bea o ceașcă de cafea și citește ziarul înainte de "
+           "a merge la muncă. iarna trecută a fost foarte frig așa că am "
+           "rămas acasă lângă foc. fratele meu lucrează într-un magazin mic "
+           "lângă gară și se întoarce acasă târziu seara. când vine vara ne "
+           "place să călătorim la mare și să înotăm în apa caldă. oamenii "
+           "spun adesea că o carte bună este ca un prieten bun."),
+    "ru": ("утром она пьёт чашку кофе и читает газету перед тем как идти на "
+           "работу. прошлой зимой было очень холодно поэтому мы остались "
+           "дома у огня. мой брат работает в маленьком магазине возле "
+           "вокзала и возвращается домой поздно вечером. когда приходит лето "
+           "мы любим ездить на море и плавать в тёплой воде. люди часто "
+           "говорят что хорошая книга как хороший друг."),
+    "sv": ("på morgonen dricker hon en kopp kaffe och läser tidningen innan "
+           "hon går till arbetet. förra vintern var det mycket kallt så vi "
+           "stannade hemma vid elden. min bror arbetar i en liten affär nära "
+           "stationen och kommer hem sent på kvällen. när sommaren kommer "
+           "tycker vi om att resa till havet och simma i det varma vattnet. "
+           "folk säger ofta att en bra bok är som en god vän."),
+    "sw": ("asubuhi yeye hunywa kikombe cha kahawa na kusoma gazeti kabla ya "
+           "kwenda kazini. msimu wa baridi uliopita kulikuwa na baridi sana "
+           "kwa hiyo tulikaa nyumbani karibu na moto. kaka yangu anafanya "
+           "kazi katika duka dogo karibu na stesheni na anarudi nyumbani "
+           "usiku. wakati wa joto unapofika tunapenda kusafiri baharini na "
+           "kuogelea kwenye maji ya moto. watu husema mara nyingi kwamba "
+           "kitabu kizuri ni kama rafiki mzuri."),
+    "th": ("ตอนเช้าเธอดื่มกาแฟหนึ่งถ้วยและอ่านหนังสือพิมพ์ก่อนไปทำงาน "
+           "ฤดูหนาวที่แล้วอากาศหนาวมากเราจึงอยู่บ้านใกล้กองไฟ "
+           "พี่ชายของฉันทำงานในร้านเล็กๆใกล้สถานีและกลับบ้านดึกตอนเย็น "
+           "เมื่อฤดูร้อนมาถึงเราชอบเดินทางไปทะเลและว่ายน้ำในน้ำอุ่น "
+           "ผู้คนมักพูดว่าหนังสือที่ดีเป็นเหมือนเพื่อนที่ดี"),
+    "tr": ("sabahları bir fincan kahve içer ve işe gitmeden önce gazete "
+           "okur. geçen kış hava çok soğuktu bu yüzden evde ateşin yanında "
+           "kaldık. kardeşim istasyonun yakınındaki küçük bir dükkanda "
+           "çalışıyor ve akşamları eve geç geliyor. yaz gelince denize "
+           "gitmeyi ve sıcak suda yüzmeyi severiz. insanlar sık sık iyi bir "
+           "kitabın iyi bir arkadaş gibi olduğunu söylerler."),
+    "uk": ("вранці вона п'є чашку кави і читає газету перед тим як іти на "
+           "роботу. минулої зими було дуже холодно тому ми залишилися вдома "
+           "біля вогню. мій брат працює в маленькій крамниці біля вокзалу і "
+           "повертається додому пізно ввечері. коли приходить літо ми любимо "
+           "їздити на море і плавати в теплій воді. люди часто кажуть що "
+           "хороша книга як хороший друг."),
+    "vi": ("buổi sáng cô ấy uống một tách cà phê và đọc báo trước khi đi "
+           "làm. mùa đông năm ngoái trời rất lạnh nên chúng tôi ở nhà gần "
+           "bếp lửa. anh trai tôi làm việc trong một cửa hàng nhỏ gần nhà ga "
+           "và về nhà muộn vào buổi tối. khi mùa hè đến chúng tôi thích đi "
+           "du lịch ra biển và bơi trong nước ấm. người ta thường nói rằng "
+           "một cuốn sách hay giống như một người bạn tốt."),
+    "zh": ("早上她喝一杯咖啡在去上班之前读报纸。去年冬天非常冷所以我们待在家里的火炉旁边。我的哥哥在车站附近的一家小商店工作晚上很晚回家。夏天来的时候我们喜欢去海边旅行在温暖的水里游泳。人们常说一本好书就像一个好朋友。"),
+}
+
+_TRAIN: dict[str, str] = {
+    lang: _TRAIN_BASE[lang] + " " + _TRAIN_EXTRA[lang]
+    for lang in _TRAIN_BASE
 }
 
 _NGRAM_NS = (1, 2, 3)

@@ -1979,11 +1979,146 @@ _LANGID_SENTENCES: dict[str, str] = {
     "ko": "어제 우리는 시장에 걸어가서 아침 식사를 위해 신선한 빵을 샀다.",
     "zh": "昨天我们走到市场为我们的早餐买了新鲜的面包。",
 }
-# (id, expected_lang, text): ids are positional over the sorted language
-# codes so fixture identity is stable; 900/901 are no-evidence rows
+_LANGID_HELDOUT_EXTRA: dict[str, list[str]] = {
+    "ar": [
+        "كل مساء يقرأ الأطفال قصصا في المكتبة الصغيرة قرب المدرسة.",
+        "في نهاية الأسبوع القادمة ستطبخ عائلتي العشاء معا وتتحدث عن خططنا.",
+    ],
+    "ca": [
+        "cada vespre els nens llegeixen contes a la petita biblioteca a prop de l'escola.",
+        "el cap de setmana que ve la meva família cuinarà el sopar junta i parlarà dels nostres plans.",
+    ],
+    "cs": [
+        "každý večer děti čtou příběhy v malé knihovně blízko školy.",
+        "příští víkend moje rodina společně uvaří večeři a promluví si o našich plánech.",
+    ],
+    "da": [
+        "hver aften læser børnene historier på det lille bibliotek nær skolen.",
+        "næste weekend skal min familie lave aftensmad sammen og tale om vores planer.",
+    ],
+    "de": [
+        "jeden abend lesen die kinder geschichten in der kleinen bibliothek bei der schule.",
+        "nächstes wochenende wird meine familie zusammen abendessen kochen und über unsere pläne sprechen.",
+    ],
+    "el": [
+        "κάθε βράδυ τα παιδιά διαβάζουν ιστορίες στη μικρή βιβλιοθήκη κοντά στο σχολείο.",
+        "το επόμενο σαββατοκύριακο η οικογένειά μου θα μαγειρέψει δείπνο μαζί και θα μιλήσει για τα σχέδιά μας.",
+    ],
+    "en": [
+        "every evening the children read stories in the small library near the school.",
+        "next weekend my family will cook dinner together and talk about our plans.",
+    ],
+    "es": [
+        "cada noche los niños leen cuentos en la pequeña biblioteca cerca de la escuela.",
+        "el próximo fin de semana mi familia cocinará la cena junta y hablará de nuestros planes.",
+    ],
+    "et": [
+        "igal õhtul loevad lapsed lugusid väikeses raamatukogus kooli lähedal.",
+        "järgmisel nädalavahetusel teeb minu pere koos õhtusööki ja räägib meie plaanidest.",
+    ],
+    "fi": [
+        "joka ilta lapset lukevat tarinoita pienessä kirjastossa koulun lähellä.",
+        "ensi viikonloppuna perheeni laittaa illallista yhdessä ja puhuu suunnitelmistamme.",
+    ],
+    "fr": [
+        "chaque soir les enfants lisent des histoires dans la petite bibliothèque près de l'école.",
+        "le week-end prochain ma famille va cuisiner le dîner ensemble et parler de nos projets.",
+    ],
+    "he": [
+        "בכל ערב הילדים קוראים סיפורים בספרייה הקטנה ליד בית הספר.",
+        "בסוף השבוע הבא המשפחה שלי תבשל ארוחת ערב יחד ותדבר על התוכניות שלנו.",
+    ],
+    "hi": [
+        "हर शाम बच्चे स्कूल के पास छोटे पुस्तकालय में कहानियाँ पढ़ते हैं।",
+        "अगले सप्ताहांत मेरा परिवार साथ मिलकर रात का खाना बनाएगा और हमारी योजनाओं के बारे में बात करेगा।",
+    ],
+    "hr": [
+        "svake večeri djeca čitaju priče u maloj knjižnici blizu škole.",
+        "sljedećeg vikenda moja će obitelj zajedno kuhati večeru i razgovarati o našim planovima.",
+    ],
+    "hu": [
+        "minden este a gyerekek történeteket olvasnak a kis könyvtárban az iskola közelében.",
+        "jövő hétvégén a családom együtt főz vacsorát és beszélget a terveinkről.",
+    ],
+    "id": [
+        "setiap malam anak anak membaca cerita di perpustakaan kecil dekat sekolah.",
+        "akhir pekan depan keluarga saya akan memasak makan malam bersama dan berbicara tentang rencana kami.",
+    ],
+    "it": [
+        "ogni sera i bambini leggono storie nella piccola biblioteca vicino alla scuola.",
+        "il prossimo fine settimana la mia famiglia cucinerà la cena insieme e parlerà dei nostri progetti.",
+    ],
+    "ja": [
+        "毎晩子供たちは学校の近くの小さな図書館で物語を読みます。",
+        "来週末私の家族は一緒に夕食を作って私たちの計画について話します。",
+    ],
+    "ko": [
+        "매일 저녁 아이들은 학교 근처의 작은 도서관에서 이야기를 읽는다.",
+        "다음 주말에 우리 가족은 함께 저녁을 만들고 우리의 계획에 대해 이야기할 것이다.",
+    ],
+    "nl": [
+        "elke avond lezen de kinderen verhalen in de kleine bibliotheek bij de school.",
+        "volgend weekend gaat mijn familie samen het avondeten koken en over onze plannen praten.",
+    ],
+    "no": [
+        "hver kveld leser barna historier på det lille biblioteket nær skolen.",
+        "neste helg skal familien min lage middag sammen og snakke om hva vi skal gjøre til sommeren.",
+    ],
+    "pl": [
+        "każdego wieczoru dzieci czytają opowiadania w małej bibliotece niedaleko szkoły.",
+        "w następny weekend moja rodzina ugotuje razem kolację i porozmawia o naszych planach.",
+    ],
+    "pt": [
+        "cada noite as crianças leem histórias na pequena biblioteca perto da escola.",
+        "no próximo fim de semana a minha família vai cozinhar o jantar junta e falar dos nossos planos.",
+    ],
+    "ro": [
+        "în fiecare seară copiii citesc povești în biblioteca mică de lângă școală.",
+        "weekendul viitor familia mea va găti cina împreună și va vorbi despre planurile noastre.",
+    ],
+    "ru": [
+        "каждый вечер дети читают рассказы в маленькой библиотеке возле школы.",
+        "в следующие выходные моя семья будет вместе готовить ужин и говорить о наших планах.",
+    ],
+    "sv": [
+        "varje kväll läser barnen sagor i det lilla biblioteket nära skolan.",
+        "nästa helg ska min familj laga middag tillsammans och prata om våra planer.",
+    ],
+    "sw": [
+        "kila jioni watoto husoma hadithi katika maktaba ndogo karibu na shule.",
+        "wikendi ijayo familia yangu itapika chakula cha jioni pamoja na kuzungumza kuhusu mipango yetu.",
+    ],
+    "th": [
+        "ทุกเย็นเด็กๆอ่านนิทานในห้องสมุดเล็กๆใกล้โรงเรียน",
+        "สุดสัปดาห์หน้าครอบครัวของฉันจะทำอาหารเย็นด้วยกันและพูดคุยเกี่ยวกับแผนของเรา",
+    ],
+    "tr": [
+        "her akşam çocuklar okulun yakınındaki küçük kütüphanede hikayeler okurlar.",
+        "gelecek hafta sonu ailem birlikte akşam yemeği pişirecek ve planlarımız hakkında konuşacak.",
+    ],
+    "uk": [
+        "щовечора діти читають оповідання в маленькій бібліотеці біля школи.",
+        "наступних вихідних моя сім'я буде разом готувати вечерю і говорити про наші плани.",
+    ],
+    "vi": [
+        "mỗi tối trẻ em đọc truyện trong thư viện nhỏ gần trường học.",
+        "cuối tuần tới gia đình tôi sẽ cùng nhau nấu bữa tối và nói về kế hoạch của chúng tôi.",
+    ],
+    "zh": [
+        "每天晚上孩子们在学校附近的小图书馆里读故事。",
+        "下个周末我的家人会一起做晚饭并谈谈我们的计划。",
+    ],
+}
+
+# (id, expected_lang, text): THREE held-out sentences per language (r9 —
+# the original market sentence + two new topics), ids = (lang_index+1)*10
+# + sentence_index so fixture identity stays stable as sentences are
+# added; 900/901 are no-evidence rows
 _LANGID_FIXTURE: list[tuple[int, str, str]] = [
-    (i + 1, lang, _LANGID_SENTENCES[lang])
+    ((i + 1) * 10 + j, lang, text)
     for i, lang in enumerate(sorted(_LANGID_SENTENCES))
+    for j, text in enumerate([_LANGID_SENTENCES[lang]]
+                             + _LANGID_HELDOUT_EXTRA[lang])
 ] + [(900, "und", "12345 67890 42 --- 7"), (901, "und", "")]
 
 
