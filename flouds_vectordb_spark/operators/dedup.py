@@ -594,8 +594,57 @@ SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {t!r}
 
 # --- near-dup connected components (pairs -> canonical keeper) ---------------
 
+_AUTO_JUMP_AFTER = 3  # unconverged propagation rounds before auto pointer-jump
+
+# pair graphs at or below this edge count take the driver union-find
+# fast path: a 1k-node near-dup graph costs 2+ full Spark jobs in the
+# distributed loop, ~all of it scheduling. 200k pairs collect to ~20 MB
+# of driver tuples — the same order as the bounded frontier/sample
+# collects elsewhere in this repo; above it the loop runs distributed.
+_DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_union_find(edge_rows, id_type: str, spark) -> DataFrame:
+    """Exact union-find over a COLLECTED edge list; component_id = min
+    member. Path-halving find; output via local_df for small node sets
+    (LocalRelation, no task stage), createDataFrame above 10k nodes."""
+    from flouds_vectordb_spark.functions.local import local_df
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    rows = sorted((x, comp_min[find(x)]) for x in parent)
+    schema = f"id {id_type}, component_id {id_type}"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if len(rows) <= 10_000:
+        return local_df(spark, rows, schema)
+    return spark.createDataFrame(rows, schema)
+
+
 def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                     max_iter: int = 50, pointer_jump: bool = False) -> DataFrame:
+                     max_iter: int = 50,
+                     pointer_jump: bool | None = None,
+                     driver_threshold: int = _DRIVER_CC_MAX_EDGES) -> DataFrame:
     """(id, component_id) over the near-dup pair graph; component_id =
     min member id — the canonical keeper a pipeline retains while dropping
     the rest of each component.
@@ -619,30 +668,63 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     (long-diameter pair graph): partially propagated labels would
     silently keep extra duplicates or merge wrong groups downstream.
 
-    pointer_jump=True adds label-doubling to each round (every node also
-    takes the CURRENT label of its label — one extra labels⋈labels join,
-    the large-star idea): propagation distance doubles per round, so
-    rounds drop from O(diameter) to O(log diameter). OFF by default —
-    near-dup components are shallow and the extra join costs more than it
-    saves there; turn it on for long-chain pair graphs (test-covered:
-    a 60-hop chain converges in 7 jumped rounds vs >30 plain)."""
+    pointer_jump adds label-doubling to a round (every node also takes
+    the CURRENT label of its label — one extra labels⋈labels join, the
+    large-star idea): propagation distance doubles per round, so rounds
+    drop from O(diameter) to O(log diameter). Default None = ADAPTIVE
+    (r9): plain rounds while the graph behaves like a near-dup graph
+    (shallow dense clusters), and jumping auto-enables after
+    _AUTO_JUMP_AFTER unconverged rounds — the still-unconverged-at-depth-k
+    signal IS the long-chain detector, and costs nothing to read (the
+    round counter). True forces jumping from round one, False never jumps
+    (test-covered: a 60-hop chain converges in ~7 jumped rounds vs >30
+    plain, and the adaptive default handles it inside max_iter=12).
+
+    Round 1 is FUSED into label initialization (r9): with identity
+    labels the first edges⋈labels join is a no-op translation, so
+    lbl_1(v) = min(v, min neighbor) comes from one aggregation over the
+    cached edges — one fewer join and one fewer checkpoint job per call.
+
+    Small graphs (<= driver_threshold pairs, default 200k) take a DRIVER
+    union-find fast path (r9): the pair count is known from the same
+    action that materializes the edge cache, the collected edges are
+    bounded scalars, and exact union-find replaces 2+ scheduled jobs
+    with microseconds — a 1k-node near-dup graph otherwise spends ~all
+    its time in Spark scheduling. Pass driver_threshold=0 to force the
+    distributed loop (tests pin both paths to identical output)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(_persist)
+    if driver_threshold > 0:
+        # this count is the action that materializes the edge cache — the
+        # distributed path pays the same materialization in its first
+        # checkpoint job, so the branch probe costs no extra pass
+        n_edges = edges.count()
+        if n_edges <= 2 * driver_threshold:
+            id_type = dict(pairs.dtypes)[id_a]
+            rows = [(r["src"], r["dst"]) for r in edges.collect()]
+            return _driver_union_find(rows, id_type, pairs.sparkSession)
+    # fused round 1: initial labels are ids, so min-over-neighbors needs
+    # no label translation — one agg + one join against the node set.
+    # localCheckpoint (also inside the loop): iterative plans grow a join
+    # per round, and Catalyst re-analyzes the WHOLE lineage every round —
+    # quadratic planning, then stack/codegen blowup on long chains.
+    # Truncating lineage each round is the standard Spark
+    # iterative-algorithm discipline; the checkpointed state is (id, lbl)
+    # scalars only.
+    neigh0 = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.min("src").alias("_nl"))
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("lbl", F.col("id"))
-        # localCheckpoint (also inside the loop): iterative plans grow a
-        # join per round, and Catalyst re-analyzes the WHOLE lineage every
-        # round — quadratic planning, then stack/codegen blowup on long
-        # chains. Truncating lineage each round is the standard Spark
-        # iterative-algorithm discipline; the checkpointed state is
-        # (id, lbl) scalars only.
+        .join(neigh0, "id", "left")
+        .select("id", F.least(F.col("id"), F.coalesce("_nl", "id")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(2, max_iter + 1):
+        jump = pointer_jump or (pointer_jump is None
+                                and rnd > _AUTO_JUMP_AFTER)
         neigh = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -650,7 +732,7 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         )
         new_lbl = F.least(F.col("lbl"), F.coalesce("_nl", "lbl"))
         stepped = labels.join(neigh, "id", "left")
-        if pointer_jump:
+        if jump:
             parents = labels.select(F.col("id").alias("lbl"),
                                     F.col("lbl").alias("_pl"))
             stepped = stepped.join(parents, "lbl", "left")

@@ -291,7 +291,9 @@ def test_components_raises_on_max_iter_nonconvergence(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(8)],
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(pairs, max_iter=2)
+        dedup_components(pairs, max_iter=2, driver_threshold=0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=3, pointer_jump=False, driver_threshold=0)
 
 
 def test_components_pointer_jump_log_rounds_on_long_chain(spark):
@@ -307,11 +309,18 @@ def test_components_pointer_jump_log_rounds_on_long_chain(spark):
                                   "id_a long, id_b long")
     # plain propagation needs ~n rounds; 12 is not enough
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(pairs, max_iter=12)
+        dedup_components(pairs, max_iter=12, pointer_jump=False,
+                         driver_threshold=0)
     got = {r["id"]: r["component_id"]
-           for r in dedup_components(pairs, max_iter=12,
-                                     pointer_jump=True).collect()}
+           for r in dedup_components(pairs, max_iter=12, pointer_jump=True,
+                                     driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+    # the r9 ADAPTIVE default detects the long chain (still unconverged
+    # after _AUTO_JUMP_AFTER rounds) and jumps: same fixpoint, same
+    # max_iter budget that plain propagation fails
+    auto = {r["id"]: r["component_id"]
+            for r in dedup_components(pairs, max_iter=12, driver_threshold=0).collect()}
+    assert auto == {i: 0 for i in range(n + 1)}
 
 
 # ---- train/test decontamination (r6) ----------------------------------------
@@ -460,3 +469,27 @@ def test_remove_common_lines_threshold(spark):
     out2 = {r["id"]: r["text_clean"]
             for r in remove_common_lines(df, min_docs=2).collect()}
     assert out2 == {0: "body 0", 1: "body 1"}
+
+
+def test_components_driver_and_distributed_paths_agree(spark):
+    """r9: the driver union-find fast path and the distributed
+    min-label loop are the same operator contract — identical output on
+    the same graph (chains, cliques, singleton-free), and the driver
+    path preserves the id type."""
+    from flouds_vectordb_spark.operators.dedup import dedup_components
+
+    edges = ([(i, i + 1) for i in range(10)]          # chain 0..10
+             + [(100, 101), (101, 102), (100, 102)]   # triangle
+             + [(200, 201)])                          # pair
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["id"], r["component_id"])
+            for r in dedup_components(pairs).collect()}
+    dist = {(r["id"], r["component_id"])
+            for r in dedup_components(pairs, driver_threshold=0).collect()}
+    assert fast == dist
+    assert {c for _, c in fast} == {0, 100, 200}
+    spairs = spark.createDataFrame([("b", "a"), ("c", "b")],
+                                   "id_a string, id_b string")
+    got = {r["id"]: r["component_id"]
+           for r in dedup_components(spairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
