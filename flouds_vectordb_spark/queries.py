@@ -830,7 +830,7 @@ def _sampling_sqls() -> tuple[str, str]:
 
 _SF_SQL, _SS_SQL = _sampling_sqls()
 _register_ext("sample_fraction_docs", _sample_fraction_q, _SF_SQL)
-_register("sample_stratified_lang", _sample_stratified_q, _SS_SQL)
+_register_ext("sample_stratified_lang", _sample_stratified_q, _SS_SQL)
 
 
 # --- embedding-cosine near dedup (SRP-LSH buckets + exact verify) ---------------
@@ -1740,7 +1740,7 @@ def _token_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("text_token_estimate", _token_estimate_q, f"""
+_register_ext("text_token_estimate", _token_estimate_q, f"""
 SELECT doc_id AS id,
        len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS ws_tokens,
        len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_ish_tokens,
@@ -1916,7 +1916,7 @@ def _multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_BASE = extract_features_sql("documents", id_expr="doc_id")
-_register("multimodal_feature_extract", _multimodal_q, f"""
+_register_ext("multimodal_feature_extract", _multimodal_q, f"""
 SELECT id, media_type, n_bytes, content_hash,
        round(feat[1], 6) AS f0, round(feat[2], 6) AS f1,
        round(feat[3], 6) AS f2, round(feat[4], 6) AS f3
@@ -2417,7 +2417,7 @@ def _dsir_sql() -> str:
                              text_expr="text", seed=9)
 
 
-_register_ext("sample_dsir_resample", _dsir_q, _dsir_sql())
+_register("sample_dsir_resample", _dsir_q, _dsir_sql())
 
 
 # --- unigram LM cross-entropy (r8): the CCNet-style perplexity proxy ------------
@@ -2455,7 +2455,7 @@ def _ppl_buckets_sql() -> str:
                                   text_expr="text")
 
 
-_register_ext("text_ppl_buckets", _ppl_buckets_q, _ppl_buckets_sql())
+_register("text_ppl_buckets", _ppl_buckets_q, _ppl_buckets_sql())
 
 
 def _ppl_buckets_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2511,7 +2511,7 @@ def _bpe_train_sql() -> str:
     return bpe_train_sql("documents", n_merges=10, text_expr="text")
 
 
-_register_ext("text_bpe_train", _bpe_train_q, _bpe_train_sql())
+_register("text_bpe_train", _bpe_train_q, _bpe_train_sql())
 
 
 # --- document chunking (r8): the ingest stage producing the `chunk` unit --------
@@ -2548,7 +2548,7 @@ def _pack_seqs_sql() -> str:
                               text_expr="text", seed=5, drop_tail=True)
 
 
-_register_ext("text_pack_sequences", _pack_seqs_q, _pack_seqs_sql())
+_register("text_pack_sequences", _pack_seqs_q, _pack_seqs_sql())
 
 
 # --- event-stream rollup (batch view of the streaming windowed agg) -------------
@@ -2582,7 +2582,7 @@ def _events_sessionize_sql() -> str:
 _register("events_sessionize", _events_sessionize_q, _events_sessionize_sql())
 
 
-_register("events_daily_rollup", _events_rollup_q, """
+_register_ext("events_daily_rollup", _events_rollup_q, """
 SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type, count(*) AS n,
        round(sum(round(value * 1e6, 0)::BIGINT)::DOUBLE / 1e6, 4) AS sum_value_r
 FROM events
