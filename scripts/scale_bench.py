@@ -1,0 +1,253 @@
+"""Measure headline operator families on the scaled corpora (r9).
+
+One invocation = one (operator, data_dir) measurement in a fresh JVM
+with the Spark event log enabled; prints ONE JSON line:
+
+  {"op": ..., "data_dir": ..., "rows_in": N, "rows_out": N,
+   "build_sec": S|null, "query_sec": S,
+   "shuffle_write_mb": MB, "shuffle_read_mb": MB, "tasks": N}
+
+query_sec covers the operator's action only; shuffle bytes are summed
+from the event log's TaskEnd metrics for tasks launched after the
+measured action started, so input counting / warm-up traffic is
+excluded. Fresh JVM per point keeps measurements independent (no JIT /
+cache carry-over between scales).
+
+Usage: python scripts/scale_bench.py <op> <data_dir>
+Ops: dedup_minhash dedup_components exact_substring sparse_search_many
+     hybrid_search_many pack_sequences dsir_resample hnsw_build
+     hnsw_search
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _session(app: str, ev_dir: str) -> SparkSession:
+    """get_spark's config (session.py) + the event log — the bench needs
+    per-task shuffle metrics, which only the event log exposes."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{ev_dir}")
+        # single uncompressed file so the parser below can stream it
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _docs(spark, d):
+    return spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+
+def _embs(spark, d):
+    return spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+
+
+def op_dedup_minhash(spark, d):
+    from flouds_vectordb_spark.operators.dedup import dedup_minhash
+
+    return dedup_minhash(_docs(spark, d), id_col="doc_id",
+                         jaccard_threshold=0.5)
+
+
+def op_dedup_components(spark, d):
+    from flouds_vectordb_spark.operators.dedup import (
+        dedup_components,
+        dedup_minhash,
+    )
+
+    pairs = dedup_minhash(_docs(spark, d), id_col="doc_id",
+                          jaccard_threshold=0.5)
+    return dedup_components(pairs)
+
+
+def op_exact_substring(spark, d):
+    from flouds_vectordb_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(
+        _docs(spark, d).select(F.col("doc_id").alias("id"), "text"), k=20)
+
+
+def op_sparse_search_many(spark, d):
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        bm25_postings,
+        sparse_search_many,
+    )
+
+    coll = _docs(spark, d).select(F.col("doc_id").alias("id"),
+                                  F.col("text").alias("chunk"))
+    post = bm25_postings(coll)
+    words = ["spark", "table", "query", "filter", "window", "stream", "vector"]
+    qs = [(i, f"{words[i % 7]} {words[(i + 3) % 7]} scan sort") for i in range(64)]
+    return sparse_search_many(post, qs,
+                              SparseSearchRequest(query_text="", limit=10))
+
+
+def op_hybrid_search_many(spark, d):
+    """Dense + sparse RRF over a derived collection: text from documents,
+    vectors hash-derived per id (the fusion machinery's cost profile does
+    not depend on where the vectors came from)."""
+    from flouds_vectordb_spark.operators.hybrid_search import (
+        HybridSearchRequest,
+        hybrid_search_many,
+    )
+
+    docs = _docs(spark, d)
+    coll = docs.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("chunk"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (F.pmod(F.conv(F.substring(F.md5(
+                F.concat_ws("|", F.col("doc_id").cast("string"),
+                            i.cast("string"))), 1, 15), 16, 10)
+                .cast("bigint"), F.lit(1000)).cast("double") / 500.0 - 1.0),
+        ).alias("vector"))
+    qv = [0.1 * ((i % 7) - 3) for i in range(16)]
+    words = ["spark", "table", "query", "filter", "window", "stream", "vector"]
+    qs = [(i, qv, f"{words[i % 7]} {words[(i + 2) % 7]} scan") for i in range(16)]
+    return hybrid_search_many(
+        coll, None, qs,
+        HybridSearchRequest(query_vector=qv, text_filter="", limit=10))
+
+
+def op_pack_sequences(spark, d):
+    from flouds_vectordb_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(_docs(spark, d), seq_len=1024, id_col="doc_id")
+
+
+def op_dsir_resample(spark, d):
+    from flouds_vectordb_spark.operators.importance import dsir_resample
+
+    docs = _docs(spark, d).select(F.col("doc_id").alias("id"), "text")
+    target = docs.filter(F.col("id") % 101 == 0)
+    n_keep = max(100, docs.count() // 10)
+    return dsir_resample(docs, target, n_keep=n_keep)
+
+
+OPS = {
+    "dedup_minhash": op_dedup_minhash,
+    "dedup_components": op_dedup_components,
+    "exact_substring": op_exact_substring,
+    "sparse_search_many": op_sparse_search_many,
+    "hybrid_search_many": op_hybrid_search_many,
+    "pack_sequences": op_pack_sequences,
+    "dsir_resample": op_dsir_resample,
+}
+
+
+def _sum_shuffle(event_dir: str, t0_ms: int):
+    sw = sr = ntasks = 0
+    paths = []
+    for root, _dirs, files in os.walk(event_dir):
+        paths += [os.path.join(root, f) for f in files
+                  if not f.startswith(".") and "appstatus" not in f]
+    for path in paths:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                info = ev.get("Task Info") or {}
+                if int(info.get("Launch Time", 0)) < t0_ms:
+                    continue
+                m = ev.get("Task Metrics") or {}
+                swm = m.get("Shuffle Write Metrics") or {}
+                srm = m.get("Shuffle Read Metrics") or {}
+                sw += int(swm.get("Shuffle Bytes Written", 0))
+                sr += (int(srm.get("Remote Bytes Read", 0))
+                       + int(srm.get("Local Bytes Read", 0)))
+                ntasks += 1
+    return sw, sr, ntasks
+
+
+def main() -> None:
+    op, data_dir = sys.argv[1], sys.argv[2]
+    ev_dir = tempfile.mkdtemp(prefix="scale_ev_")
+    spark = _session(f"scale-{op}", ev_dir)
+    try:
+        build_sec = None
+        if op in ("hnsw_build", "hnsw_search"):
+            from flouds_vectordb_spark.operators.dense_search import (
+                DenseSearchRequest,
+            )
+            from flouds_vectordb_spark.plans.hnsw import get_or_build_hnsw
+
+            embs = _embs(spark, data_dir)
+            rows_in = embs.count()
+            path = os.path.join(data_dir, "hnsw_index")
+            if op == "hnsw_build":
+                shutil.rmtree(path, ignore_errors=True)
+            t0 = time.time()
+            t0_ms = int(t0 * 1000)
+            idx = get_or_build_hnsw(embs, path, m=16, metric="COSINE",
+                                    cell_target=256)
+            build_sec = round(time.time() - t0, 3)
+            first = embs.orderBy("id").limit(1).collect()[0]["vector"]
+            q = [float(x) + 0.005 for x in first]
+            t1 = time.time()
+            if op == "hnsw_search":
+                t0_ms = int(t1 * 1000)
+            out = idx.search(spark, DenseSearchRequest(
+                query_vector=q, metric="COSINE", limit=10), ef=64)
+            rows_out = len(out.collect())
+            query_sec = round(time.time() - t1, 3)
+        else:
+            fn = OPS[op]
+            rows_in = _docs(spark, data_dir).count()
+            # time construction + action together: some operators (DSIR,
+            # drop-ratio builds) run bounded collect jobs while building
+            # the plan — that work belongs to the operator
+            t0 = time.time()
+            t0_ms = int(t0 * 1000)
+            df = fn(spark, data_dir)
+            rows_out = df.count()
+            query_sec = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    time.sleep(1.0)
+    sw, sr, ntasks = _sum_shuffle(ev_dir, t0_ms)
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    print(json.dumps({
+        "op": op, "data_dir": data_dir, "rows_in": rows_in,
+        "rows_out": rows_out, "build_sec": build_sec,
+        "query_sec": query_sec,
+        "shuffle_write_mb": round(sw / 1e6, 2),
+        "shuffle_read_mb": round(sr / 1e6, 2),
+        "tasks": ntasks,
+    }))
+
+
+if __name__ == "__main__":
+    main()
