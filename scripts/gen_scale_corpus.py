@@ -38,7 +38,11 @@ ID_STRIDE = 10_000_000
 def scaled_documents(spark, sf_dir: str, k: int):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     reps = spark.range(k).select(F.col("id").alias("_k"))
-    d = docs.crossJoin(reps)
+    # repartition BEFORE the per-word projection: the small base file
+    # reads as one split, and a 1-partition crossJoin would evaluate the
+    # whole perturbation single-threaded
+    d = docs.crossJoin(reps).repartition(
+        max(32, (docs.count() * k) // 100_000))
     words = F.split(F.col("text"), " ")
     key = F.concat_ws("|", F.col("_k"), F.col("doc_id"))
     perturbed = F.array_join(
@@ -69,7 +73,8 @@ def scaled_documents(spark, sf_dir: str, k: int):
 def scaled_embeddings(spark, sf_dir: str, k: int):
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     reps = spark.range(k).select(F.col("id").alias("_k"))
-    d = embs.crossJoin(reps)
+    d = embs.crossJoin(reps).repartition(
+        max(32, (embs.count() * k) // 100_000))
     key = F.concat_ws("|", F.col("_k"), F.col("vec_id"))
     noisy = F.zip_with(
         F.col("embedding"),
