@@ -90,7 +90,15 @@ LITERAL_QUERY_MAX = 4   # blocks up to this embed query vectors as literal
                         # CASE branches in the beam's scoring expressions;
                         # larger blocks join the broadcast query block
 SPLIT_FACTOR = 4        # a cell is oversized above SPLIT_FACTOR * cell_target
-KMEANS_FLAT_MAX = 4096  # above this k, centroid training goes hierarchical
+KMEANS_FLAT_MAX = 512   # above this k, centroid training goes hierarchical.
+                        # Flat k-means is O(sample*k*iters) ON THE DRIVER:
+                        # profiled at 200k vectors / k=782, it was 198 s of a
+                        # 227 s build (87%) while every distributed phase
+                        # scaled linearly. The sqrt-split two-level trainer
+                        # is O(sample*(k1+max_k2)*iters) ~ 14x less here and
+                        # bounds driver cost at any corpus size. Builds with
+                        # k <= 512 (every gate-scale collection) are
+                        # bit-identical, so no BUILD_REV bump.
 PER_CELL_SAMPLE = 8192  # bounded per-cell sample for the refinement split
 
 
