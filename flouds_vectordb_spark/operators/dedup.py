@@ -46,6 +46,25 @@ from flouds_vectordb_spark.lifecycle import tracked_persist as _persist
 from flouds_vectordb_spark.sources.tables import spread_small_input as _spread
 
 
+# below the Catalyst size estimate _MINHASH_SMALL_INPUT_BYTES, every
+# MinHash intermediate sits under the broadcast threshold and the
+# shuffle-regime machinery (pre-partitioned entry cache, materialized
+# candidate stats, semi-join prune) only adds persists and action
+# barriers; above it, that machinery cuts the operator's shuffle 4x
+# (measured at 500k docs — see dedup_minhash)
+_MINHASH_SMALL_INPUT_BYTES = 48 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for df's optimized plan (file bytes for
+    parquet scans). Falls back to 'large' — the scale-safe regime."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 # --- exact dedup -------------------------------------------------------------
 
 def _norm(col: Column) -> Column:
@@ -251,53 +270,75 @@ def dedup_minhash(
         ])).alias("e"),
     ).select("id", "e.band_idx", "e.band_hash")
 
-    # pre-partition the band entries on the bucket key and persist: the
-    # cached relation's HashPartitioning satisfies BOTH self-join sides'
-    # required distribution, so the dominant bucket shuffle materializes
-    # exactly once instead of once per side (alias-only self-joins do NOT
-    # canonicalize to a ReusedExchange here — measured at 500k docs: two
-    # concurrent 413 MB exchanges, ~75% of the operator's total shuffle)
-    spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    entries = entries.repartition(
-        n_part, "band_idx", "band_hash").transform(_persist)
-    ea, eb = entries.alias("_ea"), entries.alias("_eb")
-    cand = (
-        ea.join(eb, (F.col("_ea.band_idx") == F.col("_eb.band_idx"))
-                & (F.col("_ea.band_hash") == F.col("_eb.band_hash")))
-        .filter(F.col("_ea.id") < F.col("_eb.id"))
-        .select(F.col("_ea.id").alias("id_a"), F.col("_eb.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    ).transform(_persist)
-    # materialize the candidate list (scalars, dup-rate bounded) BEFORE
-    # planning the verify joins: the cached relation then carries real
-    # statistics, so Catalyst broadcast-joins a small candidate set and the
-    # full shingle table never shuffles. Left lazy, AQE submits the
-    # shingle-side exchange concurrently with the candidate stage — the two
-    # full-table exchange writes (2 x 413 MB at 500k docs, the op's
-    # dominant shuffle) are sunk cost before the runtime flip can happen.
-    # A dup-heavy corpus with a huge candidate set keeps the sort-merge
-    # plan — the right choice there. (One action materializes both caches:
-    # ids_b.count() below evaluates through its parent cand cache.)
     sets = sigs.select("id", "shingles")
-    # the id_a verify join broadcasts cand, so the full shingle table is
-    # probed map-side with no exchange. The id_b join's left side carries
-    # sh_a (too fat to broadcast), so that one stays sort-merge — prune its
-    # shingle side to the candidate ids first (semi-join against the
-    # materialized, stats-known id list): only dup-touching shingle rows
-    # ride the exchange instead of the whole corpus (413 MB -> ~|cand| at
-    # 500k docs). Degrades gracefully: a huge candidate id list just turns
-    # the semi-join into a shuffle of (id) scalars.
-    ids_b = (cand.select(F.col("id_b").alias("id")).dropDuplicates()
-             .transform(_persist))
-    ids_b.count()
-    sets_b = (sets.join(ids_b, "id", "leftsemi")
-              .select(F.col("id").alias("id_b"),
-                      F.col("shingles").alias("sh_b")))
-    pairs = (
-        cand.join(sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sets_b, "id_b")
-    )
+    if _plan_size_bytes(df) <= _MINHASH_SMALL_INPUT_BYTES:
+        # BROADCAST REGIME (gate-scale corpora): every table here sits
+        # under the broadcast threshold, so the plain two-sided join plan
+        # shuffles ~nothing and the scale machinery below would only add
+        # persists and action barriers (~+1.5 s measured at 5k docs).
+        a = entries.select(F.col("id").alias("id_a"), "band_idx",
+                           "band_hash")
+        b_ = entries.select(F.col("id").alias("id_b"), "band_idx",
+                            "band_hash")
+        cand = (
+            a.join(b_, ["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = (
+            cand.join(sets.select(F.col("id").alias("id_a"),
+                                  F.col("shingles").alias("sh_a")), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"),
+                              F.col("shingles").alias("sh_b")), "id_b")
+        )
+    else:
+        # SHUFFLE REGIME. Three measured facts at 500k docs drive this
+        # shape (stage-level event-log profile, r9):
+        # 1. pre-partition the band entries on the bucket key and persist:
+        #    the cached relation's HashPartitioning satisfies BOTH
+        #    self-join sides' required distribution, so the bucket shuffle
+        #    materializes once instead of once per side (alias-only
+        #    self-joins do NOT canonicalize to a ReusedExchange here).
+        # 2. materialize the candidate list (scalars, dup-rate bounded)
+        #    BEFORE planning the verify joins: the cache then carries real
+        #    statistics, so Catalyst broadcast-joins a small candidate set
+        #    and the full shingle table never shuffles for the id_a probe.
+        #    Left lazy, AQE submits the full-table exchange concurrently
+        #    with the candidate stage — the 2 x 413 MB writes are sunk
+        #    cost before its runtime broadcast-flip can happen.
+        # 3. the id_b join's left side carries sh_a (too fat to
+        #    broadcast), so it stays sort-merge — semi-join-prune its
+        #    shingle side to the candidate ids: only dup-touching shingle
+        #    rows ride that exchange instead of the whole corpus.
+        # Dup-heavy corpora (huge candidate sets) degrade to the
+        # sort-merge shapes — the right choice there. Net: 1101.7 ->
+        # 289.8 shuffle MB at 500k docs. (One action materializes the
+        # cand + ids_b caches: the count below evaluates through both.)
+        spark = df.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        entries = entries.repartition(
+            n_part, "band_idx", "band_hash").transform(_persist)
+        ea, eb = entries.alias("_ea"), entries.alias("_eb")
+        cand = (
+            ea.join(eb, (F.col("_ea.band_idx") == F.col("_eb.band_idx"))
+                    & (F.col("_ea.band_hash") == F.col("_eb.band_hash")))
+            .filter(F.col("_ea.id") < F.col("_eb.id"))
+            .select(F.col("_ea.id").alias("id_a"),
+                    F.col("_eb.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        ).transform(_persist)
+        ids_b = (cand.select(F.col("id_b").alias("id")).dropDuplicates()
+                 .transform(_persist))
+        ids_b.count()
+        sets_b = (sets.join(ids_b, "id", "leftsemi")
+                  .select(F.col("id").alias("id_b"),
+                          F.col("shingles").alias("sh_b")))
+        pairs = (
+            cand.join(sets.select(F.col("id").alias("id_a"),
+                                  F.col("shingles").alias("sh_a")), "id_a")
+            .join(sets_b, "id_b")
+        )
 
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).cast("double") - inter

@@ -132,6 +132,39 @@ def op_sparse_search_many(spark, d):
     return build, query
 
 
+def op_sparse_rare(spark, d):
+    """Same split shape as op_sparse_search_many but with LOW-df query
+    terms (the per-replica perturbation tokens): isolates the index
+    read path from candidate scoring — with stopword-class terms every
+    query matches ~every document, so candidate volume (∝ Σ df), not
+    the posting scan, dominates. Rare terms show the df-proportional
+    cost a prebuilt posting table gives realistic Zipfian queries."""
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        bm25_postings,
+        sparse_search_many,
+    )
+
+    coll = _docs(spark, d).select(F.col("doc_id").alias("id"),
+                                  F.col("text").alias("chunk"))
+
+    def build():
+        path = os.path.join(d, "bm25_postings")
+        if not os.path.exists(path):
+            (bm25_postings(coll)
+             .repartitionByRange(32, F.col("term"))
+             .sortWithinPartitions("term")
+             .write.mode("overwrite").parquet(path))
+        return spark.read.parquet(path)
+
+    def query(post):
+        qs = [(i, f"w{13 + 97 * i} w{17 + 89 * i}") for i in range(64)]
+        return sparse_search_many(post, qs,
+                                  SparseSearchRequest(query_text="", limit=10))
+
+    return build, query
+
+
 def op_hybrid_search_many(spark, d):
     """Dense + sparse RRF over a derived collection: text from documents,
     vectors hash-derived per id (the fusion machinery's cost profile does
@@ -179,6 +212,7 @@ OPS = {
     "dedup_components": op_dedup_components,
     "exact_substring": op_exact_substring,
     "sparse_search_many": op_sparse_search_many,
+    "sparse_rare": op_sparse_rare,
     "hybrid_search_many": op_hybrid_search_many,
     "pack_sequences": op_pack_sequences,
     "dsir_resample": op_dsir_resample,
