@@ -452,9 +452,11 @@ def dedup_minhash_incremental(
     new_ent, new_sets = _entries(new_df)
     old_ent, old_sets = _entries(old_df)
 
-    # aliased self/cross joins so every new-side bucket exchange
-    # canonicalizes to ONE materialized shuffle (ReusedExchange) — the
-    # same halving measured on dedup_minhash's band self-join
+    # aliased self/cross joins (equivalent to the re-projected two-branch
+    # form — aliases do NOT canonicalize to a ReusedExchange, measured in
+    # dedup_minhash). The incremental shape doesn't need the batch path's
+    # repartition-persist trick: the new snapshot side is small by
+    # contract, so both the new x new and new x old joins broadcast it.
     na, nb = new_ent.alias("_na"), new_ent.alias("_nb")
     ob = old_ent.alias("_ob")
     nn = (
