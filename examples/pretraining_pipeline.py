@@ -72,11 +72,16 @@ def main(sf_dir: str) -> int:
     # 2. language ID; keep English (the synthetic corpus is English)
     lid = lang_id(curated.select(F.col("doc_id").alias("id"), "text"))
     keep_ids = lid.filter(F.col("lang") == "en").select("id")
-    # lang_id's profile expressions are the widest in the repo — persist so
-    # stage 3's several jobs (Gopher + the perplexity ranking) never
-    # re-evaluate them
+    # lang_id's profile expressions are the widest in the repo —
+    # localCheckpoint (NOT just persist) at every funnel boundary: caching
+    # truncates the physical plan but leaves the LOGICAL tree under every
+    # downstream plan, and Catalyst re-analyzes that accumulated lineage
+    # for each derived frame — measured r9, the funnel's construction cost
+    # (no jobs, pure planning) grew to minutes and 16 GB of driver heap
+    # once the LID/PSL/perplexity expressions widened. Checkpointing cuts
+    # the lineage, so each stage plans against a flat scan
     by_lang = curated.join(keep_ids, curated.doc_id == keep_ids.id,
-                           "left_semi").persist()
+                           "left_semi").localCheckpoint(eager=True)
     n2 = by_lang.count()
 
     # 3. quality: Gopher signals AND the CCNet perplexity split — rank by
@@ -103,7 +108,7 @@ def main(sf_dir: str) -> int:
                                   id_col="doc_id", text_col="text") \
         .withColumnRenamed("text_clean", "text") \
         .join(quality.drop("text"), quality.doc_id == F.col("id"), "inner") \
-        .drop("id", "n_lines_removed").persist()
+        .drop("id", "n_lines_removed").localCheckpoint(eager=True)
     n4 = cleaned.count()
 
     # 5. near-dup: MinHash-LSH candidate pairs -> components -> keep the
@@ -122,10 +127,11 @@ def main(sf_dir: str) -> int:
     dirty = decontaminate(deduped.select(F.col("doc_id").alias("id"), "text"),
                           test_set).select("id")
     # stages 7-9 each run several jobs (DSIR's model counts, the mixer's
-    # two-phase budgets, packing's offset scan) — persist the funnel here
-    # so the dedup/decontamination lineage materializes exactly once
+    # two-phase budgets, packing's offset scan) — checkpoint the funnel
+    # here so the dedup/decontamination lineage materializes exactly once
+    # and its logical tree stops riding every downstream plan
     decon = deduped.join(dirty, deduped.doc_id == dirty.id, "left_anti") \
-        .persist()
+        .localCheckpoint(eager=True)
     n6 = decon.count()
 
     # 7. targeted selection: DSIR importance resampling — keep the docs
@@ -137,14 +143,14 @@ def main(sf_dir: str) -> int:
                            n_buckets=4096, id_col="doc_id", text_col="text",
                            seed=21).select("id")
     selected = decon.join(picked, decon.doc_id == picked.id, "left_semi") \
-        .persist()
+        .localCheckpoint(eager=True)
     n7 = selected.count()
 
     # 8. mixing: temperature-scaled per-source token budgets (alpha=0.5
     #    up-weights small sources — the multilingual-pretraining rule)
     mixed = sample_temperature_mix(selected, total_budget=20_000, alpha=0.5,
                                    source_col="source", text_col="text",
-                                   key_col="doc_id", seed=42).persist()
+                                   key_col="doc_id", seed=42).localCheckpoint(eager=True)
     n8 = mixed.count()
 
     # 9a. chunking: the curated corpus becomes the CHUNK unit the vector
