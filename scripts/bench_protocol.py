@@ -39,6 +39,13 @@ def main() -> int:
             return 1
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
         print(f"run {i + 1}/{n}: total {runs[-1]['value']} s", flush=True)
+        # the protocol requires the raw per-run JSONs committed — save
+        # under the SPARK_BENCH_TAG prefix (default: protocol_run)
+        tag = os.environ.get("SPARK_BENCH_TAG", "protocol")
+        dst = os.path.join(REPO, ".bench_tmp", f"{tag}_run{i + 1}.json")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(dst, "w") as f:
+            json.dump(runs[-1], f)
     names = list(runs[0]["queries"])
     med = {q: st.median([r["queries"][q] for r in runs]) for q in names}
     print(f"\nper-run totals: {[r['value'] for r in runs]}")
