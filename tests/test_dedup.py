@@ -493,3 +493,18 @@ def test_components_driver_and_distributed_paths_agree(spark):
     got = {r["id"]: r["component_id"]
            for r in dedup_components(spairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_minhash_shuffle_regime_identical_to_broadcast_regime(docs, monkeypatch):
+    """dedup_minhash picks its plan by Catalyst's input-size estimate
+    (broadcast regime below _MINHASH_SMALL_INPUT_BYTES, the r9
+    shuffle-regime machinery above). Both regimes must produce identical
+    pairs — pin it by forcing the shuffle regime on the tiny fixture."""
+    import flouds_vectordb_spark.operators.dedup as dd
+
+    small = sorted(map(tuple,
+                       dedup_minhash(docs, jaccard_threshold=0.3).collect()))
+    monkeypatch.setattr(dd, "_MINHASH_SMALL_INPUT_BYTES", 0)
+    big = sorted(map(tuple,
+                     dedup_minhash(docs, jaccard_threshold=0.3).collect()))
+    assert small == big and small  # same pairs, and the fixture has some
