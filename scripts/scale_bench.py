@@ -112,11 +112,15 @@ def op_sparse_search_many(spark, d):
     def build():
         # the production index artifact: term-range-sorted parquet
         # (sparse_search.py:97-98 "write this bucketed by term"); the query
-        # side's static term IN (...) prune then skips whole row groups
+        # side's static term IN (...) prune then skips whole row groups.
+        # Bucket count scales with the corpus — a fixed 32 sorts 31M rows
+        # per partition at 5M docs and spills (measured 227 s; 256
+        # partitions restore the linear step at 102 s)
         path = os.path.join(d, "bm25_postings")
         shutil.rmtree(path, ignore_errors=True)
+        n_part = max(32, coll.count() // 20_000)
         (bm25_postings(coll)
-         .repartitionByRange(32, F.col("term"))
+         .repartitionByRange(n_part, F.col("term"))
          .sortWithinPartitions("term")
          .write.mode("overwrite").parquet(path))
         return spark.read.parquet(path)
