@@ -93,11 +93,12 @@ def test_persist_scope_releases_importance_and_lm_intermediates(spark):
         dsir_log_ratios(raw, target, n_buckets=512, seed=7).collect()
         bigram_logprob(raw).collect()
         perplexity_buckets(raw).collect()
-        # per_doc (resample) + rc/tc x2 runs + bigram src_ev + ppl scored
-        assert len(tracked) >= 6
-        # owned-lifetime: every rc/tc count table was unpersisted by the
-        # operator itself before returning — only the frames the returned
-        # plans still read (per_doc, src_ev, scored) may remain warm
+        # per_doc (resample) + bigram src_ev + ppl scored. The rc/tc count
+        # tables are no longer persisted at all (r9 VERDICT ask #1: one
+        # tagged-union collect reads each exactly once).
+        assert len(tracked) >= 3
+        # only the frames the returned plans still read (per_doc, src_ev,
+        # scored) may remain warm
         warm = [df for df in tracked
                 if df.storageLevel.useMemory or df.storageLevel.useDisk]
         assert len(warm) <= 3
