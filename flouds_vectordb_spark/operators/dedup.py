@@ -235,6 +235,78 @@ def minhash_signatures(df: DataFrame, id_col: str = "id", text_col: str = "text"
     return base.select(*cols)
 
 
+def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
+                  n_bands: int, shingle_n: int) -> tuple[DataFrame, DataFrame]:
+    """((id, band_idx, band_hash) entries, (id, shingles) sets) — the
+    shared LSH front half of every minhash variant. The banded projection
+    persists (its n_sigs signature expressions are the expensive part);
+    the exploded entries are SCALARS only, so the shingle arrays never
+    ride the bucket shuffle (x n_bands duplication) — they join back for
+    the small candidate set."""
+    rows_per_band = n_sigs // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n)
+    band_hashes = []
+    for b in range(n_bands):
+        parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_hashes.append(hash64(F.concat_ws("|", *parts),
+                                  seed=1000 + b).alias(f"band{b}"))
+    banded = sigs.select("id", *band_hashes).transform(_persist)
+    entries = banded.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+            for b in range(n_bands)
+        ])).alias("e"),
+    ).select("id", "e.band_idx", "e.band_hash")
+    return entries, sigs.select("id", "shingles")
+
+
+def _jaccard_filtered(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard_r) >= threshold from candidate rows carrying
+    sh_a/sh_b shingle arrays — the exact-verify tail every LSH path
+    shares."""
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard_r", F.round(inter / union, 6))
+        .filter(F.col("jaccard_r") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard_r")
+    )
+
+
+def _verify_candidates(cand: DataFrame, sets: DataFrame, threshold: float,
+                       small: bool) -> DataFrame:
+    """Exact-Jaccard verification of a (id_a, id_b) candidate list.
+    small: plain two-sided joins (everything broadcasts at gate scale).
+    Large: persist+count the candidate list FIRST so Catalyst plans the
+    id_a probe as a static broadcast join (AQE would sink the full
+    shingle exchange before its runtime flip — r9 measured), and
+    semi-join-prune the id_b shingle side to candidate ids so only
+    dup-touching rows ride that sort-merge exchange."""
+    if small:
+        pairs = (
+            cand.join(sets.select(F.col("id").alias("id_a"),
+                                  F.col("shingles").alias("sh_a")), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"),
+                              F.col("shingles").alias("sh_b")), "id_b")
+        )
+        return _jaccard_filtered(pairs, threshold)
+    cand = cand.transform(_persist)
+    ids_b = (cand.select(F.col("id_b").alias("id")).dropDuplicates()
+             .transform(_persist))
+    ids_b.count()
+    sets_b = (sets.join(ids_b, "id", "leftsemi")
+              .select(F.col("id").alias("id_b"),
+                      F.col("shingles").alias("sh_b")))
+    pairs = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("shingles").alias("sh_a")), "id_a")
+        .join(sets_b, "id_b")
+    )
+    return _jaccard_filtered(pairs, threshold)
+
+
 def dedup_minhash(
     df: DataFrame,
     id_col: str = "id",
@@ -243,34 +315,28 @@ def dedup_minhash(
     n_sigs: int = MINHASH_SIGS,
     n_bands: int = MINHASH_BANDS,
     shingle_n: int = SHINGLE_N,
+    output: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard_r) via banded MinHash-LSH.
 
     Candidates: equal band-hash in >=1 band (bucket self-join, never
     all-pairs). Verification: exact Jaccard over distinct shingle sets,
-    rounded to 6 decimals for cross-engine hashability."""
-    rows_per_band = n_sigs // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n)
+    rounded to 6 decimals for cross-engine hashability.
 
-    band_hashes = []
-    for b in range(n_bands):
-        parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
-                 for r in range(rows_per_band)]
-        band_hashes.append(hash64(F.concat_ws("|", *parts), seed=1000 + b).alias(f"band{b}"))
-    banded = sigs.select("id", *band_hashes).transform(_persist)
-
-    # explode to (id, band_idx, band_hash) SCALARS only — the shingle arrays
-    # never ride the bucket shuffle (x n_bands duplication); they join back
-    # for the small candidate set
-    entries = banded.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-            for b in range(n_bands)
-        ])).alias("e"),
-    ).select("id", "e.band_idx", "e.band_hash")
-
-    sets = sigs.select("id", "shingles")
+    output="components" (r9 VERDICT ask #4) returns (id, component_id)
+    labels over the verified near-dup graph WITHOUT materializing the
+    all-pairs list — see dedup_minhash_components. Pair output is
+    quadratic in clone-cluster size (the x1000 dup-heavy regime paid
+    15.9 GB of shuffle for 3.99M pairs a pipeline immediately collapses
+    to keepers); label output is linear."""
+    if output == "components":
+        return dedup_minhash_components(df, id_col, text_col,
+                                        jaccard_threshold, n_sigs, n_bands,
+                                        shingle_n)
+    if output != "pairs":
+        raise ValueError(f"unknown output mode {output!r}")
+    entries, sets = _band_entries(df, id_col, text_col, n_sigs, n_bands,
+                                  shingle_n)
     if _plan_size_bytes(df) <= _MINHASH_SMALL_INPUT_BYTES:
         # BROADCAST REGIME (gate-scale corpora): every table here sits
         # under the broadcast threshold, so the plain two-sided join plan
@@ -399,6 +465,113 @@ _pairs AS (
 )
 SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {float(jaccard_threshold)!r}
 """
+
+
+def dedup_minhash_components(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """(id, component_id) labels over the EXACT verified near-dup graph,
+    computed WITHOUT materializing the all-pairs list (r9 VERDICT ask #4).
+
+    dedup_components(dedup_minhash(df)) verifies every co-bucket pair —
+    quadratic in clone-cluster size K (a 1000-clone cluster is ~500k
+    verified pairs that components immediately collapses to one keeper).
+    This fusion verifies a per-bucket STAR first and falls back to
+    pairwise only where the star is inconclusive:
+
+    1. per (band, band_hash) bucket with >= 2 members: verify each member
+       against the bucket MIN (K-1 pairs per bucket);
+    2. members whose star edge FAILED in a bucket are that bucket's
+       UNRESOLVED set — verify them pairwise against every co-member of
+       that same bucket (minus pairs the star already verified);
+    3. components over {star passes} ∪ {phase-2 passes}.
+
+    EXACTNESS (same labels as the pair-mode composition, which the oracle
+    twin computes): every candidate pair (u, v) sharing bucket Z with min
+    m is accounted for — if u = m or v = m it IS a star pair; if either
+    failed its star edge in Z it is Z-unresolved and (u, v) is verified
+    in phase 2; if both passed, u–m and v–m are true edges so u and v are
+    already connected through m and the (u, v) edge is redundant for the
+    closure. Every emitted edge is Jaccard-verified, so the closure can't
+    grow either; node sets match because a node appears in the pair graph
+    iff it has >= 1 verified pair, and the case analysis gives it >= 1
+    emitted edge exactly then.
+
+    Scale shape: clone-heavy corpora (buckets ~ true cliques) verify
+    K-1 star edges per bucket and an ~empty phase 2 — linear where pair
+    mode is quadratic. The adversarial worst case (buckets full of LSH
+    false positives that all fail verification) degrades to pair mode's
+    pairwise volume plus the star overhead."""
+    small = _plan_size_bytes(df) <= _MINHASH_SMALL_INPUT_BYTES
+    entries, sets = _band_entries(df, id_col, text_col, n_sigs, n_bands,
+                                  shingle_n)
+    if not small:
+        # one bucket exchange serves the rep aggregation, the star join
+        # and the phase-2 co-member join (the pair path's measured trick)
+        n_part = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        entries = entries.repartition(
+            n_part, "band_idx", "band_hash").transform(_persist)
+    reps = (
+        entries.groupBy("band_idx", "band_hash")
+        .agg(F.min("id").alias("_rep"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1).drop("_n")
+    )
+    # (band_idx, band_hash, _rep, id): one row per non-rep bucket member.
+    # Persisted: consumed by the star candidate list AND the unresolved
+    # anti-join below.
+    star_rows = (
+        entries.join(reps, ["band_idx", "band_hash"])
+        .filter(F.col("id") != F.col("_rep"))
+    ).transform(_persist)
+    star_cand = (star_rows.select(F.col("_rep").alias("id_a"),
+                                  F.col("id").alias("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+    star_pairs = _verify_candidates(star_cand, sets, jaccard_threshold,
+                                    small).transform(_persist)
+    unresolved = star_rows.join(
+        star_pairs.select(F.col("id_a").alias("_rep"),
+                          F.col("id_b").alias("id")),
+        ["_rep", "id"], "left_anti")
+    members = entries.select("band_idx", "band_hash",
+                             F.col("id").alias("_v"))
+    p2_cand = (
+        unresolved.join(members, ["band_idx", "band_hash"])
+        .filter(F.col("_v") != F.col("id"))
+        .select(F.least("id", "_v").alias("id_a"),
+                F.greatest("id", "_v").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        # star candidates are already verified (pass or fail) — never
+        # re-verify; note star pairs always have id_a = bucket min < id_b,
+        # the same orientation least/greatest produces
+        .join(star_cand, ["id_a", "id_b"], "left_anti")
+    )
+    p2_pairs = _verify_candidates(p2_cand, sets, jaccard_threshold, small)
+    edges = (star_pairs.select("id_a", "id_b")
+             .unionByName(p2_pairs.select("id_a", "id_b")))
+    return dedup_components(edges)
+
+
+def dedup_minhash_components_sql(
+    table_sql: str,
+    id_expr: str = "id",
+    text_expr: str = "text",
+    jaccard_threshold: float = 0.5,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> str:
+    """DuckDB oracle twin: components over the FULL pair-mode graph — the
+    fusion is exact, so the naive quadratic composition is its oracle."""
+    pairs = dedup_minhash_sql(table_sql, id_expr, text_expr,
+                              jaccard_threshold, n_sigs, n_bands, shingle_n)
+    return dedup_components_sql(f"({pairs})")
 
 
 def dedup_minhash_incremental(
@@ -806,14 +979,24 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # scalars only.
     neigh0 = edges.groupBy(F.col("dst").alias("id")).agg(
         F.min("src").alias("_nl"))
+    # the fused round observes its own changed-count too (ADVICE r9): if
+    # no node took a smaller label here (possible only for an EMPTY edge
+    # set — any edge (a,b), a<b gives b the label a), the fixpoint is
+    # already confirmed and max_iter=1 must not raise
+    obs0 = Observation()
+    new0 = F.least(F.col("id"), F.coalesce("_nl", "id"))
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .join(neigh0, "id", "left")
-        .select("id", F.least(F.col("id"), F.coalesce("_nl", "id")).alias("lbl"))
+        .select("id", new0.alias("lbl"), (new0 < F.col("id")).alias("_chg"))
+        .observe(obs0, F.count(F.when(F.col("_chg"), F.lit(1))).alias("changed"))
+        .select("id", "lbl")
         .localCheckpoint(eager=True)
     )
-    converged = False
+    converged = int(obs0.get["changed"]) == 0
     for rnd in range(2, max_iter + 1):
+        if converged:
+            break
         jump = pointer_jump or (pointer_jump is None
                                 and rnd > _AUTO_JUMP_AFTER)
         neigh = (

@@ -333,6 +333,7 @@ def hybrid_search_many(
     chunk_col: str | None = None,
     meta_col: str | None = None,
     sparse_chunk_col: str = "chunk",
+    sparse_prune: bool | None = None,
 ) -> DataFrame:
     """Batched RRF hybrid: queries is a (qid, vector, text) sequence;
     returns (qid, id, rank, rrf_score [, chunk, meta_kv]) with rank
@@ -386,7 +387,8 @@ def hybrid_search_many(
     if postings is None:
         postings = bm25_postings(df, id_col=id_col, chunk_col=sparse_chunk_col)
     sparse = (
-        sparse_search_many(postings, sparse_q, req.sparse_request())
+        sparse_search_many(postings, sparse_q, req.sparse_request(),
+                           prune=sparse_prune)
         .select("qid", "id", F.col("rank").alias("sparse_rank_"))
     )
 

@@ -33,6 +33,17 @@ Operators:
 
 Every operator has a *_sql DuckDB twin (oracle parity).
 
+Documented deviation from the `publicsuffix` python library (ADVICE r9):
+a host that exactly EQUALS a public suffix ('co.uk', 'web.nagoya.jp',
+'localhost') returns itself as the registered domain, where PSL
+reference implementations return no registrable domain (NULL). Both
+engines and the tests pin this same behavior, so there is no
+cross-engine divergence; the practical effect is that domain_cap /
+blocklist_filter treat a bare public suffix as an ordinary site key —
+the right call for corpus curation, where "docs whose URL is literally
+a registry root" should still be cappable/blockable rather than
+escaping the domain stage with a NULL key.
+
 Scale shape: host/domain are O(1)-width scalars computed in one
 projection; the cap's only shuffle is a (domain, hash, key)-scalar window;
 the blocklist is a broadcast. The text payload never shuffles.

@@ -80,10 +80,14 @@ DEFAULT_M = 16          # HNSW default M (Milvus/hnswlib default)
 DEFAULT_EF = 64         # HNSW default search beam (Milvus default ef)
 CELL_TARGET = 1024      # build-time candidate cell size target
 MAX_ROUNDS = 32         # beam-round backstop; convergence is the normal exit
-BUILD_REV = 2           # bumped when the build ALGORITHM changes semantics
-                        # (r8: heuristic-selection refinement) so cached
-                        # graphs from older revisions rebuild instead of
-                        # silently serving the old edge policy
+BUILD_REV = 3           # bumped when the build ALGORITHM changes semantics
+                        # (r8: heuristic-selection refinement; r10: rev 3
+                        # invalidates caches that MAY have been flat-trained
+                        # with 512 < k <= 4096 before KMEANS_FLAT_MAX dropped
+                        # to 512 — those graphs no longer match a fresh
+                        # build, see ADVICE r9) so cached graphs from older
+                        # revisions rebuild instead of silently serving the
+                        # old edge policy
 BEAM_BLOCK_CAP = 256    # max queries per batched-beam chunk (driver state
                         # is block x ef x M; bigger blocks auto-chunk)
 LITERAL_QUERY_MAX = 4   # blocks up to this embed query vectors as literal
@@ -98,7 +102,8 @@ KMEANS_FLAT_MAX = 512   # above this k, centroid training goes hierarchical.
                         # is O(sample*(k1+max_k2)*iters) ~ 14x less here and
                         # bounds driver cost at any corpus size. Builds with
                         # k <= 512 (every gate-scale collection) are
-                        # bit-identical, so no BUILD_REV bump.
+                        # bit-identical; BUILD_REV=3 still invalidates old
+                        # caches because 512 < k <= 4096 builds are NOT.
 PER_CELL_SAMPLE = 8192  # bounded per-cell sample for the refinement split
 
 

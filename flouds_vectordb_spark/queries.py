@@ -203,7 +203,9 @@ _register("q6_text_filter", *_dense_pair(
 # Q7 clamp edge (ADVICE round 1): limit 95 + increase 10 must fetch 100
 # candidates (min(limit+increase, 100)), not 105 — the survivor set after
 # the text filter differs if the clamp order is wrong
-_register("q7_overfetch_clamp_edge", *_dense_pair(
+# r10 rotation (VERDICT r9 ask #7): moved to _EXTENDED — covered by
+# overfetch ext variants; displaced by text_lang_id in the window
+_register_ext("q7_overfetch_clamp_edge", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=19), metric="COSINE",
         limit=95, text_filter="vector scan", minimum_words_match=1,
@@ -314,7 +316,9 @@ _Q9_TABLE = (
     f"ELSE '{{\"lang\":\"' || lang || '\",\"source\":\"' || source || '\"}}' END AS js "
     f"FROM {COLLECTION_SQL} t)"
 )
-_register("q9_meta_json_laxness", _q9_json_q, dense_search_sql(
+# r10 rotation (VERDICT r9 ask #7): moved to _EXTENDED — covered by
+# meta-laxness ext variants; displaced by url_domain_cap in the window
+_register_ext("q9_meta_json_laxness", _q9_json_q, dense_search_sql(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=17), metric="COSINE",
         limit=30, meta_required=True, meta_filter={"lang": "e"}),
@@ -705,6 +709,51 @@ def _dedup_components_sql() -> str:
 
 
 _register("dedup_components", _dedup_components_q, _dedup_components_sql())
+
+
+# --- fused cluster-output MinHash (r10): labels without the all-pairs list ------
+def _docs_dup_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-clique fixture: every 5th doc plus three perturbed copies — a
+    dup-heavy regime where pair output is quadratic in clique size and the
+    fused star verification is the scale path."""
+    docs = (load(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("doc_id") % 5 == 0))
+    out = docs
+    for k, suf in ((1, " alpha"), (2, " beta"), (3, " gamma gamma")):
+        out = out.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 5000000))
+            .withColumn("text", F.concat(F.col("text"), F.lit(suf))))
+    return out
+
+
+_DOCS_DUP_HEAVY_SQL = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    " UNION ALL SELECT doc_id + 5000000, text || ' alpha'"
+    " FROM documents WHERE doc_id % 5 = 0"
+    " UNION ALL SELECT doc_id + 10000000, text || ' beta'"
+    " FROM documents WHERE doc_id % 5 = 0"
+    " UNION ALL SELECT doc_id + 15000000, text || ' gamma gamma'"
+    " FROM documents WHERE doc_id % 5 = 0)"
+)
+
+
+def _minhash_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_minhash(_docs_dup_heavy(spark, sf_dir), id_col="doc_id",
+                         jaccard_threshold=0.5, output="components")
+
+
+def _minhash_components_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import (
+        dedup_minhash_components_sql,
+    )
+
+    return dedup_minhash_components_sql(_DOCS_DUP_HEAVY_SQL,
+                                        id_expr="doc_id",
+                                        jaccard_threshold=0.5)
+
+
+_register_ext("dedup_minhash_cluster_output", _minhash_components_q,
+              _minhash_components_sql())
 
 
 # --- train/test decontamination (r6, extended) ---------------------------------
@@ -2150,7 +2199,9 @@ def _lang_id_sql() -> str:
     return lang_id_sql(_langid_input_sql())
 
 
-_register_ext("text_lang_id", _lang_id_q, _lang_id_sql())
+# r10 rotation: promoted into the driver window (VERDICT r9 ask #7 —
+# the LID/URL pipeline-identity family gets CORRECTNESS coverage)
+_register("text_lang_id", _lang_id_q, _lang_id_sql())
 
 
 # stratified-by-DETECTED-language quota: the multilingual balanced-subset
@@ -2231,7 +2282,8 @@ def _url_domain_cap_sql() -> str:
                           key_expr="doc_id", seed=5)
 
 
-_register_ext("url_domain_cap", _url_domain_cap_q, _url_domain_cap_sql())
+# r10 rotation: promoted into the driver window (VERDICT r9 ask #7)
+_register("url_domain_cap", _url_domain_cap_q, _url_domain_cap_sql())
 
 
 def _url_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,11 +88,65 @@ def op_dedup_components(spark, d):
     return dedup_components(pairs)
 
 
+def op_dedup_minhash_components(spark, d):
+    """The r10 fused cluster-output mode: labels over the verified
+    near-dup graph without materializing the all-pairs list — compare
+    against op_dedup_components (the quadratic pair-mode composition) on
+    the same corpus."""
+    from flouds_vectordb_spark.operators.dedup import dedup_minhash
+
+    return dedup_minhash(_docs(spark, d), id_col="doc_id",
+                         jaccard_threshold=0.5, output="components")
+
+
 def op_exact_substring(spark, d):
     from flouds_vectordb_spark.operators.dedup import exact_substring_spans
 
     return exact_substring_spans(
         _docs(spark, d).select(F.col("doc_id").alias("id"), "text"), k=20)
+
+
+def op_ngram_jaccard(spark, d):
+    """Exact AllPairs/PPJoin n-gram Jaccard (no LSH approximation) — the
+    r9 VERDICT ask #6 coverage row for the text near-dup family's exact
+    variant."""
+    from flouds_vectordb_spark.operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs(spark, d), id_col="doc_id",
+                               jaccard_threshold=0.5)
+
+
+def op_repetition_full(spark, d):
+    """Gopher-style full repetition stats (top n-gram char fraction +
+    duplicate n-gram fraction for n in 2..4): the heaviest per-doc text
+    quality scorer — per-position n-gram explode, scalars-only shuffles."""
+    from flouds_vectordb_spark.operators.text_analysis import (
+        repetition_stats_full,
+    )
+
+    return repetition_stats_full(_docs(spark, d), id_col="doc_id")
+
+
+def op_bpe_train(spark, d):
+    """Distributed BPE merge learning (10 rounds over the distinct-word
+    working set) — one word-count agg + a pair-count agg per round."""
+    from flouds_vectordb_spark.operators.bpe import bpe_train_df
+
+    return bpe_train_df(_docs(spark, d), n_merges=10, text_col="text")
+
+
+def op_similarity_join(spark, d):
+    """Cross-collection cosine join (SRP-bucketed candidates, exact
+    verify): embeddings vs a shifted probe subset, the gate fixture's
+    shape at scale."""
+    from flouds_vectordb_spark.operators.ann import similarity_join
+
+    embs = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        "vec_id", "embedding")
+    probes = (embs.filter(F.col("vec_id") % 23 == 0)
+              .withColumn("vec_id", F.col("vec_id") + F.lit(900000000)))
+    return similarity_join(embs, probes, tau=0.95, left_id="vec_id",
+                           right_id="vec_id")
 
 
 def op_sparse_search_many(spark, d):
@@ -113,15 +167,15 @@ def op_sparse_search_many(spark, d):
         # the production index artifact: term-range-sorted parquet
         # (sparse_search.py:97-98 "write this bucketed by term"); the query
         # side's static term IN (...) prune then skips whole row groups.
-        # Bucket count scales with the corpus — a fixed 32 sorts 31M rows
-        # per partition at 5M docs and spills (measured 227 s; 256
-        # partitions restore the linear step at 102 s)
+        # r10: sized by the PRODUCTION path (CollectionWriter._term_sorted,
+        # upsert.py — Catalyst scan estimate / 1.6 MB per range partition),
+        # which ships the r9 measured fix: a fixed 32 sorts 31M rows per
+        # partition at 5M docs and spills (227 s; ~256 partitions restore
+        # the linear step at 102 s)
+        from flouds_vectordb_spark.operators.upsert import CollectionWriter
         path = os.path.join(d, "bm25_postings")
         shutil.rmtree(path, ignore_errors=True)
-        n_part = max(32, coll.count() // 20_000)
-        (bm25_postings(coll)
-         .repartitionByRange(n_part, F.col("term"))
-         .sortWithinPartitions("term")
+        (CollectionWriter._term_sorted(bm25_postings(coll), src=coll)
          .write.mode("overwrite").parquet(path))
         return spark.read.parquet(path)
 
@@ -214,6 +268,11 @@ def op_dsir_resample(spark, d):
 OPS = {
     "dedup_minhash": op_dedup_minhash,
     "dedup_components": op_dedup_components,
+    "dedup_minhash_components": op_dedup_minhash_components,
+    "ngram_jaccard": op_ngram_jaccard,
+    "repetition_full": op_repetition_full,
+    "bpe_train": op_bpe_train,
+    "similarity_join": op_similarity_join,
     "exact_substring": op_exact_substring,
     "sparse_search_many": op_sparse_search_many,
     "sparse_rare": op_sparse_rare,

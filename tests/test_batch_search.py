@@ -195,6 +195,42 @@ def test_sparse_search_many_matches_single_loop(spark, corpus):
         assert sorted(got.get(qid, [])) == single, qid
 
 
+def test_sparse_search_many_wand_prune_identical(spark, corpus, monkeypatch):
+    """The max-score floor prune (r10) is a safe prune: forcing it (and
+    shrinking the floor sample so θ actually bites on the tiny fixture)
+    must reproduce the plain plan's rows exactly — ranks, ids, scores —
+    including offset handling and sub-fetch qids. Also pins the
+    pivot-vs-fold plan equality by forcing the fold via the term cap."""
+    import flouds_vectordb_spark.operators.sparse_search as ss
+    from flouds_vectordb_spark.operators.sparse_search import (
+        SparseSearchRequest,
+        bm25_postings,
+        sparse_search_many,
+    )
+
+    posts = bm25_postings(corpus.filter(F.col("chunk") != ""))
+    posts.persist().count()
+    queries = [(0, "spark vector"), (1, "scan 7 scan spark"),
+               (2, "zzz-nomatch"), (3, "vector vector 11"),
+               (4, "spark scan vector 3 7 11")]
+    monkeypatch.setattr(ss, "_WAND_FLOOR_SAMPLE", 32)
+    for req in (SparseSearchRequest(query_text="", limit=6, offset=1),
+                SparseSearchRequest(query_text="", limit=4),
+                SparseSearchRequest(query_text="", limit=250)):
+        plain = sorted(map(tuple, sparse_search_many(
+            posts, queries, req, prune=False).collect()))
+        pruned = sorted(map(tuple, sparse_search_many(
+            posts, queries, req, prune=True).collect()))
+        assert pruned == plain and plain, req.limit
+        # fold plan (forced via the pivot caps) must agree too
+        monkeypatch.setattr(ss, "_PIVOT_TERM_CAP", 0)
+        fold = sorted(map(tuple, sparse_search_many(
+            posts, queries, req, prune=False).collect()))
+        monkeypatch.setattr(ss, "_PIVOT_TERM_CAP", 64)
+        assert fold == plain, req.limit
+    posts.unpersist()
+
+
 def test_sparse_search_many_validation(spark, corpus):
     from flouds_vectordb_spark.operators.sparse_search import (
         SparseSearchRequest,

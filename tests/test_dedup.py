@@ -296,6 +296,18 @@ def test_components_raises_on_max_iter_nonconvergence(spark):
         dedup_components(pairs, max_iter=3, pointer_jump=False, driver_threshold=0)
 
 
+def test_components_empty_graph_converges_in_one_round(spark):
+    """ADVICE r9: an empty pair set is already converged — the fused init
+    round must confirm the fixpoint itself, so max_iter=1 on the
+    distributed path returns (empty) instead of raising."""
+    from flouds_vectordb_spark.operators.dedup import dedup_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup_components(empty, max_iter=1, driver_threshold=0)
+    assert out.count() == 0
+    assert out.columns == ["id", "component_id"]
+
+
 def test_components_pointer_jump_log_rounds_on_long_chain(spark):
     """pointer_jump doubles propagation distance per round: a 60-hop chain
     converges within ~log2 rounds where plain min-propagation (1 hop per
@@ -508,3 +520,63 @@ def test_minhash_shuffle_regime_identical_to_broadcast_regime(docs, monkeypatch)
     big = sorted(map(tuple,
                      dedup_minhash(docs, jaccard_threshold=0.3).collect()))
     assert small == big and small  # same pairs, and the fixture has some
+
+
+def _clone_corpus(spark, seed=5, n_base=40):
+    """Base docs + clone cliques + borderline variants: exercises both the
+    star-pass fast path (clones) and the phase-2 fallback (pairs whose
+    similarity to the bucket min is sub-threshold while member-member
+    similarity is not)."""
+    import random
+
+    rnd = random.Random(seed)
+    vocab = [f"tok{i}" for i in range(160)]
+    rows = []
+    for i in range(n_base):
+        words = [vocab[rnd.randrange(len(vocab))] for _ in range(14)]
+        rows.append((i, " ".join(words)))
+        if i % 3 == 0:  # clone clique of 4 (exact shingle sets)
+            for k in (1, 2, 3):
+                rows.append((1000 * k + i, " ".join(words)))
+        if i % 3 == 1:  # graded variants: some pairs straddle the
+            for k in (1, 2, 3):  # threshold differently vs each other
+                w = list(words)
+                for _ in range(k * 2):
+                    w[rnd.randrange(len(w))] = vocab[rnd.randrange(len(vocab))]
+                rows.append((1000 * k + i, " ".join(w)))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_minhash_components_equals_pair_mode_composition(spark, monkeypatch):
+    """dedup_minhash(output='components') must produce EXACTLY the labels
+    of dedup_components(dedup_minhash(df)) — the star+phase-2 fusion is an
+    execution strategy, not a semantics change — in both size regimes."""
+    import flouds_vectordb_spark.operators.dedup as dd
+    from flouds_vectordb_spark.operators.dedup import (
+        dedup_components,
+        dedup_minhash,
+    )
+
+    corpus = _clone_corpus(spark)
+    for thr in (0.35, 0.5, 0.8):
+        want = sorted(
+            map(tuple, dedup_components(
+                dedup_minhash(corpus, jaccard_threshold=thr)).collect()))
+        got = sorted(
+            map(tuple, dedup_minhash(corpus, jaccard_threshold=thr,
+                                     output="components").collect()))
+        assert got == want and want, thr
+    # forced shuffle regime must agree too
+    monkeypatch.setattr(dd, "_MINHASH_SMALL_INPUT_BYTES", 0)
+    got_big = sorted(
+        map(tuple, dedup_minhash(corpus, jaccard_threshold=0.5,
+                                 output="components").collect()))
+    monkeypatch.setattr(dd, "_MINHASH_SMALL_INPUT_BYTES", 48 << 20)
+    want = sorted(
+        map(tuple, dedup_minhash(corpus, jaccard_threshold=0.5,
+                                 output="components").collect()))
+    assert got_big == want
+
+    import pytest
+    with pytest.raises(ValueError, match="output"):
+        dedup_minhash(corpus, output="graphml")

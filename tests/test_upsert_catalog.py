@@ -309,6 +309,47 @@ def test_sparse_tf_files_have_disjoint_term_ranges(spark, tmp_path_factory):
         assert hi <= lo, f"overlapping term ranges: {hi} > {lo}"
 
 
+def test_postings_partition_count_scales_with_corpus(spark, tmp_path,
+                                                     monkeypatch):
+    """r9 VERDICT ask #2: the production postings write must scale its
+    range-partition count with the corpus — the scale harness measured a
+    fixed 32-partition write sorting 31M posting rows per partition with
+    spill at 5M docs (227.4 s vs 102.0 s at 256 partitions). Pins the
+    mechanism: session default below the threshold, monotone growth with
+    the Catalyst scan estimate above it, clamped at the max, and
+    _term_sorted honoring the computed count."""
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter as CW
+
+    small = spark.range(50).selectExpr("id", "repeat('x', 100) AS text")
+    big = spark.range(5000).selectExpr("id", "repeat('y', 100) AS text")
+    small_p, big_p = str(tmp_path / "small.pq"), str(tmp_path / "big.pq")
+    small.write.parquet(small_p)
+    big.write.parquet(big_p)
+    s_small, s_big = spark.read.parquet(small_p), spark.read.parquet(big_p)
+
+    # gate-scale corpora sit below the per-partition budget: keep the
+    # session default (None = let repartitionByRange pick it)
+    assert CW._postings_partitions(s_small) is None
+
+    # shrink the budget so these scans cross it, then growth must be
+    # monotone in corpus bytes
+    monkeypatch.setattr(CW, "_POSTINGS_SRC_BYTES_PER_PART", 64)
+    n_small, n_big = (CW._postings_partitions(s_small),
+                      CW._postings_partitions(s_big))
+    assert n_small is not None and n_big is not None and n_big > n_small
+
+    monkeypatch.setattr(CW, "_POSTINGS_MAX_PARTS", 7)
+    assert CW._postings_partitions(s_big) == 7  # clamp
+
+    monkeypatch.setattr(CW, "_POSTINGS_MAX_PARTS", 32_768)
+    # unique terms: repartitionByRange caps partitions at the distinct
+    # range-key count, so low-cardinality frames would undershoot n
+    post = s_big.selectExpr("id", "lpad(cast(id AS string), 8, '0') AS term")
+    n = CW._postings_partitions(s_big)
+    got = CW._term_sorted(post, src=s_big).rdd.getNumPartitions()
+    assert got == n, (got, n)
+
+
 # ---- INT64 / auto_id primary key (base_milvus.py:894-947) --------------------
 
 def test_pk_type_spec_validation():
