@@ -54,6 +54,20 @@ from flouds_vectordb_spark.operators.url_curation import blocklist_filter, domai
 from flouds_vectordb_spark.session import get_spark
 
 
+def _ckpt(df):
+    """localCheckpoint + the r9 lesson as an executable invariant: the
+    checkpointed frame must plan against a flat scan. If a stage's
+    logical lineage ever leaks past a boundary again (the r9 failure:
+    pure planning cost grew to minutes / OOM at 500 docs), this trips
+    immediately instead of surfacing as mystery slowness."""
+    out = df.localCheckpoint(eager=True)
+    n_chars = len(out._jdf.queryExecution().optimizedPlan().toString())
+    assert n_chars < 4000, (
+        f"checkpoint boundary leaked lineage: optimized plan is "
+        f"{n_chars} chars, expected a flat scan")
+    return out
+
+
 def main(sf_dir: str) -> int:
     spark = get_spark("pretraining-pipeline")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -80,8 +94,8 @@ def main(sf_dir: str) -> int:
     # (no jobs, pure planning) grew to minutes and 16 GB of driver heap
     # once the LID/PSL/perplexity expressions widened. Checkpointing cuts
     # the lineage, so each stage plans against a flat scan
-    by_lang = curated.join(keep_ids, curated.doc_id == keep_ids.id,
-                           "left_semi").localCheckpoint(eager=True)
+    by_lang = _ckpt(curated.join(keep_ids, curated.doc_id == keep_ids.id,
+                                 "left_semi"))
     n2 = by_lang.count()
 
     # 3. quality: Gopher signals AND the CCNet perplexity split — rank by
@@ -108,7 +122,7 @@ def main(sf_dir: str) -> int:
                                   id_col="doc_id", text_col="text") \
         .withColumnRenamed("text_clean", "text") \
         .join(quality.drop("text"), quality.doc_id == F.col("id"), "inner") \
-        .drop("id", "n_lines_removed").localCheckpoint(eager=True)
+        .drop("id", "n_lines_removed").transform(_ckpt)
     n4 = cleaned.count()
 
     # 5. near-dup: MinHash-LSH candidate pairs -> components -> keep the
@@ -130,8 +144,8 @@ def main(sf_dir: str) -> int:
     # two-phase budgets, packing's offset scan) — checkpoint the funnel
     # here so the dedup/decontamination lineage materializes exactly once
     # and its logical tree stops riding every downstream plan
-    decon = deduped.join(dirty, deduped.doc_id == dirty.id, "left_anti") \
-        .localCheckpoint(eager=True)
+    decon = _ckpt(deduped.join(dirty, deduped.doc_id == dirty.id,
+                               "left_anti"))
     n6 = decon.count()
 
     # 7. targeted selection: DSIR importance resampling — keep the docs
@@ -142,15 +156,16 @@ def main(sf_dir: str) -> int:
     picked = dsir_resample(decon, target, n_keep=max(1, int(n6 * 0.8)),
                            n_buckets=4096, id_col="doc_id", text_col="text",
                            seed=21).select("id")
-    selected = decon.join(picked, decon.doc_id == picked.id, "left_semi") \
-        .localCheckpoint(eager=True)
+    selected = _ckpt(decon.join(picked, decon.doc_id == picked.id,
+                                 "left_semi"))
     n7 = selected.count()
 
     # 8. mixing: temperature-scaled per-source token budgets (alpha=0.5
     #    up-weights small sources — the multilingual-pretraining rule)
-    mixed = sample_temperature_mix(selected, total_budget=20_000, alpha=0.5,
-                                   source_col="source", text_col="text",
-                                   key_col="doc_id", seed=42).localCheckpoint(eager=True)
+    mixed = _ckpt(sample_temperature_mix(selected, total_budget=20_000,
+                                         alpha=0.5, source_col="source",
+                                         text_col="text", key_col="doc_id",
+                                         seed=42))
     n8 = mixed.count()
 
     # 9a. chunking: the curated corpus becomes the CHUNK unit the vector

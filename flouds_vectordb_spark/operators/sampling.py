@@ -155,22 +155,34 @@ def sample_token_budget(df: DataFrame, budgets: dict, source_col: str = "source"
                 break  # later buckets: cum_before > budget -> full drop
             else:  # pragma: no cover - loop breaks before reaching here
                 break
-    full_cond = F.lit(False)
-    for src, bk in keep_full:
-        full_cond = full_cond | ((F.col(source_col) == src) & (F.col("_bk") == bk))
-    kept = work.filter(full_cond)
+    # membership via broadcast LITERAL-TABLE joins, not OR chains: a
+    # `(source == s AND _bk == b) OR ...` filter collapses into the scan
+    # projection and re-inlines _bk's md5 expression PER COMPARISON —
+    # hundreds of kept buckets blew the codegen method limit (the same
+    # gotcha class as the r8 PSL rewrite; janino fell back to interpreted
+    # mode on the example funnel's stage-8 filter). Row membership is
+    # identical, so results are bit-unchanged.
+    from flouds_vectordb_spark.functions.local import local_df
+
+    spark = df.sparkSession
+    stype = dict(df.dtypes)[source_col]
+    if keep_full:
+        kf = local_df(spark, sorted(keep_full),
+                      f"{source_col} {stype}, _bk bigint")
+        kept = work.join(F.broadcast(kf), [source_col, "_bk"], "leftsemi")
+    else:
+        kept = work.filter(F.lit(False))
     if boundary:
-        b_cond = F.lit(False)
-        rem = F.lit(None).cast("long")
-        for src, (bk, r) in sorted(boundary.items()):
-            b_cond = b_cond | ((F.col(source_col) == src) & (F.col("_bk") == bk))
-            rem = F.when(F.col(source_col) == src, F.lit(int(r))).otherwise(rem)
+        bt = local_df(
+            spark,
+            [(src, bk, int(r)) for src, (bk, r) in sorted(boundary.items())],
+            f"{source_col} {stype}, _bk bigint, _rem long")
         w = Window.partitionBy(source_col).orderBy(
             F.col("_h").asc(), F.col(key_col).asc())
-        brows = (work.filter(b_cond)
+        brows = (work.join(F.broadcast(bt), [source_col, "_bk"])
                  .withColumn("_cum", F.sum("_nt").over(
                      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-                 .filter(F.col("_cum") <= rem).drop("_cum"))
+                 .filter(F.col("_cum") <= F.col("_rem")).drop("_cum", "_rem"))
         kept = kept.unionByName(brows)
     return kept.drop("_h", "_nt", "_bk")
 

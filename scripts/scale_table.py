@@ -12,9 +12,11 @@ from __future__ import annotations
 import json
 import sys
 
-ORDER = ["dedup_minhash", "dedup_components", "exact_substring",
-         "pack_sequences", "sparse_search_many", "hybrid_search_many",
-         "dsir_resample", "hnsw_build", "hnsw_search"]
+ORDER = ["dedup_minhash", "dedup_components", "dedup_minhash_components",
+         "exact_substring", "ngram_jaccard", "repetition_full", "bpe_train",
+         "pack_sequences", "sparse_search_many", "sparse_rare",
+         "hybrid_search_many", "similarity_join", "dsir_resample",
+         "hnsw_build", "hnsw_search"]
 DIRS = ["x1", "x10", "x100", "x1000"]
 
 

@@ -97,11 +97,14 @@ def test_persist_scope_releases_importance_and_lm_intermediates(spark):
         # tables are no longer persisted at all (r9 VERDICT ask #1: one
         # tagged-union collect reads each exactly once).
         assert len(tracked) >= 3
-        # only the frames the returned plans still read (per_doc, src_ev,
-        # scored) may remain warm
+        # only the frames the returned plans still read may remain warm:
+        # per_doc (dsir), src_ev (bigram), and ppl's scored +
+        # per_term_counts + model (unigram_logprob r10 keeps the count agg
+        # and the derived model cached — both are consumed lazily by the
+        # returned plan, so the operator cannot release them itself)
         warm = [df for df in tracked
                 if df.storageLevel.useMemory or df.storageLevel.useDisk]
-        assert len(warm) <= 3
+        assert len(warm) <= 5
     assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
                for df in tracked)
 
