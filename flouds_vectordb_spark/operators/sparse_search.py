@@ -382,16 +382,18 @@ def sparse_search(
 _ISIN_TERM_CAP = 512
 
 # --- max-score (WAND-family) floor pruning for heavy batched blocks (r10) ----
-# Auto-engage the floor prune only when the posting table is an HONEST
-# heavy scan: Catalyst's estimate is at least this AND within a small
-# factor of the actual input file bytes. Computed posting plans (the gate
-# queries' in-memory builds, the catalog's derive-at-read view) carry
-# join-inflated estimates that are orders of magnitude off — measured 50 GB
-# "estimated" for a 5k-doc build — so a bare size threshold would bolt the
-# floor job onto every small query. Those callers opt in explicitly: the
-# catalog passes prune=True from its free meta counters (sum_dl).
+# Auto-engage the floor prune only when the posting table is a BARE FILE
+# SCAN with at least this many on-disk bytes. Two failed designs inform
+# the shape of this gate: (a) Catalyst's size estimate of a COMPUTED
+# posting plan is join-inflated garbage (measured "50 GB" for a 5k-doc
+# build), so a bare estimate threshold engages on every tiny gate query;
+# (b) probing the estimate at all costs an optimizer run through py4j —
+# measured +0.4 s per gate query, a real bench regression. The logical
+# (unanalyzed, unoptimized) plan's shape is free to read: a scan is <= 4
+# lines. Computed plans (catalog derive-at-read, in-memory builds) opt
+# in explicitly — the catalog passes prune=True from its free sum_dl
+# counter.
 _WAND_MIN_INPUT_BYTES = 64 << 20
-_WAND_EST_FILE_FACTOR = 64
 # catalog hint (upsert.search_sparse_many): engage when the index's token
 # counter says the posting table is past this many rows
 _WAND_MIN_POSTINGS_HINT = 20_000_000
@@ -410,6 +412,11 @@ _WAND_FLOOR_SAMPLE = 8192
 # any vocabulary size.
 _PIVOT_TERM_CAP = 64
 _PIVOT_QID_CAP = 256
+# below this many queries the fold plan's (posting x query) join carries
+# no meaningful multiplicity and the pivot's explode-then-filter overhead
+# loses (interleaved A/B on the 4-query q3 gate: fold 1.05 s vs pivot
+# 1.26 s) — small blocks keep the fold unless the floor prune engages
+_PIVOT_MIN_QIDS = 16
 
 
 def _query_term_matrix(queries) -> tuple[list[str], list[tuple[int, list[int]]]]:
@@ -466,30 +473,40 @@ def _rank_cut_many(scored: DataFrame, req: SparseSearchRequest) -> DataFrame:
     )
 
 
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's optimized-plan size estimate; 0 (= stay on the plain
-    plan) when unavailable. Accurate for parquet scans and materialized
-    caches — the only shapes the WAND gate cares about."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
-    except Exception:
-        return 0
+# logical-plan node classes a "bare file scan" may consist of: the scan
+# leaf (UnresolvedDataSource on Spark 4's lazy reader path, LogicalRelation
+# once resolved) under at most a few trivial wrappers
+_SCAN_LEAVES = {"UnresolvedDataSource", "LogicalRelation"}
+_SCAN_WRAPPERS = {"Project", "Filter", "SubqueryAlias"}
 
 
-def _input_file_bytes(df: DataFrame) -> int:
-    """Total on-disk bytes of the plan's input files (local paths only);
-    0 when unknown — the auto-gate then stays conservative (no prune)."""
+def _honest_scan_bytes(df: DataFrame) -> int | None:
+    """On-disk input bytes when df is a bare file scan (local paths),
+    else None. Walks LOGICAL (pre-analysis) plan node class names only —
+    ~0.6 ms per probe — never the optimizer or the plan's toString: the
+    optimizer probe cost ~0.4 s per gate query, and toString on a wide
+    computed plan is a 100 KB py4j string transfer."""
     import os
     import re
 
     try:
+        p = df._jdf.queryExecution().logical()
+        for _ in range(4):
+            name = p.getClass().getSimpleName()
+            if name in _SCAN_LEAVES:
+                break
+            if name in _SCAN_WRAPPERS and p.children().size() == 1:
+                p = p.children().head()
+                continue
+            return None
+        else:
+            return None
         total = 0
         for f in df.inputFiles():
             total += os.path.getsize(re.sub("^file:/+", "/", f))
         return total
     except Exception:
-        return 0
+        return None
 
 
 def _pivot_per_doc(pruned: DataFrame, terms: list) -> DataFrame:
@@ -617,10 +634,18 @@ def sparse_search_many(
     pruned = postings
     if len(terms) <= _ISIN_TERM_CAP:
         pruned = postings.filter(F.col("term").isin(terms))
-    if len(terms) > _PIVOT_TERM_CAP or len(qtf_rows) > _PIVOT_QID_CAP:
-        # FOLD plan: constant width at any block size; the floor prune
-        # does not apply here (wide blocks imply rare terms, where the
-        # matched volume is df-proportional already)
+    if prune is not None:
+        engage = bool(prune)
+    else:
+        fb = _honest_scan_bytes(postings)
+        engage = fb is not None and fb >= _WAND_MIN_INPUT_BYTES
+    use_pivot = (len(terms) <= _PIVOT_TERM_CAP
+                 and len(qtf_rows) <= _PIVOT_QID_CAP
+                 and (engage or len(qtf_rows) >= _PIVOT_MIN_QIDS))
+    if not use_pivot:
+        # FOLD plan: constant width at any block size, and the cheaper
+        # shape for small blocks (no explode-then-filter overhead); the
+        # floor prune does not apply here
         from flouds_vectordb_spark.functions.local import local_df
 
         qt = local_df(
@@ -628,13 +653,6 @@ def sparse_search_many(
                     for t, c in zip(terms, row) if c > 0],
             "qid bigint, term string, _qtf int")
         return _rank_cut_many(_fold_scores(_contrib_rows(pruned, qt)), req)
-    if prune is not None:
-        engage = bool(prune)
-    else:
-        est = _plan_size_bytes(postings)
-        engage = (est >= _WAND_MIN_INPUT_BYTES
-                  and est <= _WAND_EST_FILE_FACTOR
-                  * (_input_file_bytes(postings) + 1))
     per_doc = _pivot_per_doc(pruned, terms)
     if engage:
         # the pivot table feeds both the floor sample and the full
