@@ -484,6 +484,54 @@ _register("q3_sparse_search_many", _q3_sparse_many_q,
                   _SPARSE_MQ, POSTINGS_SQL))
 
 
+# r10 plan-coverage gates: the batched sparse scorer has three executable
+# shapes (fold for small blocks, per-doc pivot for wide blocks, pivot +
+# max-score floor prune when forced/heavy) — all bit-identical by
+# contract, so they share ONE oracle formulation. These two ext gates run
+# the pivot and the floor shapes against DuckDB hash-exactly; the window
+# gate above covers the fold shape.
+_SPARSE_MQ_WIDE = _SPARSE_MQ + [
+    (10 + i, f"{a} {b} vector" if i % 3 else f"{a} {b}")
+    for i, (a, b) in enumerate(
+        (x, y) for x in ("index", "scan", "merge", "hash", "join", "batch")
+        for y in ("table", "fast", "slow"))
+]
+
+
+def _q3_sparse_many_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sparse_search import sparse_search_many
+
+    posts = bm25_postings(collection(spark, sf_dir))
+    # 22 qids >= _PIVOT_MIN_QIDS -> the per-doc pivot plan, no floor
+    return sparse_search_many(
+        posts, _SPARSE_MQ_WIDE,
+        SparseSearchRequest(query_text="", limit=5, offset=1))
+
+
+_register_ext("q3_sparse_search_many_pivot", _q3_sparse_many_pivot_q,
+              sparse_search_many_sql(
+                  SparseSearchRequest(query_text="", limit=5, offset=1),
+                  _SPARSE_MQ_WIDE, POSTINGS_SQL))
+
+
+def _q3_sparse_many_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.sparse_search import sparse_search_many
+
+    posts = bm25_postings(collection(spark, sf_dir))
+    # prune=True forces the max-score floor path (sampled theta + filter
+    # before the rank window) — exact by construction, pinned here
+    # against the SAME oracle the unpruned plans use
+    return sparse_search_many(
+        posts, _SPARSE_MQ, SparseSearchRequest(query_text="", limit=10),
+        prune=True)
+
+
+_register_ext("q3_sparse_search_many_floor", _q3_sparse_many_floor_q,
+              sparse_search_many_sql(
+                  SparseSearchRequest(query_text="", limit=10),
+                  _SPARSE_MQ, POSTINGS_SQL))
+
+
 _HYBRID_MQ = [(t, fixture_query_vector(seed=61 + t), text)
               for t, (_, text) in enumerate(_SPARSE_MQ)]
 _HYBRID_MQ_REQ = HybridSearchRequest(
