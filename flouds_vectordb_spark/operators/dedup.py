@@ -337,7 +337,8 @@ def dedup_minhash(
         raise ValueError(f"unknown output mode {output!r}")
     entries, sets = _band_entries(df, id_col, text_col, n_sigs, n_bands,
                                   shingle_n)
-    if _plan_size_bytes(df) <= _MINHASH_SMALL_INPUT_BYTES:
+    small = _plan_size_bytes(df) <= _MINHASH_SMALL_INPUT_BYTES
+    if small:
         # BROADCAST REGIME (gate-scale corpora): every table here sits
         # under the broadcast threshold, so the plain two-sided join plan
         # shuffles ~nothing and the scale machinery below would only add
@@ -352,35 +353,18 @@ def dedup_minhash(
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        pairs = (
-            cand.join(sets.select(F.col("id").alias("id_a"),
-                                  F.col("shingles").alias("sh_a")), "id_a")
-            .join(sets.select(F.col("id").alias("id_b"),
-                              F.col("shingles").alias("sh_b")), "id_b")
-        )
     else:
-        # SHUFFLE REGIME. Three measured facts at 500k docs drive this
-        # shape (stage-level event-log profile, r9):
-        # 1. pre-partition the band entries on the bucket key and persist:
-        #    the cached relation's HashPartitioning satisfies BOTH
-        #    self-join sides' required distribution, so the bucket shuffle
-        #    materializes once instead of once per side (alias-only
-        #    self-joins do NOT canonicalize to a ReusedExchange here).
-        # 2. materialize the candidate list (scalars, dup-rate bounded)
-        #    BEFORE planning the verify joins: the cache then carries real
-        #    statistics, so Catalyst broadcast-joins a small candidate set
-        #    and the full shingle table never shuffles for the id_a probe.
-        #    Left lazy, AQE submits the full-table exchange concurrently
-        #    with the candidate stage — the 2 x 413 MB writes are sunk
-        #    cost before its runtime broadcast-flip can happen.
-        # 3. the id_b join's left side carries sh_a (too fat to
-        #    broadcast), so it stays sort-merge — semi-join-prune its
-        #    shingle side to the candidate ids: only dup-touching shingle
-        #    rows ride that exchange instead of the whole corpus.
-        # Dup-heavy corpora (huge candidate sets) degrade to the
-        # sort-merge shapes — the right choice there. Net: 1101.7 ->
-        # 289.8 shuffle MB at 500k docs. (One action materializes the
-        # cand + ids_b caches: the count below evaluates through both.)
+        # SHUFFLE REGIME. The measured fact (stage-level event-log
+        # profile, r9) driving the candidate build: pre-partition the
+        # band entries on the bucket key and persist — the cached
+        # relation's HashPartitioning satisfies BOTH self-join sides'
+        # required distribution, so the bucket shuffle materializes once
+        # instead of once per side (alias-only self-joins do NOT
+        # canonicalize to a ReusedExchange here). The verify-join shape
+        # (candidate cache materialized before planning, id_b shingle
+        # side semi-join-pruned — net 1101.7 -> 289.8 shuffle MB at 500k
+        # docs) lives in _verify_candidates, shared with the
+        # cluster-output fusion.
         spark = df.sparkSession
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         entries = entries.repartition(
@@ -393,27 +377,8 @@ def dedup_minhash(
             .select(F.col("_ea.id").alias("id_a"),
                     F.col("_eb.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
-        ).transform(_persist)
-        ids_b = (cand.select(F.col("id_b").alias("id")).dropDuplicates()
-                 .transform(_persist))
-        ids_b.count()
-        sets_b = (sets.join(ids_b, "id", "leftsemi")
-                  .select(F.col("id").alias("id_b"),
-                          F.col("shingles").alias("sh_b")))
-        pairs = (
-            cand.join(sets.select(F.col("id").alias("id_a"),
-                                  F.col("shingles").alias("sh_a")), "id_a")
-            .join(sets_b, "id_b")
         )
-
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).cast("double") - inter
-    jac = inter / union
-    return (
-        pairs.withColumn("jaccard_r", F.round(jac, 6))
-        .filter(F.col("jaccard_r") >= F.lit(float(jaccard_threshold)))
-        .select("id_a", "id_b", "jaccard_r")
-    )
+    return _verify_candidates(cand, sets, jaccard_threshold, small)
 
 
 def dedup_minhash_sql(

@@ -165,21 +165,31 @@ def sample_token_budget(df: DataFrame, budgets: dict, source_col: str = "source"
     from flouds_vectordb_spark.functions.local import local_df
 
     spark = df.sparkSession
+    # the literal tables use INTERNAL column names and explicit join
+    # conditions: splicing source_col into a DDL schema string would
+    # break on non-identifier column names ("source name", reserved
+    # words) that the old OR-chain handled
     stype = dict(df.dtypes)[source_col]
     if keep_full:
-        kf = local_df(spark, sorted(keep_full),
-                      f"{source_col} {stype}, _bk bigint")
-        kept = work.join(F.broadcast(kf), [source_col, "_bk"], "leftsemi")
+        kf = local_df(spark, sorted(keep_full), f"_src {stype}, _kbk bigint")
+        kept = work.join(
+            F.broadcast(kf),
+            (work[source_col] == kf["_src"]) & (work["_bk"] == kf["_kbk"]),
+            "leftsemi")
     else:
         kept = work.filter(F.lit(False))
     if boundary:
         bt = local_df(
             spark,
             [(src, bk, int(r)) for src, (bk, r) in sorted(boundary.items())],
-            f"{source_col} {stype}, _bk bigint, _rem long")
+            f"_src {stype}, _bbk bigint, _rem long")
         w = Window.partitionBy(source_col).orderBy(
             F.col("_h").asc(), F.col(key_col).asc())
-        brows = (work.join(F.broadcast(bt), [source_col, "_bk"])
+        brows = (work.join(
+                     F.broadcast(bt),
+                     (work[source_col] == bt["_src"])
+                     & (work["_bk"] == bt["_bbk"]))
+                 .drop("_src", "_bbk")
                  .withColumn("_cum", F.sum("_nt").over(
                      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
                  .filter(F.col("_cum") <= F.col("_rem")).drop("_cum", "_rem"))

@@ -501,9 +501,13 @@ def _honest_scan_bytes(df: DataFrame) -> int | None:
             return None
         else:
             return None
+        from urllib.parse import unquote
+
         total = 0
         for f in df.inputFiles():
-            total += os.path.getsize(re.sub("^file:/+", "/", f))
+            # inputFiles() returns percent-encoded URIs — decode before
+            # hitting the filesystem ("my corpus" arrives as my%20corpus)
+            total += os.path.getsize(unquote(re.sub("^file:/+", "/", f)))
         return total
     except Exception:
         return None
@@ -547,22 +551,21 @@ def _pivot_scored(per_doc: DataFrame, terms: list, qtf_rows: list) -> DataFrame:
     )
 
 
-def _wand_floor_filter(per_doc: DataFrame, scored: DataFrame, terms: list,
-                       qtf_rows: list, req: SparseSearchRequest) -> DataFrame:
+def _floor_filter(sample_scored: DataFrame, scored: DataFrame,
+                  req: SparseSearchRequest) -> DataFrame:
     """Max-score floor prune (r9 VERDICT ask #3), EXACT by construction:
-    score a bounded arbitrary SAMPLE of pivoted docs, take each query's
+    from an already-EXACTLY-scored bounded sample, take each query's
     fetch-th best rounded score as a floor θ (any k docs' scores lower-
     bound the true k-th best), and filter the full scored stream to
     _score_r >= θ BEFORE the rank window — the true top-fetch rows all
     score >= θ, so the per-qid sort collapses from |matched docs| to
     ~fetch plus ties. Sample membership affects prune strength only,
     never results; qids with fewer than fetch sampled matches get no
-    floor and pass through unpruned."""
+    floor and pass through unpruned. Plan-agnostic: both the pivot and
+    fold scorers feed it."""
     from flouds_vectordb_spark.functions.local import local_df
 
     fetch = req.effective_limit + req.offset
-    sample_scored = _pivot_scored(per_doc.limit(_WAND_FLOOR_SAMPLE),
-                                  terms, qtf_rows)
     w = Window.partitionBy("qid").orderBy(F.col("_score_r").desc(),
                                           F.col("id").asc())
     theta = sorted(
@@ -571,7 +574,7 @@ def _wand_floor_filter(per_doc: DataFrame, scored: DataFrame, terms: list,
         .filter(F.col("_pre") == fetch).select("qid", "_score_r").collect())
     if not theta:
         return scored
-    th_df = local_df(per_doc.sparkSession, theta, "qid bigint, _th double")
+    th_df = local_df(scored.sparkSession, theta, "qid bigint, _th double")
     return (scored.join(F.broadcast(th_df), "qid", "left")
             .filter(F.col("_th").isNull()
                     | (F.col("_score_r") >= F.col("_th")))
@@ -644,15 +647,28 @@ def sparse_search_many(
                  and (engage or len(qtf_rows) >= _PIVOT_MIN_QIDS))
     if not use_pivot:
         # FOLD plan: constant width at any block size, and the cheaper
-        # shape for small blocks (no explode-then-filter overhead); the
-        # floor prune does not apply here
+        # shape for small blocks (no explode-then-filter overhead). The
+        # floor prune still applies when engaged (wide heavy blocks are
+        # rare-term-dominated, but a forced prune must not silently
+        # no-op): the sample is a bounded posting-id semi-join, scored
+        # exactly through the same fold.
         from flouds_vectordb_spark.functions.local import local_df
 
         qt = local_df(
             spark, [(q, t, int(c)) for q, row in qtf_rows
                     for t, c in zip(terms, row) if c > 0],
             "qid bigint, term string, _qtf int")
-        return _rank_cut_many(_fold_scores(_contrib_rows(pruned, qt)), req)
+        contrib = _contrib_rows(pruned, qt)
+        if engage:
+            contrib = _tracked_persist(contrib)
+            sample_ids = (pruned.select("id").limit(_WAND_FLOOR_SAMPLE)
+                          .dropDuplicates())
+            sample_scored = _fold_scores(
+                contrib.join(F.broadcast(sample_ids), "id", "leftsemi"))
+            scored = _floor_filter(sample_scored, _fold_scores(contrib), req)
+        else:
+            scored = _fold_scores(contrib)
+        return _rank_cut_many(scored, req)
     per_doc = _pivot_per_doc(pruned, terms)
     if engage:
         # the pivot table feeds both the floor sample and the full
@@ -660,7 +676,9 @@ def sparse_search_many(
         per_doc = _tracked_persist(per_doc)
     scored = _pivot_scored(per_doc, terms, qtf_rows)
     if engage:
-        scored = _wand_floor_filter(per_doc, scored, terms, qtf_rows, req)
+        sample_scored = _pivot_scored(per_doc.limit(_WAND_FLOOR_SAMPLE),
+                                      terms, qtf_rows)
+        scored = _floor_filter(sample_scored, scored, req)
     return _rank_cut_many(scored, req)
 
 

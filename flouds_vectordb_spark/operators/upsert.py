@@ -977,7 +977,11 @@ class CollectionWriter:
         are free to read, and sum_dl bounds the posting row count — the
         RELIABLE heavy-block signal the derive-at-read view's inflated
         Catalyst estimate can't give (sparse_search._WAND_* rationale).
-        None = let the operator's honest-scan auto-gate decide."""
+        sum_dl is an UPPER bound (total token occurrences >= distinct
+        (doc, term) rows), so repetitive corpora may engage early — the
+        cost of a wrong engage is one pivot-cache persist plus a bounded
+        sample job, cheap relative to the heavy blocks the hint exists
+        for. None = let the operator's honest-scan auto-gate decide."""
         import json
         import os
 

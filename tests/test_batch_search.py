@@ -222,12 +222,17 @@ def test_sparse_search_many_wand_prune_identical(spark, corpus, monkeypatch):
         pruned = sorted(map(tuple, sparse_search_many(
             posts, queries, req, prune=True).collect()))
         assert pruned == plain and plain, req.limit
-        # fold plan (forced via the pivot caps) must agree too
+        # fold plan (forced via the pivot caps) must agree too — both
+        # unpruned and with the fold-path floor prune forced (a forced
+        # prune must never silently no-op on wide blocks)
         monkeypatch.setattr(ss, "_PIVOT_TERM_CAP", 0)
         fold = sorted(map(tuple, sparse_search_many(
             posts, queries, req, prune=False).collect()))
+        fold_floor = sorted(map(tuple, sparse_search_many(
+            posts, queries, req, prune=True).collect()))
         monkeypatch.setattr(ss, "_PIVOT_TERM_CAP", 64)
         assert fold == plain, req.limit
+        assert fold_floor == plain, req.limit
     posts.unpersist()
 
 
