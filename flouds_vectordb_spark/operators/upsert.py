@@ -151,6 +151,7 @@ class CollectionWriter:
         # both the auto-id high-water mark and the ts watermark below must
         # start from the file's current values, not a cached snapshot
         self.meta = self.catalog.describe_collection(self.tenant, self.model)
+        self._recover_compaction()
         self._vacuum_stray_files()
         auto_id = (str(self.meta.get("primary_key_data_type", "VARCHAR")).upper()
                    in ("INT64", "INT"))
@@ -418,15 +419,71 @@ class CollectionWriter:
 
     @_locked
     def flush(self) -> None:
-        """S4: compact appended segments to the deduped state (tmp + swap)."""
-        import os
+        """S4: compact appended segments to the deduped state.
+
+        CRASH-SAFE swap (r10; SURVEY hard-part #4's single-writer answer
+        to what Delta's transaction log would give on a cluster): the old
+        shape was `rmtree(path); replace(tmp, path)` — a crash between
+        the two left NO directory at the collection path (data recoverable
+        only by hand from the tmp). Now a roll-forward/roll-back protocol
+        with two atomic renames and a completion marker:
+
+          1. write tmp; touch tmp/_COMPACT_COMPLETE (Spark ignores
+             underscore-prefixed files, like _SUCCESS)
+          2. rename path -> path__precompact     (atomic)
+          3. rename tmp  -> path                 (atomic)
+          4. rmtree path__precompact
+
+        Every crash point leaves a recoverable state, repaired by
+        _recover_compaction() under the writer lock before any flush or
+        insert: marker present -> roll FORWARD to the compacted data;
+        marker absent -> roll BACK to the pre-compaction directory. On a
+        multi-node deployment this is exactly the seam where a
+        transactional table format (Delta/Iceberg MERGE + atomic commit)
+        replaces directory renames; the protocol keeps plain parquet —
+        the lowest common denominator this environment ships — safe on
+        one writer."""
+        import shutil
+
+        self._recover_compaction()
+        path = self.meta["path"]
+        tmp = path + "__compacting"
+        old = path + "__precompact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.read_latest().write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_COMPACT_COMPLETE"), "w"):
+            pass
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
+    def _recover_compaction(self) -> None:
+        """Repair any state a crashed flush() left behind (see flush's
+        protocol). Runs under the writer lock. Decision table:
+        - path present, tmp present: crashed before step 2 (or during the
+          tmp write) -> discard tmp (the compaction never took effect).
+        - path present, old present: crashed between 3 and 4 -> the swap
+          finished; discard old.
+        - path MISSING, old present: crashed between 2 and 3 -> roll
+          forward to tmp iff its completion marker exists, else roll back
+          to old (an unmarked tmp may be a partial write)."""
         import shutil
 
         path = self.meta["path"]
         tmp = path + "__compacting"
-        self.read_latest().write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        old = path + "__precompact"
+        if os.path.isdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if not os.path.isdir(old):
+            return
+        if os.path.isfile(os.path.join(tmp, "_COMPACT_COMPLETE")):
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.rename(old, path)
 
     # ---- index build + search (S2's index job + the reference search gate) --
     @_locked

@@ -102,6 +102,66 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
         w.insert_data(bad, batch_ts=3)
 
 
+def test_flush_crash_recovery_all_states(spark, tmp_path_factory):
+    """r10: flush's compaction swap is crash-safe — every interruption
+    point leaves a state _recover_compaction repairs to a readable
+    collection (the old rmtree+replace shape had a window where the
+    collection directory simply vanished). Simulates all four crash
+    states by arranging the directories a crash would leave."""
+    import os
+    import shutil
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whcr")))
+    cat.set_vector_store("t9")
+    cat.generate_schema(CollectionSpec("t9", "m", dimension=2))
+    w = CollectionWriter(cat, "t9", "m")
+    b = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
+                              "id string, chunk string, vector array<float>")
+    w.insert_data(b, batch_ts=1, force_flush=True)
+    path = w.meta["path"]
+    tmp, old = path + "__compacting", path + "__precompact"
+
+    def rows():
+        return {r["id"]: r["chunk"] for r in w.read_latest().collect()}
+
+    def clone(src, dst, chunk_suffix=None):
+        shutil.copytree(src, dst)
+
+    # state A: crash during/after the tmp write, before any rename
+    clone(path, tmp)
+    w._recover_compaction()
+    assert not os.path.isdir(tmp) and rows() == {"a": "v1", "b": "v1"}
+
+    # state B: crash between step 3 and 4 (swap done, old not deleted)
+    clone(path, old)
+    w._recover_compaction()
+    assert not os.path.isdir(old) and rows() == {"a": "v1", "b": "v1"}
+
+    # state C: crash between the renames WITH the completion marker ->
+    # roll FORWARD to the compacted data
+    clone(path, tmp)
+    open(os.path.join(tmp, "_COMPACT_COMPLETE"), "w").close()
+    os.rename(path, old)
+    w._recover_compaction()
+    assert os.path.isdir(path) and not os.path.isdir(old)
+    assert not os.path.isdir(tmp) and rows() == {"a": "v1", "b": "v1"}
+
+    # state D: crash between the renames WITHOUT the marker (possibly
+    # partial tmp) -> roll BACK to the pre-compaction directory
+    clone(path, tmp)  # no marker: treated as untrusted
+    os.rename(path, old)
+    w._recover_compaction()
+    assert os.path.isdir(path) and not os.path.isdir(tmp)
+    assert not os.path.isdir(old) and rows() == {"a": "v1", "b": "v1"}
+
+    # and a real flush still round-trips on the recovered collection
+    b2 = spark.createDataFrame([("a", "v2", [0.5, 0.5])],
+                               "id string, chunk string, vector array<float>")
+    w.insert_data(b2, batch_ts=2, force_flush=True)
+    assert rows() == {"a": "v2", "b": "v1"}
+    assert not os.path.isdir(tmp) and not os.path.isdir(old)
+
+
 def test_catalog_name_validation_and_idempotency(spark, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("wh5")))
     # normalization: ACME and acme are the same tenant (input_validator.py:65-99)
