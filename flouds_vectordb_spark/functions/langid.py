@@ -14,12 +14,14 @@ Everything here is engine-portable by construction:
 - PROFILES are literal data, computed at import time from the built-in
   lowercase training snippets below with the same n-gram extraction the
   document side uses. No external model, no download, fully deterministic.
-- The DOCUMENT side is pure DataFrame/SQL: normalize (lower, non-letters
-  -> space), pad words with spaces, extract 1..3-grams, count, rank top
-  DOC_TOP per doc, broadcast-join the profile table, integer penalty
-  aggregation, per-doc argmin. Identical in DuckDB (`lang_id_sql`) — the
-  distance math is all-integer, so oracle parity is exact, never
-  float-rounded.
+- The DOCUMENT side is a pure map: normalize (lower, non-letters ->
+  space), pad words with spaces, extract 1..3-grams, count, rank top
+  DOC_TOP per doc, integer penalty against the process-local profile
+  index, per-doc argmin — all inside one Arrow-batched UDF per split
+  (classify_udf; see its docstring for why every JVM shape measured
+  worse). The SQL twin (`lang_id_sql`) expresses the same computation
+  relationally for DuckDB — the distance math is all-integer, so oracle
+  parity is exact, never float-rounded.
 
 Scoring (per doc d, language L):
   distance(d, L) = sum over matched grams of min(|doc_rank - L_rank|, MAX_P)
@@ -28,15 +30,15 @@ Scoring (per doc d, language L):
   "und" when NO top gram of d appears in ANY profile (a no-evidence doc —
   every language would tie at the maximum, so none is claimed).
 
-Scale shape (100 TB): one explode + one (id, gram) aggregation + one
-per-id window rank (the only keyed shuffles, both on scalars), then a
-broadcast join against a ~|langs| x PROFILE_TOP literal table. The text
-itself never shuffles.
+Scale shape (100 TB): a pure map — ZERO shuffle at any scale. Nothing
+leaves the document row; the ~|langs| x PROFILE_TOP profile table is
+literal module data rebuilt in each Python worker, not even a broadcast.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # profile depth per language / doc-side top-gram depth. Cavnar–Trenkle used
@@ -454,46 +456,112 @@ def doc_ngrams(text_col: Column) -> Column:
     return F.flatten(F.transform(padded, grams_of))
 
 
-def profiles_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PROFILES, "lang string, gram string, lrank int")
+# gram -> list[(lang, lrank)] inverted profile index, built lazily ONCE
+# per process (driver and each Python worker) from the literal PROFILES
+_PROFILE_INDEX: dict[str, list[tuple[str, int]]] | None = None
+
+
+def _profile_index() -> dict[str, list[tuple[str, int]]]:
+    global _PROFILE_INDEX
+    if _PROFILE_INDEX is None:
+        idx: dict[str, list[tuple[str, int]]] = {}
+        for lang, gram, lrank in PROFILES:
+            idx.setdefault(gram, []).append((lang, lrank))
+        _PROFILE_INDEX = idx
+    return _PROFILE_INDEX
+
+
+def classify_text(t: str | None) -> tuple[str, int]:
+    """(lang, distance) for one document — the complete Cavnar–Trenkle
+    scoring in plain Python, shared by the Spark UDF and unit tests.
+
+    Exact-parity math with lang_id_sql: rank the doc's grams by
+    (count desc, gram asc) — Python str comparison is by code point,
+    which equals both UTF8String's byte-wise UTF-8 order and DuckDB's
+    binary collation, so ties break identically — then
+    dist(L) = sum over matched grams of min(|dr - lrank|, MAX_PENALTY)
+            + (dn - nm(L)) * MAX_PENALTY, all-integer.
+    Equivalently (used here): start every candidate language at
+    dn * MAX_PENALTY and subtract (MAX_PENALTY - pen) per matched gram —
+    identical integers, but only languages with >= 1 match are ever
+    touched, so the loop is O(top grams x langs-per-gram)."""
+    from collections import Counter
+
+    if t is None:
+        return ("und", -1)
+    c = Counter(_char_ngrams(t.lower()))
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:DOC_TOP]
+    dn = len(ranked)
+    idx = _profile_index()
+    base = dn * MAX_PENALTY
+    scores: dict[str, int] = {}
+    for dr, (gram, _cnt) in enumerate(ranked, start=1):
+        for lang, lrank in idx.get(gram, ()):
+            pen = abs(dr - lrank)
+            if pen > MAX_PENALTY:
+                pen = MAX_PENALTY
+            scores[lang] = scores.get(lang, base) - (MAX_PENALTY - pen)
+    if not scores:
+        return ("und", -1)
+    lang = min(scores, key=lambda L: (scores[L], L))
+    return (lang, scores[lang])
+
+
+def classify_udf():
+    """Arrow-vectorized pandas_udf: text -> struct<lang,distance> — the
+    whole classification as a PURE MAP over documents.
+
+    Why a UDF (the measured exception to the built-ins-first rule): the
+    per-doc top-gram ranking has no efficient JVM expression, and every
+    JVM shape measured at sf0.1 loses. The r9 plan exploded the raw gram
+    stream into a global (id, gram) aggregation + per-id window —
+    codegen-fast (5.4 s) but a shuffle proportional to ~3x corpus
+    characters, the wrong shape at scale. A pure-Catalyst row-local
+    rewrite (array_sort + run-length via higher-order functions) had the
+    right shape but runs INTERPRETED: 12.5 s. A hybrid (UDF top-grams ->
+    broadcast profile join -> two keyed aggs) still paid four keyed
+    exchanges: 8-12 s. This form needs NO exchange at all — the profile
+    table rides into each Python worker as module data (built once per
+    process by _profile_index), and one Arrow batch per input split
+    produces the final answer. Single-core Python for all of sf0.1 is
+    ~2 s; it parallelizes embarrassingly and shuffles nothing at any
+    scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lang:string,distance:bigint>")
+    def _classify(texts: pd.Series) -> pd.DataFrame:
+        out = [classify_text(t) for t in texts]
+        return pd.DataFrame(out, columns=["lang", "distance"])
+
+    return _classify
 
 
 def lang_id(df: DataFrame, id_col: str = "id",
             text_col: str = "text") -> DataFrame:
     """(id, lang, distance): Cavnar–Trenkle classification of every row.
     `distance` is the winning integer out-of-place distance (-1 for "und",
-    which has no competitor). Shuffle budget: one (id, gram) aggregation,
-    one per-id window, one (id, lang) aggregation — scalars only; the
-    profile join is a broadcast."""
-    spark = df.sparkSession
-    grams = (
-        df.select(F.col(id_col).alias("id"), doc_ngrams(F.col(text_col)).alias("_gs"))
-        .select("id", F.explode("_gs").alias("gram"))
-        .groupBy("id", "gram").agg(F.count("*").alias("_cnt"))
-    )
-    w = Window.partitionBy("id").orderBy(F.col("_cnt").desc(), F.col("gram").asc())
-    top = (grams.withColumn("_dr", F.row_number().over(w))
-           .filter(F.col("_dr") <= DOC_TOP))
-    doc_n = top.groupBy("id").agg(F.count("*").alias("_dn"))
-    matched = top.join(F.broadcast(profiles_df(spark)), "gram")
-    pen = F.least(F.abs(F.col("_dr") - F.col("lrank")), F.lit(MAX_PENALTY))
-    per_lang = matched.groupBy("id", "lang").agg(
-        F.sum(pen).alias("_pen"), F.count("*").alias("_nm"))
-    dist = (F.col("_pen")
-            + (F.col("_dn") - F.col("_nm")) * F.lit(MAX_PENALTY)).alias("_dist")
-    scored = per_lang.join(doc_n, "id").select("id", "lang", dist)
-    best = scored.groupBy("id").agg(
-        F.min(F.struct(F.col("_dist"), F.col("lang"))).alias("_b"))
-    # unique-id contract (matches the SQL twin's DISTINCT): duplicate ids
-    # would merge their gram streams upstream anyway, so one verdict per id
-    ids = df.select(F.col(id_col).alias("id")).distinct()
+    which has no competitor).
+
+    Scale shape: a pure map — one Arrow-batched UDF per input split
+    (classify_udf), ZERO shuffle at any scale; the raw gram stream never
+    leaves its document row and the profile table is process-local data,
+    not even a broadcast.
+
+    Unique-id contract (matches the SQL twin's DISTINCT): `id_col` must
+    identify rows uniquely. The SQL twin merges duplicate ids' gram
+    streams before ranking; the row-local plan classifies each row
+    separately, so duplicate ids are outside the parity contract — every
+    caller (queries, pipeline example, tests) passes row keys."""
+    from flouds_vectordb_spark.sources.tables import spread_small_input
+
+    # classification is CPU-heavy per row — spread single-split fixture
+    # inputs across cores first (no-op at scale: see spread_small_input)
     return (
-        ids.join(best, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("_b.lang"), F.lit("und")).alias("lang"),
-            F.coalesce(F.col("_b._dist"), F.lit(-1).cast("bigint")).alias("distance"),
-        )
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"),
+                classify_udf()(F.col(text_col)).alias("_r"))
+        .select("id", F.col("_r.lang").alias("lang"),
+                F.col("_r.distance").alias("distance"))
     )
 
 

@@ -2220,9 +2220,15 @@ _LANGID_FIXTURE: list[tuple[int, str, str]] = [
 
 
 def _langid_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.sources.tables import spread_small_input
+
     fix = spark.createDataFrame(
         [(i, t) for i, _, t in _LANGID_FIXTURE], "id bigint, text string")
-    docs = load(spark, sf_dir, "documents").select(
+    # spread the docs BRANCH: the union's partition COUNT passes the
+    # spread_small_input check (createDataFrame contributes `cores` mostly
+    # empty partitions) while 98% of rows sit in the single parquet split,
+    # which would run the whole classify UDF on one core
+    docs = spread_small_input(load(spark, sf_dir, "documents")).select(
         (F.col("doc_id") + F.lit(10000)).alias("id"), "text")
     return fix.unionByName(docs)
 

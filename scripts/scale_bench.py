@@ -265,9 +265,20 @@ def op_dsir_resample(spark, d):
     return dsir_resample(docs, target, n_keep=n_keep)
 
 
+def op_lang_id(spark, d):
+    """Cavnar–Trenkle language ID (r10 pure-map plan): the whole
+    classification is one Arrow-batched UDF per input split — the raw
+    gram stream never leaves its document row, the profile table is
+    process-local module data, ZERO shuffle at any scale."""
+    from flouds_vectordb_spark.functions.langid import lang_id
+
+    return lang_id(_docs(spark, d).select(F.col("doc_id").alias("id"),
+                                          "text"))
+
+
 # projection-only ops (no shuffle in the plan): measured via the noop
 # sink — see the NOOP_OPS branch in main()
-NOOP_OPS = {"repetition_full"}
+NOOP_OPS = {"repetition_full", "lang_id"}
 
 OPS = {
     "dedup_minhash": op_dedup_minhash,
@@ -283,6 +294,7 @@ OPS = {
     "hybrid_search_many": op_hybrid_search_many,
     "pack_sequences": op_pack_sequences,
     "dsir_resample": op_dsir_resample,
+    "lang_id": op_lang_id,
 }
 
 

@@ -75,6 +75,32 @@ def test_lang_id_matches_duckdb_oracle(spark):
     assert got == oracle
 
 
+def test_lang_id_plan_is_pure_map(spark):
+    # the r10 contract: classification is one Arrow UDF per split — no
+    # Exchange (shuffle/broadcast) anywhere, and the UDF is evaluated
+    # exactly once per input branch (posexplode/size double-extraction
+    # and InferFiltersFromGenerate both produced a second ArrowEvalPython
+    # in earlier shapes)
+    fix = local_df(spark, [(i, t) for i, _, t in _LANGID_FIXTURE],
+                   "id bigint, text string")
+    plan = lang_id(fix)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_classify_text_twin_matches_spark(spark):
+    # classify_text is the per-doc Python twin the UDF maps — pin it
+    # against the full Spark path on the fixture
+    from flouds_vectordb_spark.functions.langid import classify_text
+
+    fix = local_df(spark, [(i, t) for i, _, t in _LANGID_FIXTURE],
+                   "id bigint, text string")
+    got = {r["id"]: (r["lang"], int(r["distance"]))
+           for r in lang_id(fix).collect()}
+    for i, _, t in _LANGID_FIXTURE:
+        assert got[i] == classify_text(t), (i, t)
+
+
 def test_lang_id_doc_top_bound(spark):
     # a long doc cannot contribute more than DOC_TOP grams to the distance
     long_text = "the and of to in is was " * 500
