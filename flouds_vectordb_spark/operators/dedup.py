@@ -566,29 +566,10 @@ def dedup_minhash_incremental(
     a narrowed old_df (e.g. the candidate buckets' rows) where the
     artifact exists. Shuffle shape: band-bucket join on scalars, shingle
     arrays join back only for verified candidates."""
-    rows_per_band = n_sigs // n_bands
-
-    def _entries(df: DataFrame):
-        sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n)
-        band_hashes = []
-        for b in range(n_bands):
-            parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
-                     for r in range(rows_per_band)]
-            band_hashes.append(hash64(F.concat_ws("|", *parts),
-                                      seed=1000 + b).alias(f"band{b}"))
-        banded = sigs.select("id", *band_hashes).transform(_persist)
-        ent = banded.select(
-            "id",
-            F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band_idx"),
-                         F.col(f"band{b}").alias("band_hash"))
-                for b in range(n_bands)
-            ])).alias("e"),
-        ).select("id", "e.band_idx", "e.band_hash")
-        return ent, sigs.select("id", "shingles")
-
-    new_ent, new_sets = _entries(new_df)
-    old_ent, old_sets = _entries(old_df)
+    new_ent, new_sets = _band_entries(new_df, id_col, text_col, n_sigs,
+                                      n_bands, shingle_n)
+    old_ent, old_sets = _band_entries(old_df, id_col, text_col, n_sigs,
+                                      n_bands, shingle_n)
 
     # aliased self/cross joins (equivalent to the re-projected two-branch
     # form — aliases do NOT canonicalize to a ReusedExchange, measured in
@@ -1212,6 +1193,137 @@ te AS (
 SELECT id, count(DISTINCT tr._gh) AS matched_ngrams
 FROM tr JOIN te ON tr._gh = te._gh
 GROUP BY id HAVING count(DISTINCT tr._gh) >= {int(min_matches)}
+"""
+
+
+def decontaminate_neardup(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    test_id_col: str | None = None,
+    test_text_col: str | None = None,
+    jaccard_threshold: float = 0.8,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """(id, max_jaccard, n_test_hits) for TRAIN documents that are
+    NEAR-duplicates (word-shingle Jaccard >= threshold) of ANY held-out
+    TEST document — the fuzzy complement of `decontaminate`'s exact
+    n-gram rule. Published pipelines apply both: exact n-gram overlap
+    catches verbatim quotes; near-dup contamination catches lightly
+    edited copies of eval documents that share few exact 8-grams but
+    most of their shingles (the Llama/GPT-4 appendix recipe pairs a
+    13-gram rule with a high-Jaccard fuzzy rule).
+
+    Same bands/hashes/verify as dedup_minhash, bipartite: candidates are
+    (train, test) band-bucket collisions only — never train x train (at
+    100 TB that cross-pairing is the entire cost difference). The test
+    side is thousands of docs by contract, so its band entries AND its
+    shingle sets broadcast; the train side's shingle arrays never ride a
+    shuffle (band entries are scalars; verification joins the broadcast
+    test sets back to candidate train rows only). Per-train aggregation
+    is map-side combinable. Result rows are the contaminated train ids —
+    anti-join them against the corpus to clean it."""
+    t_id = test_id_col or id_col
+    t_text = test_text_col or text_col
+    tr_ent, tr_sets = _band_entries(train, id_col, text_col, n_sigs,
+                                    n_bands, shingle_n)
+    te_ent, te_sets = _band_entries(test, t_id, t_text, n_sigs,
+                                    n_bands, shingle_n)
+    cand = (
+        tr_ent.alias("_tr")
+        .join(F.broadcast(te_ent.alias("_te")),
+              (F.col("_tr.band_idx") == F.col("_te.band_idx"))
+              & (F.col("_tr.band_hash") == F.col("_te.band_hash")))
+        .select(F.col("_tr.id").alias("id_a"), F.col("_te.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # broadcast the CANDIDATE list into the train-sets probe (it is
+    # bounded by |test| x bucket sizes — small by the test-set contract),
+    # not the other way round: joining cand against tr_sets by key plans
+    # a sort-merge that shuffles EVERY train shingle set (measured 413 MB
+    # at 500k docs); this way the train side is pruned map-side and the
+    # operator is shuffle-free end to end
+    pairs = (
+        tr_sets.select(F.col("id").alias("id_a"),
+                       F.col("shingles").alias("sh_a"))
+        .join(F.broadcast(cand), "id_a")
+        .join(F.broadcast(te_sets.select(F.col("id").alias("id_b"),
+                                         F.col("shingles").alias("sh_b"))),
+              "id_b")
+    )
+    return (
+        _jaccard_filtered(pairs, jaccard_threshold)
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.max("jaccard_r").alias("max_jaccard"),
+             F.count_distinct("id_b").alias("n_test_hits"))
+    )
+
+
+def decontaminate_neardup_sql(
+    train_sql: str,
+    test_sql: str,
+    id_expr: str = "id",
+    text_expr: str = "text",
+    test_id_expr: str | None = None,
+    test_text_expr: str | None = None,
+    jaccard_threshold: float = 0.8,
+    n_sigs: int = MINHASH_SIGS,
+    n_bands: int = MINHASH_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> str:
+    """DuckDB oracle twin of decontaminate_neardup — same signatures,
+    bands, exact-Jaccard verification and per-train aggregation."""
+    t_id = test_id_expr or id_expr
+    t_text = test_text_expr or text_expr
+    rows_per_band = n_sigs // n_bands
+    sig_sel = "".join(
+        f", {_minhash_sig_sql('_h32', i)} AS sig{i}" for i in range(n_sigs))
+    band_sel = ""
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"sig{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band))
+        band_sel += f", {hash64_sql(f'({parts})', seed=1000 + b)} AS band{b}"
+
+    def _side(src: str, tag: str, ide: str, txt: str) -> str:
+        toks = tokenize_sql(txt)
+        sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
+        h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
+        union_entries = " UNION ALL ".join(
+            f"SELECT id, {b} AS band_idx, band{b} AS band_hash "
+            f"FROM _banded_{tag}" for b in range(n_bands))
+        return f"""
+_sh_{tag} AS (SELECT {ide} AS id, {sh} AS shingles FROM {src}),
+_hashed_{tag} AS (SELECT id, shingles, {h32} AS _h32 FROM _sh_{tag}),
+_sigs_{tag} AS (SELECT id, shingles{sig_sel} FROM _hashed_{tag}),
+_banded_{tag} AS (SELECT *{band_sel} FROM _sigs_{tag}),
+_entries_{tag} AS ({union_entries})"""
+
+    return f"""
+WITH {_side(train_sql, 'tr', id_expr, text_expr)},
+{_side(test_sql, 'te', t_id, t_text)},
+_cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM _entries_tr a JOIN _entries_te b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+),
+_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+               6) AS jaccard_r
+  FROM _cand c
+  JOIN _sh_tr sa ON c.id_a = sa.id
+  JOIN _sh_te sb ON c.id_b = sb.id
+)
+SELECT id_a AS id, max(jaccard_r) AS max_jaccard,
+       count(DISTINCT id_b) AS n_test_hits
+FROM _pairs WHERE jaccard_r >= {float(jaccard_threshold)!r}
+GROUP BY id_a
 """
 
 

@@ -831,6 +831,61 @@ def _decontaminate_sql() -> str:
 _register("dedup_decontaminate", _decontaminate_q, _decontaminate_sql())
 
 
+# --- fuzzy (near-dup) decontamination (r10) ------------------------------------
+# The fuzzy complement of the n-gram rule: flag train docs whose
+# word-shingle Jaccard vs ANY test doc >= 0.8. Test fixture derives from
+# documents so both engines see identical data: exact copies of
+# doc_id % 101 == 0 rows, lightly-edited copies (3 appended tokens,
+# J ~ 0.9) of doc_id % 103 == 0 rows, plus one fresh row matching nothing.
+def _decon_test_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    edited = docs.filter(F.col("doc_id") % 103 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" held out eval")).alias("text"))
+    fresh = spark.createDataFrame(
+        [(700000, "completely unrelated benchmark question nothing here")],
+        "doc_id bigint, text string")
+    return exact.unionByName(edited).unionByName(fresh)
+
+
+_DECON_TEST_SQL = (
+    "(SELECT doc_id + 500000 AS doc_id, text FROM documents"
+    " WHERE doc_id % 101 = 0"
+    " UNION ALL SELECT doc_id + 600000, text || ' held out eval'"
+    " FROM documents WHERE doc_id % 103 = 0"
+    " UNION ALL SELECT 700000::BIGINT,"
+    " 'completely unrelated benchmark question nothing here')"
+)
+
+
+def _decontaminate_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.dedup import decontaminate_neardup
+
+    train = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate_neardup(
+        train, _decon_test_docs(spark, sf_dir),
+        id_col="doc_id", text_col="text", jaccard_threshold=0.8,
+    ).select(F.col("id").alias("doc_id"), "max_jaccard", "n_test_hits")
+
+
+def _decontaminate_neardup_sql() -> str:
+    from flouds_vectordb_spark.operators.dedup import (
+        decontaminate_neardup_sql,
+    )
+
+    inner = decontaminate_neardup_sql(
+        "(SELECT doc_id, text FROM documents)", _DECON_TEST_SQL,
+        id_expr="doc_id", text_expr="text", jaccard_threshold=0.8)
+    return (f"SELECT id AS doc_id, max_jaccard, n_test_hits "
+            f"FROM ({inner})")
+
+
+_register("dedup_decontaminate_neardup", _decontaminate_neardup_q,
+          _decontaminate_neardup_sql())
+
+
 # --- exact substring (span) dedup (r7) ----------------------------------------
 # Lee et al. 2022's repeated->=k-token-span rule over the documents fixture:
 # both engines inject the same 24-token boilerplate paragraph into ~18% of

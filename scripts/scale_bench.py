@@ -265,6 +265,20 @@ def op_dsir_resample(spark, d):
     return dsir_resample(docs, target, n_keep=n_keep)
 
 
+def op_decon_neardup(spark, d):
+    """Fuzzy train/test decontamination (r10): bipartite MinHash — test
+    side (~1 per 9973 train docs, edited copies) broadcasts its band
+    entries and shingle sets; train x train pairs are never formed."""
+    from flouds_vectordb_spark.operators.dedup import decontaminate_neardup
+
+    docs = _docs(spark, d).select("doc_id", "text")
+    test = docs.filter(F.col("doc_id") % 9973 == 0).select(
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" held out eval")).alias("text"))
+    return decontaminate_neardup(docs, test, id_col="doc_id",
+                                 text_col="text", jaccard_threshold=0.8)
+
+
 def op_lang_id(spark, d):
     """Cavnar–Trenkle language ID (r10 pure-map plan): the whole
     classification is one Arrow-batched UDF per input split — the raw
@@ -295,6 +309,7 @@ OPS = {
     "pack_sequences": op_pack_sequences,
     "dsir_resample": op_dsir_resample,
     "lang_id": op_lang_id,
+    "decon_neardup": op_decon_neardup,
 }
 
 

@@ -365,6 +365,67 @@ def test_decontaminate_flags_overlap_and_spares_clean(spark):
     assert got2 == {"a"}
 
 
+def test_decontaminate_neardup_flags_fuzzy_copies(spark):
+    from flouds_vectordb_spark.operators.dedup import decontaminate_neardup
+
+    base = ("every evening the children read stories in the small library "
+            "near the school and talk about their favourite characters "
+            "before walking home together along the quiet river path")
+    test_set = spark.createDataFrame(
+        [("t1", base),
+         ("t2", "pack my box with five dozen liquor jugs for the contest")],
+        "id string, text string")
+    train = spark.createDataFrame(
+        [("exact", base),
+         # light edit: three appended tokens, shingle Jaccard ~0.9
+         ("edited", base + " extra tail tokens"),
+         # topical overlap but mostly different words -> below 0.8
+         ("related", "every evening the children play games in the big "
+                     "gym near the school and then run home quickly"),
+         ("clean", "vector engines shuffle scalars across executors")],
+        "id string, text string")
+    got = {r["id"]: r for r in
+           decontaminate_neardup(train, test_set,
+                                 jaccard_threshold=0.8).collect()}
+    assert set(got) == {"exact", "edited"}, got
+    assert got["exact"]["max_jaccard"] == 1.0
+    assert 0.8 <= got["edited"]["max_jaccard"] < 1.0
+    assert got["exact"]["n_test_hits"] == 1
+    # bipartite contract: a train x train duplicate pair ("exact" vs
+    # "edited") must NOT flag anything on its own — only test hits count
+    clean_test = spark.createDataFrame(
+        [("t3", "utterly disjoint held out content")], "id string, text string")
+    assert decontaminate_neardup(train, clean_test,
+                                 jaccard_threshold=0.8).count() == 0
+
+
+def test_decontaminate_neardup_matches_incremental_cross_pairs(spark):
+    """The bipartite op agrees with dedup_minhash_incremental's cross
+    (b_is_old) pairs on the same inputs — same bands, same verify."""
+    from flouds_vectordb_spark.operators.dedup import (
+        decontaminate_neardup,
+        dedup_minhash_incremental,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"shared words run {i % 3} across documents here and "
+             f"some filler tokens to make shingles " + "alpha " * (i % 5))
+         for i in range(1, 9)], "id long, text string")
+    test_set = spark.createDataFrame(
+        [(100 + i, f"shared words run {i} across documents here and "
+                   f"some filler tokens to make shingles ")
+         for i in range(3)], "id long, text string")
+    got = {(r["id"], r["max_jaccard"]) for r in
+           decontaminate_neardup(train, test_set,
+                                 jaccard_threshold=0.5).collect()}
+    cross = (dedup_minhash_incremental(train, test_set,
+                                       jaccard_threshold=0.5)
+             .filter(F.col("b_is_old")))
+    exp = {(r["id_a"], r["mj"]) for r in
+           cross.groupBy("id_a").agg(F.max("jaccard_r").alias("mj")).collect()}
+    assert got == exp and got, (got, exp)
+
+
 def test_decontaminate_short_documents_whole_text_shingle(spark):
     """Docs shorter than n collapse to one whole-text shingle, so an exact
     short copy is caught while a subset is not."""
