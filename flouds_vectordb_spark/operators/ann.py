@@ -15,6 +15,9 @@ LLM-pipeline operators beyond the reference surface (SURVEY.md §7 Phase 4):
 - dedup_embedding_cosine: near-duplicate pairs (cosine >= tau) via
   signature-bucket self-join + exact cosine verification — never all
   pairs. At 100 TB the bucket join shuffles only same-signature rows.
+- late_interaction_topk: ColBERT MaxSim over multi-vector (token-bag)
+  documents — broadcast query bag, map-side-combinable MAX/sum
+  reductions, pinned-order float fold for oracle parity.
 
 Caveat (documented for the judge): on UNIFORM-RANDOM synthetic vectors,
 top-k ANN recall under real pruning is near-zero by construction — the
@@ -299,4 +302,97 @@ _pairs AS (
   SELECT id_a, id_b, round({V.cosine_sql('v_a', 'v_b')}, 6) AS cosine_r FROM _cand
 )
 SELECT id_a, id_b, cosine_r FROM _pairs WHERE cosine_r >= {float(tau)!r}
+"""
+
+
+# --- late-interaction (MaxSim) multi-vector search ----------------------------
+
+def late_interaction_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    vector_col: str = "vector",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """(qid, doc_id, rank, score_r): ColBERT-style late-interaction top-k.
+    Each query and each document is a BAG of token vectors (one row per
+    token: id, pos, vector); score(q, d) = sum over q's tokens of the MAX
+    cosine against any token of d (MaxSim — Khattab & Zaharia, SIGIR'20).
+
+    Spark-first plan (100 TB doc-token table, small query batch): the
+    query token bag broadcasts into a crossJoin against the doc-token
+    scan — the only full-corpus stage is that map-side scan; per-token
+    cosines reduce map-side into the (qid, doc_id, qpos) MAX and the
+    (qid, doc_id) sum, so the keyed exchanges carry one scalar per
+    (query token x doc), never vectors. Ranking is a per-qid window over
+    the reduced (qid, doc_id) table.
+
+    Exact-parity float discipline: per-pair cosines are deterministic
+    expressions (bit-identical in DuckDB); MAX is order-free; the final
+    sum folds in qpos order via aggregate(array_sort(collect_list(...)))
+    == list_reduce(list(... ORDER BY qpos)) — the repo-wide pinned-fold
+    pattern (importance.py). Ranking ties break (score desc, doc_id asc)
+    on the EXACT double; score_r is rounded for display only.
+
+    The pruned variant at serving scale reuses the IVF/HNSW machinery per
+    query token (fetch top-k' per token, union candidates, re-rank with
+    this exact scorer); this operator IS that exact re-rank stage."""
+    from pyspark.sql import Window
+
+    qt = F.broadcast(query_tokens.select(
+        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+        F.col(vector_col).alias("_qv")))
+    dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
+                           F.col(vector_col).alias("_dv"))
+    cs = V.cosine_score(F.col("_dv"), F.col("_qv"))
+    maxsim = (
+        dt.crossJoin(qt)
+        .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
+        .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms"))
+    )
+    scored = maxsim.groupBy("qid", "doc_id").agg(
+        F.aggregate(F.array_sort(F.collect_list(F.struct("_qpos", "_ms"))),
+                    F.lit(0.0), lambda acc, e: acc + e["_ms"]).alias("_s"))
+    w = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
+                                          F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "doc_id", "rank", F.round("_s", 6).alias("score_r"))
+    )
+
+
+def late_interaction_topk_sql(
+    doc_sql: str,
+    query_sql: str,
+    k: int = 10,
+    id_expr: str = "doc_id",
+    pos_expr: str = "pos",
+    vector_expr: str = "vector",
+    qid_expr: str = "qid",
+) -> str:
+    """DuckDB oracle twin of late_interaction_topk — same cosine, same
+    order-free MAX, same qpos-ordered fold, same tie-breaks."""
+    return f"""
+WITH _d AS (SELECT {id_expr} AS doc_id, {vector_expr} AS _dv FROM {doc_sql}),
+_q AS (SELECT {qid_expr} AS qid, {pos_expr} AS _qpos,
+              {vector_expr} AS _qv FROM {query_sql}),
+_ms AS (
+  SELECT qid, doc_id, _qpos, max({V.cosine_sql('_dv', '_qv')}) AS _ms
+  FROM _d CROSS JOIN _q GROUP BY qid, doc_id, _qpos
+),
+_sc AS (
+  SELECT qid, doc_id,
+         list_reduce(list(_ms ORDER BY _qpos), (x, y) -> x + y) AS _s
+  FROM _ms GROUP BY qid, doc_id
+),
+_rk AS (
+  SELECT qid, doc_id, _s, row_number() OVER (
+      PARTITION BY qid ORDER BY _s DESC, doc_id ASC) AS rank
+  FROM _sc
+)
+SELECT qid, doc_id, rank, round(_s, 6) AS score_r
+FROM _rk WHERE rank <= {int(k)}
 """

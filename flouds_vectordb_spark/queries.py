@@ -1571,6 +1571,44 @@ _register("similarity_join_collections", _simjoin_q,
                               left_id="vec_id", right_id="vec_id"))
 
 
+# --- late-interaction (MaxSim) multi-vector search (r10) -------------------------
+# multi-vector fixture from embeddings: every 8 consecutive vec_ids form
+# one document's token bag (doc_id = vec_id div 8, pos = vec_id % 8); the
+# query bags are documents 3 and 7's own tokens, so each query's top-1 is
+# itself at score = |tokens| and the tail ranks real MaxSim neighbors
+_LI_DOCS_SQL = ("(SELECT vec_id // 8 AS doc_id, vec_id % 8 AS pos,"
+                " embedding AS vector FROM embeddings)")
+_LI_QUERIES_SQL = ("(SELECT vec_id // 8 AS qid, vec_id % 8 AS pos,"
+                   " embedding AS vector FROM embeddings"
+                   " WHERE vec_id // 8 IN (3, 7))")
+
+
+def _li_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        (F.col("vec_id") % 8).alias("pos"),
+        F.col("embedding").alias("vector"))
+
+
+def _late_interaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk
+
+    docs = _li_doc_tokens(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    return late_interaction_topk(docs, queries, k=10)
+
+
+def _late_interaction_sql() -> str:
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk_sql
+
+    return late_interaction_topk_sql(_LI_DOCS_SQL, _LI_QUERIES_SQL, k=10)
+
+
+_register("ann_late_interaction_topk", _late_interaction_q,
+          _late_interaction_sql())
+
+
 # --- S2 end-to-end: generate_schema -> insert -> flush -> search ----------------
 _FLOW_WH = os.path.join(_SCRATCH, "flow_wh")
 

@@ -31,6 +31,57 @@ def test_ann_topk_matches_numpy(spark):
     assert got == [int(w) for w in want]
 
 
+def test_late_interaction_maxsim_matches_numpy(spark):
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk
+
+    rng = np.random.RandomState(3)
+    n_docs, n_tok, dim = 12, 4, 6
+    X = rng.standard_normal((n_docs, n_tok, dim))
+    docs = spark.createDataFrame(
+        [(d, t, [float(x) for x in X[d, t]])
+         for d in range(n_docs) for t in range(n_tok)],
+        "doc_id long, pos long, vector array<double>")
+    Q = rng.standard_normal((2, 3, dim))
+    queries = spark.createDataFrame(
+        [(q, t, [float(x) for x in Q[q, t]])
+         for q in range(2) for t in range(3)],
+        "qid long, pos long, vector array<double>")
+    got = {(r["qid"], r["rank"]): (r["doc_id"], r["score_r"])
+           for r in late_interaction_topk(docs, queries, k=5).collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for q in range(2):
+        scores = []
+        for d in range(n_docs):
+            s = sum(max(cos(Q[q, t], X[d, u]) for u in range(n_tok))
+                    for t in range(3))
+            scores.append((d, s))
+        want = sorted(scores, key=lambda ds: (-ds[1], ds[0]))[:5]
+        for rank, (d, s) in enumerate(want, start=1):
+            gd, gs = got[(q, rank)]
+            assert gd == d and abs(gs - s) < 1e-6, (q, rank, (gd, gs), (d, s))
+
+
+def test_late_interaction_self_query_is_top1(spark):
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk
+
+    rng = np.random.RandomState(4)
+    X = rng.standard_normal((6, 5, 4))
+    docs = spark.createDataFrame(
+        [(d, t, [float(x) for x in X[d, t]])
+         for d in range(6) for t in range(5)],
+        "doc_id long, pos long, vector array<double>")
+    queries = docs.filter(F.col("doc_id") == 2).withColumnRenamed(
+        "doc_id", "qid")
+    top = late_interaction_topk(docs, queries, k=3).collect()
+    first = [r for r in top if r["rank"] == 1][0]
+    # every token's best match is itself at cosine 1.0 -> score = |tokens|
+    assert first["doc_id"] == 2 and abs(first["score_r"] - 5.0) < 1e-9
+    assert len(top) == 3
+
+
 def test_ann_lsh_exact_recall_on_clustered_data(spark):
     # clustered fixture: query sits inside a tight cluster -> the Hamming
     # ball contains the true neighbors and LSH result == exact result
