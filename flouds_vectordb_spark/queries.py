@@ -363,7 +363,10 @@ def _q3_posting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_search(bm25_postings(collection(spark, sf_dir)), req)
 
 
-_register("q3_sparse_bm25_posting_path", _q3_posting_q, sparse_search_sql(
+# r10 rotation: displaced to _EXTENDED to hold the 50-entry driver window
+# (the posting machinery keeps window coverage via i1_bm25_drop_ratio_build,
+# i1_bm25_incremental and the batched q3/q4 rows; this stays green in ext)
+_register_ext("q3_sparse_bm25_posting_path", _q3_posting_q, sparse_search_sql(
     SparseSearchRequest(query_text="vector index scan merge", limit=10), POSTINGS_SQL))
 
 
@@ -592,7 +595,8 @@ def _q4_posting_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q4_IDX_SUBSET_SQL = (
     f"(SELECT id::VARCHAR AS id, chunk, vector FROM {COLLECTION_SQL} t WHERE id % 4 = 1)"
 )
-_register("q4_hybrid_posting_path", _q4_posting_path_q, hybrid_search_sql(
+# r10 rotation: displaced to _EXTENDED (see q3_sparse_bm25_posting_path note)
+_register_ext("q4_hybrid_posting_path", _q4_posting_path_q, hybrid_search_sql(
     _Q4_IDX_REQ, _Q4_IDX_SUBSET_SQL + " s",
     "(" + bm25_postings_sql(_Q4_IDX_SUBSET_SQL + " p") + ")",
     id_expr="id", vector_expr="vector"))

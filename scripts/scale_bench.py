@@ -279,6 +279,21 @@ def op_decon_neardup(spark, d):
                                  text_col="text", jaccard_threshold=0.8)
 
 
+def op_late_interaction(spark, d):
+    """ColBERT MaxSim (r10): 8 consecutive vec_ids = one token bag; two
+    8-token query bags broadcast into the doc-token scan; keyed
+    exchanges carry one scalar per query-token x doc."""
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk
+
+    toks = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        (F.col("vec_id") % 8).alias("pos"),
+        F.col("embedding").alias("vector"))
+    queries = toks.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    return late_interaction_topk(toks, queries, k=10)
+
+
 def op_lang_id(spark, d):
     """Cavnar–Trenkle language ID (r10 pure-map plan): the whole
     classification is one Arrow-batched UDF per input split — the raw
@@ -310,6 +325,7 @@ OPS = {
     "dsir_resample": op_dsir_resample,
     "lang_id": op_lang_id,
     "decon_neardup": op_decon_neardup,
+    "late_interaction": op_late_interaction,
 }
 
 
