@@ -38,6 +38,7 @@ from flouds_vectordb_spark.operators.dedup import (
     dedup_components,
     dedup_minhash,
     decontaminate,
+    decontaminate_neardup,
     remove_common_lines,
 )
 from flouds_vectordb_spark.operators.chunking import (
@@ -135,11 +136,19 @@ def main(sf_dir: str) -> int:
     n5 = deduped.count()
 
     # 6. decontamination against a held-out "test set" (here: a derived
-    #    sample standing in for a benchmark suite)
+    #    sample standing in for a benchmark suite) — BOTH published rules:
+    #    exact n-gram overlap (verbatim quotes) and fuzzy near-dup
+    #    (lightly edited copies that dodge the exact rule)
     test_set = docs.filter(F.col("doc_id") % 97 == 0) \
         .select(F.col("doc_id").alias("id"), "text")
-    dirty = decontaminate(deduped.select(F.col("doc_id").alias("id"), "text"),
-                          test_set).select("id")
+    train_kv = deduped.select(F.col("doc_id").alias("id"), "text")
+    dirty = (
+        decontaminate(train_kv, test_set).select("id")
+        .unionByName(decontaminate_neardup(train_kv, test_set,
+                                           jaccard_threshold=0.8)
+                     .select("id"))
+        .dropDuplicates()
+    )
     # stages 7-9 each run several jobs (DSIR's model counts, the mixer's
     # two-phase budgets, packing's offset scan) — checkpoint the funnel
     # here so the dedup/decontamination lineage materializes exactly once

@@ -87,6 +87,8 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     (measured 14.5 s -> ~1 s for the sf0.1 shingle build). At 100 TB inputs
     already arrive in >= cores splits and this is a no-op — the condition,
     not the repartition, is the scale design."""
+    if df.isStreaming:  # micro-batches size themselves; .rdd would throw
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
