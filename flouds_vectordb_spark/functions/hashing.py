@@ -37,18 +37,28 @@ def hash64_sql(expr: str, seed: int = 0) -> str:
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a token-array column, joined by a space.
 
-    Arrays shorter than n yield a single shingle of the whole text, so every
-    document has at least one shingle (matters for Jaccard denominators).
-    """
-    joined_all = F.array_join(tokens, " ")
+    NON-EMPTY arrays shorter than n yield a single shingle of the whole
+    text, so every real document has at least one shingle (matters for
+    Jaccard denominators). ZERO-token docs (empty/whitespace text) yield
+    [] — NOT [''] — pinned explicitly on both engines because the twins
+    used to disagree here: Spark's array_join([]) is '' while DuckDB's
+    array_to_string(list_slice([], ..)) is NULL, which list_distinct then
+    drops, so Spark paired all empty docs at jaccard 1.0 and the oracle
+    paired none (found in review via dedup_minhash)."""
     k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - 1)
-    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    return F.when(F.size(tokens) > 0, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def shingles_sql(tokens_expr: str, n: int = 3) -> str:
-    """DuckDB twin: word n-grams over a list-of-words expression."""
-    return (
+    """DuckDB twin: word n-grams over a list-of-words expression; [] for
+    zero-token docs (see shingles)."""
+    grams = (
         f"list_transform(generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 1)), "
         f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' '))"
     )
+    return (f"(CASE WHEN len({tokens_expr}) > 0 THEN {grams} "
+            f"ELSE []::VARCHAR[] END)")

@@ -434,8 +434,12 @@ LANGUAGES: list[str] = sorted(_TRAIN)
 
 def doc_ngrams(text_col: Column) -> Column:
     """Column of all 1..3 char-grams of the padded words of `text_col` —
-    the Spark twin of _char_ngrams. Pure Column expressions (flatten /
-    transform / substr); no UDF."""
+    the Catalyst twin of _char_ngrams. NOT on the production path since
+    the r10 pure-map rewrite (classify_udf extracts in Python); kept as
+    the executable cross-check that _char_ngrams' unicodedata-category
+    word model agrees with the \\p{L}\\p{M} regex model the SQL twin
+    uses (test_python_and_spark_ngrams_agree pins the two on mixed-script
+    inputs). Pure Column expressions (flatten / transform / substr)."""
     # \p{L}\p{M} keeps letters plus combining marks (Devanagari/Thai vowel
     # signs etc.); everything else becomes a word break
     norm = F.regexp_replace(F.lower(text_col), r"[^\p{L}\p{M}]+", " ")
@@ -471,6 +475,22 @@ def _profile_index() -> dict[str, list[tuple[str, int]]]:
     return _PROFILE_INDEX
 
 
+def _lower_simple(t: str) -> str:
+    """Unicode SIMPLE per-codepoint lowercase — the exact twin of DuckDB's
+    lower() (measured: lower('İ') = 'i', lower('ΟΔΥΣΣΕΥΣ') ends in 'σ').
+    Python str.lower applies the FULL mappings instead: İ -> 'i' + U+0307
+    (two code points) and the Final_Sigma context rule (Σ -> 'ς'
+    word-finally). Those two code points are the ONLY divergence between
+    full and simple lowercase mappings, so everything else fast-paths
+    through str.lower; with Σ present, per-CHARACTER lower strips the
+    context rule (single-char lower has no word-final context)."""
+    if "İ" in t:  # İ: full maps to 2 code points, simple to 'i'
+        t = t.replace("İ", "i")
+    if "Σ" in t:  # Σ: full maps word-final occurrences to 'ς'
+        return "".join(c.lower() for c in t)
+    return t.lower()
+
+
 def classify_text(t: str | None) -> tuple[str, int]:
     """(lang, distance) for one document — the complete Cavnar–Trenkle
     scoring in plain Python, shared by the Spark UDF and unit tests.
@@ -489,7 +509,7 @@ def classify_text(t: str | None) -> tuple[str, int]:
 
     if t is None:
         return ("und", -1)
-    c = Counter(_char_ngrams(t.lower()))
+    c = Counter(_char_ngrams(_lower_simple(t)))
     ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:DOC_TOP]
     dn = len(ranked)
     idx = _profile_index()

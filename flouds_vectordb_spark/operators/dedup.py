@@ -244,7 +244,15 @@ def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
     ride the bucket shuffle (x n_bands duplication) — they join back for
     the small candidate set."""
     rows_per_band = n_sigs // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n)
+    # zero-shingle docs (empty/whitespace-only text) must not band: their
+    # signatures are all array_min([]) = NULL, and concat_ws SKIPS nulls,
+    # so every empty doc would share the constant hash64("") bucket and
+    # verify at jaccard 0/0 = NaN (which Spark orders ABOVE any threshold).
+    # The SQL twins never form these pairs — their sig::VARCHAR || chains
+    # are NULL, and a NULL band_hash joins nothing — so banding them here
+    # is an engine divergence, not just noise (found in review).
+    sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n) \
+        .filter(F.size("shingles") > 0)
     band_hashes = []
     for b in range(n_bands):
         parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
@@ -381,6 +389,39 @@ def dedup_minhash(
     return _verify_candidates(cand, sets, jaccard_threshold, small)
 
 
+def _band_side_sql(src: str, tag: str, id_expr: str, text_expr: str,
+                   n_sigs: int, n_bands: int, shingle_n: int,
+                   entries_with_shingles: bool = False) -> str:
+    """The `_sh[_tag] -> _hashed -> _sigs -> _banded -> _entries` CTE
+    block every minhash twin shares — ONE rendering of the shingle /
+    signature / banding SQL so the three twins (batch, incremental, fuzzy
+    decontamination) cannot skew (review finding: this scaffolding had
+    been copy-pasted three times)."""
+    sfx = f"_{tag}" if tag else ""
+    rows_per_band = n_sigs // n_bands
+    toks = tokenize_sql(text_expr)
+    sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
+    h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
+    sig_sel = "".join(
+        f", {_minhash_sig_sql('_h32', i)} AS sig{i}" for i in range(n_sigs))
+    band_sel = ""
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"sig{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band))
+        band_sel += f", {hash64_sql(f'({parts})', seed=1000 + b)} AS band{b}"
+    extra = "shingles, " if entries_with_shingles else ""
+    union_entries = " UNION ALL ".join(
+        f"SELECT id, {extra}{b} AS band_idx, band{b} AS band_hash "
+        f"FROM _banded{sfx}" for b in range(n_bands))
+    return f"""
+_sh{sfx} AS (SELECT {id_expr} AS id, {sh} AS shingles FROM {src}),
+_hashed{sfx} AS (SELECT id, shingles, {h32} AS _h32 FROM _sh{sfx}),
+_sigs{sfx} AS (SELECT id, shingles{sig_sel} FROM _hashed{sfx}),
+_banded{sfx} AS (SELECT *{band_sel} FROM _sigs{sfx}),
+_entries{sfx} AS ({union_entries})"""
+
+
 def dedup_minhash_sql(
     table_sql: str,
     id_expr: str = "id",
@@ -391,29 +432,10 @@ def dedup_minhash_sql(
     shingle_n: int = SHINGLE_N,
 ) -> str:
     """DuckDB oracle twin of dedup_minhash."""
-    rows_per_band = n_sigs // n_bands
-    toks = tokenize_sql(text_expr)
-    sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
-    h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
-    sig_sel = "".join(
-        f", {_minhash_sig_sql('_h32', i)} AS sig{i}" for i in range(n_sigs)
-    )
-    band_sel = ""
-    for b in range(n_bands):
-        parts = " || '|' || ".join(
-            f"sig{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
-        )
-        band_sel += f", {hash64_sql(f'({parts})', seed=1000 + b)} AS band{b}"
-    union_entries = " UNION ALL ".join(
-        f"SELECT id, shingles, {b} AS band_idx, band{b} AS band_hash FROM _banded"
-        for b in range(n_bands)
-    )
+    side = _band_side_sql(table_sql, "", id_expr, text_expr, n_sigs,
+                          n_bands, shingle_n, entries_with_shingles=True)
     return f"""
-WITH _sh AS (SELECT {id_expr} AS id, {sh} AS shingles FROM {table_sql}),
-_hashed AS (SELECT id, shingles, {h32} AS _h32 FROM _sh),
-_sigs AS (SELECT id, shingles{sig_sel} FROM _hashed),
-_banded AS (SELECT *{band_sel} FROM _sigs),
-_entries AS ({union_entries}),
+WITH {side},
 _cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM _entries a JOIN _entries b
@@ -623,29 +645,10 @@ def dedup_minhash_incremental_sql(
     shingle_n: int = SHINGLE_N,
 ) -> str:
     """DuckDB oracle twin of dedup_minhash_incremental."""
-    rows_per_band = n_sigs // n_bands
-    toks = tokenize_sql(text_expr)
-    sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
-    h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
-    sig_sel = "".join(
-        f", {_minhash_sig_sql('_h32', i)} AS sig{i}" for i in range(n_sigs))
-    band_sel = ""
-    for b in range(n_bands):
-        parts = " || '|' || ".join(
-            f"sig{b * rows_per_band + r}::VARCHAR"
-            for r in range(rows_per_band))
-        band_sel += f", {hash64_sql(f'({parts})', seed=1000 + b)} AS band{b}"
 
     def _side(src: str, tag: str) -> str:
-        union_entries = " UNION ALL ".join(
-            f"SELECT id, {b} AS band_idx, band{b} AS band_hash "
-            f"FROM _banded_{tag}" for b in range(n_bands))
-        return f"""
-_sh_{tag} AS (SELECT {id_expr} AS id, {sh} AS shingles FROM {src}),
-_hashed_{tag} AS (SELECT id, shingles, {h32} AS _h32 FROM _sh_{tag}),
-_sigs_{tag} AS (SELECT id, shingles{sig_sel} FROM _hashed_{tag}),
-_banded_{tag} AS (SELECT *{band_sel} FROM _sigs_{tag}),
-_entries_{tag} AS ({union_entries})"""
+        return _band_side_sql(src, tag, id_expr, text_expr, n_sigs,
+                              n_bands, shingle_n)
 
     return f"""
 WITH {_side(new_sql, 'n')},{_side(old_sql, 'o')},
@@ -1221,11 +1224,13 @@ def decontaminate_neardup(
     (train, test) band-bucket collisions only — never train x train (at
     100 TB that cross-pairing is the entire cost difference). The test
     side is thousands of docs by contract, so its band entries AND its
-    shingle sets broadcast; the train side's shingle arrays never ride a
-    shuffle (band entries are scalars; verification joins the broadcast
-    test sets back to candidate train rows only). Per-train aggregation
-    is map-side combinable. Result rows are the contaminated train ids —
-    anti-join them against the corpus to clean it."""
+    shingle sets broadcast; the train side's shingle ARRAYS never ride a
+    shuffle (band entries are scalars; the candidate list broadcasts back
+    into the train-sets probe, pruning it map-side). The keyed exchanges
+    that remain — candidate dropDuplicates and the per-train aggregation
+    — carry candidate-scalar rows only (measured 0.2 MB total at 5M
+    docs). Result rows are the contaminated train ids — anti-join them
+    against the corpus to clean it."""
     t_id = test_id_col or id_col
     t_text = test_text_col or text_col
     tr_ent, tr_sets = _band_entries(train, id_col, text_col, n_sigs,
@@ -1244,8 +1249,8 @@ def decontaminate_neardup(
     # bounded by |test| x bucket sizes — small by the test-set contract),
     # not the other way round: joining cand against tr_sets by key plans
     # a sort-merge that shuffles EVERY train shingle set (measured 413 MB
-    # at 500k docs); this way the train side is pruned map-side and the
-    # operator is shuffle-free end to end
+    # at 500k docs); this way the train side is pruned map-side and no
+    # shingle array ever rides an exchange
     pairs = (
         tr_sets.select(F.col("id").alias("id_a"),
                        F.col("shingles").alias("sh_a"))
@@ -1258,7 +1263,9 @@ def decontaminate_neardup(
         _jaccard_filtered(pairs, jaccard_threshold)
         .groupBy(F.col("id_a").alias("id"))
         .agg(F.max("jaccard_r").alias("max_jaccard"),
-             F.count_distinct("id_b").alias("n_test_hits"))
+             # pairs are (id_a, id_b)-unique post-dropDuplicates, so a
+             # plain combinable count IS the distinct test-hit count
+             F.count("*").alias("n_test_hits"))
     )
 
 
@@ -1278,33 +1285,13 @@ def decontaminate_neardup_sql(
     bands, exact-Jaccard verification and per-train aggregation."""
     t_id = test_id_expr or id_expr
     t_text = test_text_expr or text_expr
-    rows_per_band = n_sigs // n_bands
-    sig_sel = "".join(
-        f", {_minhash_sig_sql('_h32', i)} AS sig{i}" for i in range(n_sigs))
-    band_sel = ""
-    for b in range(n_bands):
-        parts = " || '|' || ".join(
-            f"sig{b * rows_per_band + r}::VARCHAR"
-            for r in range(rows_per_band))
-        band_sel += f", {hash64_sql(f'({parts})', seed=1000 + b)} AS band{b}"
-
-    def _side(src: str, tag: str, ide: str, txt: str) -> str:
-        toks = tokenize_sql(txt)
-        sh = f"list_distinct({shingles_sql(toks, n=shingle_n)})"
-        h32 = f"list_transform(shingles, s -> ({hash64_sql('s')} & 4294967295))"
-        union_entries = " UNION ALL ".join(
-            f"SELECT id, {b} AS band_idx, band{b} AS band_hash "
-            f"FROM _banded_{tag}" for b in range(n_bands))
-        return f"""
-_sh_{tag} AS (SELECT {ide} AS id, {sh} AS shingles FROM {src}),
-_hashed_{tag} AS (SELECT id, shingles, {h32} AS _h32 FROM _sh_{tag}),
-_sigs_{tag} AS (SELECT id, shingles{sig_sel} FROM _hashed_{tag}),
-_banded_{tag} AS (SELECT *{band_sel} FROM _sigs_{tag}),
-_entries_{tag} AS ({union_entries})"""
-
+    tr_side = _band_side_sql(train_sql, "tr", id_expr, text_expr, n_sigs,
+                             n_bands, shingle_n)
+    te_side = _band_side_sql(test_sql, "te", t_id, t_text, n_sigs,
+                             n_bands, shingle_n)
     return f"""
-WITH {_side(train_sql, 'tr', id_expr, text_expr)},
-{_side(test_sql, 'te', t_id, t_text)},
+WITH {tr_side},
+{te_side},
 _cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM _entries_tr a JOIN _entries_te b
@@ -1321,7 +1308,7 @@ _pairs AS (
   JOIN _sh_te sb ON c.id_b = sb.id
 )
 SELECT id_a AS id, max(jaccard_r) AS max_jaccard,
-       count(DISTINCT id_b) AS n_test_hits
+       count(*) AS n_test_hits
 FROM _pairs WHERE jaccard_r >= {float(jaccard_threshold)!r}
 GROUP BY id_a
 """

@@ -365,6 +365,38 @@ def test_decontaminate_flags_overlap_and_spares_clean(spark):
     assert got2 == {"a"}
 
 
+def test_minhash_empty_docs_never_pair(spark):
+    """Zero-shingle docs (empty/whitespace text) must not band-collide:
+    before the r10 fix every empty doc shared the constant hash64('')
+    bucket and verified at jaccard 0/0 = NaN >= threshold (Spark orders
+    NaN above any double), while the SQL twins' NULL band hashes never
+    join — an engine divergence, reproduced then pinned here."""
+    import duckdb as dd
+
+    from flouds_vectordb_spark.operators.dedup import (
+        decontaminate_neardup,
+        dedup_minhash_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, ""), (4, "real words in a document here "
+                                           "with enough tokens to shingle")],
+        "id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup_minhash(df, jaccard_threshold=0.1).collect()}
+    sql = dedup_minhash_sql(
+        "(SELECT * FROM (VALUES (1, ''), (2, '   '), (3, ''), "
+        "(4, 'real words in a document here with enough tokens to "
+        "shingle')) AS _t(id, text))", jaccard_threshold=0.1)
+    oracle = {(r[0], r[1]) for r in dd.connect().execute(sql).fetchall()}
+    assert got == oracle == set()
+    # bipartite variant: an empty train doc must not match an empty test doc
+    test_set = spark.createDataFrame([(10, ""), (11, "held out")],
+                                     "id long, text string")
+    assert decontaminate_neardup(df, test_set,
+                                 jaccard_threshold=0.1).count() == 0
+
+
 def test_decontaminate_neardup_flags_fuzzy_copies(spark):
     from flouds_vectordb_spark.operators.dedup import decontaminate_neardup
 

@@ -101,6 +101,26 @@ def test_classify_text_twin_matches_spark(spark):
         assert got[i] == classify_text(t), (i, t)
 
 
+def test_lang_id_simple_lowercase_matches_duckdb(spark):
+    """Python str.lower applies FULL Unicode mappings (İ -> i + combining
+    dot, word-final Σ -> ς) while DuckDB's lower() applies the SIMPLE
+    per-codepoint mappings — _lower_simple pins the engine side to the
+    oracle's behavior. These two inputs diverged before the fix (found in
+    review, reproduced live)."""
+    rows = [(1, "İstanbul'da İYİ GÜNLER İİİİ"), (2, "ΣΟΦΟΣ ΟΔΥΣΣΕΥΣ"),
+            (3, "Zürich STRASSE mixed Σ case İ tail")]
+    fix = local_df(spark, rows, "id bigint, text string")
+    got = {(r["id"], r["lang"], int(r["distance"]))
+           for r in lang_id(fix).collect()}
+    vals = ", ".join(
+        "(" + str(i) + "::BIGINT, '" + t.replace("'", "''") + "')"
+        for i, t in rows)
+    sql = lang_id_sql(f"(SELECT * FROM (VALUES {vals}) AS _f(id, text))")
+    oracle = {(int(r[0]), r[1], int(r[2]))
+              for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == oracle
+
+
 def test_lang_id_doc_top_bound(spark):
     # a long doc cannot contribute more than DOC_TOP grams to the distance
     long_text = "the and of to in is was " * 500
