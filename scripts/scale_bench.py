@@ -265,6 +265,54 @@ def op_dsir_resample(spark, d):
     return dsir_resample(docs, target, n_keep=n_keep)
 
 
+def op_ppl_buckets(spark, d):
+    """CCNet-style perplexity bands (self-trained unigram LM + bounded-
+    quantization two-phase global rank): the heaviest text-quality family
+    member with keyed shuffles (term agg + bucket-count broadcast)."""
+    from flouds_vectordb_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(_docs(spark, d), id_col="doc_id",
+                              text_col="text")
+
+
+def op_gopher_quality(spark, d):
+    """Gopher quality rules — projection-only per-doc scorer (noop sink)."""
+    from flouds_vectordb_spark.operators.text_analysis import gopher_quality
+
+    return gopher_quality(_docs(spark, d), id_col="doc_id")
+
+
+def op_url_domain_cap(spark, d):
+    """Per-registered-domain cap over PSL extraction: URLs derive from
+    (doc_id, source) exactly like the gate fixture, giving ~6x|sources|
+    distinct domains — a REALISTIC heavy-tail skew (each domain's rows
+    grow linearly with the corpus, so the per-domain window rank is the
+    stage to watch at x1000)."""
+    from flouds_vectordb_spark.operators.url_curation import domain_cap
+
+    docs = _docs(spark, d).select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"),
+                                F.lit("-news.com/articles/"), sid))
+        .when(m == 1, F.concat(F.lit("http://"), F.col("source"),
+                               F.lit(".co.uk:8080/a?id="), sid))
+        .when(m == 2, F.concat(F.lit("https://cdn."), F.col("source"),
+                               F.lit("-media.org/file/"), sid))
+        .when(m == 3, F.concat(F.lit("https://"), F.col("source"),
+                               F.lit(".web.nagoya.jp/p/"), sid))
+        .when(m == 4, F.concat(F.lit("http://docs."), F.col("source"),
+                               F.lit(".pvt.k12.ma.us/x/"), sid))
+        .otherwise(F.concat(F.lit("https://www."), F.col("source"),
+                            F.lit(".net/p/"), sid))
+    )
+    return domain_cap(docs.select("doc_id", url.alias("url")), 1000,
+                      url_col="url", key_col="doc_id", seed=5)
+
+
 def op_decon_neardup(spark, d):
     """Fuzzy train/test decontamination (r10): bipartite MinHash — test
     side (~1 per 9973 train docs, edited copies) broadcasts its band
@@ -307,7 +355,7 @@ def op_lang_id(spark, d):
 
 # projection-only ops (no shuffle in the plan): measured via the noop
 # sink — see the NOOP_OPS branch in main()
-NOOP_OPS = {"repetition_full", "lang_id"}
+NOOP_OPS = {"repetition_full", "lang_id", "gopher_quality"}
 
 OPS = {
     "dedup_minhash": op_dedup_minhash,
@@ -326,6 +374,9 @@ OPS = {
     "lang_id": op_lang_id,
     "decon_neardup": op_decon_neardup,
     "late_interaction": op_late_interaction,
+    "ppl_buckets": op_ppl_buckets,
+    "gopher_quality": op_gopher_quality,
+    "url_domain_cap": op_url_domain_cap,
 }
 
 

@@ -126,9 +126,13 @@ def test_decontaminate_matches_python_set_semantics(spark, train, test, n):
 
     def grams(text):
         toks = [w for w in text.lower().split() if w]
+        if not toks:
+            # mirrors the r10 shingles() pin: ZERO-token docs emit NO
+            # shingles (the SQL twins always behaved this way; empty docs
+            # must not match each other)
+            return set()
         if len(toks) <= n:
-            # mirrors shingles(): short (and empty) docs emit ONE shingle
-            # of the whole joined text — "" for an empty doc
+            # short docs emit ONE shingle of the whole joined text
             return {" ".join(toks)}
         return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
