@@ -68,10 +68,15 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
     working set (words rarer than min_count cannot influence early merges
     materially; at scale this is the standard working-set bound).
 
-    Jobs: 1 word-count aggregation + n_merges x (1 pair-count agg). The
-    word table persists between rounds (each round's syms column is one
-    fold over the previous round's cached rows — lineage stays one fold
-    deep)."""
+    Jobs: 1 word-count aggregation + n_merges x ONE pair-count agg — the
+    only action per round is the argmax collect. The word table persists
+    between rounds (each round's syms column is one fold over the
+    previous round's cached rows — lineage stays one fold deep): round
+    r's full pair aggregation touches every partition of `cur`, which
+    fills cur's cache as a side effect, so its PARENT's cache can be
+    dropped right after the collect — no separate count() materialization
+    barrier (that barrier was ~an extra job-floor per round, ~40% of the
+    operator's gate-scale wall)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if min_count < 1:
@@ -85,6 +90,7 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = words
+    parent = None  # the round-before-last frame, safe to drop post-collect
     try:
         for rank in range(1, n_merges + 1):
             # guard single-symbol words: sequence(1, 0) DESCENDS in Spark,
@@ -103,18 +109,21 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
                 .orderBy(F.col("c").desc(), F.col("l").asc(),
                          F.col("r").asc())
                 .limit(1).collect())
+            # cur's cache is now fully materialized -> its parent's cache
+            # is no longer an input to anything
+            if parent is not None and parent is not words:
+                parent.unpersist()
             if not pairs:
                 break  # every word fully merged to one symbol
             lhs, rhs, c = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["c"])
             merges.append((rank, lhs, rhs, c))
-            nxt = cur.select(
+            parent = cur
+            cur = cur.select(
                 "word", "cnt",
                 _merge_fold(F.col("syms"), lhs, rhs).alias("syms")).persist()
-            nxt.count()  # materialize before dropping the previous round
-            if cur is not words:
-                cur.unpersist()
-            cur = nxt
     finally:
+        if parent is not None and parent is not words:
+            parent.unpersist()
         if cur is not words:
             cur.unpersist()
         words.unpersist()
