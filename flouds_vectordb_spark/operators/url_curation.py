@@ -186,6 +186,24 @@ def _psl_depths(rules) -> tuple[int, int]:
     return k_match, k_reg
 
 
+# (applicationId, id(rules)) -> staged rule DataFrame. The full PSL is
+# ~10k rows; driver-side createDataFrame conversion costs ~0.5 s PER CALL
+# while the rule set is module-constant — build once per session. id() is
+# safe as the second key: the canonical rules list lives for the process.
+_RULE_DF_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
+def _rule_df(spark, rules) -> DataFrame:
+    key = (spark.sparkContext.applicationId, id(rules))
+    df = _RULE_DF_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame(
+            [(nm, k, a, b, c) for nm, k, a, b, c in rules],
+            "nm string, nl int, rn boolean, rw boolean, re boolean")
+        _RULE_DF_CACHE[key] = df
+    return df
+
+
 def _psl_domain(df: DataFrame, host_col: str, domain_col: str,
                 rules) -> DataFrame:
     """host -> registered domain under full PSL semantics via bounded
@@ -210,9 +228,7 @@ def _psl_domain(df: DataFrame, host_col: str, domain_col: str,
                 ".", *[F.try_element_at(F.col("__p"), F.lit(-i))
                        for i in range(k, 0, -1)])))
         helper.append(f"__s{k}")
-    rule_df = spark.createDataFrame(
-        [(nm, k, a, b, c) for nm, k, a, b, c in rules],
-        "nm string, nl int, rn boolean, rw boolean, re boolean")
+    rule_df = _rule_df(spark, rules)
     for k in range(1, k_match + 1):
         rk = (rule_df.filter(F.col("nl") == k)
               .select(F.col("nm").alias(f"__nm{k}"),
