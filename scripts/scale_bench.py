@@ -313,6 +313,18 @@ def op_url_domain_cap(spark, d):
                       url_col="url", key_col="doc_id", seed=5)
 
 
+def op_decontaminate(spark, d):
+    """Exact n-gram decontamination (GPT-3/PaLM rule): test side collapses
+    to a broadcast distinct-gram-hash column; train explodes to (id,
+    gram-hash) scalars in the tokenize scan."""
+    from flouds_vectordb_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, d).select(F.col("doc_id").alias("id"), "text")
+    test = docs.filter(F.col("id") % 9973 == 0).select(
+        (F.col("id") + 10_000_000_000).alias("id"), "text")
+    return decontaminate(docs, test, n=8, min_matches=1)
+
+
 def op_decon_neardup(spark, d):
     """Fuzzy train/test decontamination (r10): bipartite MinHash — test
     side (~1 per 9973 train docs, edited copies) broadcasts its band
@@ -372,6 +384,7 @@ OPS = {
     "pack_sequences": op_pack_sequences,
     "dsir_resample": op_dsir_resample,
     "lang_id": op_lang_id,
+    "decontaminate": op_decontaminate,
     "decon_neardup": op_decon_neardup,
     "late_interaction": op_late_interaction,
     "ppl_buckets": op_ppl_buckets,

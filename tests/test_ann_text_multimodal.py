@@ -64,6 +64,26 @@ def test_late_interaction_maxsim_matches_numpy(spark):
             assert gd == d and abs(gs - s) < 1e-6, (q, rank, (gd, gs), (d, s))
 
 
+def test_late_interaction_k_cut_and_empty_query_bag(spark):
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk
+
+    rng = np.random.RandomState(5)
+    X = rng.standard_normal((4, 3, 4))
+    docs = spark.createDataFrame(
+        [(d, t, [float(x) for x in X[d, t]])
+         for d in range(4) for t in range(3)],
+        "doc_id long, pos long, vector array<double>")
+    q = spark.createDataFrame(
+        [(0, 0, [float(x) for x in rng.standard_normal(4)])],
+        "qid long, pos long, vector array<double>")
+    # k larger than the corpus: every doc ranks, dense ranks 1..4
+    top = late_interaction_topk(docs, q, k=10).collect()
+    assert sorted(r["rank"] for r in top) == [1, 2, 3, 4]
+    # empty query bag: no rows out, no error
+    empty_q = q.filter(F.col("qid") < 0)
+    assert late_interaction_topk(docs, empty_q, k=5).count() == 0
+
+
 def test_late_interaction_self_query_is_top1(spark):
     from flouds_vectordb_spark.operators.ann import late_interaction_topk
 
