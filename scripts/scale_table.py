@@ -16,7 +16,10 @@ ORDER = ["dedup_minhash", "dedup_components", "dedup_minhash_components",
          "exact_substring", "ngram_jaccard", "repetition_full", "bpe_train",
          "pack_sequences", "sparse_search_many", "sparse_rare",
          "hybrid_search_many", "similarity_join", "dsir_resample",
-         "hnsw_build", "hnsw_search"]
+         "hnsw_build", "hnsw_search",
+         # r10 continuation
+         "lang_id", "decontaminate", "decon_neardup", "late_interaction",
+         "ppl_buckets", "gopher_quality", "url_domain_cap"]
 DIRS = ["x1", "x10", "x100", "x1000"]
 
 
