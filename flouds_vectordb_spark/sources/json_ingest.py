@@ -142,6 +142,15 @@ def validate_insert_request(batch: DataFrame, dim: int,
             F.sum(F.when(F.col("vector").isNull() | (F.size("vector") != dim), 1).otherwise(0)),
             F.lit(0),
         ).alias("n_bad_dim"),
+        # NULL elements (JSON "vector": [1.0, null] parses; a non-numeric
+        # CSV element try_casts to NULL) would poison every distance
+        # downstream — reject here, where the rule can be named
+        F.coalesce(
+            F.sum(F.when(
+                F.exists(F.col("vector"), lambda x: x.isNull()),
+                1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_null_elem"),
         # |x| <= 1e6 (input_validator.py:247-248). NaN must be ACCEPTED to
         # match the reference (Python abs(nan) > 1e6 is False); Spark orders
         # NaN above every number, so abs(NaN) > bound would be TRUE without
@@ -175,6 +184,9 @@ def validate_insert_request(batch: DataFrame, dim: int,
         problems.append(
             f"{stats['n_big_elem']} vectors with an element larger than "
             f"{MAX_VECTOR_ELEMENT:g}")
+    if stats["n_null_elem"]:
+        problems.append(
+            f"{stats['n_null_elem']} vectors with a null (unparseable) element")
     if stats["max_meta_len"] > metadata_length:
         problems.append(
             f"Metadata exceeds maximum length of {metadata_length} characters")
