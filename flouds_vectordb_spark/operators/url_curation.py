@@ -186,22 +186,26 @@ def _psl_depths(rules) -> tuple[int, int]:
     return k_match, k_reg
 
 
-# (applicationId, id(rules)) -> staged rule DataFrame. The full PSL is
-# ~10k rows; driver-side createDataFrame conversion costs ~0.5 s PER CALL
-# while the rule set is module-constant — build once per session. id() is
-# safe as the second key: the canonical rules list lives for the process.
-_RULE_DF_CACHE: dict[tuple[str, int], DataFrame] = {}
+# One-slot cache: (applicationId, rules-object) -> staged rule DataFrame.
+# The full PSL is ~10k rows; driver-side createDataFrame conversion costs
+# ~0.5 s PER CALL while the rule set is module-constant — build once per
+# session. A single slot (not a dict) so session restarts evict the
+# previous entry instead of pinning DataFrames of stopped sessions. The
+# slot holds a STRONG reference to the rules object and compares by
+# identity, so an id()-reuse after GC can never alias a different rules
+# list to the cached DataFrame.
+_RULE_DF_SLOT: list = [None, None, None]  # [appId, rules obj, DataFrame]
 
 
 def _rule_df(spark, rules) -> DataFrame:
-    key = (spark.sparkContext.applicationId, id(rules))
-    df = _RULE_DF_CACHE.get(key)
-    if df is None:
-        df = spark.createDataFrame(
+    app = spark.sparkContext.applicationId
+    if _RULE_DF_SLOT[0] != app or _RULE_DF_SLOT[1] is not rules:
+        _RULE_DF_SLOT[0] = app
+        _RULE_DF_SLOT[1] = rules
+        _RULE_DF_SLOT[2] = spark.createDataFrame(
             [(nm, k, a, b, c) for nm, k, a, b, c in rules],
             "nm string, nl int, rn boolean, rw boolean, re boolean")
-        _RULE_DF_CACHE[key] = df
-    return df
+    return _RULE_DF_SLOT[2]
 
 
 def _psl_domain(df: DataFrame, host_col: str, domain_col: str,

@@ -28,9 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flouds_vectordb_spark.sources.json_ingest import (
-    DEFAULT_METADATA_LENGTH,
+    ingest_batch,
     to_collection_batch,
-    validate_insert_request,
 )
 
 CSV_SCHEMA = T.StructType([
@@ -46,23 +45,40 @@ VECTOR_SEP = ";"
 
 def read_embedded_vectors_csv(spark: SparkSession, path: str) -> DataFrame:
     """EmbeddedVector records from CSV with the explicit schema (no
-    inference pass); malformed rows fail loudly (FAILFAST) like the
-    JSON source. The vector string parses JVM-side (split + cast — a
-    non-numeric element becomes NULL and is caught by the shared
-    dimension validator, never silently dropped)."""
+    inference pass); malformed rows fail loudly like the JSON source —
+    structurally broken rows via FAILFAST, unparseable metadata JSON via
+    an explicit raise_error guard (from_json alone would silently NULL,
+    and to_collection_batch would coerce that to {}). A non-numeric
+    vector element try_casts to NULL and is rejected by the shared
+    validator's NULL-ELEMENT rule (validate_insert_request n_null_elem —
+    the dimension check cannot see it: the split still has dim entries).
+
+    multiLine=true honors RFC 4180 quoted embedded newlines. The scale
+    cost is explicit: multiLine CSV files are not SPLITTABLE (one task
+    per file) — parallelism comes from the file count, so bulk producers
+    should write many moderate files (every distributed writer already
+    does) or keep fields newline-free."""
     # escape='"' = RFC 4180 doubled-quote escaping — the format every
     # external CSV producer writes; Spark's default escape is backslash
     raw = (spark.read.schema(CSV_SCHEMA)
            .option("header", "true").option("escape", '"')
+           .option("multiLine", "true")
            .option("mode", "FAILFAST").csv(path))
     # try_cast, not cast: under ANSI mode a non-numeric element would
     # throw NumberFormatException mid-stage; NULL instead flows into the
-    # shared dimension validator, which names the violated rule
+    # shared validator, which names the violated rule
     vec = F.transform(
         F.split(F.col("vector"), VECTOR_SEP),
         lambda x: x.try_cast("float"))
-    meta = F.from_json(
+    parsed = F.from_json(
         F.col("metadata"), T.MapType(T.StringType(), T.StringType()))
+    meta = F.when(
+        F.col("metadata").isNotNull() & (F.trim("metadata") != "")
+        & parsed.isNull(),
+        F.raise_error(F.concat(
+            F.lit("malformed metadata JSON in CSV record: "),
+            F.substring(F.col("metadata"), 1, 200))),
+    ).otherwise(parsed)
     return raw.select(
         "key", "chunk", "model",
         meta.alias("metadata"),
@@ -72,13 +88,9 @@ def read_embedded_vectors_csv(spark: SparkSession, path: str) -> DataFrame:
 def ingest_csv(spark: SparkSession, path: str, writer, batch_ts: int,
                enforce_request_caps: bool = True, **insert_kwargs) -> dict:
     """End-to-end source->sink: CSV -> validated collection batch ->
-    CollectionWriter.insert_data — the exact pipeline tail the JSON
-    source uses (shared validators, shared sink)."""
-    batch = to_collection_batch(read_embedded_vectors_csv(spark, path))
-    validate_insert_request(
-        batch, int(writer.meta["dimension"]),
-        enforce_request_caps=enforce_request_caps,
-        metadata_length=int(writer.meta.get("metadata_length",
-                                            DEFAULT_METADATA_LENGTH)))
-    return writer.insert_data(batch, batch_ts=batch_ts,
-                              skip_dim_validation=True, **insert_kwargs)
+    CollectionWriter.insert_data — literally the same pipeline tail as
+    the JSON source (json_ingest.ingest_batch)."""
+    return ingest_batch(
+        to_collection_batch(read_embedded_vectors_csv(spark, path)),
+        writer, batch_ts, enforce_request_caps=enforce_request_caps,
+        **insert_kwargs)

@@ -195,14 +195,13 @@ def validate_insert_request(batch: DataFrame, dim: int,
     return int(stats["n"])
 
 
-def ingest_json(spark: SparkSession, path: str, writer, batch_ts: int,
-                enforce_request_caps: bool = True, **insert_kwargs) -> dict:
-    """End-to-end source->sink: JSON-lines -> validated collection batch ->
-    `CollectionWriter.insert_data` (same path as every other arrival mode).
+def ingest_batch(batch: DataFrame, writer, batch_ts: int,
+                 enforce_request_caps: bool = True, **insert_kwargs) -> dict:
+    """Validated collection batch -> `CollectionWriter.insert_data` — the
+    shared pipeline tail of every file-arrival mode (JSON, CSV).
     Dimensions are already checked by validate_insert_request's single
     aggregation, so the sink's per-batch dim scan is skipped (one less job
     over the unpersisted source)."""
-    batch = to_collection_batch(read_embedded_vectors_json(spark, path))
     validate_insert_request(
         batch, int(writer.meta["dimension"]),
         enforce_request_caps=enforce_request_caps,
@@ -210,3 +209,14 @@ def ingest_json(spark: SparkSession, path: str, writer, batch_ts: int,
                                             DEFAULT_METADATA_LENGTH)))
     return writer.insert_data(batch, batch_ts=batch_ts,
                               skip_dim_validation=True, **insert_kwargs)
+
+
+def ingest_json(spark: SparkSession, path: str, writer, batch_ts: int,
+                enforce_request_caps: bool = True, **insert_kwargs) -> dict:
+    """End-to-end source->sink: JSON-lines -> validated collection batch ->
+    `CollectionWriter.insert_data` (same path as every other arrival
+    mode)."""
+    return ingest_batch(
+        to_collection_batch(read_embedded_vectors_json(spark, path)),
+        writer, batch_ts, enforce_request_caps=enforce_request_caps,
+        **insert_kwargs)

@@ -37,12 +37,33 @@ def test_read_parse_and_normalize(spark, tmp_path_factory):
 
 
 def test_non_numeric_vector_element_caught(spark, tmp_path_factory):
-    # a non-float element casts to NULL; the shared dimension validator
-    # must reject the request, never silently drop the element
+    # a non-float element try_casts to NULL; the split still has `dim`
+    # entries, so rejection comes from the NULL-ELEMENT rule
+    # (n_null_elem), NOT the dimension check
     path = _write_csv(tmp_path_factory, ['a,"text",m2,,"1.0;oops"'])
     batch = to_collection_batch(read_embedded_vectors_csv(spark, path))
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="null"):
         validate_insert_request(batch, dim=2)
+
+
+def test_malformed_metadata_json_fails_loudly(spark, tmp_path_factory):
+    # unparseable metadata must NOT silently coerce to {} (from_json
+    # NULLs in permissive mode; the explicit raise_error guard fires)
+    path = _write_csv(tmp_path_factory,
+                      ['a,"text",m2,"{lang: en}","1.0;2.0"'])
+    batch = to_collection_batch(read_embedded_vectors_csv(spark, path))
+    with pytest.raises(Exception, match="malformed metadata"):
+        batch.collect()
+
+
+def test_quoted_embedded_newline_roundtrips(spark, tmp_path_factory):
+    # RFC 4180 permits newlines inside quoted fields (multiLine read)
+    path = _write_csv(tmp_path_factory,
+                      ['a,"line one\nline two",m2,,"1.0;2.0"'])
+    batch = to_collection_batch(read_embedded_vectors_csv(spark, path))
+    row = batch.collect()[0]
+    assert row["chunk"] == "line one\nline two"
+    assert row["vector"] == [1.0, 2.0]
 
 
 def test_ingest_csv_end_to_end(spark, tmp_path_factory):
@@ -59,6 +80,6 @@ def test_ingest_csv_end_to_end(spark, tmp_path_factory):
                                        metric_type="COSINE"))
     writer = CollectionWriter(cat, "tenant1", "m2")
     res = ingest_csv(spark, path, writer, batch_ts=1, force_flush=True)
-    assert res["insert_count"] == 6 if "insert_count" in res else True
+    assert res["inserted"] == 6, res
     got = {r["id"]: r["vector"] for r in writer.read_latest().collect()}
     assert got["k3"] == [3.5, 4.25] and len(got) == 6
