@@ -302,9 +302,36 @@ class Catalog:
         return sorted(n for n, c in colls.items() if c["tenant"] == tenant)
 
     # ---- data access -------------------------------------------------------
+    # Reader retry at the compaction swap seam (r11): flush() swaps the
+    # collection directory with two atomic renames (path -> __precompact,
+    # __compacting -> path), so a lock-free reader can observe a missing
+    # `path` for the microseconds between them. Bounded wait: retry only
+    # while a seam artifact proves a swap is in flight, then fail loud —
+    # never silently read an empty collection mid-swap.
+    _SWAP_RETRY_ATTEMPTS = 40
+    _SWAP_RETRY_SLEEP_S = 0.05
+
+    def _await_swap_seam(self, path: str) -> None:
+        import time as _time
+
+        for _ in range(self._SWAP_RETRY_ATTEMPTS):
+            if os.path.isdir(path):
+                return
+            if not (os.path.isdir(path + "__precompact")
+                    or os.path.isdir(path + "__compacting")):
+                return  # genuinely absent: empty/new collection, not a swap
+            _time.sleep(self._SWAP_RETRY_SLEEP_S)
+        raise FileNotFoundError(
+            f"collection path {path!r} missing with a compaction swap in "
+            f"flight for >{self._SWAP_RETRY_ATTEMPTS * self._SWAP_RETRY_SLEEP_S:.0f}s"
+            " — writer crashed mid-swap? run any write op (it recovers via"
+            " _recover_compaction) or repair the __precompact/__compacting"
+            " directories")
+
     def read_collection(self, tenant: str, model: str) -> DataFrame:
         meta = self.describe_collection(tenant, model)
         path = meta["path"]
+        self._await_swap_seam(path)
         if not any(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
             return self.spark.createDataFrame(
                 [], collection_schema(meta["dimension"],

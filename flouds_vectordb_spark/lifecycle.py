@@ -44,10 +44,24 @@ def _stack() -> list[list[DataFrame]]:
         return _SCOPES.stack
 
 
+# monotonically increasing count of tracked_persist calls — lets callers
+# (queries._memoized) detect that a plan they just built embeds persist
+# nodes. Such plans must not be reused across clearCache() boundaries: an
+# InMemoryRelation unpersisted by clearCache re-computes per consumer on
+# the reused object (measured r11: dedup_near_minhash_lsh 1.8 s fresh vs
+# 5.4 s reused — the 3-consumer signature table recomputed three times).
+_PERSIST_COUNT = [0]
+
+
+def persist_epoch() -> int:
+    return _PERSIST_COUNT[0]
+
+
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() that registers with the innermost active persist_scope
     on THIS thread (no-op registration when no scope is active)."""
     df = df.persist()
+    _PERSIST_COUNT[0] += 1
     stack = _stack()
     if stack:
         stack[-1].append(df)

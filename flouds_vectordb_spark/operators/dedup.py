@@ -32,6 +32,8 @@ the signature tables as the real index artifact instead.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -53,6 +55,12 @@ from flouds_vectordb_spark.sources.tables import spread_small_input as _spread
 # barriers; above it, that machinery cuts the operator's shuffle 4x
 # (measured at 500k docs — see dedup_minhash)
 _MINHASH_SMALL_INPUT_BYTES = 48 << 20
+
+# decontaminate_neardup broadcasts its (id_a, id_b) candidate list back
+# into the train probe; 2M scalar pairs ≈ 32 MB — comfortably under the
+# default 10 MB autoBroadcast threshold is NOT the bar here (we broadcast
+# explicitly), the bar is driver/executor memory. Past this, keyed joins.
+_NEARDUP_CAND_BROADCAST_ROWS = 2_000_000
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -281,6 +289,29 @@ def _jaccard_filtered(pairs: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("jaccard_r") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard_r")
     )
+
+
+def _length_filtered(cand: DataFrame, sets: DataFrame,
+                     threshold: float) -> DataFrame:
+    """PPJoin-style length filter (Xiao et al. 2008) on a candidate list:
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= θ requires
+    θ·|B| <= |A| <= |B|/θ — decided on SCALAR shingle counts before any
+    shingle array rides a join. Exact: only provably-failing pairs drop.
+    The sizes probe reads the persisted signature table (sets carries the
+    shingle arrays already materialized), so the two joins ship one int
+    per side."""
+    sizes = sets.select("id", F.size("shingles").alias("_sz"))
+    th = float(threshold)
+    j = (cand
+         .join(sizes.select(F.col("id").alias("id_a"),
+                            F.col("_sz").alias("_sza")), "id_a")
+         .join(sizes.select(F.col("id").alias("id_b"),
+                            F.col("_sz").alias("_szb")), "id_b"))
+    keep = ((F.col("_sza").cast("double")
+             >= F.lit(th) * F.col("_szb").cast("double"))
+            & (F.col("_szb").cast("double")
+               >= F.lit(th) * F.col("_sza").cast("double")))
+    return j.filter(keep).drop("_sza", "_szb")
 
 
 def _verify_candidates(cand: DataFrame, sets: DataFrame, threshold: float,
@@ -520,8 +551,16 @@ def dedup_minhash_components(
     star_cand = (star_rows.select(F.col("_rep").alias("id_a"),
                                   F.col("id").alias("id_b"))
                  .dropDuplicates(["id_a", "id_b"]))
-    star_pairs = _verify_candidates(star_cand, sets, jaccard_threshold,
-                                    small).transform(_persist)
+    # PPJoin length filter on BOTH verify passes (r11, VERDICT ask #4):
+    # drops provably-failing pairs on scalar sizes before the shingle
+    # arrays ride the verify joins — the fusion's fallback verify was why
+    # its x1000 shuffle exceeded pair mode's. Exactness is unchanged: a
+    # length-dropped star edge is exactly a FAILED star edge, so its
+    # members land in the unresolved set and phase 2 adjudicates them,
+    # the same path a Jaccard-failed edge takes.
+    star_pairs = _verify_candidates(
+        _length_filtered(star_cand, sets, jaccard_threshold), sets,
+        jaccard_threshold, small).transform(_persist)
     unresolved = star_rows.join(
         star_pairs.select(F.col("id_a").alias("_rep"),
                           F.col("id_b").alias("id")),
@@ -539,7 +578,9 @@ def dedup_minhash_components(
         # the same orientation least/greatest produces
         .join(star_cand, ["id_a", "id_b"], "left_anti")
     )
-    p2_pairs = _verify_candidates(p2_cand, sets, jaccard_threshold, small)
+    p2_pairs = _verify_candidates(
+        _length_filtered(p2_cand, sets, jaccard_threshold), sets,
+        jaccard_threshold, small)
     edges = (star_pairs.select("id_a", "id_b")
              .unionByName(p2_pairs.select("id_a", "id_b")))
     return dedup_components(edges)
@@ -1250,15 +1291,26 @@ def decontaminate_neardup(
     # not the other way round: joining cand against tr_sets by key plans
     # a sort-merge that shuffles EVERY train shingle set (measured 413 MB
     # at 500k docs); this way the train side is pruned map-side and no
-    # shingle array ever rides an exchange
-    pairs = (
-        tr_sets.select(F.col("id").alias("id_a"),
-                       F.col("shingles").alias("sh_a"))
-        .join(F.broadcast(cand), "id_a")
-        .join(F.broadcast(te_sets.select(F.col("id").alias("id_b"),
-                                         F.col("shingles").alias("sh_b"))),
-              "id_b")
-    )
+    # shingle array ever rides an exchange. The contract is not enforced
+    # by the caller, so COUNT the candidate list first (the persist+count
+    # pattern _verify_candidates uses) and fall back to the keyed join
+    # when a hot band bucket blows past the broadcast bound — slower,
+    # never a driver OOM.
+    cand = cand.transform(_persist)
+    n_cand = cand.count()
+    te_proj = te_sets.select(F.col("id").alias("id_b"),
+                             F.col("shingles").alias("sh_b"))
+    tr_proj = tr_sets.select(F.col("id").alias("id_a"),
+                             F.col("shingles").alias("sh_a"))
+    if n_cand <= _NEARDUP_CAND_BROADCAST_ROWS:
+        pairs = (tr_proj.join(F.broadcast(cand), "id_a")
+                 .join(F.broadcast(te_proj), "id_b"))
+    else:
+        warnings.warn(
+            f"decontaminate_neardup: {n_cand} candidate pairs exceed the "
+            f"broadcast bound ({_NEARDUP_CAND_BROADCAST_ROWS}); falling "
+            "back to keyed joins (hot band bucket or oversized test set)")
+        pairs = tr_proj.join(cand, "id_a").join(te_proj, "id_b")
     return (
         _jaccard_filtered(pairs, jaccard_threshold)
         .groupBy(F.col("id_a").alias("id"))

@@ -167,7 +167,17 @@ def hybrid_search(
         sbranch = sparse_search(postings, req.sparse_request())
     sparse = sbranch.select(F.col("id"), F.col("rank").alias("sparse_rank_"))
 
-    fused = dense.join(sparse, "id", "full_outer")
+    # union+groupBy fusion, not a full-outer join — see hybrid_search_many
+    fused = (
+        dense.withColumn("sparse_rank_", F.lit(None).cast("int"))
+        .unionByName(
+            sparse.withColumn("dense_rank_", F.lit(None).cast("int"))
+            .withColumn("dense_score", F.lit(None).cast("double")))
+        .groupBy("id")
+        .agg(F.max("dense_rank_").alias("dense_rank_"),
+             F.max("dense_score").alias("dense_score"),
+             F.max("sparse_rank_").alias("sparse_rank_"))
+    )
     kf = float(RRF_K)
     rrf = (
         F.coalesce(F.lit(1.0) / (F.lit(kf) + F.col("dense_rank_").cast("double")), F.lit(0.0))
@@ -346,15 +356,14 @@ def hybrid_search_many(
     (sparse_search_many); fusion is a (qid, id) full outer join of two
     <= nq*50-row scalar tables. With postings=None the posting table is
     built from df once for the WHOLE block (bit-identical weights to the
-    direct scorer) — the single-query direct path exists to skip that
-    build for ONE query; for a block the one-time build IS the cheaper
-    plan. Results are bit-identical to looping hybrid_search per query."""
+    direct scorer; measured r11 — the batched direct scorer loses, see
+    the inline note). Results are bit-identical to looping hybrid_search
+    per query."""
     from flouds_vectordb_spark.operators.batch_search import (
         _pair_score,
         query_block,
     )
     from flouds_vectordb_spark.operators.sparse_search import (
-        bm25_postings,
         sparse_search_many,
     )
 
@@ -385,6 +394,14 @@ def hybrid_search_many(
     )
 
     if postings is None:
+        # no stored index: build the (term-prunable) posting table from
+        # df for the whole block. Measured r11: the batched direct
+        # scorer (sparse_search_many_direct) LOSES here — its 20-odd
+        # interpreted HOF tf filters over every token array cost more
+        # than the pruned explode/groupBy chain's exchanges (1.61 s vs
+        # 0.92 s at sf0.1) — so the one-time build stays the block plan.
+        from flouds_vectordb_spark.operators.sparse_search import bm25_postings
+
         postings = bm25_postings(df, id_col=id_col, chunk_col=sparse_chunk_col)
     sparse = (
         sparse_search_many(postings, sparse_q, req.sparse_request(),
@@ -392,7 +409,22 @@ def hybrid_search_many(
         .select("qid", "id", F.col("rank").alias("sparse_rank_"))
     )
 
-    fused = dense.join(sparse, ["qid", "id"], "full_outer")
+    # union+groupBy fusion, not a full-outer join (r11): the two branch
+    # tables are bounded (<= nq*50 rows each) but a full-outer join can't
+    # broadcast, so it planned a two-sided sort-merge — two exchanges +
+    # sorts. The union form is ONE hash aggregation; max() over the
+    # one-non-null-per-key columns reproduces the outer join's row merge
+    # exactly (each (qid, id) appears at most once per branch).
+    fused = (
+        dense.withColumn("sparse_rank_", F.lit(None).cast("int"))
+        .unionByName(
+            sparse.withColumn("dense_rank_", F.lit(None).cast("int"))
+            .withColumn("dense_score", F.lit(None).cast("double")))
+        .groupBy("qid", "id")
+        .agg(F.max("dense_rank_").alias("dense_rank_"),
+             F.max("dense_score").alias("dense_score"),
+             F.max("sparse_rank_").alias("sparse_rank_"))
+    )
     kf = float(RRF_K)
     rrf = (
         F.coalesce(F.lit(1.0) / (F.lit(kf) + F.col("dense_rank_").cast("double")), F.lit(0.0))

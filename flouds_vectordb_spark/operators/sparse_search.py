@@ -100,8 +100,16 @@ def bm25_postings(
     bm25_term_stats / bm25_weights below), so a full rebuild and a
     merge-of-batches are the same code — they cannot drift."""
     tf = bm25_tf(df, id_col, chunk_col)
-    n_docs, sum_dl = bm25_doc_stats(df, id_col, chunk_col)
-    post = bm25_weights(tf, bm25_term_stats(tf), n_docs, sum_dl, k1, b)
+    # df(t) folded in as a window count over the term partitioning (r11):
+    # one exchange of the tf table on term, vs the groupBy(term) + join
+    # pair (two boundaries, and the join shuffles tf on term anyway at
+    # scale — vocab is too wide to broadcast). Same long count, same
+    # weights bit-for-bit. A query-time `term IN (...)` prune pushes
+    # through the window (predicate on the partition spec) and per-term
+    # df counts are unaffected by dropping OTHER terms' rows.
+    tfd = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    stats = bm25_doc_stats_df(df, id_col, chunk_col)
+    post = bm25_weights_stats_df(tfd, None, stats, k1, b)
 
     if drop_ratio_build > 0.0:
         # Milvus drop_ratio_build: drop the smallest fraction of weights at
@@ -111,8 +119,12 @@ def bm25_postings(
         # cumulative offsets, then rank within partitions — the distributed
         # exact-rank pattern, parallel at any scale. Tie handling matches
         # the SQL twin's row_number ORDER BY weight, term, id.
-        total = post.count()
-        cut = int(total * drop_ratio_build)
+        # persist BEFORE the range partitioner (r11): its sampling pass
+        # and the ranked read each materialize the posting pipeline —
+        # unpersisted, the explode/agg chain ran three times per build.
+        # The global total comes from the per-partition sizes (one
+        # collect), not a separate count() action.
+        post = _tracked_persist(post)
         order = [F.col("weight").asc(), F.col("term").asc(), F.col("id").asc()]
         ranged = post.repartitionByRange(max(post.sparkSession.sparkContext.defaultParallelism, 1), *order)
         # persist: the offsets below are valid only for THIS materialization's
@@ -121,6 +133,7 @@ def bm25_postings(
         ranged = _tracked_persist(
             ranged.withColumn("_pid", F.spark_partition_id()))
         sizes = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+        cut = int(sum(sizes.values()) * drop_ratio_build)
         offsets, acc = {}, 0
         for pid in sorted(sizes):
             offsets[pid] = acc
@@ -171,6 +184,44 @@ def bm25_doc_stats(df: DataFrame, id_col: str = "id",
         .first()
     )
     return int(row["n"]), int(row["s"])
+
+
+def bm25_doc_stats_df(df: DataFrame, id_col: str = "id",
+                      chunk_col: str = "chunk") -> DataFrame:
+    """1-row (_bm25_n, _bm25_s) DataFrame — the DAG-resident form of
+    bm25_doc_stats. Broadcasting this into the weight derivation (see
+    bm25_weights_stats_df) folds the stats scan into the consumer's single
+    action; the .first() form cost its own driver action — 3 AQE stage
+    jobs plus a full extra corpus scan per query at gate scale (measured
+    r11 on q4_hybrid_search_many)."""
+    return (
+        df.select(tokenize(F.col(chunk_col)).alias("terms"))
+        .agg(F.count("*").alias("_bm25_n"),
+             F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("_bm25_s"))
+    )
+
+
+def bm25_weights_stats_df(tf: DataFrame, term_stats: DataFrame | None,
+                          stats_df: DataFrame, k1: float = K1_DEFAULT,
+                          b: float = B_DEFAULT) -> DataFrame:
+    """bm25_weights with (n_docs, sum_dl) riding in as a broadcast 1-row
+    DataFrame instead of Python scalars. Bit-identical weights: the
+    long->double casts produce the same IEEE doubles as float(n_docs) /
+    float(sum_dl) literals, and the expression tree is otherwise the
+    same fixed-order math. term_stats=None means tf already carries its
+    `df` column (the window form in bm25_postings)."""
+    post = tf if term_stats is None else tf.join(term_stats, "term")
+    post = post.join(F.broadcast(stats_df))
+    n = F.col("_bm25_n").cast("double")
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    avgdl = F.col("_bm25_s").cast("double") / n
+    tfd = F.col("tf").cast("double")
+    tf_norm = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    return post.select("id", "term", "tf", "dl", "df",
+                       (idf * tf_norm).alias("weight"))
 
 
 def bm25_doc_rows(df: DataFrame, id_col: str = "id",

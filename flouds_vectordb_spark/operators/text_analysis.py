@@ -13,6 +13,7 @@ rounded to 6 decimals for cross-engine hashability.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -384,29 +385,115 @@ _PII_STEPS = (("email", PII_EMAIL, "<EMAIL>", False),
               ("phone", _guarded(PII_PHONE), "<PHONE>", True))
 
 
+# Compiled-per-process pattern cache for the Arrow-batched scrubber.
+# re.ASCII pins \b/\w/\d to the ASCII set — the semantics Java regex
+# (default, no UNICODE_CHARACTER_CLASS) and DuckDB's RE2 both use; Python
+# would otherwise treat Unicode letters as word chars and drop the IPv4
+# boundary next to e.g. an accented letter.
+_PII_COMPILED: tuple | None = None
+
+
+def _pii_compiled():
+    global _PII_COMPILED
+    if _PII_COMPILED is None:
+        import re
+
+        steps = []
+        for name, pat, tag, guarded in _PII_STEPS:
+            repl = (r"\g<1>" + tag + r"\g<3>") if guarded else tag
+            steps.append((name, re.compile(pat, re.ASCII), repl, guarded))
+        # conservative per-doc gates: every numeric class needs two
+        # consecutive digits or digit.digit (IPv4 single-digit octets);
+        # email needs '@'. A doc failing a gate provably has zero matches
+        # for the gated classes, so the scrubber skips their traversals —
+        # most corpus documents carry no identifiers at all.
+        num_gate = re.compile(r"[0-9][0-9]|[0-9]\.[0-9]", re.ASCII)
+        _PII_COMPILED = (tuple(steps), num_gate)
+    return _PII_COMPILED
+
+
+def _scrub_pii_one(t):
+    """One document through the full fixed-order class chain — identical
+    intermediates to the former per-class Column chain: counts are taken
+    at each step's input (subn counts replacements it performs), guarded
+    classes run two passes, order email->ip->ssn->ccard->phone."""
+    if t is None:
+        return (None, None, None, None, None, None)
+    steps, num_gate = _pii_compiled()
+    has_at = "@" in t
+    has_num = num_gate.search(t) is not None
+    out = t
+    counts = []
+    for name, cre, repl, guarded in steps:
+        if not (has_at if name == "email" else has_num):
+            counts.append(0)
+            continue
+        out, n = cre.subn(repl, out)
+        if guarded:
+            out, n2 = cre.subn(repl, out)
+            n += n2
+        counts.append(n)
+    return (out, *counts)
+
+
+_SCRUB_UDF = None
+
+
+def scrub_pii_udf():
+    """Arrow-vectorized pandas_udf: text -> struct<text_scrubbed, n_*> —
+    the whole five-class scrub as ONE pure-map pass (the langid.py
+    precedent). Why a UDF here (measured, r11): the Column form ran ~18
+    sequential full-text Java-regex traversals per document (per class:
+    regexp_extract_all + regexp_replace, guarded classes x2) — a CPU
+    constant that does NOT amortize at 100 TB. re.subn fuses count+replace
+    into one traversal per pass (8 max), and the '@'/digit gates skip
+    whole classes for the PII-free majority of documents. Patterns are
+    compiled once per Python worker process; the UDF object is memoized so
+    repeated query builds don't re-wrap/re-pickle it."""
+    global _SCRUB_UDF
+    if _SCRUB_UDF is not None:
+        return _SCRUB_UDF
+    from pyspark.sql.functions import pandas_udf
+
+    cols = ["text_scrubbed"] + [f"n_{n}" for n, _, _, _ in _PII_STEPS]
+    spec = "struct<text_scrubbed:string," + ",".join(
+        f"n_{n}:int" for n, _, _, _ in _PII_STEPS) + ">"
+
+    @pandas_udf(spec)
+    def _scrub(texts: pd.Series) -> pd.DataFrame:
+        # column-wise construction: pd.DataFrame over a row-tuple list
+        # runs per-cell object inference (~0.3 s for 5k rows, measured);
+        # zip-transpose + dict build skips it
+        data = list(zip(*(_scrub_pii_one(t) for t in texts)))
+        if not data:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(dict(zip(cols, data)))
+
+    _SCRUB_UDF = _scrub
+    return _scrub
+
+
 def scrub_pii(df: DataFrame, id_col: str = "id",
               text_col: str = "text") -> DataFrame:
     """(id, text_scrubbed, n_email, n_ipv4, n_ssn, n_ccard, n_phone): text
     with the five identifier classes replaced by typed placeholders, plus
-    per-class match counts (guarded classes sum both passes)."""
-    out = F.col(text_col)
-    counts = {}
-    for name, pat, tag, guarded in _PII_STEPS:
-        if not guarded:
-            counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
-            out = F.regexp_replace(out, pat, tag)
-            continue
-        repl = f"$1{tag}$3"
-        n1 = F.size(F.regexp_extract_all(out, F.lit(pat), 2))
-        out = F.regexp_replace(out, pat, repl)
-        n2 = F.size(F.regexp_extract_all(out, F.lit(pat), 2))
-        out = F.regexp_replace(out, pat, repl)
-        counts[name] = n1 + n2
-    return df.select(
+    per-class match counts (guarded classes sum both passes).
+
+    Scale shape: pure map, zero shuffle at scale — one Arrow batch in,
+    one out, per input split; parallelizes embarrassingly and streams.
+    The fixture spread is CAPPED at 8 (unlike lang_id's full-width
+    spread): post-gate per-byte cost is small (0.19 s single-core for all
+    of sf0.1), so 32-way task+worker overhead exceeds the compute it
+    parallelizes (measured r11: 32-way 0.89 s, 8-way 0.31 s, 1-way
+    0.46 s); at real scale the parquet reader already splits files at
+    maxPartitionBytes and the cap branch never fires."""
+    d = spread_small_input(df, target=8).select(
         F.col(id_col).alias("id"),
-        out.alias("text_scrubbed"),
-        *(counts[name].alias(f"n_{name}") for name, _, _, _ in _PII_STEPS),
-    )
+        scrub_pii_udf()(F.col(text_col)).alias("_r"))
+    return d.select(
+        "id", F.col("_r.text_scrubbed").alias("text_scrubbed"),
+        *(F.col(f"_r.n_{name}").alias(f"n_{name}")
+          for name, _, _, _ in _PII_STEPS))
 
 
 def scrub_pii_sql(table_sql: str, id_expr: str = "id",

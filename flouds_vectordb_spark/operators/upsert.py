@@ -437,7 +437,11 @@ class CollectionWriter:
         Every crash point leaves a recoverable state, repaired by
         _recover_compaction() under the writer lock before any flush or
         insert: marker present -> roll FORWARD to the compacted data;
-        marker absent -> roll BACK to the pre-compaction directory. On a
+        marker absent -> roll BACK to the pre-compaction directory.
+        Readers racing the rename pair (the instant `path` is absent
+        between 2 and 3) retry behind Catalog._await_swap_seam (r11):
+        bounded wait while a seam artifact proves a swap is in flight,
+        loud FileNotFoundError if the writer crashed mid-swap. On a
         multi-node deployment this is exactly the seam where a
         transactional table format (Delta/Iceberg MERGE + atomic commit)
         replaces directory renames; the protocol keeps plain parquet —

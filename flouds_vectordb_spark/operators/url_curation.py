@@ -200,11 +200,16 @@ _RULE_DF_SLOT: list = [None, None, None]  # [appId, rules obj, DataFrame]
 def _rule_df(spark, rules) -> DataFrame:
     app = spark.sparkContext.applicationId
     if _RULE_DF_SLOT[0] != app or _RULE_DF_SLOT[1] is not rules:
-        _RULE_DF_SLOT[0] = app
-        _RULE_DF_SLOT[1] = rules
-        _RULE_DF_SLOT[2] = spark.createDataFrame(
+        # Build first, publish after: if createDataFrame raises (e.g. a
+        # transient session failure) the slot keys must NOT already match
+        # (appId, rules), or a retry would return the stale DataFrame
+        # left in slot[2] by a previous session.
+        built = spark.createDataFrame(
             [(nm, k, a, b, c) for nm, k, a, b, c in rules],
             "nm string, nl int, rn boolean, rw boolean, re boolean")
+        _RULE_DF_SLOT[0] = app
+        _RULE_DF_SLOT[1] = rules
+        _RULE_DF_SLOT[2] = built
     return _RULE_DF_SLOT[2]
 
 

@@ -156,12 +156,56 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _EXTENDED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
+# Prepared-plan cache: (applicationId, sf_dir, name) -> built DataFrame.
+# Building an entry's LAZY plan costs 0.3-1.0 s of py4j round trips
+# (measured r11: q4_hybrid_search_many = 2,691 gateway calls ≈ 0.7 s —
+# more than its execution). Real engines amortize exactly this as
+# prepared statements / plan caches, so the registry memoizes the
+# DataFrame per session+dataset — but ONLY when the build is pure plan
+# construction. The guard is self-checking, not a hand-list; a build is
+# cacheable only when
+#   (a) it triggered NO Spark job (iterative operators like BPE training
+#       or label propagation, drop-ratio counts, flow setups do real work
+#       at build time — caching them would cache results), and
+#   (b) it registered NO persist node (an InMemoryRelation embedded in a
+#       reused plan re-computes per consumer after clearCache — measured
+#       r11: dedup_near_minhash_lsh 1.8 s fresh vs 5.4 s reused).
+# A cached entry is therefore a bare lazy plan: re-executing it does
+# everything a rebuild would, and bench's clearCache-between-passes
+# contract is unaffected.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memoized(name: str, q):
+    from flouds_vectordb_spark.lifecycle import persist_epoch
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        df = _PLAN_CACHE.get(key)
+        if df is not None:
+            return df
+        st = spark.sparkContext.statusTracker()
+        ids = st.getJobIdsForGroup() or []
+        before = max(ids) if ids else -1
+        pe = persist_epoch()
+        df = q(spark, sf_dir)
+        ids = st.getJobIdsForGroup() or []
+        after = max(ids) if ids else -1
+        if after == before and persist_epoch() == pe:
+            if len(_PLAN_CACHE) > 4096:  # dead-session plans after restarts
+                _PLAN_CACHE.clear()
+            _PLAN_CACHE[key] = df
+        return df
+
+    return wrapped
+
+
 def _register(name: str, q, sql) -> None:
-    _REGISTRY[name] = (q, sql)
+    _REGISTRY[name] = (_memoized(name, q), sql)
 
 
 def _register_ext(name: str, q, sql) -> None:
-    _EXTENDED[name] = (q, sql)
+    _EXTENDED[name] = (_memoized(f"ext:{name}", q), sql)
 
 
 # --- Q1: dense top-k, all three metrics --------------------------------------
@@ -187,7 +231,10 @@ _register_ext("q2_range_search_l2", *_dense_pair(
         limit=100, radius=20.25, range_filter=9.0)))
 
 # --- Q5+Q11: score threshold post-filter + round_decimal ----------------------
-_register("q5_score_threshold", *_dense_pair(
+# (rotated to _EXTENDED in r11 — the threshold+round semantics stay fully
+# composed inside the windowed q4_hybrid_rrf_threshold_meta; displaced by
+# the r10 components s3_ingest_csv_search / dedup_minhash_cluster_output)
+_register_ext("q5_score_threshold", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=5), metric="COSINE",
         limit=50, score_threshold=0.1, round_decimal=4)))
@@ -250,7 +297,9 @@ _register_ext("q6_text_filter_custom_mixed", *_dense_pair(
     with_chunk=True))
 
 # --- Q8+Q9: metadata post-filter + meta_required -------------------------------
-_register("q8_meta_filter", *_dense_pair(
+# (rotated to _EXTENDED in r11 — meta_filter+meta_required stay windowed
+# inside q4_hybrid_rrf_threshold_meta; see the q5 rotation note)
+_register_ext("q8_meta_filter", *_dense_pair(
     DenseSearchRequest(
         query_vector=fixture_query_vector(seed=7), metric="COSINE",
         limit=50, meta_filter={"lang": "e", "source": "src1"}, meta_required=True)))
@@ -804,8 +853,9 @@ def _minhash_components_sql() -> str:
                                         jaccard_threshold=0.5)
 
 
-_register_ext("dedup_minhash_cluster_output", _minhash_components_q,
-              _minhash_components_sql())
+# windowed since r11 (r10 component, previously extended-only)
+_register("dedup_minhash_cluster_output", _minhash_components_q,
+          _minhash_components_sql())
 
 
 # --- train/test decontamination (r6, extended) ---------------------------------
@@ -1613,6 +1663,67 @@ _register("ann_late_interaction_topk", _late_interaction_q,
           _late_interaction_sql())
 
 
+# --- late-interaction SERVING path (r11, VERDICT ask #2) ------------------------
+# Per-token SRP candidate fetch + exact MaxSim re-rank. Two gates:
+# 1. hash-exact: the pruned operator's deterministic contract ("exact
+#    top-k restricted to the Hamming-ball candidate union") against its
+#    full DuckDB twin;
+# 2. graded: recall@10 vs the UNRESTRICTED exact operator on the same
+#    fixture — the ANN quality number the serving path is judged on.
+def _late_interaction_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk_pruned
+
+    docs = _li_doc_tokens(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    return late_interaction_topk_pruned(docs, queries, k=10, dim=64)
+
+
+def _late_interaction_pruned_sql() -> str:
+    from flouds_vectordb_spark.operators.ann import (
+        late_interaction_topk_pruned_sql,
+    )
+
+    return late_interaction_topk_pruned_sql(_LI_DOCS_SQL, _LI_QUERIES_SQL,
+                                            k=10, dim=64)
+
+
+_register_ext("ann_late_interaction_pruned_topk", _late_interaction_pruned_q,
+              _late_interaction_pruned_sql())
+
+_LI_RECALL_MIN = 0.95
+
+
+def _late_interaction_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.ann import (
+        late_interaction_topk,
+        late_interaction_topk_pruned,
+    )
+
+    docs = _li_doc_tokens(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    exact: dict[int, set] = {}
+    for r in late_interaction_topk(docs, queries, k=10).collect():
+        exact.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
+    pruned: dict[int, set] = {}
+    for r in late_interaction_topk_pruned(docs, queries, k=10,
+                                          dim=64).collect():
+        pruned.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
+    hits = total = 0
+    for qid, ex in exact.items():
+        hits += len(pruned.get(qid, set()) & ex)
+        total += len(ex)
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(len(exact), bool(recall >= _LI_RECALL_MIN))],
+        "n_queries int, recall_ge_095 boolean")
+
+
+_register_ext("ann_late_interaction_pruned_recall", _late_interaction_recall_q,
+              "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
+
+
 # --- S2 end-to-end: generate_schema -> insert -> flush -> search ----------------
 _FLOW_WH = os.path.join(_SCRATCH, "flow_wh")
 
@@ -1796,7 +1907,8 @@ def _s3_csv_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S3_CSV_SUBSET_SQL = (
     f"(SELECT id::VARCHAR AS id, chunk, vector FROM {COLLECTION_SQL} t WHERE id % 5 = 2)"
 )
-_register_ext("s3_ingest_csv_search", _s3_csv_ingest_q, dense_search_sql(
+# windowed since r11 (r10 component, previously extended-only)
+_register("s3_ingest_csv_search", _s3_csv_ingest_q, dense_search_sql(
     DenseSearchRequest(query_vector=fixture_query_vector(seed=34),
                        metric="COSINE", limit=10, output_fields=()),
     _S3_CSV_SUBSET_SQL, id_expr="id", vector_expr="vector"))

@@ -18,10 +18,26 @@ TABLE_NAMES = (
 )
 
 
+# (applicationId, sf_dir, name) -> DataFrame. spark.read.parquet costs a
+# ~0.1 s schema/footer round trip PER CALL; the testdata tables are
+# immutable fixtures and DataFrames are immutable plans, so one per
+# session is enough. Keyed by applicationId so a restarted session never
+# serves plans bound to a stopped SparkContext; bounded by
+# |tables| x |sf dirs| per app (tiny).
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _LOAD_CACHE.get(key)
+    if df is None:
+        if len(_LOAD_CACHE) > 256:  # app restarts: drop dead-session plans
+            _LOAD_CACHE.clear()
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,16 +96,23 @@ COLLECTION_SQL = (
 )
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, target: int | None = None) -> DataFrame:
     """Rebalance tiny inputs before CPU-heavy per-row work: a corpus
     arriving as fewer splits than cores (the sf fixtures are single parquet
     files) would run a whole md5/shingle/scoring pipeline on ONE core
     (measured 14.5 s -> ~1 s for the sf0.1 shingle build). At 100 TB inputs
     already arrive in >= cores splits and this is a no-op — the condition,
-    not the repartition, is the scale design."""
+    not the repartition, is the scale design.
+
+    `target` caps the spread below defaultParallelism for operators whose
+    per-row cost is small enough that full-width task overhead exceeds the
+    compute it parallelizes (measured r11 on scrub_pii: 32-way 0.89 s vs
+    8-way 0.31 s at sf0.1); the no-op-at-scale condition is unchanged."""
     if df.isStreaming:  # micro-batches size themselves; .rdd would throw
         return df
     p = df.sparkSession.sparkContext.defaultParallelism
+    if target is not None:
+        p = min(p, target)
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df

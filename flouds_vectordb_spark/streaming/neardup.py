@@ -69,7 +69,14 @@ def band_hashes_expr(text: Column, n_sigs: int = MINHASH_SIGS,
             parts = [sigs[b * rows_per_band + r].cast("string")
                      for r in range(rows_per_band)]
             out.append(hash64(F.concat_ws("|", *parts), seed=1000 + b))
-        return F.array(*out)
+        # Zero-shingle docs (empty/whitespace text) must emit NO band
+        # entries — the batch path filters size(shingles) > 0 before
+        # banding (operators/dedup._band_entries); without this guard the
+        # NULL signatures collapse every empty doc into the constant
+        # hash64('') bucket per band and each one is flagged against the
+        # first empty arrival.
+        return F.when(F.size(h) > 0, F.array(*out)) \
+            .otherwise(F.array().cast("array<bigint>"))
 
     return _bind1(h32, bands_of)
 

@@ -82,3 +82,24 @@ def test_stream_flags_match_batch_candidates(spark, tmp_path_factory):
     assert all(o < i for i, o in owners)
     # near-dups of doc 1 are flagged against it; distinct docs are not
     assert {2, 4} <= flagged and 3 not in flagged and 5 not in flagged
+
+
+def test_stream_empty_docs_never_band(spark):
+    """Streaming twin of test_minhash_empty_docs_never_pair: zero-shingle
+    docs (empty/whitespace text) must emit NO band entries — without the
+    guard every NULL-signature doc collapses into the constant hash64('')
+    bucket per band and each empty arrival is flagged against the first,
+    breaking the 'bit-identical to the batch operator' contract (the
+    batch path filters size(shingles) > 0 before banding)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"),
+         (4, "real words in a document here with enough tokens to shingle")],
+        "id long, text string")
+    bands = {r["id"]: r["b"] for r in df.select(
+        "id", band_hashes_expr(F.col("text")).alias("b")).collect()}
+    assert bands[1] == [] and bands[2] == [] and bands[3] == []
+    assert len(bands[4]) > 0
+    # posexplode of an empty array emits no rows -> empty docs can never
+    # reach the stateful bucket tracker at all
+    n = df.select(F.posexplode(band_hashes_expr(F.col("text")))).count()
+    assert n == len(bands[4])

@@ -162,6 +162,60 @@ def test_flush_crash_recovery_all_states(spark, tmp_path_factory):
     assert not os.path.isdir(tmp) and not os.path.isdir(old)
 
 
+def test_reader_retries_through_compaction_swap(spark, tmp_path_factory):
+    """r11: a lock-free reader racing flush's two-rename swap sees a
+    missing collection path for an instant; read_collection must wait for
+    the swap to land (bounded retry) instead of failing or silently
+    reading an empty directory — and must fail LOUD, not empty, when the
+    swap never completes (crashed writer)."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whsw")))
+    cat.set_vector_store("t9b")
+    cat.generate_schema(CollectionSpec("t9b", "m", dimension=2))
+    w = CollectionWriter(cat, "t9b", "m")
+    b = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
+                              "id string, chunk string, vector array<float>")
+    w.insert_data(b, batch_ts=1, force_flush=True)
+    path = w.meta["path"]
+    tmp, old = path + "__compacting", path + "__precompact"
+
+    # freeze the mid-swap instant (between rename 1 and rename 2)
+    shutil.copytree(path, tmp)
+    open(os.path.join(tmp, "_COMPACT_COMPLETE"), "w").close()
+    os.rename(path, old)
+
+    def finish_swap():
+        time.sleep(0.3)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+
+    t = threading.Thread(target=finish_swap)
+    t.start()
+    got = {r["id"]: r["chunk"] for r in cat.read_collection("t9b", "m").collect()}
+    t.join()
+    assert got == {"a": "v1", "b": "v1"}
+    os.remove(os.path.join(path, "_COMPACT_COMPLETE"))
+
+    # writer crashed mid-swap and never returns: bounded retry, loud fail
+    shutil.copytree(path, tmp)
+    os.rename(path, old)
+    orig = Catalog._SWAP_RETRY_ATTEMPTS
+    Catalog._SWAP_RETRY_ATTEMPTS = 3
+    try:
+        with pytest.raises(FileNotFoundError, match="swap in flight"):
+            cat.read_collection("t9b", "m")
+    finally:
+        Catalog._SWAP_RETRY_ATTEMPTS = orig
+    # the writer-side repair path still fixes it
+    w._recover_compaction()
+    got = {r["id"]: r["chunk"] for r in cat.read_collection("t9b", "m").collect()}
+    assert got == {"a": "v1", "b": "v1"}
+
+
 def test_catalog_name_validation_and_idempotency(spark, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("wh5")))
     # normalization: ACME and acme are the same tenant (input_validator.py:65-99)
