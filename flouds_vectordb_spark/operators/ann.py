@@ -307,6 +307,10 @@ SELECT id_a, id_b, cosine_r FROM _pairs WHERE cosine_r >= {float(tau)!r}
 
 # --- late-interaction (MaxSim) multi-vector search ----------------------------
 
+# pruned-path candidate lists broadcast back into the token probe below
+# this row count (~32 MB of scalar pairs); past it, keyed joins
+_LI_CAND_BROADCAST_ROWS = 2_000_000
+
 def late_interaction_topk(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,
@@ -368,8 +372,8 @@ def late_interaction_topk_pruned(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,
     k: int = 10,
-    bits: int = 12,
-    radius: int = 3,
+    bits: int = 20,
+    radius: int = 2,
     dim: int | None = None,
     id_col: str = "doc_id",
     pos_col: str = "pos",
@@ -397,10 +401,18 @@ def late_interaction_topk_pruned(
     is "the exact MaxSim top-k restricted to the Hamming-ball candidate
     union", a pure function of the data — so it carries a full hash
     oracle twin. Recall vs the unrestricted operator is an ANN quality
-    property, graded separately (ann_late_interaction_pruned_recall).
-    An IVF/HNSW per-token fetch would slot into stage 2 unchanged; the
-    SRP index is the one whose candidate set both engines can enumerate
-    deterministically.
+    property, graded separately (ann_late_interaction_pruned_recall) on
+    a CLUSTERED fixture — the module caveat applies doubly here: on
+    uniform vectors the true top-k is barely closer than the bulk AND
+    every doc has some token near some query signature, so both recall
+    and selectivity are only meaningful where neighbor structure exists.
+    Defaults (bits=20, radius=2) make the ball ~2e-4 of signature space
+    per (token, query-sig) trial — real pruning on any corpus — while a
+    clustered neighbor (angle ~0.01 rad) flips each plane with p≈0.003,
+    so its signature stays inside radius 2 w.p. ≈ 1 (the ann_lsh_topk
+    gate math at 20 bits). An IVF/HNSW per-token fetch would slot into
+    stage 2 unchanged; the SRP index is the one whose candidate set both
+    engines can enumerate deterministically.
 
     Scale shape: stage 2 scans signatures (8 B/token vs 256+ B vectors —
     sublinear BYTES at any corpus size once the signature column is
@@ -426,11 +438,21 @@ def late_interaction_topk_pruned(
                   <= F.lit(int(radius)))
         .select("qid", "doc_id").dropDuplicates()
     )
+    # broadcast the candidate list back into the token probe (the
+    # decontaminate_neardup pattern): planned statically, the re-rank
+    # join sort-merged the FULL token table on doc_id — 536 MB shuffle
+    # at 5M tokens for a ~16k-pair candidate list (measured r11). Count
+    # first, keyed join past the bound — slower, never a driver OOM.
+    from flouds_vectordb_spark.lifecycle import tracked_persist
+
+    cand = tracked_persist(cand)
+    n_cand = cand.count()
     dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
                            F.col(vector_col).alias("_dv"))
     cs = V.cosine_score(F.col("_dv"), F.col("_qv"))
+    cand_side = F.broadcast(cand) if n_cand <= _LI_CAND_BROADCAST_ROWS else cand
     maxsim = (
-        dt.join(cand, "doc_id")
+        dt.join(cand_side, "doc_id")
         .join(qt.drop("_qsig"), "qid")
         .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
         .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms"))
@@ -451,8 +473,8 @@ def late_interaction_topk_pruned_sql(
     doc_sql: str,
     query_sql: str,
     k: int = 10,
-    bits: int = 12,
-    radius: int = 3,
+    bits: int = 20,
+    radius: int = 2,
     dim: int = 64,
     id_expr: str = "doc_id",
     pos_expr: str = "pos",

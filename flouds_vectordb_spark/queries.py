@@ -1694,13 +1694,40 @@ _register_ext("ann_late_interaction_pruned_topk", _late_interaction_pruned_q,
 _LI_RECALL_MIN = 0.95
 
 
+def _li_clustered_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-token fixture + 10 injected near-copies of each query bag
+    (per-element deterministic perturbation, the _clustered_embs /
+    HNSW-recall design): ANN recall is only meaningful where true
+    neighbors exist — on the uniform synthetic vectors the exact top-k
+    is barely closer than the bulk (module caveat in operators/ann.py),
+    so a recall gate there measures noise, not the index."""
+    base = _li_doc_tokens(spark, sf_dir)
+    src = base.filter(F.col("doc_id").isin(3, 7))
+    reps = spark.range(10).select(F.col("id").alias("_i"))
+    i, pos = F.col("_i"), F.col("pos")
+
+    def elem(j):
+        pert = ((i * 31 + pos * 17 + j * 13) % 101 - 50).cast("double") \
+            / F.lit(5000.0)
+        return F.element_at(F.col("vector"), (j + F.lit(1)).cast("int")) + pert
+
+    injected = (
+        src.crossJoin(F.broadcast(reps))
+        .select((F.lit(9_000_000) + F.col("doc_id") * 100 + i).alias("doc_id"),
+                "pos",
+                F.transform(F.sequence(F.lit(0), F.lit(63)), elem)
+                .alias("vector"))
+    )
+    return base.unionByName(injected)
+
+
 def _late_interaction_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.ann import (
         late_interaction_topk,
         late_interaction_topk_pruned,
     )
 
-    docs = _li_doc_tokens(spark, sf_dir)
+    docs = _li_clustered_tokens(spark, sf_dir)
     queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
         "doc_id", "qid")
     exact: dict[int, set] = {}

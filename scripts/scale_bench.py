@@ -354,6 +354,79 @@ def op_late_interaction(spark, d):
     return late_interaction_topk(toks, queries, k=10)
 
 
+def op_scrub_pii(spark, d):
+    """PII scrub (r11 Arrow rewrite): ONE pandas_udf pass, precompiled
+    per-class patterns, '@'/digit gates skipping PII-free docs — pure
+    map, zero shuffle, noop-sinked like the other projection ops."""
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    return scrub_pii(_docs(spark, d), id_col="doc_id")
+
+
+def op_ngram_jaccard_08(spark, d):
+    """θ=0.8 exact n-gram Jaccard — the regime the operator is documented
+    for (the r10 θ=0.5 x100 run was the measured negative result: the
+    AllPairs prefix filter's selectivity collapses at low θ)."""
+    from flouds_vectordb_spark.operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs(spark, d), id_col="doc_id",
+                               jaccard_threshold=0.8)
+
+
+def op_late_interaction_pruned(spark, d):
+    """Late-interaction SERVING path (r11): per-token SRP candidate
+    fetch over the scalar signature scan + exact MaxSim re-rank of
+    candidate docs only — compare scan/shuffle against the exact
+    operator's full crossJoin row (op_late_interaction)."""
+    from flouds_vectordb_spark.operators.ann import late_interaction_topk_pruned
+
+    toks = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        (F.col("vec_id") % 8).alias("pos"),
+        F.col("embedding").alias("vector"))
+    queries = toks.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    return late_interaction_topk_pruned(toks, queries, k=10, dim=64)
+
+
+def op_csv_ingest(spark, d):
+    """CSV bulk-load parse+validate throughput in the MANY-FILES layout
+    (multiLine files are unsplittable — parallelism = file count, the
+    documented producer contract). Build = write the 32-file CSV layout
+    once from docs ⋈ embeddings (cached in the data dir); query = RFC
+    parse -> collection batch -> noop sink."""
+    from flouds_vectordb_spark.sources.csv_ingest import (
+        VECTOR_SEP,
+        read_embedded_vectors_csv,
+    )
+    from flouds_vectordb_spark.sources.json_ingest import to_collection_batch
+
+    src = os.path.join(d, "csv_ingest_src")
+
+    def build():
+        if not os.path.isdir(src):
+            docs = _docs(spark, d).select("doc_id", "text")
+            embs = spark.read.parquet(
+                os.path.join(d, "embeddings.parquet"))
+            rows = (docs.join(embs, docs.doc_id == embs.vec_id)
+                    .select(F.col("doc_id").cast("string").alias("key"),
+                            F.col("text").alias("chunk"),
+                            F.lit("m64").alias("model"),
+                            F.lit(None).cast("string").alias("metadata"),
+                            F.array_join("embedding", VECTOR_SEP)
+                            .alias("vector")))
+            (rows.repartition(32).write.mode("overwrite")
+             .option("header", "true").option("escape", '"').csv(src))
+        return src
+
+    def query(path):
+        batch = to_collection_batch(read_embedded_vectors_csv(spark, path))
+        batch.write.mode("overwrite").format("noop").save()
+        return batch.select("id")
+
+    return (build, query)
+
+
 def op_lang_id(spark, d):
     """Cavnar–Trenkle language ID (r10 pure-map plan): the whole
     classification is one Arrow-batched UDF per input split — the raw
@@ -367,7 +440,7 @@ def op_lang_id(spark, d):
 
 # projection-only ops (no shuffle in the plan): measured via the noop
 # sink — see the NOOP_OPS branch in main()
-NOOP_OPS = {"repetition_full", "lang_id", "gopher_quality"}
+NOOP_OPS = {"repetition_full", "lang_id", "gopher_quality", "scrub_pii"}
 
 OPS = {
     "dedup_minhash": op_dedup_minhash,
@@ -387,6 +460,10 @@ OPS = {
     "decontaminate": op_decontaminate,
     "decon_neardup": op_decon_neardup,
     "late_interaction": op_late_interaction,
+    "late_interaction_pruned": op_late_interaction_pruned,
+    "scrub_pii": op_scrub_pii,
+    "ngram_jaccard_08": op_ngram_jaccard_08,
+    "csv_ingest": op_csv_ingest,
     "ppl_buckets": op_ppl_buckets,
     "gopher_quality": op_gopher_quality,
     "url_domain_cap": op_url_domain_cap,

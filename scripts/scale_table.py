@@ -19,7 +19,10 @@ ORDER = ["dedup_minhash", "dedup_components", "dedup_minhash_components",
          "hnsw_build", "hnsw_search",
          # r10 continuation
          "lang_id", "decontaminate", "decon_neardup", "late_interaction",
-         "ppl_buckets", "gopher_quality", "url_domain_cap"]
+         "ppl_buckets", "gopher_quality", "url_domain_cap",
+         # r11
+         "scrub_pii", "late_interaction_pruned", "csv_ingest",
+         "ngram_jaccard_08"]
 DIRS = ["x1", "x10", "x100", "x1000"]
 
 

@@ -84,6 +84,108 @@ def test_late_interaction_k_cut_and_empty_query_bag(spark):
     assert late_interaction_topk(docs, empty_q, k=5).count() == 0
 
 
+def test_late_interaction_pruned_matches_exact_on_clusters(spark):
+    """r11 serving path: SRP candidate fetch + exact re-rank. On a
+    clustered fixture (query bag = a stored doc's bag) the pruned top-k
+    must (a) put the self-doc at rank 1 with score = |tokens| and
+    (b) agree with the DuckDB twin hash-exactly on every row."""
+    import duckdb as dd
+
+    from flouds_vectordb_spark.operators.ann import (
+        late_interaction_topk_pruned,
+        late_interaction_topk_pruned_sql,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.standard_normal((10, 4, 8))
+    rows = [(d, t, [round(float(x), 6) for x in X[d, t]])
+            for d in range(10) for t in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, pos long, vector array<double>")
+    queries = docs.filter(F.col("doc_id") == 4).withColumnRenamed(
+        "doc_id", "qid")
+    got = sorted(
+        (r["qid"], r["doc_id"], r["rank"], r["score_r"])
+        for r in late_interaction_topk_pruned(docs, queries, k=5,
+                                              dim=8).collect())
+    first = [g for g in got if g[2] == 1][0]
+    assert first[1] == 4 and abs(first[3] - 4.0) < 1e-9
+
+    con = dd.connect()
+    con.execute("""CREATE TABLE toks (doc_id BIGINT, pos BIGINT,
+                                      vector DOUBLE[])""")
+    con.executemany("INSERT INTO toks VALUES (?, ?, ?)", rows)
+    sql = late_interaction_topk_pruned_sql(
+        "toks", "(SELECT doc_id AS qid, pos, vector FROM toks "
+        "WHERE doc_id = 4)", k=5, dim=8)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_prepared_plan_cache_never_caches_eager_builders(spark):
+    """The registry's plan cache must cache ONLY pure lazy builders: an
+    entry that runs jobs at build time (here: a collect) or registers a
+    persist must rebuild every call — caching it would cache results."""
+    from flouds_vectordb_spark import queries as Q
+    from flouds_vectordb_spark.lifecycle import tracked_persist
+
+    calls = {"pure": 0, "job": 0, "persist": 0}
+
+    def pure(sp, sf):
+        calls["pure"] += 1
+        return sp.range(3)
+
+    def with_job(sp, sf):
+        calls["job"] += 1
+        sp.range(2).collect()  # a build-time action
+        return sp.range(3)
+
+    def with_persist(sp, sf):
+        calls["persist"] += 1
+        return tracked_persist(sp.range(3))
+
+    wp, wj, wper = (Q._memoized("t_pure", pure),
+                    Q._memoized("t_job", with_job),
+                    Q._memoized("t_persist", with_persist))
+    for _ in range(3):
+        wp(spark, "/tmp/x"); wj(spark, "/tmp/x"); wper(spark, "/tmp/x")
+    assert calls == {"pure": 1, "job": 3, "persist": 3}
+    for k in list(Q._PLAN_CACHE):
+        if k[2].startswith("t_"):
+            del Q._PLAN_CACHE[k]
+
+
+def test_ppjoin_length_filter_is_exact(spark):
+    """_length_filtered may only drop pairs that provably fail the
+    Jaccard threshold (min/max size ratio < θ); surviving pairs verify
+    to the same result set as the unfiltered candidates."""
+    from flouds_vectordb_spark.operators.dedup import (
+        _jaccard_filtered,
+        _length_filtered,
+    )
+
+    sets = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "c", "e"]),
+         (3, ["a"]), (4, list("abcdefghij"))],
+        "id long, shingles array<string>")
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "id_a long, id_b long")
+    kept = {(r["id_a"], r["id_b"]) for r in
+            _length_filtered(cand, sets, 0.5).collect()}
+    # |1|=4,|2|=4 ratio 1.0 keep; |1|,|3| ratio .25 drop; |1|,|4| ratio .4
+    # drop; |3|,|4| ratio .1 drop
+    assert kept == {(1, 2)}
+
+    def verify(c):
+        pairs = (c.join(sets.select(F.col("id").alias("id_a"),
+                                    F.col("shingles").alias("sh_a")), "id_a")
+                 .join(sets.select(F.col("id").alias("id_b"),
+                                   F.col("shingles").alias("sh_b")), "id_b"))
+        return {(r["id_a"], r["id_b"]) for r in
+                _jaccard_filtered(pairs, 0.5).collect()}
+
+    assert verify(_length_filtered(cand, sets, 0.5)) == verify(cand)
+
+
 def test_late_interaction_self_query_is_top1(spark):
     from flouds_vectordb_spark.operators.ann import late_interaction_topk
 
