@@ -379,6 +379,8 @@ def late_interaction_topk_pruned(
     pos_col: str = "pos",
     vector_col: str = "vector",
     qid_col: str = "qid",
+    sig_table: DataFrame | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """(qid, doc_id, rank, score_r): the SERVING-SCALE late-interaction
     path the exact operator's docstring promises (r11, VERDICT ask #2) —
@@ -423,12 +425,15 @@ def late_interaction_topk_pruned(
     if dim is None:
         first = query_tokens.select(vector_col).first()
         dim = len(first[0])
-    planes = srp_planes(dim, bits)
+    planes = srp_planes(dim, bits, seed)
     qt = F.broadcast(query_tokens.select(
         F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
         F.col(vector_col).alias("_qv"),
         srp_signature(F.col(vector_col), planes).alias("_qsig")))
-    dsig = doc_tokens.select(
+    # sig_table: the STORED (doc_id, _dsig) index (build_token_sig_index)
+    # replaces the in-scan signature computation — same values by
+    # construction, 8 B/token scanned
+    dsig = sig_table if sig_table is not None else doc_tokens.select(
         F.col(id_col).alias("doc_id"),
         srp_signature(F.col(vector_col), planes).alias("_dsig"))
     qsigs = F.broadcast(qt.select("qid", "_qsig").dropDuplicates())
@@ -467,6 +472,70 @@ def late_interaction_topk_pruned(
         .filter(F.col("rank") <= int(k))
         .select("qid", "doc_id", "rank", F.round("_s", 6).alias("score_r"))
     )
+
+
+def build_token_sig_index(doc_tokens: DataFrame, path: str,
+                          bits: int = 20, dim: int | None = None,
+                          seed: int = 7,
+                          id_col: str = "doc_id", pos_col: str = "pos",
+                          vector_col: str = "vector") -> dict:
+    """Materialize the pruned serving path's STORED index: the per-token
+    SRP signature table ((doc_id, sig) parquet, sorted by sig so a
+    candidate fetch's row groups min/max-prune) plus a _sig_meta.json
+    pinning (bits, dim, seed). This is the 'at scale this column is
+    PRECOMPUTED' artifact the pruned operator's docstring names — stage
+    2 then scans 8 B/token instead of recomputing `bits` hyperplane dot
+    products per token per query block. Rebuild on corpus change is the
+    caller's contract (same as the IVF/HNSW artifacts)."""
+    import json
+    import os
+
+    if dim is None:
+        first = doc_tokens.select(vector_col).first()
+        dim = len(first[0])
+    planes = srp_planes(dim, bits, seed)
+    sigs = doc_tokens.select(
+        F.col(id_col).alias("doc_id"),
+        srp_signature(F.col(vector_col), planes).alias("sig"))
+    # sortWithinPartitions: sig-ordered row groups -> min/max pruning on
+    # the Hamming-ball probe's sig range, no global sort barrier
+    sigs.sortWithinPartitions("sig").write.mode("overwrite").parquet(path)
+    meta = {"bits": int(bits), "dim": int(dim), "seed": int(seed)}
+    with open(os.path.join(path, "_sig_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def late_interaction_topk_indexed(
+    spark,
+    index_path: str,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    radius: int = 2,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    vector_col: str = "vector",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """late_interaction_topk_pruned over the STORED signature index:
+    identical results by construction (stored sigs ARE the computed
+    sigs), but the candidate-fetch stage reads the 8 B/token signature
+    parquet instead of scanning vectors — the serving-scale bytes story
+    made concrete. bits/dim/seed come from the index meta, so the query
+    side always hashes with the planes the index was built with."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_sig_meta.json")) as f:
+        meta = json.load(f)
+    dsig = spark.read.parquet(index_path).select(
+        F.col("doc_id"), F.col("sig").alias("_dsig"))
+    return late_interaction_topk_pruned(
+        doc_tokens, query_tokens, k=k, bits=meta["bits"], radius=radius,
+        dim=meta["dim"], id_col=id_col, pos_col=pos_col,
+        vector_col=vector_col, qid_col=qid_col, sig_table=dsig,
+        seed=meta["seed"])
 
 
 def late_interaction_topk_pruned_sql(

@@ -1751,6 +1751,33 @@ _register_ext("ann_late_interaction_pruned_recall", _late_interaction_recall_q,
               "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
 
 
+# 3. stored-index path: the SAME pruned contract served from the
+#    materialized token-signature table (build once per process, the
+#    _flow_once pattern) — results identical to the on-the-fly pruned
+#    operator by construction, so it shares the full hash twin.
+_LI_SIG_IDX_ROOT = os.path.join(_SCRATCH, "li_sig_idx")
+
+
+def _late_interaction_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.ann import (
+        build_token_sig_index,
+        late_interaction_topk_indexed,
+    )
+
+    docs = _li_doc_tokens(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(_LI_SIG_IDX_ROOT, f"{tag}_b20")
+    if not os.path.isfile(os.path.join(path, "_sig_meta.json")):
+        build_token_sig_index(docs, path, bits=20, dim=64)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    return late_interaction_topk_indexed(spark, path, docs, queries, k=10)
+
+
+_register_ext("ann_late_interaction_indexed_topk", _late_interaction_indexed_q,
+              _late_interaction_pruned_sql())
+
+
 # --- S2 end-to-end: generate_schema -> insert -> flush -> search ----------------
 _FLOW_WH = os.path.join(_SCRATCH, "flow_wh")
 

@@ -121,6 +121,40 @@ def test_late_interaction_pruned_matches_exact_on_clusters(spark):
     assert got == want
 
 
+def test_late_interaction_indexed_matches_pruned(spark, tmp_path_factory):
+    """The stored token-signature index (build_token_sig_index) must
+    reproduce the pruned operator exactly — stored sigs ARE the computed
+    sigs — and the meta pin must make the query side hash with the
+    index's planes even when the caller would default differently."""
+    from flouds_vectordb_spark.operators.ann import (
+        build_token_sig_index,
+        late_interaction_topk_indexed,
+        late_interaction_topk_pruned,
+    )
+
+    rng = np.random.RandomState(17)
+    X = rng.standard_normal((12, 4, 8))
+    docs = spark.createDataFrame(
+        [(d, t, [round(float(x), 6) for x in X[d, t]])
+         for d in range(12) for t in range(4)],
+        "doc_id long, pos long, vector array<double>")
+    queries = docs.filter(F.col("doc_id") == 6).withColumnRenamed(
+        "doc_id", "qid")
+    path = str(tmp_path_factory.mktemp("sigidx") / "toks__sig")
+    meta = build_token_sig_index(docs, path, bits=16, dim=8)
+    assert meta == {"bits": 16, "dim": 8, "seed": 7}
+
+    got = sorted(
+        tuple(r) for r in late_interaction_topk_indexed(
+            spark, path, docs, queries, k=5).collect())
+    want = sorted(
+        tuple(r) for r in late_interaction_topk_pruned(
+            docs, queries, k=5, bits=16, dim=8).collect())
+    assert got == want and got
+    first = [g for g in got if g[2] == 1][0]
+    assert first[1] == 6 and abs(first[3] - 4.0) < 1e-9
+
+
 def test_prepared_plan_cache_never_caches_eager_builders(spark):
     """The registry's plan cache must cache ONLY pure lazy builders: an
     entry that runs jobs at build time (here: a collect) or registers a

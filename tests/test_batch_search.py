@@ -429,4 +429,10 @@ def test_sparse_search_many_plan_is_inverted_term_join(spark, corpus):
     head = plan.split("BroadcastHashJoin", 1)[1][:120]
     assert "term" in head, head
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the ONLY nested-loop join allowed is the broadcast 1-ROW doc-stats
+    # aggregate riding into the weight derivation (r11,
+    # bm25_weights_stats_df) — never a doc x query-block product
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 1, plan
+    if bnlj:
+        assert "_bm25_n" in plan
