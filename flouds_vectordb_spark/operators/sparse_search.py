@@ -55,6 +55,28 @@ RANK_DECIMALS = 6
 K1_DEFAULT = 1.5
 B_DEFAULT = 0.75
 
+# drop_ratio_build regime switch: below this input estimate the exact
+# rank runs as one single-partition window (lazy, no persists/actions);
+# above, the distributed range-partition rank. 64 MB of source text ~
+# a few M posting rows — comfortably one task's sort.
+_DROP_RATIO_SMALL_INPUT_BYTES = 64 << 20
+
+
+def _small_corpus(df: DataFrame) -> bool:
+    """Sum of the optimized plan's LEAF sizes (file bytes for scans) —
+    NOT the root estimate: a join root multiplies its children into
+    garbage (the collection docs ⋈ embeddings plan estimates 626 GB for
+    ~20 MB of files, the same failure r10 measured at '76 PB' on the
+    exploded plan). Falls back to LARGE — the scale-safe regime."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            total += int(leaves.apply(i).stats().sizeInBytes())
+        return total <= _DROP_RATIO_SMALL_INPUT_BYTES
+    except Exception:
+        return False
+
 
 @dataclass
 class SparseSearchRequest:
@@ -112,13 +134,31 @@ def bm25_postings(
     post = bm25_weights_stats_df(tfd, None, stats, k1, b)
 
     if drop_ratio_build > 0.0:
-        # Milvus drop_ratio_build: drop the smallest fraction of weights at
-        # build (base_milvus.py:1286-1310). Exact global rank over
-        # (weight, term, id) WITHOUT a single-partition window: range-
-        # partition on the sort key, count rows per partition, broadcast the
-        # cumulative offsets, then rank within partitions — the distributed
-        # exact-rank pattern, parallel at any scale. Tie handling matches
-        # the SQL twin's row_number ORDER BY weight, term, id.
+        # Milvus drop_ratio_build: drop the smallest fraction of weights
+        # at build (base_milvus.py:1286-1310), exact global rank over
+        # (weight, term, id). TWO regimes on the input-size estimate (the
+        # _MINHASH_SMALL_INPUT_BYTES pattern):
+        # SMALL: one single-partition window — fully LAZY (no persist, no
+        # driver action), identical rank, bounded by the regime check.
+        # floor(count*ratio) over a window matches the driver-side
+        # int(total*ratio) and the SQL twin's floor(...) (positive
+        # doubles).
+        if _small_corpus(df):
+            order = [F.col("weight").asc(), F.col("term").asc(),
+                     F.col("id").asc()]
+            w_all = Window.orderBy(*order)
+            cut_c = F.floor(
+                F.count("*").over(Window.partitionBy())
+                * F.lit(float(drop_ratio_build))).cast("bigint")
+            return (post.withColumn("_rn", F.row_number().over(w_all))
+                    .withColumn("_cut", cut_c)
+                    .filter(F.col("_rn") > F.col("_cut"))
+                    .drop("_rn", "_cut"))
+        # LARGE: range-partition on the sort key, count rows per
+        # partition, broadcast the cumulative offsets, rank within
+        # partitions — the distributed exact-rank pattern, parallel at
+        # any scale. Tie handling matches the SQL twin's row_number
+        # ORDER BY weight, term, id.
         # persist BEFORE the range partitioner (r11): its sampling pass
         # and the ranked read each materialize the posting pipeline —
         # unpersisted, the explode/agg chain ran three times per build.
