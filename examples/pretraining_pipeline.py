@@ -11,6 +11,7 @@ LLM-pipeline operators — the stage order real web pipelines use
   6. Decontamination     — drop train docs sharing 5-grams with a test set
   7. Targeted selection  — DSIR importance resampling toward a target corpus
   8. Corpus mixing       — temperature-scaled per-source budgets (n_s^alpha)
+  8b. PII scrub          — typed redaction of the final training text
   9. Packing             — chunks for the vector store, fixed-length
                            sequences for the trainer
 
@@ -50,6 +51,7 @@ from flouds_vectordb_spark.operators.sampling import sample_temperature_mix
 from flouds_vectordb_spark.operators.text_analysis import (
     gopher_quality,
     perplexity_buckets,
+    scrub_pii,
 )
 from flouds_vectordb_spark.operators.url_curation import blocklist_filter, domain_cap
 from flouds_vectordb_spark.session import get_spark
@@ -177,6 +179,18 @@ def main(sf_dir: str) -> int:
                                          seed=42))
     n8 = mixed.count()
 
+    # 8b. PII scrub: the selected text is redacted BEFORE it becomes
+    #     training sequences (r11 Arrow pass — pure map, zero shuffle).
+    #     The synthetic corpus carries no identifiers, so this stage is
+    #     funnel shape, not surgery: counts stay equal and the scrubbed
+    #     text is byte-identical except where classes matched.
+    scrubbed = scrub_pii(mixed, id_col="doc_id", text_col="text")
+    mixed = (mixed.drop("text")
+             .join(scrubbed.select(F.col("id").alias("doc_id"),
+                                   F.col("text_scrubbed").alias("text")),
+                   "doc_id"))
+    n8b = mixed.count()
+
     # 9a. chunking: the curated corpus becomes the CHUNK unit the vector
     #     store indexes (embed + upsert are the examples/model_workflow.py
     #     path from here)
@@ -192,9 +206,10 @@ def main(sf_dir: str) -> int:
 
     print(f"input={n0} url-curated={n1} lang-kept={n2} quality={n3} "
           f"line-cleaned={n4} deduped={n5} decontaminated={n6} "
-          f"dsir-selected={n7} mixed={n8} chunks={n9a} train-seqs={n9b}")
-    assert n0 >= n1 >= n2 >= n3 >= n5 >= n6 >= n7 >= n8, \
-        "stages must only shrink"
+          f"dsir-selected={n7} mixed={n8} scrubbed={n8b} chunks={n9a} "
+          f"train-seqs={n9b}")
+    assert n0 >= n1 >= n2 >= n3 >= n5 >= n6 >= n7 >= n8 == n8b, \
+        "stages must only shrink (scrub redacts, never drops)"
     spark.stop()
     return 0
 
