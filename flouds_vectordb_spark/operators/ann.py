@@ -424,6 +424,10 @@ def late_interaction_topk_pruned(
 
     if dim is None:
         first = query_tokens.select(vector_col).first()
+        if first is None or first[0] is None:  # r11 ADVICE: loud, not TypeError
+            raise ValueError(
+                "query_tokens is empty (or its vectors are null); pass dim "
+                "explicitly to late_interaction_topk_pruned")
         dim = len(first[0])
     planes = srp_planes(dim, bits, seed)
     qt = F.broadcast(query_tokens.select(
@@ -492,6 +496,10 @@ def build_token_sig_index(doc_tokens: DataFrame, path: str,
 
     if dim is None:
         first = doc_tokens.select(vector_col).first()
+        if first is None or first[0] is None:  # r11 ADVICE: loud, not TypeError
+            raise ValueError(
+                "doc_tokens is empty (or its vectors are null); pass dim "
+                "explicitly to build_token_sig_index")
         dim = len(first[0])
     planes = srp_planes(dim, bits, seed)
     sigs = doc_tokens.select(

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.text import tokenize, tokenize_sql
+from flouds_vectordb_spark.lifecycle import tracked_persist
 
 EOW = "</w>"
 
@@ -86,7 +87,7 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
         .groupBy("word").count().withColumnRenamed("count", "cnt")
         .filter(F.col("cnt") >= min_count)
         .select("word", "cnt", _chars_plus_eow(F.col("word")).alias("syms"))
-        .persist()
+        .transform(tracked_persist)
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = words
@@ -120,7 +121,8 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
             parent = cur
             cur = cur.select(
                 "word", "cnt",
-                _merge_fold(F.col("syms"), lhs, rhs).alias("syms")).persist()
+                _merge_fold(F.col("syms"), lhs, rhs).alias("syms"))
+            cur = tracked_persist(cur)
     finally:
         if parent is not None and parent is not words:
             parent.unpersist()

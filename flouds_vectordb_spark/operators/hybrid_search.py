@@ -415,11 +415,19 @@ def hybrid_search_many(
     # sorts. The union form is ONE hash aggregation; max() over the
     # one-non-null-per-key columns reproduces the outer join's row merge
     # exactly (each (qid, id) appears at most once per branch).
+    # repartition by qid ALONE before the merge agg (r12): hash(qid)
+    # satisfies both the groupBy(qid, id) clustering requirement (subset
+    # rule) and the final rank window's partitionBy(qid), so the agg and
+    # the window share ONE exchange instead of (qid,id)-agg + qid-window.
+    # Scale-safe unconditionally: both branch tables are already
+    # rank-limited to <= nq*branch_limit rows, so qid-only partitions
+    # stay bounded at any corpus size.
     fused = (
         dense.withColumn("sparse_rank_", F.lit(None).cast("int"))
         .unionByName(
             sparse.withColumn("dense_rank_", F.lit(None).cast("int"))
             .withColumn("dense_score", F.lit(None).cast("double")))
+        .repartition("qid")
         .groupBy("qid", "id")
         .agg(F.max("dense_rank_").alias("dense_rank_"),
              F.max("dense_score").alias("dense_score"),

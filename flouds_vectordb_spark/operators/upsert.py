@@ -29,6 +29,7 @@ import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from flouds_vectordb_spark.lifecycle import tracked_persist
 
 AUTO_FLUSH_MIN_BATCH = 100  # appsettings.json auto_flush_min_batch
 
@@ -570,7 +571,7 @@ class CollectionWriter:
         if not os.path.exists(os.path.join(ivf_path, "_centroids.json")):
             return False
         idx = open_ivf(ivf_path)
-        assigned = idx.assign(stamped).persist()
+        assigned = tracked_persist(idx.assign(stamped))
         try:
             assigned.write.mode("append").partitionBy("centroid_id") \
                 .parquet(ivf_path)
@@ -917,7 +918,7 @@ class CollectionWriter:
         if not os.path.isdir(paths["tf"]):
             return False
         spark = self.catalog.spark
-        batch = stamped.persist()
+        batch = tracked_persist(stamped)
         try:
             new_tf = bm25_tf(batch).withColumn("batch_ts", F.lit(batch_ts))
             new_docs = bm25_doc_rows(batch).withColumn("batch_ts", F.lit(batch_ts))
@@ -931,7 +932,7 @@ class CollectionWriter:
                 docs.join(batch_ids, "id")
                 .groupBy("id")
                 .agg(F.max("batch_ts").alias("batch_ts"))
-            ).persist()
+            ).transform(tracked_persist)
             upd_row = (
                 docs.join(updated, ["id", "batch_ts"])
                 .agg(F.count("*").alias("n"),

@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flouds_vectordb_spark.functions.local import local_df
+from flouds_vectordb_spark.lifecycle import tracked_persist
 from flouds_vectordb_spark.functions.vector import metric_score, metric_score_q
 from flouds_vectordb_spark.operators.dense_search import DenseSearchRequest, dense_search
 from flouds_vectordb_spark.plans.ivf import SAMPLE_CAP, _kmeans, _normalize_rows, _pairwise_d2
@@ -794,7 +795,7 @@ class HnswIndex:
         assigned = (
             batch.withColumn("_a", _cells_udf(centroids, self.metric)(F.col(self.vector_col)))
             .withColumn("_cell", F.col("_a.cells")[0])
-            .persist()
+            .transform(tracked_persist)
         )
         try:
             touched = [r[0] for r in assigned.select(
@@ -845,7 +846,7 @@ class HnswIndex:
                 scored.groupBy("src", "dst").agg(F.max("score").alias("score"))
                 .withColumn("_r", F.row_number().over(w))
                 .filter(F.col("_r") <= m).drop("_r")
-            ).persist()
+            ).transform(tracked_persist)
             try:
                 n_fwd = fwd.count()
                 rev = fwd.select(F.col("dst").alias("src"),
@@ -912,7 +913,7 @@ def _nn_descent_round(edges: DataFrame, nodes_iv: DataFrame, m: int,
     fwd = _heuristic_cap(
         edges.unionByName(scored)
         .groupBy("src", "dst").agg(F.max("score").alias("score")),
-        nodes_iv, m, metric).persist()
+        nodes_iv, m, metric).transform(tracked_persist)
     # persist BEFORE the symmetrize union: its two branches would
     # otherwise each re-evaluate the fwd selection AND the whole
     # proposal-scoring chain behind it (measured: 42.6 s -> 17.4 s for
@@ -1161,7 +1162,7 @@ def build_hnsw(
             df.withColumn("_a", _cells_udf(cents, metric)(F.col(vector_col)))
             .withColumn("_cell", F.col("_a.cells")[0])
             .withColumn("_d0", F.col("_a.d0"))
-            .persist()
+            .transform(tracked_persist)
         )
 
     assigned = _assign(centroids)

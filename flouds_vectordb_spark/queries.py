@@ -175,6 +175,13 @@ _EXTENDED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # contract is unaffected.
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# a regenerated fixture parquet must not serve cached plans over
+# deleted/stale files (r11 ADVICE): tables.load() fingerprints fixtures
+# and fires this when one changes mid-session
+from flouds_vectordb_spark.sources import tables as _tables  # noqa: E402
+
+_tables._INVALIDATION_HOOKS.append(_PLAN_CACHE.clear)
+
 
 def _memoized(name: str, q):
     from flouds_vectordb_spark.lifecycle import persist_epoch
@@ -1499,7 +1506,7 @@ def _sq8_pair(metric: str):
     return q, sql
 
 
-_register("q1_sq8_topk", *_sq8_pair("COSINE"))
+_register_ext("q1_sq8_topk", *_sq8_pair("COSINE"))
 _register_ext("q1_sq8_l2_topk", *_sq8_pair("L2"))
 
 
@@ -1562,7 +1569,7 @@ def _pq_pair(metric: str):
     return q, sql
 
 
-_register("q1_pq_adc_topk", *_pq_pair("COSINE"))
+_register_ext("q1_pq_adc_topk", *_pq_pair("COSINE"))
 _register_ext("q1_pq_adc_l2", *_pq_pair("L2"))
 _register_ext("q1_pq_adc_ip", *_pq_pair("IP"))
 
@@ -1688,8 +1695,8 @@ def _late_interaction_pruned_sql() -> str:
                                             k=10, dim=64)
 
 
-_register_ext("ann_late_interaction_pruned_topk", _late_interaction_pruned_q,
-              _late_interaction_pruned_sql())
+_register("ann_late_interaction_pruned_topk", _late_interaction_pruned_q,
+          _late_interaction_pruned_sql())
 
 _LI_RECALL_MIN = 0.95
 
@@ -1747,8 +1754,8 @@ def _late_interaction_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries int, recall_ge_095 boolean")
 
 
-_register_ext("ann_late_interaction_pruned_recall", _late_interaction_recall_q,
-              "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
+_register("ann_late_interaction_pruned_recall", _late_interaction_recall_q,
+          "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
 
 
 # 3. stored-index path: the SAME pruned contract served from the

@@ -18,24 +18,58 @@ TABLE_NAMES = (
 )
 
 
-# (applicationId, sf_dir, name) -> DataFrame. spark.read.parquet costs a
-# ~0.1 s schema/footer round trip PER CALL; the testdata tables are
-# immutable fixtures and DataFrames are immutable plans, so one per
-# session is enough. Keyed by applicationId so a restarted session never
-# serves plans bound to a stopped SparkContext; bounded by
-# |tables| x |sf dirs| per app (tiny).
-_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (applicationId, sf_dir, name, fingerprint) -> DataFrame.
+# spark.read.parquet costs a ~0.1 s schema/footer round trip PER CALL;
+# the testdata tables are immutable fixtures and DataFrames are immutable
+# plans, so one per session is enough. Keyed by applicationId so a
+# restarted session never serves plans bound to a stopped SparkContext,
+# and by an mtime/size fingerprint (r11 ADVICE) so a fixture regenerated
+# mid-session gets a fresh file listing instead of a plan over
+# deleted/stale files. Bounded by |tables| x |sf dirs| per app (tiny).
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fingerprint(path: str) -> tuple:
+    """(mtime_ns, size) of the parquet file or directory listing — cheap
+    (one stat for a file; one scandir for a directory) relative to the
+    footer round trip the cache avoids."""
+    import os
+
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        ent = tuple(sorted(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in os.scandir(path)))
+        return (st.st_mtime_ns, ent)
+    except OSError:
+        return ("missing",)
+
+
+# downstream caches built on load() plans (queries._PLAN_CACHE) register
+# a clear() here; called when a fixture's fingerprint CHANGES mid-session
+_INVALIDATION_HOOKS: list = []
+_LAST_FP: dict[tuple, tuple] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    base = (spark.sparkContext.applicationId, sf_dir, name)
+    fp = _fingerprint(path)
+    prev = _LAST_FP.get(base)
+    if prev is not None and prev != fp:
+        for hook in _INVALIDATION_HOOKS:  # stale downstream plans
+            hook()
+    _LAST_FP[base] = fp
+    key = base + (fp,)
     df = _LOAD_CACHE.get(key)
     if df is None:
         if len(_LOAD_CACHE) > 256:  # app restarts: drop dead-session plans
             _LOAD_CACHE.clear()
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         _LOAD_CACHE[key] = df
     return df
 

@@ -84,6 +84,47 @@ def test_late_interaction_k_cut_and_empty_query_bag(spark):
     assert late_interaction_topk(docs, empty_q, k=5).count() == 0
 
 
+def test_late_interaction_empty_inputs_raise_clearly(spark, tmp_path):
+    """ADVICE r11: dim=None + empty frames must raise ValueError, not
+    TypeError from len(None[0])."""
+    from flouds_vectordb_spark.operators.ann import (
+        build_token_sig_index,
+        late_interaction_topk_pruned,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, pos long, vector array<double>")
+    q_empty = empty.withColumnRenamed("doc_id", "qid")
+    with pytest.raises(ValueError, match="pass dim explicitly"):
+        late_interaction_topk_pruned(empty, q_empty, k=5)
+    with pytest.raises(ValueError, match="pass dim explicitly"):
+        build_token_sig_index(empty, str(tmp_path / "sig"))
+    # with dim given, empty inputs short-circuit to an empty result
+    assert late_interaction_topk_pruned(empty, q_empty, k=5, dim=4).count() == 0
+
+
+def test_load_cache_invalidates_on_fixture_regeneration(spark, tmp_path):
+    """ADVICE r11: regenerating a fixture parquet mid-session must serve
+    the NEW file listing, not a cached plan over deleted files."""
+    from flouds_vectordb_spark.sources import tables as T
+
+    sf = str(tmp_path)
+    spark.range(3).selectExpr("id AS doc_id", "'a' AS text") \
+        .coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    assert T.load(spark, sf, "documents").count() == 3
+    fired = []
+    T._INVALIDATION_HOOKS.append(lambda: fired.append(1))
+    try:
+        import shutil
+        shutil.rmtree(f"{sf}/documents.parquet")
+        spark.range(5).selectExpr("id AS doc_id", "'b' AS text") \
+            .coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        assert T.load(spark, sf, "documents").count() == 5
+        assert fired  # downstream plan caches were told to clear
+    finally:
+        T._INVALIDATION_HOOKS.pop()
+
+
 def test_late_interaction_pruned_matches_exact_on_clusters(spark):
     """r11 serving path: SRP candidate fetch + exact re-rank. On a
     clustered fixture (query bag = a stored doc's bag) the pruned top-k
@@ -453,6 +494,25 @@ def test_scrub_pii_spares_benign_numbers(spark):
     assert got["p"]["n_phone"] == 2
 
 
+def test_scrub_pii_non_ascii_adjacent(spark):
+    """ADVICE r11: re.ASCII matches the RE2/DuckDB oracle, NOT Java's
+    Unicode-aware \\b — an IPv4 (or email) glued to a non-ASCII letter
+    must be redacted (the old JVM Column chain left it alone; the oracle
+    always redacted it, so this pins the parity-fix direction)."""
+    from flouds_vectordb_spark.operators.text_analysis import scrub_pii
+
+    docs = [("ip_acc", "café1.2.3.4é end"),
+            ("em_acc", "señorx@y.comü tail"),
+            ("plain", "plain 1.2.3.4 here")]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = {r["id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got["ip_acc"]["n_ipv4"] == 1
+    assert "<IP>" in got["ip_acc"]["text_scrubbed"]
+    assert got["em_acc"]["n_email"] == 1
+    assert got["plain"]["n_ipv4"] == 1
+    assert got["plain"]["text_scrubbed"] == "plain <IP> here"
+
+
 def test_decode_media_nonimage_always_raises():
     from flouds_vectordb_spark.operators.multimodal import decode_media
 
@@ -780,6 +840,40 @@ def test_perplexity_buckets_band_rule(spark):
     assert perplexity_buckets(
         spark.createDataFrame([(1, "")], "id bigint, text string")
     ).count() == 0
+
+
+def test_ppl_small_vs_large_regime_identical(spark, monkeypatch):
+    """The r12 broadcast-map fold (small-corpus regime) must be
+    bit-identical to the distributed two-phase plan — same contributions,
+    same ascending-term fold order, same band rule. Forcing the regime
+    switch off routes the SAME input through the large plan."""
+    import flouds_vectordb_spark.operators.sparse_search as ss
+    from flouds_vectordb_spark.operators.text_analysis import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    docs = [(i, f"common words w{i % 7} repeated rare{i} " * (1 + i % 4))
+            for i in range(40)] + [(99, ""), (98, "solo")]
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    small_u = {r["id"]: r.asDict() for r in unigram_logprob(df).collect()}
+    small_b = {r["id"]: r["ppl_bucket"]
+               for r in perplexity_buckets(df, n_buckets=4).collect()}
+    monkeypatch.setattr(ss, "_small_corpus", lambda _df: False)
+    large_u = {r["id"]: r.asDict() for r in unigram_logprob(df).collect()}
+    large_b = {r["id"]: r["ppl_bucket"]
+               for r in perplexity_buckets(df, n_buckets=4).collect()}
+    assert small_u == large_u  # exact — includes the rounded float bits
+    assert small_b == large_b
+    # reference-model scoring crosses regimes identically too
+    model = spark.createDataFrame([(1, "common words repeated")],
+                                  "id bigint, text string")
+    large_m = {r["id"]: r.asDict()
+               for r in unigram_logprob(df, model_df=model).collect()}
+    monkeypatch.undo()
+    small_m = {r["id"]: r.asDict()
+               for r in unigram_logprob(df, model_df=model).collect()}
+    assert small_m == large_m
 
 
 def test_perplexity_buckets_per_stratum(spark):
