@@ -205,20 +205,37 @@ def bm25_postings(
 def bm25_tf(df: DataFrame, id_col: str = "id", chunk_col: str = "chunk") -> DataFrame:
     """Immutable per-batch index rows (id, term, tf, dl) — append-only.
 
-    tf is a WITHIN-document count, so it never needed a shuffle: r12
-    replaces the explode + groupBy(id, dl, term) (which moved every token
-    occurrence through an exchange) with a map-side run-length fold over
-    array_sort(tokens) — one aggregate() whose struct accumulator closes
-    a (term, tf) entry when the next distinct term arrives — and explodes
-    the pre-counted entries. Identical row set (same integer tf per
-    (id, term)); ZERO exchanges where the ingest path's widest shuffle
-    used to be, at every scale. The sorted array is a direct HOF argument
-    (evaluated once per row — the element_at-in-lambda trap does not
-    apply); explode_outer dodges InferFiltersFromGenerate re-running the
-    fold as a pushed size()>0 predicate.
+    Two regimes, identical row set (same integer tf per (id, term)):
+
+    SMALL (leaf bytes under the regime bound): tf is a WITHIN-document
+    count, so it needs no shuffle — a map-side run-length fold over
+    array_sort(tokens) (one aggregate() whose struct accumulator closes
+    a (term, tf) entry when the next distinct term arrives) and an
+    explode of the pre-counted entries. Kills the groupBy exchange AND
+    its two AQE stage-jobs — the dominant cost at gate scale (measured:
+    q3_sparse_bm25 0.52 s vs 0.7+ with the shuffle).
+
+    LARGE: explode + groupBy(id, dl, term) — whole-stage-codegen count
+    with map-side partial aggregation. The fold form LOSES here despite
+    shuffling more: HOF aggregate() runs interpreted, measured 4.2 s vs
+    2.2 s at x100 (500k docs) and ~2x on the x1000 hybrid build — the
+    repo-wide interpreted-HOF gotcha (see memory: a staged .select does
+    not protect you either). Shuffle -38% was real (850 vs 1363 MB) but
+    CPU dominated.
     (No small-input rebalance here: tokenize is cheap enough that the
     extra shuffle LOSES — measured 0.9 s -> 1.5 s at sf0.1.)"""
-    return _explode_tf_docs(_tf_docs(df, id_col, chunk_col))
+    if _small_corpus(df):
+        return _explode_tf_docs(_tf_docs(df, id_col, chunk_col))
+    docs = (
+        df.select(F.col(id_col).alias("id"),
+                  tokenize(F.col(chunk_col)).alias("terms"))
+        .withColumn("dl", F.size("terms"))
+    )
+    return (
+        docs.select("id", "dl", F.explode("terms").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
 
 
 def _tf_docs(df: DataFrame, id_col: str = "id",

@@ -842,11 +842,12 @@ def test_perplexity_buckets_band_rule(spark):
     ).count() == 0
 
 
-def test_ppl_small_vs_large_regime_identical(spark, monkeypatch):
+def test_ppl_small_vs_large_regime_identical(spark, monkeypatch, tmp_path):
     """The r12 broadcast-map fold (small-corpus regime) must be
     bit-identical to the distributed two-phase plan — same contributions,
-    same ascending-term fold order, same band rule. Forcing the regime
-    switch off routes the SAME input through the large plan."""
+    same ascending-term fold order, same band rule. The small side reads
+    PARQUET (createDataFrame plans report unknown size and never engage
+    the regime); the large side is forced via the regime switch."""
     import flouds_vectordb_spark.operators.sparse_search as ss
     from flouds_vectordb_spark.operators.text_analysis import (
         perplexity_buckets,
@@ -855,25 +856,26 @@ def test_ppl_small_vs_large_regime_identical(spark, monkeypatch):
 
     docs = [(i, f"common words w{i % 7} repeated rare{i} " * (1 + i % 4))
             for i in range(40)] + [(99, ""), (98, "solo")]
-    df = spark.createDataFrame(docs, "id bigint, text string")
+    spark.createDataFrame(docs, "id bigint, text string") \
+        .write.parquet(str(tmp_path / "d.parquet"))
+    df = spark.read.parquet(str(tmp_path / "d.parquet"))
+    assert ss._small_corpus(df)  # parquet-backed: the regime engages
     small_u = {r["id"]: r.asDict() for r in unigram_logprob(df).collect()}
     small_b = {r["id"]: r["ppl_bucket"]
                for r in perplexity_buckets(df, n_buckets=4).collect()}
+    small_m = {r["id"]: r.asDict()
+               for r in unigram_logprob(
+                   df, model_df=df.filter(F.col("id") < 20)).collect()}
     monkeypatch.setattr(ss, "_small_corpus", lambda _df: False)
     large_u = {r["id"]: r.asDict() for r in unigram_logprob(df).collect()}
     large_b = {r["id"]: r["ppl_bucket"]
                for r in perplexity_buckets(df, n_buckets=4).collect()}
+    large_m = {r["id"]: r.asDict()
+               for r in unigram_logprob(
+                   df, model_df=df.filter(F.col("id") < 20)).collect()}
     assert small_u == large_u  # exact — includes the rounded float bits
     assert small_b == large_b
-    # reference-model scoring crosses regimes identically too
-    model = spark.createDataFrame([(1, "common words repeated")],
-                                  "id bigint, text string")
-    large_m = {r["id"]: r.asDict()
-               for r in unigram_logprob(df, model_df=model).collect()}
-    monkeypatch.undo()
-    small_m = {r["id"]: r.asDict()
-               for r in unigram_logprob(df, model_df=model).collect()}
-    assert small_m == large_m
+    assert small_m == large_m  # reference-model scoring crosses regimes too
 
 
 def test_perplexity_buckets_per_stratum(spark):

@@ -167,6 +167,43 @@ def test_ngram_jaccard_prefix_filter_has_no_false_negatives(spark, threshold):
     assert got == expected
 
 
+def test_ngram_jaccard_preflight_guard_aborts_on_quadratic_corpus(
+        spark, monkeypatch, tmp_path):
+    """r12 VERDICT ask #4: on a non-small corpus whose prefix inverted
+    index would join past max_candidate_pairs rows, the operator must
+    abort loudly BEFORE launching the pair stage (x1000 theta=0.8 died
+    DISK-FULL with no warning), naming the estimate and the alternative.
+    The estimate is exact: sum of c_h*(c_h-1)/2 over prefix-hash counts."""
+    import flouds_vectordb_spark.operators.sparse_search as ss
+
+    # clone-heavy: 12 copies of one text -> every prefix hash collides
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    monkeypatch.setattr(ss, "_small_corpus", lambda _df: False)
+    with pytest.raises(RuntimeError, match="dedup_minhash_components"):
+        dedup_ngram_jaccard(df, jaccard_threshold=0.8,
+                            max_candidate_pairs=10).collect()
+    # <= 0 disables the guard; below-bound corpora pass through unchanged
+    assert dedup_ngram_jaccard(df, jaccard_threshold=0.8,
+                               max_candidate_pairs=0).count() == 66
+    assert dedup_ngram_jaccard(df, jaccard_threshold=0.8,
+                               max_candidate_pairs=10**6).count() == 66
+    monkeypatch.undo()
+    # small corpora never pay the pre-flight action. NB: createDataFrame
+    # plans report UNKNOWN size (LogicalRDD sizeInBytes = Long.MaxValue),
+    # so the small regime needs a parquet-backed frame to engage.
+    calls = []
+    real = ss._small_corpus
+    monkeypatch.setattr(ss, "_small_corpus",
+                        lambda d: calls.append(1) or real(d))
+    pq = str(tmp_path / "docs.parquet")
+    df.write.parquet(pq)
+    small_df = spark.read.parquet(pq)
+    assert dedup_ngram_jaccard(small_df, jaccard_threshold=0.8,
+                               max_candidate_pairs=10).count() == 66
+    assert calls  # the regime check ran and judged the corpus small
+
+
 def test_ngram_jaccard_plan_keeps_arrays_out_of_candidate_shuffle(docs):
     """Scale guard: the inverted-index self-join must exchange only
     (id, n, h) scalars; the shingle-hash ARRAYS join back post-candidates.
