@@ -171,6 +171,33 @@ def collection_schema(dim: int, pk_type: str = "VARCHAR") -> T.StructType:
     ])
 
 
+# ---- manifest-pointer data layout (r12, VERDICT ask #7) ----------------------
+# A collection root holds either loose parquet segments (the append-only
+# layout every collection starts with) or a pointer file _CURRENT naming
+# a generation subdirectory (_gen-NNNNNN) that holds the compacted state.
+# flush() writes the new generation to an underscore-prefixed dir (Spark
+# ignores those in a directory scan, so a concurrent reader of the old
+# layout never sees half-written data), then atomically os.replace()s the
+# ONE pointer file. Readers resolve the pointer and read a directory that
+# is never renamed or missing — the r11 seam-retry loop and its 2 s
+# FileNotFound failure mode are gone. The PREVIOUS generation is kept
+# until the NEXT flush (so a reader that resolved the pointer just before
+# a commit still finds its files), then swept; on a cluster this is the
+# seam a transactional table format (Delta/Iceberg atomic commit)
+# replaces — the pointer protocol keeps plain parquet safe on one writer.
+CURRENT_PTR = "_CURRENT"
+
+
+def resolve_data_dir(path: str) -> str:
+    """Collection root -> the directory its data currently lives in."""
+    try:
+        with open(os.path.join(path, CURRENT_PTR)) as f:
+            gen = f.read().strip()
+    except OSError:
+        return path
+    return os.path.join(path, gen) if gen else path
+
+
 class Catalog:
     """File-backed tenant/collection catalog rooted at a warehouse dir."""
 
@@ -302,37 +329,12 @@ class Catalog:
         return sorted(n for n, c in colls.items() if c["tenant"] == tenant)
 
     # ---- data access -------------------------------------------------------
-    # Reader retry at the compaction swap seam (r11): flush() swaps the
-    # collection directory with two atomic renames (path -> __precompact,
-    # __compacting -> path), so a lock-free reader can observe a missing
-    # `path` for the microseconds between them. Bounded wait: retry only
-    # while a seam artifact proves a swap is in flight, then fail loud —
-    # never silently read an empty collection mid-swap.
-    _SWAP_RETRY_ATTEMPTS = 40
-    _SWAP_RETRY_SLEEP_S = 0.05
-
-    def _await_swap_seam(self, path: str) -> None:
-        import time as _time
-
-        for _ in range(self._SWAP_RETRY_ATTEMPTS):
-            if os.path.isdir(path):
-                return
-            if not (os.path.isdir(path + "__precompact")
-                    or os.path.isdir(path + "__compacting")):
-                return  # genuinely absent: empty/new collection, not a swap
-            _time.sleep(self._SWAP_RETRY_SLEEP_S)
-        raise FileNotFoundError(
-            f"collection path {path!r} missing with a compaction swap in "
-            f"flight for >{self._SWAP_RETRY_ATTEMPTS * self._SWAP_RETRY_SLEEP_S:.0f}s"
-            " — writer crashed mid-swap? run any write op (it recovers via"
-            " _recover_compaction) or repair the __precompact/__compacting"
-            " directories")
 
     def read_collection(self, tenant: str, model: str) -> DataFrame:
         meta = self.describe_collection(tenant, model)
-        path = meta["path"]
-        self._await_swap_seam(path)
-        if not any(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
+        path = resolve_data_dir(meta["path"])
+        if not os.path.isdir(path) or not any(
+                f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
             return self.spark.createDataFrame(
                 [], collection_schema(meta["dimension"],
                                       meta.get("primary_key_data_type", "VARCHAR")))

@@ -447,11 +447,22 @@ def late_interaction_topk_pruned(
                   <= F.lit(int(radius)))
         .select("qid", "doc_id").dropDuplicates()
     )
-    # broadcast the candidate list back into the token probe (the
-    # decontaminate_neardup pattern): planned statically, the re-rank
-    # join sort-merged the FULL token table on doc_id — 536 MB shuffle
-    # at 5M tokens for a ~16k-pair candidate list (measured r11). Count
-    # first, keyed join past the bound — slower, never a driver OOM.
+    return _li_rerank_candidates(doc_tokens, qt.drop("_qsig"), cand, k,
+                                 id_col, vector_col)
+
+
+def _li_rerank_candidates(doc_tokens: DataFrame, qt, cand: DataFrame,
+                          k: int, id_col: str, vector_col: str) -> DataFrame:
+    """Stage 3 of every pruned late-interaction variant: exact MaxSim
+    re-rank of the (qid, doc_id) candidate list — identical scoring,
+    fold order and tie-break to late_interaction_topk. The candidate
+    list is counted and broadcast back into the token probe when bounded
+    (the decontaminate_neardup pattern): planned statically, the re-rank
+    join sort-merged the FULL token table on doc_id — 536 MB shuffle at
+    5M tokens for a ~16k-pair candidate list (measured r11). Keyed join
+    past the bound — slower, never a driver OOM."""
+    from pyspark.sql import Window
+
     from flouds_vectordb_spark.lifecycle import tracked_persist
 
     cand = tracked_persist(cand)
@@ -462,7 +473,7 @@ def late_interaction_topk_pruned(
     cand_side = F.broadcast(cand) if n_cand <= _LI_CAND_BROADCAST_ROWS else cand
     maxsim = (
         dt.join(cand_side, "doc_id")
-        .join(qt.drop("_qsig"), "qid")
+        .join(qt, "qid")
         .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
         .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms"))
     )
@@ -590,6 +601,87 @@ _rk AS (
 SELECT qid, doc_id, rank, round(_s, 6) AS score_r
 FROM _rk WHERE rank <= {int(k)}
 """
+
+
+def build_li_ivf_index(doc_tokens: DataFrame, path: str, nlist: int = 64,
+                       id_col: str = "doc_id", pos_col: str = "pos",
+                       vector_col: str = "vector"):
+    """Materialize the IVF alternative to the SRP signature index for the
+    late-interaction serving path (r12, VERDICT ask #6 — the ann.py
+    'slots into stage 2 unchanged' claim made real): the TOKEN table is
+    centroid-partitioned by plans/ivf.build_ivf, so a per-query-token
+    candidate fetch becomes a PARTITION-PRUNED scan of the probed cells
+    — the right index when SRP's fixed Hamming ball under-selects
+    (clustered corpora tighter than the ball) or over-selects (radius
+    too generous for the corpus density). Returns the IvfIndex."""
+    from flouds_vectordb_spark.plans.ivf import build_ivf
+
+    toks = doc_tokens.select(F.col(id_col).alias("doc_id"),
+                             F.col(pos_col).alias("pos"),
+                             F.col(vector_col).alias("vector"))
+    return build_ivf(toks, path, nlist=nlist, metric="COSINE",
+                     vector_col="vector")
+
+
+def late_interaction_topk_ivf(
+    spark,
+    ivf_path: str,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    vector_col: str = "vector",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """(qid, doc_id, rank, score_r): the late-interaction serving path
+    with stage 2 fetched through the STORED IVF token index instead of
+    the SRP Hamming ball (r12, VERDICT ask #6).
+
+    Stages:
+    1. probe: ONE vectorized numpy pass shortlists nprobe cells per
+       query token against the driver-resident centroids (the query bag
+       is small by the serving contract — same driver-side half every
+       IVF search uses);
+    2. candidate fetch: a PARTITION-PRUNED scan of the probed cells only
+       (centroid_id is the parquet partition key, so unprobed cells are
+       never read — bytes scale with nprobe/nlist, not corpus size),
+       broadcast-joined to the tiny (qid, cell) shortlist; candidates
+       are docs with ANY token in ANY of that query's probed cells;
+    3. exact re-rank: the shared _li_rerank_candidates stage — identical
+       scoring/fold/tie-break to late_interaction_topk.
+
+    Like the HNSW beam (and unlike the SRP ball), the candidate set
+    depends on the trained centroids, so the quality gate is GRADED
+    recall vs the exact operator on the clustered fixture, not a value
+    hash."""
+    import numpy as np
+
+    from flouds_vectordb_spark.functions.local import local_df
+    from flouds_vectordb_spark.plans.ivf import open_ivf
+
+    idx = open_ivf(ivf_path)
+    qrows = query_tokens.select(F.col(qid_col), F.col(pos_col),
+                                F.col(vector_col)).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, rank int, score_r double")
+    cells = idx.probe_cells_many(
+        np.array([r[2] for r in qrows], dtype=np.float64), nprobe)
+    qid_cells = sorted({(int(r[0]), int(c))
+                        for r, crow in zip(qrows, cells) for c in crow})
+    qc = F.broadcast(local_df(spark, qid_cells,
+                              "qid bigint, centroid_id int"))
+    scanned = spark.read.parquet(ivf_path).select(
+        "doc_id", F.col("centroid_id").cast("int").alias("centroid_id"))
+    cand = (scanned.join(qc, "centroid_id")
+            .select("qid", "doc_id").dropDuplicates())
+    qt = F.broadcast(query_tokens.select(
+        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+        F.col(vector_col).alias("_qv")))
+    return _li_rerank_candidates(doc_tokens, qt, cand, k, id_col,
+                                 vector_col)
 
 
 def late_interaction_topk_sql(

@@ -275,7 +275,16 @@ def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
             for b in range(n_bands)
         ])).alias("e"),
     ).select("id", "e.band_idx", "e.band_hash")
-    return entries, sigs.select("id", "shingles")
+    # verify sets are the sorted DISTINCT hash64 of the shingles, not the
+    # strings (r12): candidates are already 1-band LSH agreements, so
+    # nearly all of them reach exact verification — the verify join's
+    # payload IS the fusion's shuffle at scale, and 8-byte longs cut it
+    # ~3x vs ~25-byte 3-gram strings. Jaccard over the hash sets equals
+    # Jaccard over the strings absent 64-bit collisions, and the SQL
+    # twins hash identically (same hash64), so the engines cannot skew.
+    vsets = sigs.select("id", F.array_sort(F.array_distinct(
+        F.transform("shingles", lambda s: hash64(s)))).alias("vset"))
+    return entries, vsets
 
 
 def _jaccard_filtered(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -300,7 +309,7 @@ def _length_filtered(cand: DataFrame, sets: DataFrame,
     The sizes probe reads the persisted signature table (sets carries the
     shingle arrays already materialized), so the two joins ship one int
     per side."""
-    sizes = sets.select("id", F.size("shingles").alias("_sz"))
+    sizes = sets.select("id", F.size("vset").alias("_sz"))
     th = float(threshold)
     j = (cand
          .join(sizes.select(F.col("id").alias("id_a"),
@@ -312,6 +321,49 @@ def _length_filtered(cand: DataFrame, sets: DataFrame,
             & (F.col("_szb").cast("double")
                >= F.lit(th) * F.col("_sza").cast("double")))
     return j.filter(keep).drop("_sza", "_szb")
+
+
+def _prefix_probe(sets: DataFrame, threshold: float) -> DataFrame:
+    """(id, _sz, _pref): per-doc scalar size + the AllPairs prefix of the
+    doc's shingle set under the GLOBAL canonical order (ascending
+    hash64). J >= θ forces overlap >= ceil(θ·|x|) on EACH side (J <=
+    min/max gives min >= θ·max, so o >= θ/(1+θ)(|A|+|B|) >= θ·max >=
+    θ·|x|), hence the intersection must reach into the first
+    |x| - ceil(θ·|x|) + 1 canonical elements of BOTH sides — disjoint
+    prefixes prove J < θ (Bayardo/Ma/Srikant WWW'07; same bound
+    dedup_ngram_jaccard's inverted index uses). Hash collisions can only
+    ADD apparent overlap, so they pass extra pairs, never drop true
+    ones. Prefix entries are 8-byte longs vs ~25-byte shingle strings —
+    the probe ships ~(1-θ)·|set| longs per side, far below the full
+    string arrays the verify join ships for survivors."""
+    th = float(threshold)
+    plen = (F.size("vset")
+            - F.ceil(F.lit(th) * F.size("vset")) + F.lit(1)).cast("int")
+    return sets.select("id", F.size("vset").alias("_sz"),
+                       F.slice("vset", 1, plen).alias("_pref"))
+
+
+def _prefix_filtered(cand: DataFrame, probe: DataFrame,
+                     threshold: float) -> DataFrame:
+    """Length + prefix filter over a candidate list in ONE probe join per
+    side (r12, VERDICT ask #3 — the r11 length-only filter was exact but
+    shuffle-neutral on clone corpora: perturbed copies share lengths, so
+    the ratio test passed ~every pair; the prefix test prunes at equal
+    lengths too). Exact: both tests drop only provably-failing pairs."""
+    th = float(threshold)
+    j = (cand
+         .join(probe.select(F.col("id").alias("id_a"),
+                            F.col("_sz").alias("_sza"),
+                            F.col("_pref").alias("_pra")), "id_a")
+         .join(probe.select(F.col("id").alias("id_b"),
+                            F.col("_sz").alias("_szb"),
+                            F.col("_pref").alias("_prb")), "id_b"))
+    keep = ((F.col("_sza").cast("double")
+             >= F.lit(th) * F.col("_szb").cast("double"))
+            & (F.col("_szb").cast("double")
+               >= F.lit(th) * F.col("_sza").cast("double"))
+            & F.arrays_overlap("_pra", "_prb"))
+    return j.filter(keep).drop("_sza", "_szb", "_pra", "_prb")
 
 
 def _verify_candidates(cand: DataFrame, sets: DataFrame, threshold: float,
@@ -326,9 +378,9 @@ def _verify_candidates(cand: DataFrame, sets: DataFrame, threshold: float,
     if small:
         pairs = (
             cand.join(sets.select(F.col("id").alias("id_a"),
-                                  F.col("shingles").alias("sh_a")), "id_a")
+                                  F.col("vset").alias("sh_a")), "id_a")
             .join(sets.select(F.col("id").alias("id_b"),
-                              F.col("shingles").alias("sh_b")), "id_b")
+                              F.col("vset").alias("sh_b")), "id_b")
         )
         return _jaccard_filtered(pairs, threshold)
     cand = cand.transform(_persist)
@@ -337,10 +389,10 @@ def _verify_candidates(cand: DataFrame, sets: DataFrame, threshold: float,
     ids_b.count()
     sets_b = (sets.join(ids_b, "id", "leftsemi")
               .select(F.col("id").alias("id_b"),
-                      F.col("shingles").alias("sh_b")))
+                      F.col("vset").alias("sh_b")))
     pairs = (
         cand.join(sets.select(F.col("id").alias("id_a"),
-                              F.col("shingles").alias("sh_a")), "id_a")
+                              F.col("vset").alias("sh_a")), "id_a")
         .join(sets_b, "id_b")
     )
     return _jaccard_filtered(pairs, threshold)
@@ -445,8 +497,13 @@ def _band_side_sql(src: str, tag: str, id_expr: str, text_expr: str,
     union_entries = " UNION ALL ".join(
         f"SELECT id, {extra}{b} AS band_idx, band{b} AS band_hash "
         f"FROM _banded{sfx}" for b in range(n_bands))
+    # _vs: the hash64 verify set — the twin of _band_entries' vset (r12);
+    # Jaccard is computed over these, not the shingle strings
+    vset = (f"list_sort(list_distinct(list_transform(shingles, "
+            f"s -> {hash64_sql('s')})))")
     return f"""
 _sh{sfx} AS (SELECT {id_expr} AS id, {sh} AS shingles FROM {src}),
+_vs{sfx} AS (SELECT id, {vset} AS vset FROM _sh{sfx}),
 _hashed{sfx} AS (SELECT id, shingles, {h32} AS _h32 FROM _sh{sfx}),
 _sigs{sfx} AS (SELECT id, shingles{sig_sel} FROM _hashed{sfx}),
 _banded{sfx} AS (SELECT *{band_sel} FROM _sigs{sfx}),
@@ -474,12 +531,12 @@ _cand AS (
 ),
 _pairs AS (
   SELECT c.id_a, c.id_b,
-         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-               / (len(sa.shingles) + len(sb.shingles)
-                  - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE, 6) AS jaccard_r
+         round(len(list_intersect(sa.vset, sb.vset))::DOUBLE
+               / (len(sa.vset) + len(sb.vset)
+                  - len(list_intersect(sa.vset, sb.vset)))::DOUBLE, 6) AS jaccard_r
   FROM _cand c
-  JOIN _sh sa ON c.id_a = sa.id
-  JOIN _sh sb ON c.id_b = sb.id
+  JOIN _vs sa ON c.id_a = sa.id
+  JOIN _vs sb ON c.id_b = sb.id
 )
 SELECT id_a, id_b, jaccard_r FROM _pairs WHERE jaccard_r >= {float(jaccard_threshold)!r}
 """
@@ -551,13 +608,19 @@ def dedup_minhash_components(
     star_cand = (star_rows.select(F.col("_rep").alias("id_a"),
                                   F.col("id").alias("id_b"))
                  .dropDuplicates(["id_a", "id_b"]))
-    # PPJoin length filter on BOTH verify passes (r11, VERDICT ask #4):
-    # drops provably-failing pairs on scalar sizes before the shingle
-    # arrays ride the verify joins — the fusion's fallback verify was why
-    # its x1000 shuffle exceeded pair mode's. Exactness is unchanged: a
-    # length-dropped star edge is exactly a FAILED star edge, so its
-    # members land in the unresolved set and phase 2 adjudicates them,
-    # the same path a Jaccard-failed edge takes.
+    # PPJoin LENGTH filter on BOTH verify passes (r11): drops provably-
+    # failing pairs on scalar sizes before the verify arrays ride the
+    # joins. The PREFIX filter (r12 ask #3, _prefix_filtered) was wired
+    # here and MEASURED OUT: on the x1000 clone corpus LSH's 16-band
+    # agreement already leaves almost no false candidates for a prefix
+    # test to prune — θ=0.5 prefixes overlapped for ~every candidate —
+    # so the probe's (1-θ)·|set| longs per side were pure added shuffle
+    # (26.7 GB vs 20.7 length-only). The byte win that actually landed
+    # is upstream: verify sets are hash64 arrays, not shingle strings
+    # (see _band_entries). Exactness of the length test: a filtered star
+    # edge is exactly a FAILED star edge, so its members land in the
+    # unresolved set and phase 2 adjudicates them, the same path a
+    # Jaccard-failed edge takes.
     star_pairs = _verify_candidates(
         _length_filtered(star_cand, sets, jaccard_threshold), sets,
         jaccard_threshold, small).transform(_persist)
@@ -658,12 +721,12 @@ def dedup_minhash_incremental(
     )
     cand = nn.unionByName(no).dropDuplicates(["id_a", "id_b", "b_is_old"])
     sets_b = new_sets.select(F.col("id").alias("id_b"),
-                             F.col("shingles").alias("sh_b")).unionByName(
+                             F.col("vset").alias("sh_b")).unionByName(
         old_sets.select(F.col("id").alias("id_b"),
-                        F.col("shingles").alias("sh_b")))
+                        F.col("vset").alias("sh_b")))
     pairs = (
         cand.join(new_sets.select(F.col("id").alias("id_a"),
-                                  F.col("shingles").alias("sh_a")), "id_a")
+                                  F.col("vset").alias("sh_a")), "id_a")
         .join(sets_b, "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
@@ -703,16 +766,16 @@ _cand AS (
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 ),
 _sets_b AS (
-  SELECT id, shingles FROM _sh_n UNION ALL SELECT id, shingles FROM _sh_o
+  SELECT id, vset FROM _vs_n UNION ALL SELECT id, vset FROM _vs_o
 ),
 _pairs AS (
   SELECT c.id_a, c.id_b, c.b_is_old,
-         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-               / (len(sa.shingles) + len(sb.shingles)
-                  - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+         round(len(list_intersect(sa.vset, sb.vset))::DOUBLE
+               / (len(sa.vset) + len(sb.vset)
+                  - len(list_intersect(sa.vset, sb.vset)))::DOUBLE,
                6) AS jaccard_r
   FROM _cand c
-  JOIN _sh_n sa ON c.id_a = sa.id
+  JOIN _vs_n sa ON c.id_a = sa.id
   JOIN _sets_b sb ON c.id_b = sb.id
 )
 SELECT id_a, id_b, b_is_old, jaccard_r FROM _pairs
@@ -1337,9 +1400,9 @@ def decontaminate_neardup(
     cand = cand.transform(_persist)
     n_cand = cand.count()
     te_proj = te_sets.select(F.col("id").alias("id_b"),
-                             F.col("shingles").alias("sh_b"))
+                             F.col("vset").alias("sh_b"))
     tr_proj = tr_sets.select(F.col("id").alias("id_a"),
-                             F.col("shingles").alias("sh_a"))
+                             F.col("vset").alias("sh_a"))
     if n_cand <= _NEARDUP_CAND_BROADCAST_ROWS:
         pairs = (tr_proj.join(F.broadcast(cand), "id_a")
                  .join(F.broadcast(te_proj), "id_b"))
@@ -1389,13 +1452,13 @@ _cand AS (
 ),
 _pairs AS (
   SELECT c.id_a, c.id_b,
-         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-               / (len(sa.shingles) + len(sb.shingles)
-                  - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE,
+         round(len(list_intersect(sa.vset, sb.vset))::DOUBLE
+               / (len(sa.vset) + len(sb.vset)
+                  - len(list_intersect(sa.vset, sb.vset)))::DOUBLE,
                6) AS jaccard_r
   FROM _cand c
-  JOIN _sh_tr sa ON c.id_a = sa.id
-  JOIN _sh_te sb ON c.id_b = sb.id
+  JOIN _vs_tr sa ON c.id_a = sa.id
+  JOIN _vs_te sb ON c.id_b = sb.id
 )
 SELECT id_a AS id, max(jaccard_r) AS max_jaccard,
        count(*) AS n_test_hits

@@ -29,6 +29,8 @@ import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from flouds_vectordb_spark import catalog as catalog_mod
+from flouds_vectordb_spark.catalog import resolve_data_dir
 from flouds_vectordb_spark.lifecycle import tracked_persist
 
 AUTO_FLUSH_MIN_BATCH = 100  # appsettings.json auto_flush_min_batch
@@ -245,7 +247,8 @@ class CollectionWriter:
             self.meta = self.catalog.update_collection_meta(
                 self.tenant, self.model, **updates)
             try:
-                stamped.write.mode("append").parquet(self.meta["path"])
+                stamped.write.mode("append").parquet(
+                    resolve_data_dir(self.meta["path"]))
             except Exception:
                 # COMPENSATION (ADVICE r7): a CAUGHT write failure (plain
                 # Spark job failure, not a process crash) is known to have
@@ -278,7 +281,8 @@ class CollectionWriter:
                 # row-group pruning makes this an O(batch) read): the ids
                 # on disk are the ids, whatever a cache-loss recompute of
                 # the source lineage might have reordered
-                stamped = (self.catalog.spark.read.parquet(self.meta["path"])
+                stamped = (self.catalog.spark.read
+                           .parquet(resolve_data_dir(self.meta["path"]))
                            .filter(F.col("batch_ts") == int(batch_ts)))
         finally:
             if pinned is not None:
@@ -309,7 +313,9 @@ class CollectionWriter:
             return
         import pyarrow.parquet as pq
 
-        path = self.meta["path"]
+        # resolved dir: appends land in the CURRENT generation; retained
+        # previous generations are swept whole by the next flush, not here
+        path = resolve_data_dir(self.meta["path"])
         for root, _dirs, files in os.walk(path):
             for fn in files:
                 if not fn.endswith(".parquet"):
@@ -422,73 +428,111 @@ class CollectionWriter:
     def flush(self) -> None:
         """S4: compact appended segments to the deduped state.
 
-        CRASH-SAFE swap (r10; SURVEY hard-part #4's single-writer answer
-        to what Delta's transaction log would give on a cluster): the old
-        shape was `rmtree(path); replace(tmp, path)` — a crash between
-        the two left NO directory at the collection path (data recoverable
-        only by hand from the tmp). Now a roll-forward/roll-back protocol
-        with two atomic renames and a completion marker:
+        MANIFEST-POINTER COMMIT (r12, VERDICT ask #7 — replaces the r10/
+        r11 two-rename directory swap and its reader seam): the new
+        generation is written to an underscore-prefixed subdirectory of
+        the collection root (invisible to any concurrent Spark scan of
+        the old layout), then ONE pointer file (_CURRENT) is atomically
+        os.replace()d to name it. The root directory is never renamed or
+        absent, so readers have no seam to wait across; the previous
+        generation's files are KEPT until the next flush so a reader that
+        resolved the pointer just before this commit still finds them.
 
-          1. write tmp; touch tmp/_COMPACT_COMPLETE (Spark ignores
-             underscore-prefixed files, like _SUCCESS)
-          2. rename path -> path__precompact     (atomic)
-          3. rename tmp  -> path                 (atomic)
-          4. rmtree path__precompact
+          1. write root/_gen-<n+1>/  (the compacted parquet)
+          2. fsync-write root/_CURRENT.tmp; os.replace -> root/_CURRENT
+          3. sweep every data location except the new generation and the
+             one it replaced (the previous flush's garbage + this one's
+             now-previous, aged one cycle)
 
-        Every crash point leaves a recoverable state, repaired by
-        _recover_compaction() under the writer lock before any flush or
-        insert: marker present -> roll FORWARD to the compacted data;
-        marker absent -> roll BACK to the pre-compaction directory.
-        Readers racing the rename pair (the instant `path` is absent
-        between 2 and 3) retry behind Catalog._await_swap_seam (r11):
-        bounded wait while a seam artifact proves a swap is in flight,
-        loud FileNotFoundError if the writer crashed mid-swap. On a
-        multi-node deployment this is exactly the seam where a
-        transactional table format (Delta/Iceberg MERGE + atomic commit)
-        replaces directory renames; the protocol keeps plain parquet —
-        the lowest common denominator this environment ships — safe on
-        one writer."""
+        Crash states collapse to "pointer names old or new": a crash in
+        step 1-2 leaves the pointer on the old generation (the orphan
+        _gen dir is swept by recovery); after step 2 the commit is
+        complete (leftover old data is swept by the next flush/recovery).
+        On a multi-node deployment this is exactly where a transactional
+        table format (Delta/Iceberg atomic commit) takes over; the
+        pointer keeps plain parquet safe on one writer."""
+        self._recover_compaction()
+        root = self.meta["path"]
+        cur = resolve_data_dir(root)
+        gen = f"_gen-{self._gen_number(cur) + 1:06d}"
+        new = os.path.join(root, gen)
+        self.read_latest().write.mode("overwrite").parquet(new)
+        ptr_tmp = os.path.join(root, catalog_mod.CURRENT_PTR + ".tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(gen)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, os.path.join(root, catalog_mod.CURRENT_PTR))
+        self._sweep_generations(keep={new, cur})
+
+    @staticmethod
+    def _gen_number(data_dir: str) -> int:
+        base = os.path.basename(data_dir.rstrip("/"))
+        if base.startswith("_gen-"):
+            try:
+                return int(base[len("_gen-"):])
+            except ValueError:
+                pass
+        return 0
+
+    def _sweep_generations(self, keep: set) -> None:
+        """Remove every data location under the collection root except
+        `keep`: stale _gen-* directories, a stray pointer tmp, and — once
+        the root's loose segments are no longer the kept previous
+        generation — the pre-first-flush root-level parquet files."""
         import shutil
 
-        self._recover_compaction()
-        path = self.meta["path"]
-        tmp = path + "__compacting"
-        old = path + "__precompact"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self.read_latest().write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_COMPACT_COMPLETE"), "w"):
-            pass
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        root = self.meta["path"]
+        ptr_tmp = os.path.join(root, catalog_mod.CURRENT_PTR + ".tmp")
+        if os.path.exists(ptr_tmp):
+            os.remove(ptr_tmp)
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if name.startswith("_gen-") and os.path.isdir(p) and p not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+        if root not in keep:
+            for name in os.listdir(root):
+                p = os.path.join(root, name)
+                if os.path.isfile(p) and not name.startswith(("_", ".")):
+                    os.remove(p)
 
     def _recover_compaction(self) -> None:
-        """Repair any state a crashed flush() left behind (see flush's
-        protocol). Runs under the writer lock. Decision table:
-        - path present, tmp present: crashed before step 2 (or during the
-          tmp write) -> discard tmp (the compaction never took effect).
-        - path present, old present: crashed between 3 and 4 -> the swap
-          finished; discard old.
-        - path MISSING, old present: crashed between 2 and 3 -> roll
-          forward to tmp iff its completion marker exists, else roll back
-          to old (an unmarked tmp may be a partial write)."""
+        """Repair any state a crashed flush() left behind. With the
+        pointer protocol there is exactly one rule: the pointed-to
+        generation (or the root, pre-first-flush) is the data; everything
+        else — a half-written NEWER _gen dir, a pointer tmp — is garbage.
+        The previous generation is deliberately retained (reader grace,
+        see flush); it is swept by the next successful flush. Legacy
+        r10-layout leftovers (__compacting/__precompact siblings) are
+        rolled forward/back once, then the dirs can no longer appear."""
         import shutil
 
-        path = self.meta["path"]
-        tmp = path + "__compacting"
-        old = path + "__precompact"
-        if os.path.isdir(path):
+        root = self.meta["path"]
+        # legacy two-rename layout recovery (pre-r12 collections)
+        tmp = root + "__compacting"
+        old = root + "__precompact"
+        if os.path.isdir(root):
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            if os.path.isfile(os.path.join(tmp, "_COMPACT_COMPLETE")):
+                os.rename(tmp, root)
+                shutil.rmtree(old)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.rename(old, root)
+        if not os.path.isdir(root):
             return
-        if not os.path.isdir(old):
-            return
-        if os.path.isfile(os.path.join(tmp, "_COMPACT_COMPLETE")):
-            os.rename(tmp, path)
-            shutil.rmtree(old)
-        else:
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.rename(old, path)
+        cur = resolve_data_dir(root)
+        cur_n = self._gen_number(cur)
+        ptr_tmp = os.path.join(root, catalog_mod.CURRENT_PTR + ".tmp")
+        if os.path.exists(ptr_tmp):
+            os.remove(ptr_tmp)
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if (name.startswith("_gen-") and os.path.isdir(p)
+                    and self._gen_number(p) > cur_n):
+                shutil.rmtree(p, ignore_errors=True)
 
     # ---- index build + search (S2's index job + the reference search gate) --
     @_locked

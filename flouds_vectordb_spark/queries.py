@@ -1758,6 +1758,51 @@ _register("ann_late_interaction_pruned_recall", _late_interaction_recall_q,
           "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
 
 
+# 4. IVF-backed stage 2 (r12, VERDICT ask #6): candidate fetch through
+#    the stored centroid-partitioned TOKEN index — partition-pruned scan
+#    of the probed cells, same exact re-rank. Candidates depend on the
+#    trained centroids (like the HNSW beam), so the gate is GRADED
+#    recall@10 vs the exact operator on the clustered fixture.
+_LI_IVF_IDX_ROOT = os.path.join(_SCRATCH, "li_ivf_idx")
+
+
+def _late_interaction_ivf_recall_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.ann import (
+        build_li_ivf_index,
+        late_interaction_topk,
+        late_interaction_topk_ivf,
+    )
+
+    docs = _li_clustered_tokens(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(_LI_IVF_IDX_ROOT, f"{tag}_n64")
+    if not os.path.isfile(os.path.join(path, "_centroids.json")):
+        build_li_ivf_index(docs, path, nlist=64)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    exact: dict[int, set] = {}
+    for r in late_interaction_topk(docs, queries, k=10).collect():
+        exact.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
+    got: dict[int, set] = {}
+    for r in late_interaction_topk_ivf(spark, path, docs, queries, k=10,
+                                       nprobe=8).collect():
+        got.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
+    hits = total = 0
+    for qid, ex in exact.items():
+        hits += len(got.get(qid, set()) & ex)
+        total += len(ex)
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(len(exact), bool(recall >= _LI_RECALL_MIN))],
+        "n_queries int, recall_ge_095 boolean")
+
+
+_register_ext("ann_late_interaction_ivf_recall",
+              _late_interaction_ivf_recall_q,
+              "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
+
+
 # 3. stored-index path: the SAME pruned contract served from the
 #    materialized token-signature table (build once per process, the
 #    _flow_once pattern) — results identical to the on-the-fly pruned

@@ -389,6 +389,32 @@ def op_late_interaction_pruned(spark, d):
     return late_interaction_topk_pruned(toks, queries, k=10, dim=64)
 
 
+def op_late_interaction_ivf(spark, d):
+    """Late-interaction serving with stage 2 through the stored IVF
+    token index (r12, VERDICT ask #6): build the centroid-partitioned
+    token table once per data dir, then a partition-pruned candidate
+    fetch (probed cells only — bytes scale with nprobe/nlist, not
+    corpus) + the shared exact re-rank. Compare scan/shuffle against
+    op_late_interaction_pruned (the SRP signature path)."""
+    from flouds_vectordb_spark.operators.ann import (
+        build_li_ivf_index,
+        late_interaction_topk_ivf,
+    )
+
+    toks = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        (F.col("vec_id") % 8).alias("pos"),
+        F.col("embedding").alias("vector"))
+    path = os.path.join(d, "__li_ivf_n256") if os.access(d, os.W_OK) \
+        else os.path.join("/tmp", "li_ivf_" + os.path.basename(d.rstrip("/")))
+    if not os.path.isfile(os.path.join(path, "_centroids.json")):
+        build_li_ivf_index(toks, path, nlist=256)
+    queries = toks.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    return late_interaction_topk_ivf(spark, path, toks, queries, k=10,
+                                     nprobe=16)
+
+
 def op_csv_ingest(spark, d):
     """CSV bulk-load parse+validate throughput in the MANY-FILES layout
     (multiLine files are unsplittable — parallelism = file count, the
@@ -461,6 +487,7 @@ OPS = {
     "decon_neardup": op_decon_neardup,
     "late_interaction": op_late_interaction,
     "late_interaction_pruned": op_late_interaction_pruned,
+    "late_interaction_ivf": op_late_interaction_ivf,
     "scrub_pii": op_scrub_pii,
     "ngram_jaccard_08": op_ngram_jaccard_08,
     "csv_ingest": op_csv_ingest,

@@ -102,14 +102,17 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
         w.insert_data(bad, batch_ts=3)
 
 
-def test_flush_crash_recovery_all_states(spark, tmp_path_factory):
-    """r10: flush's compaction swap is crash-safe — every interruption
-    point leaves a state _recover_compaction repairs to a readable
-    collection (the old rmtree+replace shape had a window where the
-    collection directory simply vanished). Simulates all four crash
-    states by arranging the directories a crash would leave."""
+def test_flush_pointer_commit_crash_states(spark, tmp_path_factory):
+    """r12 (VERDICT ask #7): flush commits via ONE atomic pointer-file
+    replace — crash states collapse to 'pointer names old or new'.
+    Recovery's single rule: the pointed generation is the data; NEWER
+    half-written generations and pointer tmps are garbage; the previous
+    generation is retained one cycle (reader grace) and swept by the
+    next flush."""
     import os
     import shutil
+
+    from flouds_vectordb_spark.catalog import CURRENT_PTR, resolve_data_dir
 
     cat = Catalog(spark, str(tmp_path_factory.mktemp("whcr")))
     cat.set_vector_store("t9")
@@ -118,102 +121,129 @@ def test_flush_crash_recovery_all_states(spark, tmp_path_factory):
     b = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
                               "id string, chunk string, vector array<float>")
     w.insert_data(b, batch_ts=1, force_flush=True)
-    path = w.meta["path"]
-    tmp, old = path + "__compacting", path + "__precompact"
+    root = w.meta["path"]
+    gen1 = resolve_data_dir(root)
+    assert os.path.basename(gen1) == "_gen-000001"  # first flush committed
 
     def rows():
         return {r["id"]: r["chunk"] for r in w.read_latest().collect()}
 
-    def clone(src, dst, chunk_suffix=None):
-        shutil.copytree(src, dst)
-
-    # state A: crash during/after the tmp write, before any rename
-    clone(path, tmp)
+    # state A: crash DURING the new-generation write (pointer still old):
+    # a half-written newer gen is garbage; reads are untouched
+    shutil.copytree(gen1, os.path.join(root, "_gen-000002"))
+    open(os.path.join(root, CURRENT_PTR + ".tmp"), "w").close()
+    assert rows() == {"a": "v1", "b": "v1"}  # reader ignores garbage
     w._recover_compaction()
-    assert not os.path.isdir(tmp) and rows() == {"a": "v1", "b": "v1"}
+    assert not os.path.isdir(os.path.join(root, "_gen-000002"))
+    assert not os.path.exists(os.path.join(root, CURRENT_PTR + ".tmp"))
+    assert rows() == {"a": "v1", "b": "v1"}
 
-    # state B: crash between step 3 and 4 (swap done, old not deleted)
-    clone(path, old)
+    # state B: crash AFTER the pointer replace, before the sweep: the
+    # commit is complete; the previous generation lingers (by design —
+    # reader grace) until the next flush sweeps it
+    shutil.copytree(gen1, os.path.join(root, "_gen-000002"))
+    with open(os.path.join(root, CURRENT_PTR), "w") as f:
+        f.write("_gen-000002")
+    assert resolve_data_dir(root).endswith("_gen-000002")
     w._recover_compaction()
-    assert not os.path.isdir(old) and rows() == {"a": "v1", "b": "v1"}
+    assert os.path.isdir(gen1)  # previous gen retained, not garbage
+    assert rows() == {"a": "v1", "b": "v1"}
 
-    # state C: crash between the renames WITH the completion marker ->
-    # roll FORWARD to the compacted data
-    clone(path, tmp)
-    open(os.path.join(tmp, "_COMPACT_COMPLETE"), "w").close()
-    os.rename(path, old)
-    w._recover_compaction()
-    assert os.path.isdir(path) and not os.path.isdir(old)
-    assert not os.path.isdir(tmp) and rows() == {"a": "v1", "b": "v1"}
-
-    # state D: crash between the renames WITHOUT the marker (possibly
-    # partial tmp) -> roll BACK to the pre-compaction directory
-    clone(path, tmp)  # no marker: treated as untrusted
-    os.rename(path, old)
-    w._recover_compaction()
-    assert os.path.isdir(path) and not os.path.isdir(tmp)
-    assert not os.path.isdir(old) and rows() == {"a": "v1", "b": "v1"}
-
-    # and a real flush still round-trips on the recovered collection
+    # a real flush on the recovered collection sweeps the old generation
     b2 = spark.createDataFrame([("a", "v2", [0.5, 0.5])],
                                "id string, chunk string, vector array<float>")
     w.insert_data(b2, batch_ts=2, force_flush=True)
     assert rows() == {"a": "v2", "b": "v1"}
-    assert not os.path.isdir(tmp) and not os.path.isdir(old)
+    assert resolve_data_dir(root).endswith("_gen-000003")
+    assert not os.path.isdir(gen1)  # swept: two flushes old
+    assert os.path.isdir(os.path.join(root, "_gen-000002"))  # grace kept
 
 
-def test_reader_retries_through_compaction_swap(spark, tmp_path_factory):
-    """r11: a lock-free reader racing flush's two-rename swap sees a
-    missing collection path for an instant; read_collection must wait for
-    the swap to land (bounded retry) instead of failing or silently
-    reading an empty directory — and must fail LOUD, not empty, when the
-    swap never completes (crashed writer)."""
+def test_flush_legacy_two_rename_states_still_recover(spark, tmp_path_factory):
+    """Collections left mid-swap by the pre-r12 two-rename protocol must
+    still recover (roll forward with the marker, back without), after
+    which the pointer protocol takes over."""
     import os
     import shutil
-    import threading
-    import time
 
-    cat = Catalog(spark, str(tmp_path_factory.mktemp("whsw")))
+    from flouds_vectordb_spark.catalog import resolve_data_dir
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whlg")))
     cat.set_vector_store("t9b")
     cat.generate_schema(CollectionSpec("t9b", "m", dimension=2))
     w = CollectionWriter(cat, "t9b", "m")
     b = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
                               "id string, chunk string, vector array<float>")
-    w.insert_data(b, batch_ts=1, force_flush=True)
-    path = w.meta["path"]
-    tmp, old = path + "__compacting", path + "__precompact"
+    w.insert_data(b, batch_ts=1, auto_flush_min_batch=-1)  # no flush: root layout
+    root = w.meta["path"]
+    assert resolve_data_dir(root) == root  # pre-flush: loose segments
+    tmp, old = root + "__compacting", root + "__precompact"
 
-    # freeze the mid-swap instant (between rename 1 and rename 2)
-    shutil.copytree(path, tmp)
+    def rows():
+        return {r["id"]: r["chunk"] for r in w.read_latest().collect()}
+
+    # legacy roll FORWARD: marker present, root renamed away mid-swap
+    shutil.copytree(root, tmp)
     open(os.path.join(tmp, "_COMPACT_COMPLETE"), "w").close()
-    os.rename(path, old)
-
-    def finish_swap():
-        time.sleep(0.3)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-
-    t = threading.Thread(target=finish_swap)
-    t.start()
-    got = {r["id"]: r["chunk"] for r in cat.read_collection("t9b", "m").collect()}
-    t.join()
-    assert got == {"a": "v1", "b": "v1"}
-    os.remove(os.path.join(path, "_COMPACT_COMPLETE"))
-
-    # writer crashed mid-swap and never returns: bounded retry, loud fail
-    shutil.copytree(path, tmp)
-    os.rename(path, old)
-    orig = Catalog._SWAP_RETRY_ATTEMPTS
-    Catalog._SWAP_RETRY_ATTEMPTS = 3
-    try:
-        with pytest.raises(FileNotFoundError, match="swap in flight"):
-            cat.read_collection("t9b", "m")
-    finally:
-        Catalog._SWAP_RETRY_ATTEMPTS = orig
-    # the writer-side repair path still fixes it
+    os.rename(root, old)
     w._recover_compaction()
-    got = {r["id"]: r["chunk"] for r in cat.read_collection("t9b", "m").collect()}
-    assert got == {"a": "v1", "b": "v1"}
+    assert os.path.isdir(root) and not os.path.isdir(old) \
+        and not os.path.isdir(tmp)
+    assert rows() == {"a": "v1", "b": "v1"}
+    os.remove(os.path.join(root, "_COMPACT_COMPLETE"))
+
+    # legacy roll BACK: no marker -> the tmp is untrusted
+    shutil.copytree(root, tmp)
+    os.rename(root, old)
+    w._recover_compaction()
+    assert os.path.isdir(root) and not os.path.isdir(tmp) \
+        and not os.path.isdir(old)
+    assert rows() == {"a": "v1", "b": "v1"}
+
+    # and the pointer protocol takes over on the next flush
+    w.flush()
+    assert resolve_data_dir(root).endswith("_gen-000001")
+    assert rows() == {"a": "v1", "b": "v1"}
+
+
+def test_reader_never_sees_missing_path_during_flush(spark, tmp_path_factory):
+    """r12: the collection root is never renamed or absent — a reader
+    concurrent with flush resolves either the old or the new pointer and
+    both directories exist (previous generation retained one cycle). The
+    r11 seam-retry machinery is gone."""
+    import threading
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whsw")))
+    cat.set_vector_store("t9c")
+    cat.generate_schema(CollectionSpec("t9c", "m", dimension=2))
+    w = CollectionWriter(cat, "t9c", "m")
+    b = spark.createDataFrame([("a", "v1", [1.0, 0.0]), ("b", "v1", [0.0, 1.0])],
+                              "id string, chunk string, vector array<float>")
+    w.insert_data(b, batch_ts=1, force_flush=True)
+
+    stop = threading.Event()
+    errors: list = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = {r["id"]: r["chunk"]
+                       for r in cat.read_collection("t9c", "m").collect()}
+                assert got == {"a": "v1", "b": "v1"}, got
+            except Exception as e:  # noqa: BLE001 — recorded for the assert
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(3):
+            w.flush()  # repeated pointer commits while the reader loops
+    finally:
+        stop.set()
+        t.join()
+    assert not errors
+    assert not hasattr(Catalog, "_await_swap_seam")  # seam machinery deleted
 
 
 def test_catalog_name_validation_and_idempotency(spark, tmp_path_factory):
