@@ -405,14 +405,18 @@ def op_late_interaction_ivf(spark, d):
         F.expr("vec_id div 8").alias("doc_id"),
         (F.col("vec_id") % 8).alias("pos"),
         F.col("embedding").alias("vector"))
-    path = os.path.join(d, "__li_ivf_n256") if os.access(d, os.W_OK) \
+    # nlist ~ sqrt(n_tokens) and a tight nprobe: a per-TOKEN fetch unions
+    # cells across all 16 query tokens, so generous nprobe at small nlist
+    # degenerates to a full scan (measured: nlist=256/nprobe=16 probed
+    # ~every cell -> 63 MB shuffle, 27 s vs SRP's 1.6 MB / 12.4 s at x100)
+    path = os.path.join(d, "__li_ivf_n1024") if os.access(d, os.W_OK) \
         else os.path.join("/tmp", "li_ivf_" + os.path.basename(d.rstrip("/")))
     if not os.path.isfile(os.path.join(path, "_centroids.json")):
-        build_li_ivf_index(toks, path, nlist=256)
+        build_li_ivf_index(toks, path, nlist=1024)
     queries = toks.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
         "doc_id", "qid")
     return late_interaction_topk_ivf(spark, path, toks, queries, k=10,
-                                     nprobe=16)
+                                     nprobe=2)
 
 
 def op_csv_ingest(spark, d):
