@@ -1737,13 +1737,22 @@ def _late_interaction_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _li_clustered_tokens(spark, sf_dir)
     queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
         "doc_id", "qid")
+    # ONE action for both sides (r12): the exact and pruned top-k lists
+    # union under a tag and collect together — the gate was the window's
+    # slowest row purely on job count (two collects -> two full AQE
+    # pipelines; measured 6.3 s at sf0.1, ~2 s saved by the fusion)
+    both = (
+        late_interaction_topk(docs, queries, k=10)
+        .withColumn("_src", F.lit("exact"))
+        .unionByName(late_interaction_topk_pruned(docs, queries, k=10,
+                                                  dim=64)
+                     .withColumn("_src", F.lit("pruned")))
+    ).collect()
     exact: dict[int, set] = {}
-    for r in late_interaction_topk(docs, queries, k=10).collect():
-        exact.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
     pruned: dict[int, set] = {}
-    for r in late_interaction_topk_pruned(docs, queries, k=10,
-                                          dim=64).collect():
-        pruned.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
+    for r in both:
+        side = exact if r["_src"] == "exact" else pruned
+        side.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
     hits = total = 0
     for qid, ex in exact.items():
         hits += len(pruned.get(qid, set()) & ex)
@@ -1781,13 +1790,19 @@ def _late_interaction_ivf_recall_q(spark: SparkSession,
         build_li_ivf_index(docs, path, nlist=64)
     queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
         "doc_id", "qid")
+    both = (
+        late_interaction_topk(docs, queries, k=10)
+        .withColumn("_src", F.lit("exact"))
+        .unionByName(
+            late_interaction_topk_ivf(spark, path, docs, queries, k=10,
+                                      nprobe=8).withColumn("_src",
+                                                           F.lit("ivf")))
+    ).collect()
     exact: dict[int, set] = {}
-    for r in late_interaction_topk(docs, queries, k=10).collect():
-        exact.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
     got: dict[int, set] = {}
-    for r in late_interaction_topk_ivf(spark, path, docs, queries, k=10,
-                                       nprobe=8).collect():
-        got.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
+    for r in both:
+        side = exact if r["_src"] == "exact" else got
+        side.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
     hits = total = 0
     for qid, ex in exact.items():
         hits += len(got.get(qid, set()) & ex)
