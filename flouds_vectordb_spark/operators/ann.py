@@ -94,6 +94,25 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def srp_signature_expr(vec_sql: str, planes: list[list[float]]) -> Column:
+    """srp_signature built as ONE JVM-parsed SQL string (r12): the Column
+    form issues a py4j round trip per expression node — bits x dim plane
+    literals alone are ~1300 calls, measured 2.8 s of pure DRIVER time
+    per late_interaction_topk_pruned build at 20x64. Catalyst parses the
+    lambda/zip_with/aggregate DSL here to the SAME expression tree as
+    dot_score's Column form (same sequential fold, same casts, double
+    literals round-trip via repr + the D suffix), so results are
+    bit-identical — pinned by test_srp_signature_expr_matches_column."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"{x!r}D" for x in p) + ")"
+        dot = (f"aggregate(zip_with({vec_sql}, {arr}, "
+               f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               f"0.0D, (acc, x) -> acc + x)")
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << i}L ELSE 0L END)")
+    return F.expr("CAST((" + " + ".join(terms) + ") AS BIGINT)")
+
+
 def srp_signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
     terms = []
     for i, p in enumerate(planes):
@@ -433,13 +452,13 @@ def late_interaction_topk_pruned(
     qt = F.broadcast(query_tokens.select(
         F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
         F.col(vector_col).alias("_qv"),
-        srp_signature(F.col(vector_col), planes).alias("_qsig")))
+        srp_signature_expr(f"`{vector_col}`", planes).alias("_qsig")))
     # sig_table: the STORED (doc_id, _dsig) index (build_token_sig_index)
     # replaces the in-scan signature computation — same values by
     # construction, 8 B/token scanned
     dsig = sig_table if sig_table is not None else doc_tokens.select(
         F.col(id_col).alias("doc_id"),
-        srp_signature(F.col(vector_col), planes).alias("_dsig"))
+        srp_signature_expr(f"`{vector_col}`", planes).alias("_dsig"))
     qsigs = F.broadcast(qt.select("qid", "_qsig").dropDuplicates())
     cand = (
         dsig.join(qsigs,
@@ -464,13 +483,22 @@ def _li_rerank_candidates(doc_tokens: DataFrame, qt, cand: DataFrame,
     from pyspark.sql import Window
 
     from flouds_vectordb_spark.lifecycle import tracked_persist
+    from flouds_vectordb_spark.operators.sparse_search import _small_corpus
 
-    cand = tracked_persist(cand)
-    n_cand = cand.count()
+    if _small_corpus(doc_tokens):
+        # the candidate list is bounded by the (small) corpus itself, so
+        # broadcast is provably safe — skip the persist + count action
+        # (r12: the count was the serving gates' largest fixed cost at
+        # gate scale; at serving scale the guard below still runs)
+        cand_side = F.broadcast(cand)
+    else:
+        cand = tracked_persist(cand)
+        n_cand = cand.count()
+        cand_side = (F.broadcast(cand)
+                     if n_cand <= _LI_CAND_BROADCAST_ROWS else cand)
     dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
                            F.col(vector_col).alias("_dv"))
     cs = V.cosine_score(F.col("_dv"), F.col("_qv"))
-    cand_side = F.broadcast(cand) if n_cand <= _LI_CAND_BROADCAST_ROWS else cand
     maxsim = (
         dt.join(cand_side, "doc_id")
         .join(qt, "qid")
@@ -515,7 +543,7 @@ def build_token_sig_index(doc_tokens: DataFrame, path: str,
     planes = srp_planes(dim, bits, seed)
     sigs = doc_tokens.select(
         F.col(id_col).alias("doc_id"),
-        srp_signature(F.col(vector_col), planes).alias("sig"))
+        srp_signature_expr(f"`{vector_col}`", planes).alias("sig"))
     # sortWithinPartitions: sig-ordered row groups -> min/max pruning on
     # the Hamming-ball probe's sig range, no global sort barrier
     sigs.sortWithinPartitions("sig").write.mode("overwrite").parquet(path)
