@@ -57,10 +57,12 @@ def persist_epoch() -> int:
     return _PERSIST_COUNT[0]
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
+def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() that registers with the innermost active persist_scope
-    on THIS thread (no-op registration when no scope is active)."""
-    df = df.persist()
+    on THIS thread (no-op registration when no scope is active).
+    storage_level forwards to DataFrame.persist when given (the auto-id
+    layout pin wants explicit MEMORY_AND_DISK)."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
     _PERSIST_COUNT[0] += 1
     stack = _stack()
     if stack:

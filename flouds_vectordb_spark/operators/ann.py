@@ -29,6 +29,8 @@ exact for its contract) carries the oracle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -92,6 +94,14 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
         dot = V.dot_score(vec, F.array(*[F.lit(x) for x in p]))
         sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sig
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into a parsed SQL
+    string (srp_signature_expr callers); embedded backticks are doubled
+    per the SQL ident rule so a hostile/odd column name cannot break
+    parsing or inject expression text (r12 ADVICE low)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def srp_signature_expr(vec_sql: str, planes: list[list[float]]) -> Column:
@@ -452,13 +462,13 @@ def late_interaction_topk_pruned(
     qt = F.broadcast(query_tokens.select(
         F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
         F.col(vector_col).alias("_qv"),
-        srp_signature_expr(f"`{vector_col}`", planes).alias("_qsig")))
+        srp_signature_expr(quote_ident(vector_col), planes).alias("_qsig")))
     # sig_table: the STORED (doc_id, _dsig) index (build_token_sig_index)
     # replaces the in-scan signature computation — same values by
     # construction, 8 B/token scanned
     dsig = sig_table if sig_table is not None else doc_tokens.select(
         F.col(id_col).alias("doc_id"),
-        srp_signature_expr(f"`{vector_col}`", planes).alias("_dsig"))
+        srp_signature_expr(quote_ident(vector_col), planes).alias("_dsig"))
     qsigs = F.broadcast(qt.select("qid", "_qsig").dropDuplicates())
     cand = (
         dsig.join(qsigs,
@@ -543,7 +553,7 @@ def build_token_sig_index(doc_tokens: DataFrame, path: str,
     planes = srp_planes(dim, bits, seed)
     sigs = doc_tokens.select(
         F.col(id_col).alias("doc_id"),
-        srp_signature_expr(f"`{vector_col}`", planes).alias("sig"))
+        srp_signature_expr(quote_ident(vector_col), planes).alias("sig"))
     # sortWithinPartitions: sig-ordered row groups -> min/max pruning on
     # the Hamming-ball probe's sig range, no global sort barrier
     sigs.sortWithinPartitions("sig").write.mode("overwrite").parquet(path)
@@ -629,6 +639,27 @@ _rk AS (
 SELECT qid, doc_id, rank, round(_s, 6) AS score_r
 FROM _rk WHERE rank <= {int(k)}
 """
+
+
+def li_ivf_index_fresh(path: str, source_path: str) -> bool:
+    """True iff an on-disk LI-IVF index at `path` exists AND is no older
+    than its source fixture (r12 ADVICE low: path-keyed caches served a
+    stale index after fixture regeneration — the same staleness class
+    tables._fingerprint closed for plan caches). Freshness = the
+    `_centroids.json` commit mtime >= the newest mtime under the source
+    parquet path (file, or any direct entry of a directory)."""
+    cj = os.path.join(path, "_centroids.json")
+    if not os.path.isfile(cj):
+        return False
+    try:
+        src_mtime = os.path.getmtime(source_path)
+        if os.path.isdir(source_path):
+            with os.scandir(source_path) as it:
+                src_mtime = max([src_mtime]
+                                + [e.stat().st_mtime for e in it])
+        return os.path.getmtime(cj) >= src_mtime
+    except OSError:
+        return False
 
 
 def build_li_ivf_index(doc_tokens: DataFrame, path: str, nlist: int = 64,

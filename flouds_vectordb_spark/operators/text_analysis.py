@@ -1106,9 +1106,13 @@ def _unigram_logprob_small(df: DataFrame, model_df: DataFrame | None,
         (F.coalesce(F.sum("count"), F.lit(0)).cast("double")
          + F.lit(float(a)) * (F.count("*") + F.lit(1)).cast("double"))
         .alias("_denom"))
+    # NULL text coalesces to an empty token array so n_tokens = 0 and
+    # bits NULL — matching the large regime's left-join rejoin
+    # (coalesce(_n, 0)) and the DuckDB twin (r12 ADVICE medium).
     d = (spread_small_input(df)
          .select(F.col(id_col).alias("id"),
-                 tokenize(F.col(text_col)).alias("_toks")))
+                 F.coalesce(tokenize(F.col(text_col)),
+                            F.array().cast("array<string>")).alias("_toks")))
     if not keep_empty:
         d = d.filter(F.size("_toks") > 0)
     d = d.crossJoin(F.broadcast(model_row))

@@ -35,6 +35,13 @@ from flouds_vectordb_spark.lifecycle import tracked_persist
 
 AUTO_FLUSH_MIN_BATCH = 100  # appsettings.json auto_flush_min_batch
 
+# Reader grace window for generation sweep (r12 ADVICE low): a flush
+# never deletes a _gen-* directory younger than this many seconds, even
+# when it is past the {new, cur} retention pair — so a Spark scan that
+# resolved the data pointer can outlive MULTIPLE rapid flushes without
+# FileNotFoundException, as long as its job finishes inside the window.
+GENERATION_GRACE_SECONDS = 300.0
+
 
 def _locked(fn):
     """Run a mutating CollectionWriter method under the collection's
@@ -197,7 +204,7 @@ class CollectionWriter:
             # on-disk ids are authoritative.
             from pyspark import StorageLevel
 
-            pinned = stamped.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned = tracked_persist(stamped, StorageLevel.MEMORY_AND_DISK)
             stamped, n, nbad = self._assign_auto_ids(pinned, bad_pred)
         else:
             agg_cols = [F.count("*").alias("n"), F.count_distinct("id").alias("nk")]
@@ -479,16 +486,33 @@ class CollectionWriter:
         """Remove every data location under the collection root except
         `keep`: stale _gen-* directories, a stray pointer tmp, and — once
         the root's loose segments are no longer the kept previous
-        generation — the pre-first-flush root-level parquet files."""
+        generation — the pre-first-flush root-level parquet files.
+
+        Reader grace (r12 ADVICE low): besides `keep` ({new, cur} — the
+        committed generation and the one it replaced), generations
+        YOUNGER than GENERATION_GRACE_SECONDS are retained by commit-time
+        mtime, so a Spark scan that resolved the pointer before two RAPID
+        consecutive flushes still finds its files — the sweep horizon is
+        age, not flush count. A reader older than the grace window can
+        still hit FileNotFoundException on swept files; deployments with
+        long-running scans should raise the window (it costs only disk
+        for one extra compacted copy per flush inside the window)."""
         import shutil
+        import time
 
         root = self.meta["path"]
         ptr_tmp = os.path.join(root, catalog_mod.CURRENT_PTR + ".tmp")
         if os.path.exists(ptr_tmp):
             os.remove(ptr_tmp)
+        horizon = time.time() - GENERATION_GRACE_SECONDS
         for name in os.listdir(root):
             p = os.path.join(root, name)
             if name.startswith("_gen-") and os.path.isdir(p) and p not in keep:
+                try:
+                    if os.path.getmtime(p) > horizon:
+                        continue  # young generation: a reader may hold it
+                except OSError:
+                    pass
                 shutil.rmtree(p, ignore_errors=True)
         if root not in keep:
             for name in os.listdir(root):

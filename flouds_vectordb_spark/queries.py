@@ -1786,7 +1786,12 @@ def _late_interaction_ivf_recall_q(spark: SparkSession,
     docs = _li_clustered_tokens(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(_LI_IVF_IDX_ROOT, f"{tag}_n64")
-    if not os.path.isfile(os.path.join(path, "_centroids.json")):
+    # rebuild when the source fixture is newer than the stored index
+    # (r12 ADVICE low: path-only keying served stale centroids after a
+    # fixture regeneration)
+    from flouds_vectordb_spark.operators.ann import li_ivf_index_fresh
+    if not li_ivf_index_fresh(path,
+                              os.path.join(sf_dir, "embeddings.parquet")):
         build_li_ivf_index(docs, path, nlist=64)
     queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
         "doc_id", "qid")

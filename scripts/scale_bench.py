@@ -409,9 +409,11 @@ def op_late_interaction_ivf(spark, d):
     # cells across all 16 query tokens, so generous nprobe at small nlist
     # degenerates to a full scan (measured: nlist=256/nprobe=16 probed
     # ~every cell -> 63 MB shuffle, 27 s vs SRP's 1.6 MB / 12.4 s at x100)
+    from flouds_vectordb_spark.operators.ann import li_ivf_index_fresh
+
     path = os.path.join(d, "__li_ivf_n1024") if os.access(d, os.W_OK) \
         else os.path.join("/tmp", "li_ivf_" + os.path.basename(d.rstrip("/")))
-    if not os.path.isfile(os.path.join(path, "_centroids.json")):
+    if not li_ivf_index_fresh(path, os.path.join(d, "embeddings.parquet")):
         build_li_ivf_index(toks, path, nlist=1024)
     queries = toks.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
         "doc_id", "qid")

@@ -220,6 +220,50 @@ def test_srp_signature_expr_matches_column(spark):
         assert bad == 0
 
 
+def test_quote_ident_escapes_backticks(spark):
+    """A column name containing a backtick must not break (or inject into)
+    the parsed-SQL SRP path (r12 ADVICE low)."""
+    from flouds_vectordb_spark.operators.ann import (
+        quote_ident,
+        srp_planes,
+        srp_signature,
+        srp_signature_expr,
+    )
+
+    assert quote_ident("v`x") == "`v``x`"
+    planes = srp_planes(4, 8, 7)
+    df = spark.createDataFrame([(1, [0.5, -0.2, 0.1, 0.9])],
+                               "id long, `v``x` array<double>")
+    row = df.select(
+        srp_signature(F.col(quote_ident("v`x")), planes).alias("a"),
+        srp_signature_expr(quote_ident("v`x"), planes).alias("b"),
+    ).first()
+    assert row["a"] == row["b"]
+
+
+def test_li_ivf_index_fresh_tracks_source_mtime(tmp_path):
+    """r12 ADVICE low: the on-disk LI-IVF index must be considered stale
+    when its SOURCE fixture is newer — path-existence alone kept serving
+    centroids built from deleted data."""
+    import os
+    import time
+
+    from flouds_vectordb_spark.operators.ann import li_ivf_index_fresh
+
+    src = tmp_path / "embeddings.parquet"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"x")
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    assert not li_ivf_index_fresh(str(idx), str(src))  # no centroids yet
+    (idx / "_centroids.json").write_text("{}")
+    assert li_ivf_index_fresh(str(idx), str(src))  # built after source
+    t = time.time() + 100  # regenerate the fixture "later"
+    os.utime(src / "part-0.parquet", (t, t))
+    assert not li_ivf_index_fresh(str(idx), str(src))  # stale -> rebuild
+    assert not li_ivf_index_fresh(str(idx), str(tmp_path / "gone"))
+
+
 def test_late_interaction_ivf_recalls_exact_on_clusters(spark, tmp_path):
     """r12 VERDICT ask #6: stage 2 through the stored IVF token index —
     partition-pruned candidate fetch + the shared exact re-rank. On a
@@ -965,8 +1009,10 @@ def test_ppl_small_vs_large_regime_identical(spark, monkeypatch, tmp_path):
         unigram_logprob,
     )
 
+    # 97 = NULL text: both regimes must emit (n_tokens=0, bits NULL)
+    # with keep_empty=True (r12 ADVICE medium)
     docs = [(i, f"common words w{i % 7} repeated rare{i} " * (1 + i % 4))
-            for i in range(40)] + [(99, ""), (98, "solo")]
+            for i in range(40)] + [(99, ""), (98, "solo"), (97, None)]
     spark.createDataFrame(docs, "id bigint, text string") \
         .write.parquet(str(tmp_path / "d.parquet"))
     df = spark.read.parquet(str(tmp_path / "d.parquet"))
@@ -987,6 +1033,8 @@ def test_ppl_small_vs_large_regime_identical(spark, monkeypatch, tmp_path):
     assert small_u == large_u  # exact — includes the rounded float bits
     assert small_b == large_b
     assert small_m == large_m  # reference-model scoring crosses regimes too
+    assert small_u[97] == {"id": 97, "n_tokens": 0,
+                           "bits_per_token_r": None}
 
 
 def test_perplexity_buckets_per_stratum(spark):

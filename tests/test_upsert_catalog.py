@@ -102,17 +102,21 @@ def test_insert_flush_read_roundtrip(spark, tmp_path_factory):
         w.insert_data(bad, batch_ts=3)
 
 
-def test_flush_pointer_commit_crash_states(spark, tmp_path_factory):
+def test_flush_pointer_commit_crash_states(spark, tmp_path_factory, monkeypatch):
     """r12 (VERDICT ask #7): flush commits via ONE atomic pointer-file
     replace — crash states collapse to 'pointer names old or new'.
     Recovery's single rule: the pointed generation is the data; NEWER
     half-written generations and pointer tmps are garbage; the previous
     generation is retained one cycle (reader grace) and swept by the
-    next flush."""
+    next flush. Grace window forced to 0 here so the sweep horizon is
+    deterministic (age-based retention has its own test)."""
     import os
     import shutil
 
+    import flouds_vectordb_spark.operators.upsert as upsert_mod
     from flouds_vectordb_spark.catalog import CURRENT_PTR, resolve_data_dir
+
+    monkeypatch.setattr(upsert_mod, "GENERATION_GRACE_SECONDS", 0.0)
 
     cat = Catalog(spark, str(tmp_path_factory.mktemp("whcr")))
     cat.set_vector_store("t9")
@@ -157,6 +161,43 @@ def test_flush_pointer_commit_crash_states(spark, tmp_path_factory):
     assert resolve_data_dir(root).endswith("_gen-000003")
     assert not os.path.isdir(gen1)  # swept: two flushes old
     assert os.path.isdir(os.path.join(root, "_gen-000002"))  # grace kept
+
+
+def test_sweep_retains_young_generations_for_readers(spark, tmp_path_factory):
+    """r12 ADVICE low: the sweep horizon is AGE, not flush count — a
+    generation displaced by two rapid consecutive flushes is retained
+    while younger than GENERATION_GRACE_SECONDS (a live reader may still
+    hold its file list), and swept once its mtime ages past the window."""
+    import os
+    import time
+
+    from flouds_vectordb_spark.catalog import resolve_data_dir
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("whgr")))
+    cat.set_vector_store("t9g")
+    cat.generate_schema(CollectionSpec("t9g", "m", dimension=2))
+    w = CollectionWriter(cat, "t9g", "m")
+
+    def ins(ts, chunk):
+        b = spark.createDataFrame([("a", chunk, [1.0, 0.0])],
+                                  "id string, chunk string, vector array<float>")
+        w.insert_data(b, batch_ts=ts, force_flush=True)
+
+    ins(1, "v1")
+    ins(2, "v2")
+    ins(3, "v3")  # two rapid flushes after gen1: past {new, cur}, but young
+    root = w.meta["path"]
+    gen1 = os.path.join(root, "_gen-000001")
+    assert resolve_data_dir(root).endswith("_gen-000003")
+    assert os.path.isdir(gen1)  # grace: young generation survives N flushes
+
+    # age gen1 past the window: the next flush sweeps it
+    old = time.time() - 10_000
+    os.utime(gen1, (old, old))
+    ins(4, "v4")
+    assert not os.path.isdir(gen1)
+    assert os.path.isdir(os.path.join(root, "_gen-000003"))  # cur's prev kept
+    assert {r["id"]: r["chunk"] for r in w.read_latest().collect()} == {"a": "v4"}
 
 
 def test_flush_legacy_two_rename_states_still_recover(spark, tmp_path_factory):
