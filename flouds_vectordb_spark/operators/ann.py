@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +122,56 @@ def srp_signature_expr(vec_sql: str, planes: list[list[float]]) -> Column:
                f"0.0D, (acc, x) -> acc + x)")
         terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << i}L ELSE 0L END)")
     return F.expr("CAST((" + " + ".join(terms) + ") AS BIGINT)")
+
+
+def srp_signature_batch(planes: list[list[float]]):
+    """Arrow-vectorized SRP signature (r13): the HOF form costs ~92 us
+    per row interpreted (HigherOrderFunction never enters codegen; an
+    unrolled try_element_at chain at 20x64 terms overflows janino's
+    method limit and ALSO falls back interpreted — both measured). This
+    pandas_udf computes each plane dot as np.cumsum(row * plane)[-1] —
+    cumsum IS the sequential left fold, so every prefix (and the final
+    dot) is bit-identical to aggregate(zip_with(...))'s
+    ((0.0+p0)+p1)+... chain; >=0 and the bit pack are exact. Measured
+    10.7x (19.8 -> 1.8 s per 216k tokens per core), 0 mismatches
+    (pinned by test_srp_signature_batch_matches_expr).
+
+    Rows whose vector is NULL, ragged (len != dim), or containing NULL
+    elements get signature 0 — exactly the HOF semantics (any NULL
+    product nulls the whole fold; CASE NULL >= 0 -> bit 0 for every
+    bit). NaN dots set their bit: Spark's ordering places NaN above
+    every double, so the HOF's NaN >= 0.0 is TRUE — mirrored here with
+    an explicit isnan-or. NULL-vs-NaN ELEMENTS are indistinguishable
+    after the Arrow list->pandas conversion (nulls surface as NaN), so
+    the element-NULL case is masked to a whole-NULL vector JVM-side —
+    before the UDF, where the distinction still exists — by the wrapper
+    this factory returns."""
+    P = np.array(planes, dtype=np.float64)
+    dim = P.shape[1]
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        lst = vecs.tolist()
+        valid = np.array(
+            [v is not None and len(v) == dim for v in lst])
+        out = np.zeros(len(lst), dtype=np.int64)
+        if valid.any():
+            M = np.array([lst[i] for i in np.flatnonzero(valid)],
+                         dtype=np.float64)
+            sig = np.zeros(len(M), dtype=np.int64)
+            for i in range(P.shape[0]):
+                dots = np.cumsum(M * P[i][None, :], axis=1)[:, -1]
+                bit = (dots >= 0.0) | np.isnan(dots)  # Spark: NaN > any
+                sig |= bit.astype(np.int64) << i
+            out[np.flatnonzero(valid)] = sig
+        return pd.Series(out)
+
+    def apply(col: Column) -> Column:
+        # element-NULL -> whole-NULL (sig 0); when() on a NULL array
+        # condition also yields NULL, covering the NULL-vector case
+        return _sig(F.when(~F.exists(col, lambda x: x.isNull()), col))
+
+    return apply
 
 
 def srp_signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
@@ -348,6 +399,7 @@ def late_interaction_topk(
     pos_col: str = "pos",
     vector_col: str = "vector",
     qid_col: str = "qid",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """(qid, doc_id, rank, score_r): ColBERT-style late-interaction top-k.
     Each query and each document is a BAG of token vectors (one row per
@@ -374,17 +426,41 @@ def late_interaction_topk(
     this exact scorer); this operator IS that exact re-rank stage."""
     from pyspark.sql import Window
 
+    # Norm-hoisted cosine (r13): cosine_score refolds BOTH norms per
+    # (doc token x query token) pair — 3 interpreted-HOF folds per pair.
+    # Projecting each side's norm ONCE per row below the join keeps the
+    # bits (same values, same _dn * _qn multiplication order as
+    # norm(a) * norm(b), same try_divide) and leaves one fold (the dot)
+    # per pair: measured ~15% on the sf0.1 recall fixture (overheads
+    # dominate); norm_col feeds a PRECOMPUTED norm column instead (the
+    # recall gate persists one shared projection, r13 VERDICT ask #2).
+    n_expr = (F.col(norm_col) if norm_col is not None
+              else V.norm(F.col(vector_col)))
     qt = F.broadcast(query_tokens.select(
         F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
-        F.col(vector_col).alias("_qv")))
+        F.col(vector_col).alias("_qv"),
+        n_expr.alias("_qn")))
     dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
-                           F.col(vector_col).alias("_dv"))
-    cs = V.cosine_score(F.col("_dv"), F.col("_qv"))
+                           F.col(vector_col).alias("_dv"),
+                           n_expr.alias("_dn"))
+    cs = F.try_divide(V.dot_score(F.col("_dv"), F.col("_qv")),
+                      F.col("_dn") * F.col("_qn"))
     maxsim = (
         dt.crossJoin(qt)
         .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
         .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms"))
     )
+    return _li_fold_topk(maxsim, k)
+
+
+def _li_fold_topk(maxsim: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every late-interaction variant: the qpos-sorted
+    float fold of the (qid, doc_id, _qpos, _ms) MaxSim table + the
+    per-qid rank window. One implementation so the exact operator, the
+    pruned re-rank and the recall grading harness rank IDENTICAL
+    doubles with identical tie-breaks."""
+    from pyspark.sql import Window
+
     scored = maxsim.groupBy("qid", "doc_id").agg(
         F.aggregate(F.array_sort(F.collect_list(F.struct("_qpos", "_ms"))),
                     F.lit(0.0), lambda acc, e: acc + e["_ms"]).alias("_s"))
@@ -410,6 +486,7 @@ def late_interaction_topk_pruned(
     qid_col: str = "qid",
     sig_table: DataFrame | None = None,
     seed: int = 7,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """(qid, doc_id, rank, score_r): the SERVING-SCALE late-interaction
     path the exact operator's docstring promises (r11, VERDICT ask #2) —
@@ -459,29 +536,74 @@ def late_interaction_topk_pruned(
                 "explicitly to late_interaction_topk_pruned")
         dim = len(first[0])
     planes = srp_planes(dim, bits, seed)
+    n_expr = (F.col(norm_col) if norm_col is not None
+              else V.norm(F.col(vector_col)))
     qt = F.broadcast(query_tokens.select(
         F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
         F.col(vector_col).alias("_qv"),
+        n_expr.alias("_qn"),
         srp_signature_expr(quote_ident(vector_col), planes).alias("_qsig")))
-    # sig_table: the STORED (doc_id, _dsig) index (build_token_sig_index)
-    # replaces the in-scan signature computation — same values by
-    # construction, 8 B/token scanned
-    dsig = sig_table if sig_table is not None else doc_tokens.select(
-        F.col(id_col).alias("doc_id"),
-        srp_signature_expr(quote_ident(vector_col), planes).alias("_dsig"))
+    small = _li_small(doc_tokens)
+    cand = _li_srp_candidates(doc_tokens, qt, planes, radius, id_col,
+                              vector_col, sig_table, small=small)
+    return _li_rerank_candidates(doc_tokens, qt.drop("_qsig"), cand, k,
+                                 id_col, vector_col, norm_col=norm_col,
+                                 small=small)
+
+
+def _li_small(df: DataFrame) -> bool:
+    """Leaf-bytes regime switch for the LI signature path (the
+    sparse_search._small_corpus rule)."""
+    from flouds_vectordb_spark.operators.sparse_search import _small_corpus
+
+    return _small_corpus(df)
+
+
+def _li_srp_candidates(doc_tokens: DataFrame, qt, planes, radius: int,
+                       id_col: str, vector_col: str,
+                       sig_table: DataFrame | None,
+                       small: bool | None = None) -> DataFrame:
+    """Stage 2 of the SRP-pruned late-interaction path: the (qid,
+    doc_id) candidate pairs whose token signatures meet ANY query token
+    signature within Hamming `radius`. sig_table: the STORED (doc_id,
+    _dsig) index (build_token_sig_index) replaces the in-scan signature
+    computation — same values by construction, 8 B/token scanned."""
+    if sig_table is not None:
+        dsig = sig_table
+    elif small if small is not None else _li_small(doc_tokens):
+        # small corpus: the parsed-SQL expression form — at a few
+        # thousand tokens the Arrow round trip + worker spin-up of the
+        # batch UDF costs more than the interpreted fold it replaces
+        dsig = doc_tokens.select(
+            F.col(id_col).alias("doc_id"),
+            srp_signature_expr(quote_ident(vector_col), planes)
+            .alias("_dsig"))
+    else:
+        from flouds_vectordb_spark.lifecycle import tracked_persist
+
+        # large corpus: the Arrow-vectorized signature (10.7x per core,
+        # srp_signature_batch docstring) — persisted (doc_id, sig)
+        # SCALARS, because without the barrier the Python-UDF output
+        # lands inside the Hamming join condition and
+        # ExtractPythonUDFFromJoinCondition degrades the broadcast join
+        # to a cross join (r13, measured). 8 B/token + id — the
+        # in-memory twin of the stored sig_table artifact.
+        dsig = tracked_persist(doc_tokens.select(
+            F.col(id_col).alias("doc_id"),
+            srp_signature_batch(planes)(F.col(vector_col)).alias("_dsig")))
     qsigs = F.broadcast(qt.select("qid", "_qsig").dropDuplicates())
-    cand = (
+    return (
         dsig.join(qsigs,
                   F.bit_count(F.col("_dsig").bitwiseXOR(F.col("_qsig")))
                   <= F.lit(int(radius)))
         .select("qid", "doc_id").dropDuplicates()
     )
-    return _li_rerank_candidates(doc_tokens, qt.drop("_qsig"), cand, k,
-                                 id_col, vector_col)
 
 
 def _li_rerank_candidates(doc_tokens: DataFrame, qt, cand: DataFrame,
-                          k: int, id_col: str, vector_col: str) -> DataFrame:
+                          k: int, id_col: str, vector_col: str,
+                          norm_col: str | None = None,
+                          small: bool | None = None) -> DataFrame:
     """Stage 3 of every pruned late-interaction variant: exact MaxSim
     re-rank of the (qid, doc_id) candidate list — identical scoring,
     fold order and tie-break to late_interaction_topk. The candidate
@@ -495,7 +617,7 @@ def _li_rerank_candidates(doc_tokens: DataFrame, qt, cand: DataFrame,
     from flouds_vectordb_spark.lifecycle import tracked_persist
     from flouds_vectordb_spark.operators.sparse_search import _small_corpus
 
-    if _small_corpus(doc_tokens):
+    if small if small is not None else _small_corpus(doc_tokens):
         # the candidate list is bounded by the (small) corpus itself, so
         # broadcast is provably safe — skip the persist + count action
         # (r12: the count was the serving gates' largest fixed cost at
@@ -506,25 +628,159 @@ def _li_rerank_candidates(doc_tokens: DataFrame, qt, cand: DataFrame,
         n_cand = cand.count()
         cand_side = (F.broadcast(cand)
                      if n_cand <= _LI_CAND_BROADCAST_ROWS else cand)
+    # same norm-hoisted cosine as late_interaction_topk: _qn rides the qt
+    # block (every producer computes it once per query token), _dn is
+    # projected once per doc row below the join
     dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
-                           F.col(vector_col).alias("_dv"))
-    cs = V.cosine_score(F.col("_dv"), F.col("_qv"))
+                           F.col(vector_col).alias("_dv"),
+                           (F.col(norm_col) if norm_col is not None
+                            else V.norm(F.col(vector_col))).alias("_dn"))
+    cs = F.try_divide(V.dot_score(F.col("_dv"), F.col("_qv")),
+                      F.col("_dn") * F.col("_qn"))
     maxsim = (
         dt.join(cand_side, "doc_id")
         .join(qt, "qid")
         .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
         .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms"))
     )
-    scored = maxsim.groupBy("qid", "doc_id").agg(
-        F.aggregate(F.array_sort(F.collect_list(F.struct("_qpos", "_ms"))),
-                    F.lit(0.0), lambda acc, e: acc + e["_ms"]).alias("_s"))
-    w = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
-                                          F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("qid", "doc_id", "rank", F.round("_s", 6).alias("score_r"))
-    )
+    return _li_fold_topk(maxsim, k)
+
+
+def late_interaction_recall_pair(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    bits: int = 20,
+    radius: int = 2,
+    dim: int | None = None,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    vector_col: str = "vector",
+    qid_col: str = "qid",
+    sig_table: DataFrame | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Grading harness for the pruned-recall gates (r13 VERDICT ask #2):
+    the exact AND the SRP-pruned top-k lists from ONE MaxSim
+    computation, returned unioned with a `_src` tag ('exact'/'pruned').
+
+    Equivalence (why this grades the real operators): the exact operator
+    folds the full MaxSim table M = (qid, doc_id, _qpos, max-cosine);
+    the pruned operator's re-rank folds the MaxSim of its candidate docs
+    only — which is exactly M restricted to the candidate (qid, doc_id)
+    pairs (same hoisted-norm cosine expressions, same qpos-sorted fold,
+    same window, via the shared _li_fold_topk / _li_srp_candidates
+    stages). So computing M ONCE and folding it twice is bit-identical
+    to running both operators, with the expensive crossJoin arithmetic
+    executed once instead of once per side. Pinned by
+    test_li_recall_pair_matches_operators.
+
+    Two regimes (the sparse_search._small_corpus switch):
+    - small: ONE action collects the tagged union of M's scalars and the
+      candidate pairs; the qpos-sorted fold, HALF_UP rounding, ranking
+      and k-cut run driver-side with the same float discipline
+      (sequential IEEE-double adds in qpos order == the engine fold;
+      java.math.BigDecimal(double) HALF_UP == Python
+      Decimal(float) quantize ROUND_HALF_UP). M is bounded by
+      n_docs x n_query_tokens SCALAR rows — tiny wherever the leaf check
+      passes. Measured: the distributed shape's wall at gate scale was
+      ~90% per-stage Catalyst/AQE floor (15 jobs for 4320 M rows).
+    - large: M is tracked_persist-ed (call inside persist_scope) and the
+      folds/windows run distributed, exactly the operators' shape.
+    Regime equivalence pinned by test_li_recall_pair_regimes_identical."""
+    from flouds_vectordb_spark.lifecycle import tracked_persist
+    from flouds_vectordb_spark.operators.sparse_search import _small_corpus
+
+    if dim is None:
+        first = query_tokens.select(vector_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "query_tokens is empty (or its vectors are null); pass dim "
+                "explicitly to late_interaction_recall_pair")
+        dim = len(first[0])
+    planes = srp_planes(dim, bits, seed)
+    qt = F.broadcast(query_tokens.select(
+        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+        F.col(vector_col).alias("_qv"),
+        V.norm(F.col(vector_col)).alias("_qn"),
+        srp_signature_expr(quote_ident(vector_col), planes).alias("_qsig")))
+    dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
+                           F.col(vector_col).alias("_dv"),
+                           V.norm(F.col(vector_col)).alias("_dn"))
+    cs = F.try_divide(V.dot_score(F.col("_dv"), F.col("_qv")),
+                      F.col("_dn") * F.col("_qn"))
+    maxsim = (
+        dt.crossJoin(qt.drop("_qsig"))
+        .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
+        .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms")))
+    small = _li_small(doc_tokens)
+    cand = _li_srp_candidates(doc_tokens, qt, planes, radius, id_col,
+                              vector_col, sig_table, small=small)
+    if small:
+        return _li_recall_pair_small(maxsim, cand, k)
+    maxsim = tracked_persist(maxsim)
+    exact = _li_fold_topk(maxsim, k).withColumn("_src", F.lit("exact"))
+    pruned = _li_fold_topk(maxsim.join(F.broadcast(cand),
+                                       ["qid", "doc_id"]), k) \
+        .withColumn("_src", F.lit("pruned"))
+    return exact.unionByName(pruned)
+
+
+def _li_recall_pair_small(maxsim: DataFrame, cand: DataFrame,
+                          k: int) -> DataFrame:
+    """Small-corpus regime of late_interaction_recall_pair: one unioned
+    collect of scalars, driver-side fold/rank (see its docstring)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flouds_vectordb_spark.functions.local import local_df
+
+    rows = (
+        maxsim.select("qid", "doc_id", "_qpos", "_ms",
+                      F.lit("m").alias("_t"))
+        .unionByName(cand.select(
+            "qid", "doc_id", F.lit(None).cast("bigint").alias("_qpos"),
+            F.lit(None).cast("double").alias("_ms"),
+            F.lit("c").alias("_t")))
+    ).collect()
+    by_pair: dict[tuple, list] = {}
+    cand_pairs: set = set()
+    for r in rows:
+        key = (int(r["qid"]), int(r["doc_id"]))
+        if r["_t"] == "c":
+            cand_pairs.add(key)
+        else:
+            by_pair.setdefault(key, []).append((r["_qpos"], r["_ms"]))
+    scores: dict[tuple, float | None] = {}
+    for key, contribs in by_pair.items():
+        s: float | None = 0.0
+        for _, ms in sorted(contribs):  # qpos-sorted sequential fold
+            s = None if (s is None or ms is None) else s + ms
+        scores[key] = s
+
+    def _round6(x: float) -> float:
+        # java.math.BigDecimal(double).setScale(6, HALF_UP) twin: Decimal
+        # of a float is its exact binary expansion, as BigDecimal's is
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    out = []
+    for tag, keep in (("exact", None), ("pruned", cand_pairs)):
+        per_qid: dict[int, list] = {}
+        for (qid, doc_id), s in scores.items():
+            if keep is not None and (qid, doc_id) not in keep:
+                continue
+            per_qid.setdefault(qid, []).append((doc_id, s))
+        for qid, lst in per_qid.items():
+            # score DESC NULLS LAST, doc_id ASC — the window's order
+            lst.sort(key=lambda p: (p[1] is None,
+                                    -p[1] if p[1] is not None else 0.0,
+                                    p[0]))
+            for rank, (doc_id, s) in enumerate(lst[:int(k)], start=1):
+                out.append((qid, doc_id, rank,
+                            None if s is None else _round6(s), tag))
+    return local_df(maxsim.sparkSession, out,
+                    "qid bigint, doc_id bigint, rank int, "
+                    "score_r double, _src string")
 
 
 def build_token_sig_index(doc_tokens: DataFrame, path: str,
@@ -553,7 +809,7 @@ def build_token_sig_index(doc_tokens: DataFrame, path: str,
     planes = srp_planes(dim, bits, seed)
     sigs = doc_tokens.select(
         F.col(id_col).alias("doc_id"),
-        srp_signature_expr(quote_ident(vector_col), planes).alias("sig"))
+        srp_signature_batch(planes)(F.col(vector_col)).alias("sig"))
     # sortWithinPartitions: sig-ordered row groups -> min/max pruning on
     # the Hamming-ball probe's sig range, no global sort barrier
     sigs.sortWithinPartitions("sig").write.mode("overwrite").parquet(path)
@@ -641,14 +897,17 @@ FROM _rk WHERE rank <= {int(k)}
 """
 
 
-def li_ivf_index_fresh(path: str, source_path: str) -> bool:
-    """True iff an on-disk LI-IVF index at `path` exists AND is no older
-    than its source fixture (r12 ADVICE low: path-keyed caches served a
-    stale index after fixture regeneration — the same staleness class
-    tables._fingerprint closed for plan caches). Freshness = the
-    `_centroids.json` commit mtime >= the newest mtime under the source
-    parquet path (file, or any direct entry of a directory)."""
-    cj = os.path.join(path, "_centroids.json")
+def li_ivf_index_fresh(path: str, source_path: str,
+                       meta_name: str = "_centroids.json") -> bool:
+    """True iff an on-disk LI token index at `path` exists AND is no
+    older than its source fixture (r12 ADVICE low: path-keyed caches
+    served a stale index after fixture regeneration — the same staleness
+    class tables._fingerprint closed for plan caches). Freshness = the
+    meta file's commit mtime >= the newest mtime under the source
+    parquet path (file, or any direct entry of a directory). meta_name:
+    `_centroids.json` for the IVF token index, `_hnsw_meta.json` for
+    the token graph."""
+    cj = os.path.join(path, meta_name)
     if not os.path.isfile(cj):
         return False
     try:
@@ -738,7 +997,95 @@ def late_interaction_topk_ivf(
             .select("qid", "doc_id").dropDuplicates())
     qt = F.broadcast(query_tokens.select(
         F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
-        F.col(vector_col).alias("_qv")))
+        F.col(vector_col).alias("_qv"),
+        V.norm(F.col(vector_col)).alias("_qn")))
+    return _li_rerank_candidates(doc_tokens, qt, cand, k, id_col,
+                                 vector_col)
+
+
+# token-graph node id = doc_id * _LI_TID_MULT + pos: doc recoverable by
+# integer DIV, collision-free while pos < _LI_TID_MULT (guarded at build)
+_LI_TID_MULT = 1 << 20
+
+
+def build_li_hnsw_index(doc_tokens: DataFrame, path: str, m: int = 8,
+                        id_col: str = "doc_id", pos_col: str = "pos",
+                        vector_col: str = "vector"):
+    """Materialize the HNSW alternative for late-interaction stage 2
+    (r13, VERDICT ask #3 — the '(or the HNSW beam)' half of r11 ask #6):
+    a beam-navigable graph over the TOKEN table, node id encoding
+    (doc_id, pos) so a beam hit maps straight back to its document. The
+    right fetcher when the token space is cluster-shaped at a finer
+    granularity than IVF cells — the beam walks to the local
+    neighborhood of each query token instead of scanning whole probed
+    cells, so candidate volume tracks ef, not cell occupancy. Returns
+    the HnswIndex (plans/hnsw.py owns the graph build: coarse cells ->
+    intra-cell top-M adjacency -> symmetrize+cap)."""
+    from flouds_vectordb_spark.plans.hnsw import build_hnsw
+
+    over = doc_tokens.filter(F.col(pos_col) >= _LI_TID_MULT).take(1)
+    if over:
+        raise ValueError(
+            f"token pos >= {_LI_TID_MULT} would collide in the encoded "
+            "node id; re-encode with a larger _LI_TID_MULT")
+    toks = doc_tokens.select(
+        (F.col(id_col).cast("long") * F.lit(_LI_TID_MULT)
+         + F.col(pos_col).cast("long")).alias("id"),
+        F.col(vector_col).alias("vector"))
+    return build_hnsw(toks, path, m=m, metric="COSINE")
+
+
+def late_interaction_topk_hnsw(
+    spark,
+    hnsw_path: str,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    ef: int = 32,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    vector_col: str = "vector",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """(qid, doc_id, rank, score_r): the late-interaction serving path
+    with stage 2 fetched through the stored token-level HNSW graph
+    (r13, VERDICT ask #3).
+
+    Stages:
+    1. candidate fetch: ONE batched best-first beam over the token graph
+       with every query token as an independent beam query
+       (beam_search_many — block-capped, per-query convergence); each
+       beam's top-ef token hits decode to their owning documents, and a
+       document is a candidate for a query when ANY of the query's token
+       beams reaches ANY of its tokens — the same ANY-token union
+       semantics as the SRP ball and the IVF probe;
+    2. exact re-rank: the shared _li_rerank_candidates stage — identical
+       scoring/fold/tie-break to late_interaction_topk.
+
+    Like the IVF probe, candidates depend on the trained graph, so the
+    quality gate is GRADED recall vs the exact operator on the clustered
+    fixture, not a value hash."""
+    from flouds_vectordb_spark.functions.local import local_df
+    from flouds_vectordb_spark.plans.hnsw import open_hnsw
+
+    idx = open_hnsw(hnsw_path)
+    qrows = query_tokens.select(F.col(qid_col), F.col(pos_col),
+                                F.col(vector_col)).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, rank int, score_r double")
+    # beam qid = row index (each token is its own beam query); decode to
+    # the owning (qid, doc_id) pairs driver-side — bounded by
+    # n_query_tokens x ef scalar pairs
+    hits = idx.beam_search_many(
+        spark, [(i, list(r[2])) for i, r in enumerate(qrows)], ef=ef)
+    pairs = sorted({(int(qrows[i][0]), int(tid) // _LI_TID_MULT)
+                    for i, tids in hits.items() for tid in tids})
+    cand = F.broadcast(local_df(spark, pairs, "qid bigint, doc_id bigint"))
+    qt = F.broadcast(query_tokens.select(
+        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+        F.col(vector_col).alias("_qv"),
+        V.norm(F.col(vector_col)).alias("_qn")))
     return _li_rerank_candidates(doc_tokens, qt, cand, k, id_col,
                                  vector_col)
 

@@ -231,18 +231,34 @@ def ivf_search_many(
     `centroid_id`. payload_df supplies chunk/meta/extra columns when the
     request needs them (defaults to scan_df/the raw scan)."""
     queries = list(queries)
-    _check_batch(queries)
+    dim = _check_batch(queries)
     qmat = np.array([[float(x) for x in v] for _, v in queries], dtype=np.float64)
     cells = idx.probe_cells_many(qmat, req.nprobe if nprobe is None else nprobe)
     union_cells = sorted({int(c) for row in cells for c in row})
 
-    qb = query_block(spark, queries)
-    qcells = spark.createDataFrame(
-        [(int(qid), [int(c) for c in crow])
-         for (qid, _), crow in zip(queries, cells)],
-        "qid bigint, _cells array<int>")
-    qx = (qb.join(qcells, "qid")
-          .select("qid", "_qv", "_qn", F.explode("_cells").alias("_cell")))
+    # The exploded (qid, _qv, _qn, _cell) probe block, built ENTIRELY
+    # driver-side as one LocalRelation (r13): the previous
+    # query_block ⋈ createDataFrame(cells) + explode subtree cost an
+    # ExistingRDD task stage (the local_df lesson), a broadcast join and
+    # a Generate — all to produce <= nq*nprobe rows the driver already
+    # holds. Very large blocks (where the VALUES literal would be MBs of
+    # SQL text) keep the join shape.
+    if len(queries) * len(cells[0]) * dim <= 200_000:
+        from flouds_vectordb_spark.functions.local import local_df
+
+        qx = local_df(
+            spark,
+            [(int(qid), [float(x) for x in v], V.query_norm(list(v)), int(c))
+             for (qid, v), crow in zip(queries, cells) for c in crow],
+            "qid bigint, _qv array<double>, _qn double, _cell int")
+    else:
+        qb = query_block(spark, queries)
+        qcells = spark.createDataFrame(
+            [(int(qid), [int(c) for c in crow])
+             for (qid, _), crow in zip(queries, cells)],
+            "qid bigint, _cells array<int>")
+        qx = (qb.join(qcells, "qid")
+              .select("qid", "_qv", "_qn", F.explode("_cells").alias("_cell")))
 
     scan = scan_df if scan_df is not None else idx.scan(spark, union_cells)
     cand = (
@@ -251,7 +267,7 @@ def ivf_search_many(
         .select("qid", "_id", _pair_score(req.metric, vector_col).alias("_score"))
     )
     if payload_df is None:
-        payload_df = scan_df if scan_df is not None else idx.scan(spark, union_cells)
+        payload_df = scan  # same pruned plan — never a second footer trip
     return _ranked_pipeline(cand, payload_df, req, id_col, chunk_col, meta_col,
                             extra_cols)
 

@@ -141,10 +141,25 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048, id_col: str = "id",
     bucket, ~1/_NB of the corpus per partition. Span math is then a
     stateless projection + one bounded explode (a doc touches
     ceil(n/seq_len)+1 sequences at most). Bit-identical to the
-    single-window definition the DuckDB twin uses."""
+    single-window definition the DuckDB twin uses.
+
+    Small-corpus regime (r13, VERDICT ask #5): below the leaf-bytes bar
+    (the sparse_search._small_corpus rule) the two-phase plan's
+    bucket-sums collect is a whole extra action — a full tokenize scan +
+    groupBy + driver round trip — paid before the real job even starts.
+    There the operator runs the oracle's own single-window formulation
+    directly (one unpartitioned running-sum window — single partition by
+    construction, exactly the deliberate small-regime pattern
+    sparse_search documents), and the drop_tail total rides along as one
+    more unbounded window instead of a driver scalar. Bit-identical:
+    bucket-base + intra-bucket sum IS the global (hash, id)-ordered
+    integer prefix sum, buckets being contiguous hash ranges (pinned by
+    test_pack_sequences_regimes_identical); leaf-bytes falls back to the
+    distributed two-phase shape at scale."""
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     from flouds_vectordb_spark.functions.local import local_df
+    from flouds_vectordb_spark.operators.sparse_search import _small_corpus
 
     spark = df.sparkSession
     h = hash64(F.col(id_col).cast("string"), seed=seed)
@@ -152,8 +167,21 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048, id_col: str = "id",
         df.select(F.col(id_col).alias("id"), h.alias("_h"),
                   F.size(tokenize(F.col(text_col))).alias("_nt"))
         .filter(F.col("_nt") > 0)
-        .withColumn("_bk", F.floor(F.col("_h") / F.lit(_BUCKET_W)))
     )
+    if _small_corpus(df):
+        w = (Window.orderBy(F.col("_h").asc(), F.col("id").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        offs = (
+            work.withColumn("_start",
+                            F.coalesce(F.sum("_nt").over(w), F.lit(0)))
+            .withColumn("_end", F.col("_start") + F.col("_nt"))
+        )
+        total_col = None
+        if drop_tail:
+            total_col = F.sum("_nt").over(Window.partitionBy())
+        return _pack_spans(offs, seq_len, total_col)
+
+    work = work.withColumn("_bk", F.floor(F.col("_h") / F.lit(_BUCKET_W)))
     sums = sorted(
         (int(r["_bk"]), int(r["_ts"]))
         for r in work.groupBy("_bk").agg(F.sum("_nt").alias("_ts")).collect())
@@ -175,8 +203,23 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048, id_col: str = "id",
                     F.col("_base") + F.coalesce(F.sum("_nt").over(w), F.lit(0)))
         .withColumn("_end", F.col("_start") + F.col("_nt"))
     )
+    total_col = (F.lit(total) if drop_tail and total % seq_len != 0 else None)
+    return _pack_spans(offs, seq_len, total_col)
+
+
+def _pack_spans(offs: DataFrame, seq_len: int, total_col) -> DataFrame:
+    """Shared span tail of both pack_sequences regimes: the bounded
+    explode over touched sequences + the span projection. total_col (the
+    corpus token total — a literal in the two-phase regime, an unbounded
+    window in the small regime) enables the drop_tail cut, expressed as
+    a predicate (`total % seq_len == 0 OR seq_id < total // seq_len`) so
+    the windowed form needs no driver scalar."""
+    carry = ["id", "_start", "_end"]
+    if total_col is not None:
+        offs = offs.withColumn("_tot", total_col)
+        carry.append("_tot")
     spans = offs.select(
-        "id", "_start", "_end",
+        *carry,
         F.explode(F.sequence(
             F.floor(F.col("_start") / F.lit(seq_len)),
             F.floor((F.col("_end") - 1) / F.lit(seq_len)))).alias("seq_id"))
@@ -187,9 +230,14 @@ def pack_sequences(df: DataFrame, seq_len: int = 2048, id_col: str = "id",
         (lo - F.col("seq_id") * F.lit(seq_len)).cast("int").alias("seq_offset"),
         (lo - F.col("_start")).cast("int").alias("doc_offset"),
         (hi - lo).cast("int").alias("n_taken"),
+        *([F.col("_tot")] if total_col is not None else []),
     )
-    if drop_tail and total % seq_len != 0:
-        out = out.filter(F.col("seq_id") < F.lit(total // seq_len))
+    if total_col is not None:
+        # integer DIV, not floor(double /): exact at any corpus size
+        out = out.filter(
+            (F.col("_tot") % F.lit(seq_len) == 0)
+            | (F.col("seq_id") < F.expr(f"_tot DIV {int(seq_len)}"))
+        ).drop("_tot")
     return out
 
 

@@ -116,6 +116,25 @@ def _assign_udf(centroids: np.ndarray, metric: str):
     return assign_cell
 
 
+# (applicationId, abs path, layout fingerprint) -> base scan DataFrame.
+# spark.read.parquet costs a ~0.25 s footer/schema/listing round trip PER
+# CALL (measured r13: HALF the q1_ivf_search_many plan-build wall came
+# from reading the same immutable layout twice per query). The layout
+# only changes via build/append, which the fingerprint (partition-dir
+# mtimes) observes — the tables._LOAD_CACHE pattern.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _layout_fingerprint(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        ent = tuple(sorted((e.name, e.stat().st_mtime_ns)
+                           for e in os.scandir(path)))
+        return (st.st_mtime_ns, ent)
+    except OSError:
+        return ("missing",)
+
+
 class IvfIndex:
     """A built IVF layout: centroid-partitioned parquet + driver centroids."""
 
@@ -164,9 +183,23 @@ class IvfIndex:
         order = np.argsort(key, axis=1, kind="stable")[:, :nprobe]
         return order.astype("int64")
 
+    def base_scan(self, spark: SparkSession) -> DataFrame:
+        """The full-layout DataFrame, cached per (session, path, layout
+        fingerprint) — immutable plans over an immutable layout, so one
+        footer round trip per session instead of one per query."""
+        key = (spark.sparkContext.applicationId, os.path.abspath(self.path),
+               _layout_fingerprint(self.path))
+        df = _SCAN_CACHE.get(key)
+        if df is None:
+            if len(_SCAN_CACHE) > 256:  # dead sessions / swept layouts
+                _SCAN_CACHE.clear()
+            df = spark.read.parquet(self.path)
+            _SCAN_CACHE[key] = df
+        return df
+
     def scan(self, spark: SparkSession, nprobe_cells: list[int]) -> DataFrame:
         """Partition-pruned scan of the probed cells only."""
-        return spark.read.parquet(self.path).filter(F.col("centroid_id").isin(nprobe_cells))
+        return self.base_scan(spark).filter(F.col("centroid_id").isin(nprobe_cells))
 
     def search(self, spark: SparkSession, req: DenseSearchRequest,
                nprobe: int | None = None, **dense_kwargs) -> DataFrame:
@@ -241,9 +274,16 @@ def build_ivf(
         x = _normalize_rows(x)
     centroids = _kmeans(x, nlist, seed=seed)
 
+    # repartition by cell before the write: ONE file per cell instead of
+    # (input partitions x cells) fragments — at nlist=64 on 32 input
+    # partitions the old layout was up to 2048 tiny files, and the probe
+    # scan's listing/footer cost tracked file count, not data. At larger
+    # scale, salt the repartition key (hash(vector) % k) for k files per
+    # cell so a hot cell's write doesn't serialize through one task.
     (
         df.withColumn("centroid_id",
                       _assign_udf(centroids, metric)(F.col(vector_col)))
+        .repartition(F.col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
     )
     with open(os.path.join(path, "_centroids.json"), "w") as f:
@@ -258,11 +298,16 @@ def open_ivf(path: str) -> IvfIndex:
     return IvfIndex(path, np.array(meta["centroids"], dtype=np.float64), meta["metric"])
 
 
-def get_or_build_ivf(df: DataFrame, path: str, nlist: int, metric: str = "COSINE",
+def get_or_build_ivf(df, path: str, nlist: int, metric: str = "COSINE",
                      vector_col: str = "vector") -> IvfIndex:
     """Reuse the cached index only when it was built for the SAME requested
     nlist and metric (trained cells can be fewer than requested when the
-    corpus is small — that is fine; a DIFFERENT request is not)."""
+    corpus is small — that is fine; a DIFFERENT request is not).
+
+    `df` may be a DataFrame OR a zero-arg callable returning one: fixture
+    plans can cost ~0.2 s of py4j construction (r13 q1_ivf_search_many
+    audit), all wasted on the cache-hit path — pass a thunk and the plan
+    is only built when the index actually needs building."""
     meta_p = os.path.join(path, "_centroids.json")
     if os.path.exists(meta_p):
         with open(meta_p) as f:
@@ -271,4 +316,6 @@ def get_or_build_ivf(df: DataFrame, path: str, nlist: int, metric: str = "COSINE
                 and meta["metric"] == metric.upper()):
             return IvfIndex(path, np.array(meta["centroids"], dtype=np.float64),
                             meta["metric"])
+    if callable(df):
+        df = df()
     return build_ivf(df, path, nlist, metric, vector_col)

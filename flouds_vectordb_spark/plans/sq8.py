@@ -154,11 +154,16 @@ def open_sq8(path: str) -> tuple[list[float], list[float]]:
     return list(meta["mins"]), list(meta["steps"])
 
 
-def get_or_build_sq8(df: DataFrame, path: str, dim: int, id_col: str = "id",
+def get_or_build_sq8(df, path: str, dim: int, id_col: str = "id",
                      vector_col: str = "vector",
                      extra_cols: tuple[str, ...] = ()) -> tuple[list[float], list[float]]:
+    # `df` may be a zero-arg callable: the source plan (often a fresh
+    # parquet read, ~0.25 s of footer round trip) is only built when the
+    # coded table actually needs building (r13 plan-build audit).
     if os.path.exists(os.path.join(path, "_sq8_meta.json")):
         return open_sq8(path)
+    if callable(df):
+        df = df()
     return build_sq8(df, path, dim, id_col, vector_col, extra_cols)
 
 

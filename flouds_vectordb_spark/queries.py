@@ -1188,7 +1188,8 @@ def _ivf_clustered_pair(nlist: int, nprobe: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
         path = os.path.join(IVF_CACHE_ROOT, f"{tag}_clustered_nlist{nlist}_cosine")
-        idx = get_or_build_ivf(_clustered_embs(spark, sf_dir), path, nlist, "COSINE")
+        idx = get_or_build_ivf(lambda: _clustered_embs(spark, sf_dir), path,
+                               nlist, "COSINE")
         return idx.search(spark, req, id_col="id", vector_col="vector")
 
     return q, dense_search_sql(req, _CLUSTERED_EMBS_SQL,
@@ -1415,7 +1416,8 @@ _register(
 def _q1_ivf_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(IVF_CACHE_ROOT, f"{tag}_mq_nlist64_cosine")
-    idx = get_or_build_ivf(_mq_clustered_embs(spark, sf_dir), path, 64, "COSINE")
+    idx = get_or_build_ivf(lambda: _mq_clustered_embs(spark, sf_dir), path,
+                           64, "COSINE")
     return ivf_search_many(idx, spark, _MQ_QUERIES, _MQ_REQ)
 
 
@@ -1521,10 +1523,12 @@ def _ivf_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     ivf_path = os.path.join(IVF_CACHE_ROOT, f"{tag}_clustered_nlist8_cosine")
-    idx = get_or_build_ivf(_clustered_embs(spark, sf_dir), ivf_path, 8, "COSINE")
+    idx = get_or_build_ivf(lambda: _clustered_embs(spark, sf_dir),
+                           ivf_path, 8, "COSINE")
     sq8_path = os.path.join(SQ8_CACHE_ROOT, f"{tag}_clustered")
     mins, steps = get_or_build_sq8(
-        spark.read.parquet(ivf_path), sq8_path, 64, extra_cols=("centroid_id",))
+        lambda: spark.read.parquet(ivf_path), sq8_path, 64,
+        extra_cols=("centroid_id",))
     req = DenseSearchRequest(query_vector=_CLUSTER_Q, metric="COSINE",
                              limit=10, nprobe=4)
     cells = idx.probe_cells(_CLUSTER_Q, req.nprobe)
@@ -1589,7 +1593,8 @@ def _ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     ivf_path = os.path.join(IVF_CACHE_ROOT, f"{tag}_clustered_nlist8_cosine")
-    idx = get_or_build_ivf(_clustered_embs(spark, sf_dir), ivf_path, 8, "COSINE")
+    idx = get_or_build_ivf(lambda: _clustered_embs(spark, sf_dir),
+                           ivf_path, 8, "COSINE")
     pq_path = os.path.join(PQ_CACHE_ROOT, f"{tag}_clustered_anchors")
     if os.path.exists(os.path.join(pq_path, "_pq_meta.json")):
         cb = open_pq(pq_path)
@@ -1734,20 +1739,25 @@ def _late_interaction_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         late_interaction_topk_pruned,
     )
 
-    docs = _li_clustered_tokens(spark, sf_dir)
-    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
-        "doc_id", "qid")
+    from flouds_vectordb_spark.lifecycle import persist_scope
+    from flouds_vectordb_spark.operators.ann import late_interaction_recall_pair
+
     # ONE action for both sides (r12): the exact and pruned top-k lists
     # union under a tag and collect together — the gate was the window's
     # slowest row purely on job count (two collects -> two full AQE
-    # pipelines; measured 6.3 s at sf0.1, ~2 s saved by the fusion)
-    both = (
-        late_interaction_topk(docs, queries, k=10)
-        .withColumn("_src", F.lit("exact"))
-        .unionByName(late_interaction_topk_pruned(docs, queries, k=10,
-                                                  dim=64)
-                     .withColumn("_src", F.lit("pruned")))
-    ).collect()
+    # pipelines; measured 6.3 s at sf0.1, ~2 s saved by the fusion).
+    # r13 (VERDICT ask #2): the fused plan still ran TWO full MaxSim
+    # pipelines over the same fixture (the exact crossJoin AND the
+    # pruned re-rank) — late_interaction_recall_pair computes the MaxSim
+    # table ONCE (persisted scalars) and folds it whole (exact) and
+    # candidate-restricted (pruned); bit-identical to running both
+    # operators (equivalence argument + parity pin in its docstring).
+    docs = _li_clustered_tokens(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    with persist_scope():
+        both = late_interaction_recall_pair(docs, queries, k=10,
+                                            dim=64).collect()
     exact: dict[int, set] = {}
     pruned: dict[int, set] = {}
     for r in both:
@@ -1820,6 +1830,59 @@ def _late_interaction_ivf_recall_q(spark: SparkSession,
 
 _register_ext("ann_late_interaction_ivf_recall",
               _late_interaction_ivf_recall_q,
+              "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
+
+
+# 5. HNSW-backed stage 2 (r13, VERDICT ask #3): candidate fetch through
+#    the stored token-level graph — one batched beam per query token,
+#    hits decode to owning docs, same exact re-rank. Graded recall like
+#    the IVF variant (candidates depend on the trained graph).
+_LI_HNSW_IDX_ROOT = os.path.join(_SCRATCH, "li_hnsw_idx")
+
+
+def _late_interaction_hnsw_recall_q(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.ann import (
+        build_li_hnsw_index,
+        late_interaction_topk,
+        late_interaction_topk_hnsw,
+        li_ivf_index_fresh,
+    )
+
+    docs = _li_clustered_tokens(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(_LI_HNSW_IDX_ROOT, f"{tag}_m8")
+    if not li_ivf_index_fresh(path,
+                              os.path.join(sf_dir, "embeddings.parquet"),
+                              meta_name="_hnsw_meta.json"):
+        build_li_hnsw_index(docs, path, m=8)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    both = (
+        late_interaction_topk(docs, queries, k=10)
+        .withColumn("_src", F.lit("exact"))
+        .unionByName(
+            late_interaction_topk_hnsw(spark, path, docs, queries, k=10,
+                                       ef=32).withColumn("_src",
+                                                         F.lit("hnsw")))
+    ).collect()
+    exact: dict[int, set] = {}
+    got: dict[int, set] = {}
+    for r in both:
+        side = exact if r["_src"] == "exact" else got
+        side.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
+    hits = total = 0
+    for qid, ex in exact.items():
+        hits += len(got.get(qid, set()) & ex)
+        total += len(ex)
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(len(exact), bool(recall >= _LI_RECALL_MIN))],
+        "n_queries int, recall_ge_095 boolean")
+
+
+_register_ext("ann_late_interaction_hnsw_recall",
+              _late_interaction_hnsw_recall_q,
               "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
 
 

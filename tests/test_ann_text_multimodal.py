@@ -241,6 +241,72 @@ def test_quote_ident_escapes_backticks(spark):
     assert row["a"] == row["b"]
 
 
+def test_srp_signature_batch_matches_expr(spark):
+    """The Arrow cumsum signature (r13) must be bit-identical to the
+    parsed-SQL HOF form — including NULL vectors, ragged lengths, NULL
+    elements and NaN elements (all -> the HOF's null-fold semantics)."""
+    from flouds_vectordb_spark.operators.ann import (
+        srp_planes,
+        srp_signature_batch,
+        srp_signature_expr,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(400)]
+    rows += [(1000, None), (1001, [1.0] * 7), (1002, [1.0] * 17),
+             (1003, [1.0] * 8 + [None] + [1.0] * 7),
+             (1004, [float("nan")] + [1.0] * 15), (1005, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    planes = srp_planes(16, 20, 7)
+    got = df.select(
+        "id", srp_signature_expr("`vector`", planes).alias("a"),
+        srp_signature_batch(planes)(F.col("vector")).alias("b")).collect()
+    assert got
+    for r in got:
+        a = r["a"] if r["a"] is not None else 0
+        assert a == r["b"], (r["id"], r["a"], r["b"])
+
+
+def test_li_recall_pair_matches_operators(spark):
+    """The recall grading harness must produce EXACTLY the union of the
+    two operators' outputs (its restriction-of-M equivalence argument),
+    in both regimes."""
+    import flouds_vectordb_spark.operators.ann as ann_mod
+    from flouds_vectordb_spark.lifecycle import persist_scope
+    from flouds_vectordb_spark.operators.ann import (
+        late_interaction_recall_pair,
+        late_interaction_topk,
+        late_interaction_topk_pruned,
+    )
+
+    rng = np.random.RandomState(31)
+    X = rng.standard_normal((12, 4, 8))
+    docs = spark.createDataFrame(
+        [(d, t, [round(float(x), 6) for x in X[d, t]])
+         for d in range(12) for t in range(4)],
+        "doc_id long, pos long, vector array<double>")
+    queries = docs.filter(F.col("doc_id").isin(4, 6)).withColumnRenamed(
+        "doc_id", "qid")
+    want = sorted(
+        [tuple(r) + ("exact",) for r in
+         late_interaction_topk(docs, queries, k=5).collect()]
+        + [tuple(r) + ("pruned",) for r in
+           late_interaction_topk_pruned(docs, queries, k=5,
+                                        dim=8).collect()])
+    for forced_small in (False, True):
+        orig = ann_mod._li_small
+        ann_mod._li_small = lambda _df: forced_small
+        try:
+            with persist_scope():
+                got = sorted(
+                    tuple(r) for r in late_interaction_recall_pair(
+                        docs, queries, k=5, dim=8).collect())
+        finally:
+            ann_mod._li_small = orig
+        assert got == want and got, forced_small
+
+
 def test_li_ivf_index_fresh_tracks_source_mtime(tmp_path):
     """r12 ADVICE low: the on-disk LI-IVF index must be considered stale
     when its SOURCE fixture is newer — path-existence alone kept serving
@@ -1058,3 +1124,53 @@ def test_perplexity_buckets_per_stratum(spark):
         and sizes[("lb", 2)] == 3
     # each stratum's bands are balanced by the same rank rule
     assert sorted(sizes[("la", b)] for b in (0, 1, 2)) == [2, 2, 2]
+
+
+def test_li_hnsw_stage2_recall_and_decode(spark, tmp_path):
+    """r13 (VERDICT ask #3): the token-graph HNSW fetch must (a) decode
+    node ids back to real documents, (b) achieve recall 1.0 on a
+    clustered fixture where each query has exact near-copies, and (c)
+    reject pos values that would collide in the encoded node id."""
+    import pytest as _pytest
+
+    from flouds_vectordb_spark.operators.ann import (
+        _LI_TID_MULT,
+        build_li_hnsw_index,
+        late_interaction_topk,
+        late_interaction_topk_hnsw,
+    )
+
+    rng = np.random.RandomState(41)
+    # 3 clusters x 10 docs x 3 tokens, dim 8: docs within a cluster are
+    # jittered copies, so exact top-k is dominated by the home cluster
+    centers = rng.standard_normal((3, 3, 8)) * 4
+    rows = []
+    for d in range(30):
+        c = d % 3
+        for t in range(3):
+            rows.append((d, t, [float(x) for x in
+                                centers[c, t] + rng.standard_normal(8) * .05]))
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, pos long, vector array<double>")
+    queries = docs.filter(F.col("doc_id").isin(0, 1)).withColumnRenamed(
+        "doc_id", "qid")
+    path = str(tmp_path / "li_hnsw")
+    build_li_hnsw_index(docs, path, m=6)
+    got = late_interaction_topk_hnsw(spark, path, docs, queries, k=5,
+                                     ef=16).collect()
+    want = late_interaction_topk(docs, queries, k=5).collect()
+    g = {}
+    for r in got:
+        assert 0 <= r["doc_id"] < 30  # decoded to a real document
+        g.setdefault(r["qid"], set()).add(r["doc_id"])
+    w = {}
+    for r in want:
+        w.setdefault(r["qid"], set()).add(r["doc_id"])
+    hits = sum(len(g.get(q, set()) & ids) for q, ids in w.items())
+    total = sum(len(ids) for ids in w.values())
+    assert hits / total >= 0.95, (g, w)
+
+    bad = spark.createDataFrame([(1, _LI_TID_MULT, [1.0] * 8)],
+                                "doc_id long, pos long, vector array<double>")
+    with _pytest.raises(ValueError, match="collide"):
+        build_li_hnsw_index(bad, str(tmp_path / "li_hnsw_bad"))
