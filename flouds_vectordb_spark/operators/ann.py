@@ -124,6 +124,59 @@ def srp_signature_expr(vec_sql: str, planes: list[list[float]]) -> Column:
     return F.expr("CAST((" + " + ".join(terms) + ") AS BIGINT)")
 
 
+def query_srp_signature(vec, planes: list[list[float]]) -> int:
+    """Driver-side twin of srp_signature_expr for ONE query vector — the
+    same sequential float64 left fold per plane (0.0 + x0*w0 + x1*w1 ...,
+    the V.query_norm discipline), same >= 0 bit rule, same NaN-sets-bit
+    ordering (Spark places NaN above every double). Bit-identical by the
+    IEEE-associativity-free construction; pinned by
+    test_li_local_query_block_matches_expr. Caller guarantees
+    len(vec) == plane dim and no NULL elements (the local-block fast
+    path falls back to the expression form otherwise)."""
+    import math
+
+    sig = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, w in zip(vec, p):
+            acc += float(x) * float(w)
+        if acc >= 0.0 or math.isnan(acc):
+            sig |= 1 << i
+    return sig
+
+
+def _li_local_query_block(spark, query_tokens: DataFrame, qrows,
+                          planes: "list[list[float]] | None",
+                          qid_col: str, pos_col: str, vector_col: str):
+    """The broadcast query block (qid, _qpos, _qv, _qn[, _qsig]) built as
+    ONE driver-side LocalRelation from already-collected query rows (r13):
+    the expression form costs ~0.8 s of py4j + parse + analysis PER CALL
+    for the 20x64-literal signature tree alone, all to decorate a bag
+    that is tiny by the serving contract. Norms via V.query_norm and
+    signatures via query_srp_signature — both bit-identical twins of the
+    JVM folds. Returns None when any row is irregular (NULL/ragged/
+    NULL-element vector) — caller falls back to the expression form,
+    which owns those semantics."""
+    from flouds_vectordb_spark.functions.local import local_df
+
+    dim = len(planes[0]) if planes else None
+    rows = []
+    for r in qrows:
+        v = r[2]
+        if v is None or any(x is None for x in v) or (
+                dim is not None and len(v) != dim):
+            return None
+        rows.append((r[0], r[1], v, V.query_norm(v))
+                    + ((query_srp_signature(v, planes),) if planes else ()))
+    sch = {f.name: f.dataType.simpleString()
+           for f in query_tokens.select(qid_col, pos_col,
+                                        vector_col).schema.fields}
+    schema = (f"qid {sch[qid_col]}, _qpos {sch[pos_col]}, "
+              f"_qv {sch[vector_col]}, _qn double"
+              + (", _qsig bigint" if planes else ""))
+    return F.broadcast(local_df(spark, rows, schema))
+
+
 def srp_signature_batch(planes: list[list[float]]):
     """Arrow-vectorized SRP signature (r13): the HOF form costs ~92 us
     per row interpreted (HigherOrderFunction never enters codegen; an
@@ -526,23 +579,34 @@ def late_interaction_topk_pruned(
     sublinear BYTES at any corpus size once the signature column is
     stored), stage 3 scans only candidate docs' tokens; the exact
     operator's crossJoin full-vector scan never happens."""
-    from pyspark.sql import Window
-
+    # the query bag is tiny by the serving contract (it broadcasts), so
+    # collect it ONCE: dim inference costs no extra action and the whole
+    # decorated block (norms + signatures) builds driver-side as one
+    # LocalRelation — the 20x64-literal signature tree alone was ~0.8 s
+    # of py4j + parse + analysis per call (r13)
+    qrows = query_tokens.select(qid_col, pos_col, vector_col).collect()
     if dim is None:
-        first = query_tokens.select(vector_col).first()
-        if first is None or first[0] is None:  # r11 ADVICE: loud, not TypeError
+        first = next((r[2] for r in qrows if r[2] is not None), None)
+        if first is None:  # r11 ADVICE: loud, not TypeError
             raise ValueError(
                 "query_tokens is empty (or its vectors are null); pass dim "
                 "explicitly to late_interaction_topk_pruned")
-        dim = len(first[0])
+        dim = len(first)
     planes = srp_planes(dim, bits, seed)
-    n_expr = (F.col(norm_col) if norm_col is not None
-              else V.norm(F.col(vector_col)))
-    qt = F.broadcast(query_tokens.select(
-        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
-        F.col(vector_col).alias("_qv"),
-        n_expr.alias("_qn"),
-        srp_signature_expr(quote_ident(vector_col), planes).alias("_qsig")))
+    qt = (None if norm_col is not None else _li_local_query_block(
+        doc_tokens.sparkSession, query_tokens, qrows, planes,
+        qid_col, pos_col, vector_col))
+    if qt is None:
+        # irregular vectors (NULL/ragged/NULL-element) or a precomputed
+        # norm column: the expression form owns those semantics
+        n_expr = (F.col(norm_col) if norm_col is not None
+                  else V.norm(F.col(vector_col)))
+        qt = F.broadcast(query_tokens.select(
+            F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+            F.col(vector_col).alias("_qv"),
+            n_expr.alias("_qn"),
+            srp_signature_expr(quote_ident(vector_col),
+                               planes).alias("_qsig")))
     small = _li_small(doc_tokens)
     cand = _li_srp_candidates(doc_tokens, qt, planes, radius, id_col,
                               vector_col, sig_table, small=small)
@@ -691,19 +755,27 @@ def late_interaction_recall_pair(
     from flouds_vectordb_spark.lifecycle import tracked_persist
     from flouds_vectordb_spark.operators.sparse_search import _small_corpus
 
+    # same driver-side query block as the pruned operator (tiny by the
+    # serving contract; one collect replaces ~0.8 s of signature-tree
+    # py4j + parse + analysis per call)
+    qrows = query_tokens.select(qid_col, pos_col, vector_col).collect()
     if dim is None:
-        first = query_tokens.select(vector_col).first()
-        if first is None or first[0] is None:
+        first = next((r[2] for r in qrows if r[2] is not None), None)
+        if first is None:
             raise ValueError(
                 "query_tokens is empty (or its vectors are null); pass dim "
                 "explicitly to late_interaction_recall_pair")
-        dim = len(first[0])
+        dim = len(first)
     planes = srp_planes(dim, bits, seed)
-    qt = F.broadcast(query_tokens.select(
-        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
-        F.col(vector_col).alias("_qv"),
-        V.norm(F.col(vector_col)).alias("_qn"),
-        srp_signature_expr(quote_ident(vector_col), planes).alias("_qsig")))
+    qt = _li_local_query_block(doc_tokens.sparkSession, query_tokens, qrows,
+                               planes, qid_col, pos_col, vector_col)
+    if qt is None:
+        qt = F.broadcast(query_tokens.select(
+            F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+            F.col(vector_col).alias("_qv"),
+            V.norm(F.col(vector_col)).alias("_qn"),
+            srp_signature_expr(quote_ident(vector_col),
+                               planes).alias("_qsig")))
     dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
                            F.col(vector_col).alias("_dv"),
                            V.norm(F.col(vector_col)).alias("_dn"))
@@ -995,10 +1067,13 @@ def late_interaction_topk_ivf(
         "doc_id", F.col("centroid_id").cast("int").alias("centroid_id"))
     cand = (scanned.join(qc, "centroid_id")
             .select("qid", "doc_id").dropDuplicates())
-    qt = F.broadcast(query_tokens.select(
-        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
-        F.col(vector_col).alias("_qv"),
-        V.norm(F.col(vector_col)).alias("_qn")))
+    qt = _li_local_query_block(spark, query_tokens, qrows, None,
+                               qid_col, pos_col, vector_col)
+    if qt is None:
+        qt = F.broadcast(query_tokens.select(
+            F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+            F.col(vector_col).alias("_qv"),
+            V.norm(F.col(vector_col)).alias("_qn")))
     return _li_rerank_candidates(doc_tokens, qt, cand, k, id_col,
                                  vector_col)
 
@@ -1082,10 +1157,13 @@ def late_interaction_topk_hnsw(
     pairs = sorted({(int(qrows[i][0]), int(tid) // _LI_TID_MULT)
                     for i, tids in hits.items() for tid in tids})
     cand = F.broadcast(local_df(spark, pairs, "qid bigint, doc_id bigint"))
-    qt = F.broadcast(query_tokens.select(
-        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
-        F.col(vector_col).alias("_qv"),
-        V.norm(F.col(vector_col)).alias("_qn")))
+    qt = _li_local_query_block(spark, query_tokens, qrows, None,
+                               qid_col, pos_col, vector_col)
+    if qt is None:
+        qt = F.broadcast(query_tokens.select(
+            F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+            F.col(vector_col).alias("_qv"),
+            V.norm(F.col(vector_col)).alias("_qn")))
     return _li_rerank_candidates(doc_tokens, qt, cand, k, id_col,
                                  vector_col)
 
