@@ -1199,8 +1199,11 @@ def _ivf_clustered_pair(nlist: int, nprobe: int):
 # moderate prune: half the cells skipped
 _register_ext("q1_ivf_pruned", *_ivf_clustered_pair(nlist=8, nprobe=4))
 # deep prune: nlist=64, nprobe=4 — 1/16 of the cells, the reference's
-# nlist=1024/nprobe=4 default ratio family (base_milvus.py:1266-1284)
-_register("q1_ivf_pruned_deep", *_ivf_clustered_pair(nlist=64, nprobe=4))
+# nlist=1024/nprobe=4 default ratio family (base_milvus.py:1266-1284).
+# r13 (VERDICT ask #7): rotated to _EXTENDED — its IVF-pruning semantics
+# stay windowed via q1_ivf_search_many — making room for the IVF-backed
+# late-interaction recall gate in the driver window.
+_register_ext("q1_ivf_pruned_deep", *_ivf_clustered_pair(nlist=64, nprobe=4))
 
 
 # --- real graph-ANN execution: HNSW (r5 — replaces the IVF_FLAT fallback) ------
@@ -1873,9 +1876,11 @@ def _late_interaction_ivf_recall_q(spark: SparkSession,
         "n_queries int, recall_ge_095 boolean")
 
 
-_register_ext("ann_late_interaction_ivf_recall",
-              _late_interaction_ivf_recall_q,
-              "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
+# r13 (VERDICT ask #7): windowed — the r12 headline capability, graded
+# in the driver artifact; q1_ivf_pruned_deep rotated out to make room.
+_register("ann_late_interaction_ivf_recall",
+          _late_interaction_ivf_recall_q,
+          "SELECT 2 AS n_queries, TRUE AS recall_ge_095")
 
 
 # 5. HNSW-backed stage 2 (r13, VERDICT ask #3): candidate fetch through
