@@ -356,7 +356,16 @@ class Catalog:
         # watermark and read unfiltered (old behavior, documented).
         wm = meta.get("last_complete_ts")
         if wm is not None and "batch_ts" in df.columns:
-            df = df.filter(F.col("batch_ts") <= int(wm))
+            pred = F.col("batch_ts") <= int(wm)
+            # optimistic multi-writer (r13, operators/multiwriter.py):
+            # committed-but-not-yet-folded concurrent batches are visible
+            # by explicit ts — a bounded isin over in-flight batches
+            # only; the list drains at every fold, so the single-writer
+            # read plan is unchanged when no concurrent ingest runs
+            mw = [int(t) for t in meta.get("mw_committed", [])]
+            if mw:
+                pred = pred | F.col("batch_ts").isin(mw)
+            df = df.filter(pred)
         return df
 
 

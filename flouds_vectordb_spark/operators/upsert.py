@@ -318,6 +318,12 @@ class CollectionWriter:
         wm = self.meta.get("last_complete_ts")
         if wm is None:
             return
+        # optimistic multi-writer (r13): a LIVE concurrent batch (claimed
+        # or committed-but-not-folded) sits above the watermark by design
+        # — exempt its ts's; burned claims are cleaned by flush's
+        # name-prefix sweep, not here
+        mw_live = {int(t) for t in self.meta.get("mw_pending", {})} | \
+                  {int(t) for t in self.meta.get("mw_committed", [])}
         import pyarrow.parquet as pq
 
         # resolved dir: appends land in the CURRENT generation; retained
@@ -337,6 +343,7 @@ class CollectionWriter:
                     mins = [md.row_group(g).column(idx).statistics.min
                             for g in range(md.num_row_groups)]
                     if mins and all(m is not None and int(m) > int(wm)
+                                    and int(m) not in mw_live
                                     for m in mins):
                         os.remove(fp)
                 except (OSError, ValueError):  # unreadable footer: leave it
@@ -459,6 +466,27 @@ class CollectionWriter:
         table format (Delta/Iceberg atomic commit) takes over; the
         pointer keeps plain parquet safe on one writer."""
         self._recover_compaction()
+        # optimistic multi-writer (r13, operators/multiwriter.py): a
+        # compaction racing an in-flight concurrent append would strand
+        # its mid-move files in a to-be-swept generation — refuse loudly;
+        # quiesce appenders (or wait out the claim lease), then flush.
+        # Burned claims' leftovers are swept here by name prefix, and
+        # committed concurrent batches fold into the watermark after the
+        # pointer commit (their rows are IN the new generation: the
+        # read_latest() below reads the committed-inclusive view).
+        self.meta = self.catalog.describe_collection(self.tenant, self.model)
+        if self.meta.get("mw_pending"):
+            from flouds_vectordb_spark.operators.multiwriter import (
+                PendingAppendsError,
+            )
+            raise PendingAppendsError(
+                f"{len(self.meta['mw_pending'])} concurrent append(s) "
+                "in flight; flush would strand their files — quiesce "
+                "appenders first (stale claims evict after their lease)")
+        from flouds_vectordb_spark.operators.multiwriter import (
+            sweep_burned_files,
+        )
+        swept = sweep_burned_files(self.meta)
         root = self.meta["path"]
         cur = resolve_data_dir(root)
         gen = f"_gen-{self._gen_number(cur) + 1:06d}"
@@ -471,6 +499,20 @@ class CollectionWriter:
             os.fsync(f.fileno())
         os.replace(ptr_tmp, os.path.join(root, catalog_mod.CURRENT_PTR))
         self._sweep_generations(keep={new, cur})
+        mw_c = [int(t) for t in self.meta.get("mw_committed", [])]
+        if mw_c or swept:
+            # fold AFTER the pointer commit: a crash before this edit
+            # leaves the committed list set — rows stay visible via the
+            # isin filter either way, so both crash sides read the same
+            updates = {}
+            if mw_c:
+                updates["mw_committed"] = []
+                updates["last_complete_ts"] = max(
+                    int(self.meta.get("last_complete_ts") or 0), *mw_c)
+            if swept:
+                updates["mw_burned"] = []
+            self.meta = self.catalog.update_collection_meta(
+                self.tenant, self.model, **updates)
 
     @staticmethod
     def _gen_number(data_dir: str) -> int:

@@ -2227,6 +2227,66 @@ def _s2_sq8_flow_sql() -> str:
 _register("s2_catalog_flow_sq8", _s2_sq8_flow_q, _s2_sq8_flow_sql())
 
 
+# --- S3 concurrent-upsert flow (r13, VERDICT ask #4) ----------------------------
+# Two appenders ingest DISJOINT key sets CONCURRENTLY (real threads, no
+# collection writer lock — the optimistic claim/commit protocol in
+# operators/multiwriter.py arbitrates), then flush folds and compacts.
+# Disjoint keys make the final state independent of claim order, so the
+# flow carries a full deterministic search oracle: cosine top-k over the
+# union both engines can name.
+_MW_FLOW_WH = os.path.join(_SCRATCH, "mw_flow_wh")
+_MW_FLOW_REQ = DenseSearchRequest(query_vector=fixture_query_vector(seed=36),
+                                  metric="COSINE", limit=10,
+                                  output_fields=())
+
+
+def _s3_concurrent_flow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading
+
+    from flouds_vectordb_spark.operators.multiwriter import concurrent_insert
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    def build(wh: str) -> None:
+        cat = Catalog(spark, wh)
+        cat.set_vector_store("mwdemo")
+        cat.generate_schema(CollectionSpec("mwdemo", "m64", dimension=64,
+                                           metric_type="COSINE"))
+        base = collection(spark, sf_dir).select(
+            F.col("id").cast("string").alias("id"), "chunk", "vector",
+            F.col("id").alias("_n"))
+        parts = [base.filter(F.col("_n") % 3 == r).drop("_n")
+                 for r in (0, 1)]
+        errs: list = []
+
+        def run(df):
+            try:
+                concurrent_insert(cat, "mwdemo", "m64", df)
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=run, args=(p,)) for p in parts]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(300)
+        if errs:
+            raise errs[0]
+        CollectionWriter(cat, "mwdemo", "m64").flush()
+
+    wh = _flow_once(_MW_FLOW_WH, sf_dir, build)
+    return CollectionWriter(Catalog(spark, wh),
+                            "mwdemo", "m64").search(_MW_FLOW_REQ)
+
+
+_MW_FLOW_SUBSET_SQL = (
+    f"(SELECT id::VARCHAR AS id, vector FROM {COLLECTION_SQL} t "
+    f"WHERE id % 3 IN (0, 1))"
+)
+_register_ext("s3_concurrent_upsert_flow", _s3_concurrent_flow_q,
+              dense_search_sql(_MW_FLOW_REQ, _MW_FLOW_SUBSET_SQL,
+                               id_expr="id", vector_expr="vector"))
+
+
 # --- batched search through the CATALOG's quantized path (r6, extended) --------
 # CollectionWriter.search_many over the same grown IVF_SQ8 flow warehouse:
 # nlist=4 with nprobe=4 is a FULL probe, so the batched quantized result is
