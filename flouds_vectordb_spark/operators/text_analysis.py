@@ -1355,6 +1355,191 @@ FROM _docs d LEFT JOIN _folded ON d.id = _folded.id
 """
 
 
+# --- interpolated trigram LM (r13): completes the CCNet LM-filter family --------
+# CCNet's published rule scores documents under a KenLM 5-gram
+# (Wenzek et al., LREC'20); the deterministic, model-artifact-free
+# member of that family here is Jelinek-Mercer interpolation one more
+# order up from bigram_logprob: unigram (r8) -> bigram (r8) -> trigram.
+
+
+def _trigram_events(text_col: str):
+    """(h2, h1, w) for every token: BOS-padded histories, so n tokens
+    yield n events (pos 1: (<s>,<s>,w1); pos 2: (<s>,w1,w2); ...)."""
+    toks = tokenize(F.col(text_col))
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.struct(
+                F.when(i <= 2, F.lit(_BOS))
+                .otherwise(F.element_at(toks, i - 2)).alias("h2"),
+                F.when(i == 1, F.lit(_BOS))
+                .otherwise(F.element_at(toks, i - 1)).alias("h1"),
+                F.element_at(toks, i).alias("w")))
+    ).otherwise(
+        F.array().cast("array<struct<h2:string,h1:string,w:string>>"))
+
+
+def _trigram_events_sql(text_expr: str) -> str:
+    tok = tokenize_sql(text_expr)
+    return (
+        f"CASE WHEN len({tok}) > 0 THEN "
+        f"list_transform(generate_series(1, len({tok})), "
+        f"i -> struct_pack(h2 := CASE WHEN i <= 2 THEN '{_BOS}' "
+        f"ELSE {tok}[i - 2] END, "
+        f"h1 := CASE WHEN i = 1 THEN '{_BOS}' ELSE {tok}[i - 1] END, "
+        f"w := {tok}[i])) "
+        f"ELSE [] END"
+    )
+
+
+def trigram_logprob(df: DataFrame, model_df: DataFrame | None = None,
+                    lam3: float = 0.7, lam2: float = 0.2,
+                    id_col: str = "id", text_col: str = "text",
+                    smoothing: int = 1) -> DataFrame:
+    """(id, n_tokens, bits_per_token_r): per-document cross-entropy under
+    a Jelinek-Mercer interpolated TRIGRAM LM. p(w|h2,h1) =
+    lam3 * c(h2,h1,w)/c(h2,h1) + lam2 * c(h1,w)/c(h1)
+    + (1-lam3-lam2) * p_uni(w), with the add-k-smoothed unigram floor
+    keeping every event probability positive and ML terms 0 for unseen
+    histories. One event per token (BOS-padded histories), so bits/token
+    compares across lengths — the CCNet head/middle/tail split one model
+    order short of their KenLM 5-gram, with the same sorted-fold
+    determinism as the unigram/bigram members.
+
+    Plan shape: ALL five model tables (tri, h2h1, bigram, h1, unigram
+    counts) derive from ONE persisted exploded event projection — each a
+    map-side-combined count agg — plus one scalar totals collect.
+    Scoring joins per-doc distinct (h2,h1,w) counts to the five tables
+    (scalars only; text never shuffles) and folds contributions in
+    sorted (h2,h1,w) order: bit-stable across partitionings and engines.
+    At 100 TB the model joins are plain shuffle joins on their keys; the
+    event table is 3 strings/token — the honest trigram working set."""
+    a = int(smoothing)
+    if a < 1:
+        raise ValueError("smoothing must be >= 1")
+    if not (0.0 < lam3 and 0.0 < lam2 and lam3 + lam2 < 1.0):
+        raise ValueError("need lam3 > 0, lam2 > 0, lam3 + lam2 < 1")
+    lam1 = 1.0 - lam3 - lam2
+    src = model_df if model_df is not None else df
+    src_ev = _tracked_persist(
+        spread_small_input(src)
+        .select(F.explode(_trigram_events(text_col)).alias("_e"))
+        .select(F.col("_e.h2").alias("h2"), F.col("_e.h1").alias("h1"),
+                F.col("_e.w").alias("w")))
+    tri = src_ev.groupBy("h2", "h1", "w").count() \
+        .withColumnRenamed("count", "_ct")
+    h12 = src_ev.groupBy("h2", "h1").count().withColumnRenamed("count", "_c12")
+    bg = src_ev.groupBy("h1", "w").count().withColumnRenamed("count", "_cbg")
+    h1c = src_ev.groupBy("h1").count().withColumnRenamed("count", "_c1")
+    uni = src_ev.groupBy("w").count().withColumnRenamed("count", "_cu")
+    n_total, vocab = 0, 0
+    for r in uni.agg(F.sum("_cu"), F.count("*")).collect():
+        n_total, vocab = int(r[0] or 0), int(r[1])
+    denom = float(n_total + a * (vocab + 1))
+    d = spread_small_input(df).select(
+        F.col(id_col).alias("id"), _trigram_events(text_col).alias("_evs"),
+        F.size(tokenize(F.col(text_col))).alias("_n"))
+    p_uni = (F.coalesce(F.col("_cu"), F.lit(0)).cast("double") + a) \
+        / F.lit(denom)
+    p3 = F.coalesce(
+        F.col("_ct").cast("double") / F.col("_c12").cast("double"),
+        F.lit(0.0))
+    p2 = F.coalesce(
+        F.col("_cbg").cast("double") / F.col("_c1").cast("double"),
+        F.lit(0.0))
+    per_ev = (
+        d.filter(F.col("_n") > 0)
+        .select("id", "_n", F.explode("_evs").alias("_e"))
+        .select("id", "_n", F.col("_e.h2").alias("h2"),
+                F.col("_e.h1").alias("h1"), F.col("_e.w").alias("w"))
+        .groupBy("id", "_n", "h2", "h1", "w").count()
+        .join(tri, ["h2", "h1", "w"], "left")
+        .join(h12, ["h2", "h1"], "left")
+        .join(bg, ["h1", "w"], "left")
+        .join(h1c, "h1", "left")
+        .join(uni, "w", "left")
+        .select("id", "_n", "h2", "h1", "w",
+                (F.col("count").cast("double")
+                 * F.log2(F.lit(lam3) * p3 + F.lit(lam2) * p2
+                          + F.lit(lam1) * p_uni)).alias("_contrib"))
+    )
+    folded = per_ev.groupBy("id", "_n").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("h2", "h1", "w",
+                                                 "_contrib"))),
+            F.lit(0.0), lambda acc, e: acc + e["_contrib"]).alias("_lp"))
+    return d.select("id").join(folded, "id", "left").select(
+        "id",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_tokens"),
+        F.round(-F.col("_lp") / F.col("_n"), 4).alias("bits_per_token_r"),
+    )
+
+
+def trigram_logprob_sql(table_sql: str, model_sql: str | None = None,
+                        lam3: float = 0.7, lam2: float = 0.2,
+                        id_expr: str = "id", text_expr: str = "text",
+                        smoothing: int = 1) -> str:
+    """DuckDB oracle twin: same counts, same interpolation tree, same
+    (h2, h1, w)-sorted left fold (contributions strictly negative, so
+    DuckDB's first-element fold start == Spark's 0.0 start)."""
+    a = int(smoothing)
+    if a < 1:
+        raise ValueError("smoothing must be >= 1")
+    if not (0.0 < lam3 and 0.0 < lam2 and lam3 + lam2 < 1.0):
+        raise ValueError("need lam3 > 0, lam2 > 0, lam3 + lam2 < 1")
+    lam1 = 1.0 - lam3 - lam2
+    src = model_sql if model_sql is not None else table_sql
+    ev = _trigram_events_sql(text_expr)
+    tok_n = f"len({tokenize_sql(text_expr)})"
+    return f"""
+WITH _src_ev AS (
+  SELECT _e.h2 AS h2, _e.h1 AS h1, _e.w AS w FROM (
+    SELECT unnest({ev}) AS _e FROM {src} WHERE {tok_n} > 0
+  )
+),
+_tri AS (SELECT h2, h1, w, count(*) AS _ct FROM _src_ev GROUP BY h2, h1, w),
+_h12 AS (SELECT h2, h1, count(*) AS _c12 FROM _src_ev GROUP BY h2, h1),
+_bg AS (SELECT h1, w, count(*) AS _cbg FROM _src_ev GROUP BY h1, w),
+_h1c AS (SELECT h1, count(*) AS _c1 FROM _src_ev GROUP BY h1),
+_uni AS (SELECT w, count(*) AS _cu FROM _src_ev GROUP BY w),
+_stats AS (
+  SELECT coalesce(sum(_cu), 0)::DOUBLE + {a}.0 * (count(*) + 1) AS _denom
+  FROM _uni
+),
+_docs AS (
+  SELECT {id_expr} AS id, {tok_n} AS _n, {ev} AS _evs FROM {table_sql}
+),
+_per_ev AS (
+  SELECT id, _n, h2, h1, w,
+         count(*)::DOUBLE * log2(
+             {lam3!r} * coalesce(_ct::DOUBLE / _c12::DOUBLE, 0.0)
+             + {lam2!r} * coalesce(_cbg::DOUBLE / _c1::DOUBLE, 0.0)
+             + {lam1!r} * ((coalesce(_cu, 0)::DOUBLE + {a}) / _denom))
+           AS _contrib
+  FROM (
+    SELECT id, _n, _e.h2 AS h2, _e.h1 AS h1, _e.w AS w FROM (
+      SELECT id, _n, unnest(_evs) AS _e FROM _docs WHERE _n > 0
+    )
+  )
+  LEFT JOIN _tri USING (h2, h1, w) LEFT JOIN _h12 USING (h2, h1)
+  LEFT JOIN _bg USING (h1, w) LEFT JOIN _h1c USING (h1)
+  LEFT JOIN _uni USING (w), _stats
+  GROUP BY id, _n, h2, h1, w, _ct, _c12, _cbg, _c1, _cu, _denom
+),
+_folded AS (
+  SELECT id, _n,
+         list_reduce(list(_contrib ORDER BY h2, h1, w), (x, y) -> x + y)
+           AS _lp
+  FROM _per_ev GROUP BY id, _n
+)
+SELECT d.id,
+       coalesce(d._n, 0) AS n_tokens,
+       round(-_lp / d._n, 4) AS bits_per_token_r
+FROM _docs d LEFT JOIN _folded ON d.id = _folded.id
+"""
+
+
 # --- perplexity bucketing (r8): the CCNet head/middle/tail corpus split ----------
 
 # bits/token quantization for the two-phase global rank: floor(bits * 16)

@@ -3166,6 +3166,27 @@ def _bigram_lm_sql() -> str:
 _register_ext("text_bigram_logprob", _bigram_lm_q, _bigram_lm_sql())
 
 
+# --- interpolated trigram LM (r13): completes the CCNet LM-filter family --------
+def _trigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.operators.text_analysis import trigram_logprob
+
+    return trigram_logprob(load(spark, sf_dir, "documents"),
+                           lam3=0.6, lam2=0.3, id_col="doc_id",
+                           text_col="text")
+
+
+def _trigram_lm_sql() -> str:
+    from flouds_vectordb_spark.operators.text_analysis import (
+        trigram_logprob_sql,
+    )
+
+    return trigram_logprob_sql("documents", lam3=0.6, lam2=0.3,
+                               id_expr="doc_id", text_expr="text")
+
+
+_register_ext("text_trigram_logprob", _trigram_lm_q, _trigram_lm_sql())
+
+
 # --- BPE tokenizer training (r8): the full learned merge list, oracle-checked ----
 def _bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flouds_vectordb_spark.operators.bpe import bpe_train_df

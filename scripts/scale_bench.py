@@ -421,6 +421,89 @@ def op_late_interaction_ivf(spark, d):
                                      nprobe=2)
 
 
+def op_late_interaction_hnsw(spark, d):
+    """Late-interaction serving with stage 2 through the token-level
+    HNSW beam (r13, VERDICT ask #3): build the token graph once per data
+    dir, then one batched beam per query token -> doc decode -> shared
+    exact re-rank. Compare against op_late_interaction_pruned (SRP) and
+    op_late_interaction_ivf — the three stage-2 fetchers."""
+    from flouds_vectordb_spark.operators.ann import (
+        build_li_hnsw_index,
+        late_interaction_topk_hnsw,
+        li_ivf_index_fresh,
+    )
+
+    toks = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        (F.col("vec_id") % 8).alias("pos"),
+        F.col("embedding").alias("vector"))
+    path = os.path.join(d, "__li_hnsw_m8") if os.access(d, os.W_OK) \
+        else os.path.join("/tmp", "li_hnsw_" + os.path.basename(d.rstrip("/")))
+    queries = toks.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+
+    def build():
+        if not li_ivf_index_fresh(path, os.path.join(d, "embeddings.parquet"),
+                                  meta_name="_hnsw_meta.json"):
+            build_li_hnsw_index(toks, path, m=8)
+        return path
+
+    def query(p):
+        return late_interaction_topk_hnsw(spark, p, toks, queries, k=10,
+                                          ef=32)
+
+    return build, query
+
+
+def op_compaction_flush(spark, d):
+    """S4 at scale (r13, VERDICT ask #8): ingest the corpus as FOUR
+    append batches (the segment state flush exists to compact), then
+    measure flush — manifest-pointer commit of one deduped generation.
+    build = DDL + 4 inserts; query = flush + the reader-visibility check
+    (read_latest over the NEW generation). The new generation's on-disk
+    bytes are printed to stderr for the PLANS scale row (output writes
+    are not shuffle traffic, so the JSON's shuffle columns don't see
+    them)."""
+    from flouds_vectordb_spark.catalog import (
+        Catalog,
+        CollectionSpec,
+        resolve_data_dir,
+    )
+    from flouds_vectordb_spark.operators.upsert import CollectionWriter
+
+    wh = os.path.join(d if os.access(d, os.W_OK) else "/tmp",
+                      "__flush_wh_" + os.path.basename(d.rstrip("/")))
+    shutil.rmtree(wh, ignore_errors=True)
+    embs = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"))
+
+    def build():
+        cat = Catalog(spark, wh)
+        cat.set_vector_store("flush")
+        cat.generate_schema(CollectionSpec("flush", "m64", dimension=64))
+        w = CollectionWriter(cat, "flush", "m64")
+        for b in range(4):
+            # batch 4 re-sends batch 1's keys (UPDATES): flush's dedup
+            # actually discards stale versions, not a pure copy
+            part = embs.filter(
+                F.pmod(F.hash("id"), F.lit(4)) == (0 if b == 3 else b))
+            w.insert_data(part, batch_ts=b + 1, auto_flush_min_batch=-1,
+                          skip_dim_validation=True)
+        return w
+
+    def query(w):
+        w.flush()
+        gen = resolve_data_dir(w.meta["path"])
+        nbytes = sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(gen) for f in fs)
+        print(f"flush_gen_bytes={nbytes} gen={os.path.basename(gen)}",
+              file=sys.stderr)
+        return w.read_latest()
+
+    return build, query
+
+
 def op_csv_ingest(spark, d):
     """CSV bulk-load parse+validate throughput in the MANY-FILES layout
     (multiLine files are unsplittable — parallelism = file count, the
@@ -494,6 +577,8 @@ OPS = {
     "late_interaction": op_late_interaction,
     "late_interaction_pruned": op_late_interaction_pruned,
     "late_interaction_ivf": op_late_interaction_ivf,
+    "late_interaction_hnsw": op_late_interaction_hnsw,
+    "compaction_flush": op_compaction_flush,
     "scrub_pii": op_scrub_pii,
     "ngram_jaccard_08": op_ngram_jaccard_08,
     "csv_ingest": op_csv_ingest,

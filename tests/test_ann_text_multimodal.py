@@ -1229,3 +1229,45 @@ def test_li_clustered_fixture_driver_side_identical(spark):
                 tuple(float(x) for x in r["vector"]))
                for r in Q._li_clustered_tokens_catalyst(spark, sf).collect())
     assert a == b and a
+
+
+def test_trigram_logprob_interpolation(spark):
+    """r13: hand-computed JM trigram interpolation on a tiny model
+    corpus; BOS padding, unseen-history zero-ML, empty-doc NULL."""
+    import math
+
+    import pytest as _pytest
+
+    from flouds_vectordb_spark.operators.text_analysis import trigram_logprob
+
+    model = spark.createDataFrame([(10, "a b a b")], "id bigint, text string")
+    df = spark.createDataFrame([(1, "a b"), (2, "b b"), (3, "")],
+                               "id bigint, text string")
+    got = {r["id"]: r.asDict()
+           for r in trigram_logprob(df, model_df=model, lam3=0.5,
+                                    lam2=0.25).collect()}
+    # model events (h2,h1,w): (<s>,<s>,a) (<s>,a,b) (a,b,a) (b,a,b)
+    # h12: (<s>,<s>):1 (<s>,a):1 (a,b):1 (b,a):1
+    # bg (h1,w): (<s>,a):1 (a,b):2 (b,a):1 ; h1: <s>:1 a:2 b:1
+    # uni: a:2 b:2 N=4 V=2 denom=4+1*3=7
+    pu = 3 / 7  # both words: (2+1)/7
+    l3, l2, l1 = 0.5, 0.25, 0.25
+    # doc 1 "a b": ev1 (<s>,<s>,a): tri 1/1, bg c(<s>,a)/c(<s>)=1
+    p1 = l3 * 1.0 + l2 * 1.0 + l1 * pu
+    # ev2 (<s>,a,b): tri 1/1, bg c(a,b)/c(a)=2/2
+    p2 = l3 * 1.0 + l2 * 1.0 + l1 * pu
+    exp1 = -(math.log2(p1) + math.log2(p2)) / 2
+    assert abs(got[1]["bits_per_token_r"] - round(exp1, 4)) < 1e-9
+    # doc 2 "b b": ev1 (<s>,<s>,b): tri 0, bg (<s>,b) unseen -> 0
+    q1 = l1 * pu
+    # ev2 (<s>,b,b): h12 (<s>,b) unseen -> 0; bg (b,b) unseen -> 0
+    q2 = l1 * pu
+    exp2 = -(math.log2(q1) + math.log2(q2)) / 2
+    assert abs(got[2]["bits_per_token_r"] - round(exp2, 4)) < 1e-9
+    assert got[3]["n_tokens"] == 0 and got[3]["bits_per_token_r"] is None
+    assert got[1]["bits_per_token_r"] < got[2]["bits_per_token_r"]
+
+    with _pytest.raises(ValueError, match="lam"):
+        trigram_logprob(df, lam3=0.8, lam2=0.2)
+    with _pytest.raises(ValueError, match="smoothing"):
+        trigram_logprob(df, smoothing=0)
