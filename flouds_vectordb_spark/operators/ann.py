@@ -540,6 +540,7 @@ def late_interaction_topk_pruned(
     sig_table: DataFrame | None = None,
     seed: int = 7,
     norm_col: str | None = None,
+    query_rows=None,
 ) -> DataFrame:
     """(qid, doc_id, rank, score_r): the SERVING-SCALE late-interaction
     path the exact operator's docstring promises (r11, VERDICT ask #2) —
@@ -579,26 +580,31 @@ def late_interaction_topk_pruned(
     sublinear BYTES at any corpus size once the signature column is
     stored), stage 3 scans only candidate docs' tokens; the exact
     operator's crossJoin full-vector scan never happens."""
-    # the query bag is tiny by the serving contract (it broadcasts), so
-    # collect it ONCE: dim inference costs no extra action and the whole
-    # decorated block (norms + signatures) builds driver-side as one
-    # LocalRelation — the 20x64-literal signature tree alone was ~0.8 s
-    # of py4j + parse + analysis per call (r13)
-    qrows = query_tokens.select(qid_col, pos_col, vector_col).collect()
+    # CACHEABILITY CONTRACT (r13): with `dim` given, plan construction
+    # runs ZERO jobs, so callers (the gate plan-cache, serving layers)
+    # may memoize the returned DataFrame — the r13 experiment that
+    # collected the query bag here to build a LocalRelation block was
+    # NET-NEGATIVE for exactly that reason (the collect disqualified the
+    # plan from _memoized, costing a full rebuild+execute per bench
+    # pass: 0.84 -> 1.4-2 s). Callers that already hold collected query
+    # rows pass query_rows= and get the driver-built block (recall_pair,
+    # topk_ivf, topk_hnsw do).
     if dim is None:
-        first = next((r[2] for r in qrows if r[2] is not None), None)
-        if first is None:  # r11 ADVICE: loud, not TypeError
+        first = query_tokens.select(vector_col).first()
+        if first is None or first[0] is None:  # r11 ADVICE: loud
             raise ValueError(
                 "query_tokens is empty (or its vectors are null); pass dim "
                 "explicitly to late_interaction_topk_pruned")
-        dim = len(first)
+        dim = len(first[0])
     planes = srp_planes(dim, bits, seed)
-    qt = (None if norm_col is not None else _li_local_query_block(
-        doc_tokens.sparkSession, query_tokens, qrows, planes,
-        qid_col, pos_col, vector_col))
+    qt = None
+    if norm_col is None and query_rows is not None:
+        qt = _li_local_query_block(
+            doc_tokens.sparkSession, query_tokens, query_rows, planes,
+            qid_col, pos_col, vector_col)
     if qt is None:
-        # irregular vectors (NULL/ragged/NULL-element) or a precomputed
-        # norm column: the expression form owns those semantics
+        # zero-action default; also owns irregular-vector semantics and
+        # the precomputed-norm column
         n_expr = (F.col(norm_col) if norm_col is not None
                   else V.norm(F.col(vector_col)))
         qt = F.broadcast(query_tokens.select(
@@ -723,10 +729,14 @@ def late_interaction_recall_pair(
     qid_col: str = "qid",
     sig_table: DataFrame | None = None,
     seed: int = 7,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Grading harness for the pruned-recall gates (r13 VERDICT ask #2):
     the exact AND the SRP-pruned top-k lists from ONE MaxSim
     computation, returned unioned with a `_src` tag ('exact'/'pruned').
+    `candidates` substitutes any other stage-2 fetcher's (qid, doc_id)
+    pairs for the SRP stage — the IVF/HNSW recall gates grade through
+    the same shared MaxSim.
 
     Equivalence (why this grades the real operators): the exact operator
     folds the full MaxSim table M = (qid, doc_id, _qpos, max-cosine);
@@ -786,8 +796,12 @@ def late_interaction_recall_pair(
         .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
         .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms")))
     small = _li_small(doc_tokens)
-    cand = _li_srp_candidates(doc_tokens, qt, planes, radius, id_col,
-                              vector_col, sig_table, small=small)
+    # candidates= overrides the SRP stage: any stage-2 fetcher's (qid,
+    # doc_id) pairs (IVF probe, HNSW beam) grade through the same shared
+    # MaxSim — the r13 fusion that halves every recall gate
+    cand = candidates if candidates is not None else _li_srp_candidates(
+        doc_tokens, qt, planes, radius, id_col, vector_col, sig_table,
+        small=small)
     if small:
         return _li_recall_pair_small(maxsim, cand, k)
     maxsim = tracked_persist(maxsim)
@@ -1046,27 +1060,12 @@ def late_interaction_topk_ivf(
     depends on the trained centroids, so the quality gate is GRADED
     recall vs the exact operator on the clustered fixture, not a value
     hash."""
-    import numpy as np
-
-    from flouds_vectordb_spark.functions.local import local_df
-    from flouds_vectordb_spark.plans.ivf import open_ivf
-
-    idx = open_ivf(ivf_path)
     qrows = query_tokens.select(F.col(qid_col), F.col(pos_col),
                                 F.col(vector_col)).collect()
     if not qrows:
         return spark.createDataFrame(
             [], "qid long, doc_id long, rank int, score_r double")
-    cells = idx.probe_cells_many(
-        np.array([r[2] for r in qrows], dtype=np.float64), nprobe)
-    qid_cells = sorted({(int(r[0]), int(c))
-                        for r, crow in zip(qrows, cells) for c in crow})
-    qc = F.broadcast(local_df(spark, qid_cells,
-                              "qid bigint, centroid_id int"))
-    scanned = spark.read.parquet(ivf_path).select(
-        "doc_id", F.col("centroid_id").cast("int").alias("centroid_id"))
-    cand = (scanned.join(qc, "centroid_id")
-            .select("qid", "doc_id").dropDuplicates())
+    cand = li_ivf_candidates(spark, ivf_path, qrows, nprobe)
     qt = _li_local_query_block(spark, query_tokens, qrows, None,
                                qid_col, pos_col, vector_col)
     if qt is None:
@@ -1076,6 +1075,29 @@ def late_interaction_topk_ivf(
             V.norm(F.col(vector_col)).alias("_qn")))
     return _li_rerank_candidates(doc_tokens, qt, cand, k, id_col,
                                  vector_col)
+
+
+def li_ivf_candidates(spark, ivf_path: str, qrows, nprobe: int = 8
+                      ) -> DataFrame:
+    """The IVF probe's (qid, doc_id) candidate pairs from collected
+    query-token rows — stage 2 alone, shared by late_interaction_topk_ivf
+    and the recall grading harness (candidates= on recall_pair)."""
+    import numpy as np
+
+    from flouds_vectordb_spark.functions.local import local_df
+    from flouds_vectordb_spark.plans.ivf import open_ivf
+
+    idx = open_ivf(ivf_path)
+    cells = idx.probe_cells_many(
+        np.array([r[2] for r in qrows], dtype=np.float64), nprobe)
+    qid_cells = sorted({(int(r[0]), int(c))
+                        for r, crow in zip(qrows, cells) for c in crow})
+    qc = F.broadcast(local_df(spark, qid_cells,
+                              "qid bigint, centroid_id int"))
+    scanned = spark.read.parquet(ivf_path).select(
+        "doc_id", F.col("centroid_id").cast("int").alias("centroid_id"))
+    return (scanned.join(qc, "centroid_id")
+            .select("qid", "doc_id").dropDuplicates())
 
 
 # token-graph node id = doc_id * _LI_TID_MULT + pos: doc recoverable by
@@ -1140,23 +1162,12 @@ def late_interaction_topk_hnsw(
     Like the IVF probe, candidates depend on the trained graph, so the
     quality gate is GRADED recall vs the exact operator on the clustered
     fixture, not a value hash."""
-    from flouds_vectordb_spark.functions.local import local_df
-    from flouds_vectordb_spark.plans.hnsw import open_hnsw
-
-    idx = open_hnsw(hnsw_path)
     qrows = query_tokens.select(F.col(qid_col), F.col(pos_col),
                                 F.col(vector_col)).collect()
     if not qrows:
         return spark.createDataFrame(
             [], "qid long, doc_id long, rank int, score_r double")
-    # beam qid = row index (each token is its own beam query); decode to
-    # the owning (qid, doc_id) pairs driver-side — bounded by
-    # n_query_tokens x ef scalar pairs
-    hits = idx.beam_search_many(
-        spark, [(i, list(r[2])) for i, r in enumerate(qrows)], ef=ef)
-    pairs = sorted({(int(qrows[i][0]), int(tid) // _LI_TID_MULT)
-                    for i, tids in hits.items() for tid in tids})
-    cand = F.broadcast(local_df(spark, pairs, "qid bigint, doc_id bigint"))
+    cand = li_hnsw_candidates(spark, hnsw_path, qrows, ef)
     qt = _li_local_query_block(spark, query_tokens, qrows, None,
                                qid_col, pos_col, vector_col)
     if qt is None:
@@ -1166,6 +1177,24 @@ def late_interaction_topk_hnsw(
             V.norm(F.col(vector_col)).alias("_qn")))
     return _li_rerank_candidates(doc_tokens, qt, cand, k, id_col,
                                  vector_col)
+
+
+def li_hnsw_candidates(spark, hnsw_path: str, qrows, ef: int = 32
+                       ) -> DataFrame:
+    """The token-graph beam's (qid, doc_id) candidate pairs from
+    collected query-token rows — beam qid = row index (each token is its
+    own beam query); top-ef hits decode driver-side (bounded by
+    n_query_tokens x ef scalar pairs). Shared by
+    late_interaction_topk_hnsw and the recall grading harness."""
+    from flouds_vectordb_spark.functions.local import local_df
+    from flouds_vectordb_spark.plans.hnsw import open_hnsw
+
+    idx = open_hnsw(hnsw_path)
+    hits = idx.beam_search_many(
+        spark, [(i, list(r[2])) for i, r in enumerate(qrows)], ef=ef)
+    pairs = sorted({(int(qrows[i][0]), int(tid) // _LI_TID_MULT)
+                    for i, tids in hits.items() for tid in tids})
+    return F.broadcast(local_df(spark, pairs, "qid bigint, doc_id bigint"))
 
 
 def late_interaction_topk_sql(

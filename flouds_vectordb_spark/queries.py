@@ -1806,19 +1806,7 @@ def _late_interaction_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with persist_scope():
         both = late_interaction_recall_pair(docs, queries, k=10,
                                             dim=64).collect()
-    exact: dict[int, set] = {}
-    pruned: dict[int, set] = {}
-    for r in both:
-        side = exact if r["_src"] == "exact" else pruned
-        side.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
-    hits = total = 0
-    for qid, ex in exact.items():
-        hits += len(pruned.get(qid, set()) & ex)
-        total += len(ex)
-    recall = hits / total if total else 0.0
-    return spark.createDataFrame(
-        [(len(exact), bool(recall >= _LI_RECALL_MIN))],
-        "n_queries int, recall_ge_095 boolean")
+    return _li_recall_result(spark, both)
 
 
 _register("ann_late_interaction_pruned_recall", _late_interaction_recall_q,
@@ -1833,34 +1821,9 @@ _register("ann_late_interaction_pruned_recall", _late_interaction_recall_q,
 _LI_IVF_IDX_ROOT = os.path.join(_SCRATCH, "li_ivf_idx")
 
 
-def _late_interaction_ivf_recall_q(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    from flouds_vectordb_spark.operators.ann import (
-        build_li_ivf_index,
-        late_interaction_topk,
-        late_interaction_topk_ivf,
-    )
-
-    docs = _li_clustered_tokens(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(_LI_IVF_IDX_ROOT, f"{tag}_n64")
-    # rebuild when the source fixture is newer than the stored index
-    # (r12 ADVICE low: path-only keying served stale centroids after a
-    # fixture regeneration)
-    from flouds_vectordb_spark.operators.ann import li_ivf_index_fresh
-    if not li_ivf_index_fresh(path,
-                              os.path.join(sf_dir, "embeddings.parquet")):
-        build_li_ivf_index(docs, path, nlist=64)
-    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
-        "doc_id", "qid")
-    both = (
-        late_interaction_topk(docs, queries, k=10)
-        .withColumn("_src", F.lit("exact"))
-        .unionByName(
-            late_interaction_topk_ivf(spark, path, docs, queries, k=10,
-                                      nprobe=8).withColumn("_src",
-                                                           F.lit("ivf")))
-    ).collect()
+def _li_recall_result(spark: SparkSession, both) -> DataFrame:
+    """Shared tail of every LI recall gate: recall@k of the tagged-union
+    rows ('exact' vs anything else), emitted as the graded scalar row."""
     exact: dict[int, set] = {}
     got: dict[int, set] = {}
     for r in both:
@@ -1874,6 +1837,37 @@ def _late_interaction_ivf_recall_q(spark: SparkSession,
     return spark.createDataFrame(
         [(len(exact), bool(recall >= _LI_RECALL_MIN))],
         "n_queries int, recall_ge_095 boolean")
+
+
+def _late_interaction_ivf_recall_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.lifecycle import persist_scope
+    from flouds_vectordb_spark.operators.ann import (
+        build_li_ivf_index,
+        late_interaction_recall_pair,
+        li_ivf_candidates,
+        li_ivf_index_fresh,
+    )
+
+    docs = _li_clustered_tokens(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(_LI_IVF_IDX_ROOT, f"{tag}_n64")
+    # rebuild when the source fixture is newer than the stored index
+    # (r12 ADVICE low: path-only keying served stale centroids after a
+    # fixture regeneration)
+    if not li_ivf_index_fresh(path,
+                              os.path.join(sf_dir, "embeddings.parquet")):
+        build_li_ivf_index(docs, path, nlist=64)
+    queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
+        "doc_id", "qid")
+    # ONE shared MaxSim for both sides (r13): the IVF probe supplies the
+    # candidate pairs, recall_pair folds exact + candidate-restricted
+    qrows = queries.select("qid", "pos", "vector").collect()
+    cand = li_ivf_candidates(spark, path, qrows, nprobe=8)
+    with persist_scope():
+        both = late_interaction_recall_pair(
+            docs, queries, k=10, dim=64, candidates=cand).collect()
+    return _li_recall_result(spark, both)
 
 
 # r13 (VERDICT ask #7): windowed — the r12 headline capability, graded
@@ -1892,10 +1886,11 @@ _LI_HNSW_IDX_ROOT = os.path.join(_SCRATCH, "li_hnsw_idx")
 
 def _late_interaction_hnsw_recall_q(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.lifecycle import persist_scope
     from flouds_vectordb_spark.operators.ann import (
         build_li_hnsw_index,
-        late_interaction_topk,
-        late_interaction_topk_hnsw,
+        late_interaction_recall_pair,
+        li_hnsw_candidates,
         li_ivf_index_fresh,
     )
 
@@ -1908,27 +1903,12 @@ def _late_interaction_hnsw_recall_q(spark: SparkSession,
         build_li_hnsw_index(docs, path, m=8)
     queries = docs.filter(F.col("doc_id").isin(3, 7)).withColumnRenamed(
         "doc_id", "qid")
-    both = (
-        late_interaction_topk(docs, queries, k=10)
-        .withColumn("_src", F.lit("exact"))
-        .unionByName(
-            late_interaction_topk_hnsw(spark, path, docs, queries, k=10,
-                                       ef=32).withColumn("_src",
-                                                         F.lit("hnsw")))
-    ).collect()
-    exact: dict[int, set] = {}
-    got: dict[int, set] = {}
-    for r in both:
-        side = exact if r["_src"] == "exact" else got
-        side.setdefault(int(r["qid"]), set()).add(int(r["doc_id"]))
-    hits = total = 0
-    for qid, ex in exact.items():
-        hits += len(got.get(qid, set()) & ex)
-        total += len(ex)
-    recall = hits / total if total else 0.0
-    return spark.createDataFrame(
-        [(len(exact), bool(recall >= _LI_RECALL_MIN))],
-        "n_queries int, recall_ge_095 boolean")
+    qrows = queries.select("qid", "pos", "vector").collect()
+    cand = li_hnsw_candidates(spark, path, qrows, ef=32)
+    with persist_scope():
+        both = late_interaction_recall_pair(
+            docs, queries, k=10, dim=64, candidates=cand).collect()
+    return _li_recall_result(spark, both)
 
 
 _register_ext("ann_late_interaction_hnsw_recall",

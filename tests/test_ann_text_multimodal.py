@@ -1271,3 +1271,39 @@ def test_trigram_logprob_interpolation(spark):
         trigram_logprob(df, lam3=0.8, lam2=0.2)
     with _pytest.raises(ValueError, match="smoothing"):
         trigram_logprob(df, smoothing=0)
+
+
+def test_li_recall_pair_candidate_override_matches_ivf(spark, tmp_path):
+    """r13: recall_pair(candidates=ivf_pairs) must reproduce EXACTLY the
+    exact operator plus the IVF-fetched operator — the shared-MaxSim
+    restriction argument holds for any external candidate set."""
+    from flouds_vectordb_spark.lifecycle import persist_scope
+    from flouds_vectordb_spark.operators.ann import (
+        build_li_ivf_index,
+        late_interaction_recall_pair,
+        late_interaction_topk,
+        late_interaction_topk_ivf,
+        li_ivf_candidates,
+    )
+
+    rng = np.random.RandomState(61)
+    docs = spark.createDataFrame(
+        [(d, t, [round(float(x), 6) for x in rng.standard_normal(8)])
+         for d in range(15) for t in range(3)],
+        "doc_id long, pos long, vector array<double>")
+    queries = docs.filter(F.col("doc_id").isin(2, 9)).withColumnRenamed(
+        "doc_id", "qid")
+    path = str(tmp_path / "ivf_tok")
+    build_li_ivf_index(docs, path, nlist=4)
+    want = sorted(
+        [tuple(r) + ("exact",) for r in
+         late_interaction_topk(docs, queries, k=5).collect()]
+        + [tuple(r) + ("pruned",) for r in
+           late_interaction_topk_ivf(spark, path, docs, queries, k=5,
+                                     nprobe=2).collect()])
+    qrows = queries.select("qid", "pos", "vector").collect()
+    cand = li_ivf_candidates(spark, path, qrows, nprobe=2)
+    with persist_scope():
+        got = sorted(tuple(r) for r in late_interaction_recall_pair(
+            docs, queries, k=5, dim=8, candidates=cand).collect())
+    assert got == want and got
