@@ -812,6 +812,74 @@ def late_interaction_recall_pair(
     return exact.unionByName(pruned)
 
 
+def late_interaction_recall_df(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    bits: int = 20,
+    radius: int = 2,
+    dim: int | None = None,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    vector_col: str = "vector",
+    qid_col: str = "qid",
+    sig_table: DataFrame | None = None,
+    seed: int = 7,
+    candidates: DataFrame | None = None,
+    min_recall: float = 0.95,
+) -> DataFrame:
+    """(n_queries, recall_ge_095): the graded-recall scalar row as ONE
+    fully-LAZY DataFrame — ZERO jobs at construction (dim is required
+    for that reason), so gate caches can hold the plan and a repeat
+    call is a pure re-collect (the r13 cacheability contract: the
+    collect-inside recall harness pays full plan build + codegen on
+    every bench pass; this shape pays it once per session).
+
+    Semantics identical to grading late_interaction_topk against the
+    pruned/fetched operator: both top-k lists fold from one MaxSim
+    definition M (the pruned side is M restricted to the candidate
+    pairs — recall_pair's equivalence argument), then
+    recall = sum_q |exact_q ∩ fetched_q| / sum_q |exact_q|. Without a
+    persist the two folds re-execute M's aggregate; its exchange is
+    identical in both branches, which AQE's ReusedExchange dedupes.
+    `candidates` as in late_interaction_recall_pair."""
+    if dim is None:
+        raise ValueError(
+            "late_interaction_recall_df requires dim (zero-action "
+            "construction is its contract)")
+    planes = srp_planes(dim, bits, seed)
+    qt = F.broadcast(query_tokens.select(
+        F.col(qid_col).alias("qid"), F.col(pos_col).alias("_qpos"),
+        F.col(vector_col).alias("_qv"),
+        V.norm(F.col(vector_col)).alias("_qn"),
+        srp_signature_expr(quote_ident(vector_col),
+                           planes).alias("_qsig")))
+    dt = doc_tokens.select(F.col(id_col).alias("doc_id"),
+                           F.col(vector_col).alias("_dv"),
+                           V.norm(F.col(vector_col)).alias("_dn"))
+    cs = F.try_divide(V.dot_score(F.col("_dv"), F.col("_qv")),
+                      F.col("_dn") * F.col("_qn"))
+    maxsim = (
+        dt.crossJoin(qt.drop("_qsig"))
+        .select("qid", "doc_id", "_qpos", cs.alias("_cs"))
+        .groupBy("qid", "doc_id", "_qpos").agg(F.max("_cs").alias("_ms")))
+    if candidates is None:
+        candidates = _li_srp_candidates(doc_tokens, qt, planes, radius,
+                                        id_col, vector_col, sig_table)
+    ex = _li_fold_topk(maxsim, k)
+    pr = _li_fold_topk(
+        maxsim.join(F.broadcast(candidates), ["qid", "doc_id"]), k)
+    return (
+        ex.join(pr.select("qid", "doc_id").withColumn("_hit", F.lit(1)),
+                ["qid", "doc_id"], "left")
+        .agg(F.count_distinct("qid").cast("int").alias("n_queries"),
+             F.coalesce(
+                 F.try_divide(F.count("_hit"), F.count(F.lit(1)))
+                 >= F.lit(float(min_recall)),
+                 F.lit(False)).alias("recall_ge_095"))
+    )
+
+
 def _li_recall_pair_small(maxsim: DataFrame, cand: DataFrame,
                           k: int) -> DataFrame:
     """Small-corpus regime of late_interaction_recall_pair: one unioned

@@ -1307,3 +1307,48 @@ def test_li_recall_pair_candidate_override_matches_ivf(spark, tmp_path):
         got = sorted(tuple(r) for r in late_interaction_recall_pair(
             docs, queries, k=5, dim=8, candidates=cand).collect())
     assert got == want and got
+
+
+def test_li_recall_df_matches_operator_grading(spark, tmp_path):
+    """r13: the lazy recall_df scalar must equal grading the exact
+    operator against the candidate-restricted operator driver-side —
+    including a sub-threshold case (recall < min_recall -> False)."""
+    from flouds_vectordb_spark.functions.local import local_df
+    from flouds_vectordb_spark.operators.ann import (
+        _li_rerank_candidates,
+        late_interaction_recall_df,
+        late_interaction_topk,
+    )
+    import flouds_vectordb_spark.functions.vector as V
+
+    rng = np.random.RandomState(71)
+    docs = spark.createDataFrame(
+        [(d, t, [round(float(x), 6) for x in rng.standard_normal(8)])
+         for d in range(20) for t in range(3)],
+        "doc_id long, pos long, vector array<double>")
+    queries = docs.filter(F.col("doc_id").isin(4, 11)).withColumnRenamed(
+        "doc_id", "qid")
+    # candidate set covering only HALF the docs: recall must be partial
+    pairs = [(q, d) for q in (4, 11) for d in range(0, 20, 2)]
+    cand = local_df(spark, pairs, "qid bigint, doc_id bigint")
+    got = late_interaction_recall_df(docs, queries, k=5, dim=8,
+                                     candidates=cand,
+                                     min_recall=0.95).collect()
+    assert len(got) == 1
+    exact = {}
+    for r in late_interaction_topk(docs, queries, k=5).collect():
+        exact.setdefault(r["qid"], set()).add(r["doc_id"])
+    qt = F.broadcast(queries.select(
+        F.col("qid"), F.col("pos").alias("_qpos"),
+        F.col("vector").alias("_qv"), V.norm(F.col("vector")).alias("_qn")))
+    fetched = {}
+    for r in _li_rerank_candidates(docs, qt, cand, 5, "doc_id",
+                                   "vector").collect():
+        fetched.setdefault(r["qid"], set()).add(r["doc_id"])
+    hits = sum(len(exact[q] & fetched.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    want = (len(exact), hits / total >= 0.95)
+    assert (got[0]["n_queries"], got[0]["recall_ge_095"]) == want
+    # the half-coverage candidate set must actually be sub-threshold,
+    # or this test proves nothing
+    assert want[1] is False
