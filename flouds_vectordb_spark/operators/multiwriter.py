@@ -132,13 +132,17 @@ def _evict_stale(row: dict) -> None:
 
 
 def claim_append(catalog, tenant: str, model: str,
-                 claim_stale_s: float = CLAIM_STALE_SECONDS) -> int:
-    """Phase 1: atomically allocate a unique batch_ts lease; returns it.
-    Also pessimistically flags index_appends, exactly like the exclusive
-    path: a concurrent batch never appends to a built index, so searches
-    must run the staleness join."""
+                 claim_stale_s: float = CLAIM_STALE_SECONDS,
+                 n_auto_ids: int = 0) -> tuple:
+    """Phase 1: atomically allocate a unique batch_ts lease (and, for
+    auto-id collections, reserve the [start, start+n_auto_ids) INT64 id
+    range in the same edit — the reason multiwriter counts the batch
+    BEFORE claiming). Returns (ts, id_start) — id_start None when no
+    range was reserved. Also pessimistically flags index_appends,
+    exactly like the exclusive path: a concurrent batch never appends
+    to a built index, so searches must run the staleness join."""
     name = _name(tenant, model)
-    claimed: list[int] = []
+    claimed: list[tuple] = []
 
     def mutate(colls: dict) -> dict:
         if name not in colls:
@@ -155,7 +159,11 @@ def claim_append(catalog, tenant: str, model: str,
                             "stale_s": float(claim_stale_s)}
         row["last_batch_ts"] = ts
         row["index_appends"] = 1
-        claimed.append(ts)
+        id_start = None
+        if int(n_auto_ids) > 0:
+            id_start = int(row.get("auto_id_next", 0))
+            row["auto_id_next"] = id_start + int(n_auto_ids)
+        claimed.append((ts, id_start))
         return row
 
     catalog._mutate_meta("collections", mutate)
@@ -213,63 +221,98 @@ def abort_append(catalog, tenant: str, model: str, ts: int) -> dict:
 def concurrent_insert(catalog, tenant: str, model: str, batch: DataFrame,
                       skip_dim_validation: bool = False,
                       claim_stale_s: float = CLAIM_STALE_SECONDS) -> dict:
-    """Optimistic concurrent append: claim -> validate -> stage-write ->
-    move -> commit. Safe to run from N processes at once; no collection
-    writer lock is taken (only the catalog micro-RMW lock, held for the
-    claim and commit edits only).
+    """Optimistic concurrent append: validate -> claim -> [assign ids]
+    -> stage-write -> move -> commit. Safe to run from N processes at
+    once; no collection writer lock is taken (only the catalog
+    micro-RMW lock, held for the claim and commit edits only).
+    Validation runs BEFORE the claim, so a rejected batch burns no ts.
 
-    Auto-id collections are not supported by the prototype (the claim
-    would additionally reserve the id range; documented extension) —
-    VARCHAR/explicit-id collections cover the reference's upsert surface
-    (vector_store.py:358-387 sends explicit EmbeddedVector keys)."""
+    Auto-id (INT64 pk) collections: the batch is pinned (persist, the
+    single-writer layout-determinism discipline), counted per-partition
+    in ONE job, and the claim reserves [start, start+n) atomically with
+    the ts — ranges of concurrent writers are disjoint by construction;
+    a crash after the claim leaks the range as id gaps, exactly the
+    exclusive path's burned-ts contract (INT64 pks tolerate gaps)."""
     import shutil
 
+    from flouds_vectordb_spark.lifecycle import tracked_persist
+    from flouds_vectordb_spark.operators.upsert import (
+        assign_ids_from_counts,
+        auto_id_partition_counts,
+    )
+
     meta = catalog.describe_collection(tenant, model)
-    if str(meta.get("primary_key_data_type", "VARCHAR")).upper() in (
-            "INT64", "INT"):
-        raise NotImplementedError(
-            "concurrent_insert does not support auto-id collections; use "
-            "the exclusive-writer insert_data (the claim protocol would "
-            "reserve the id range — documented extension)")
-    ts = claim_append(catalog, tenant, model, claim_stale_s)
+    auto_id = str(meta.get("primary_key_data_type", "VARCHAR")).upper() in (
+        "INT64", "INT")
+    bad_pred = None
+    if not skip_dim_validation:
+        dim = int(meta["dimension"])
+        bad_pred = F.col("vector").isNull() | (F.size("vector") != dim)
+    pinned = None
     try:
-        stamped = batch.withColumn("batch_ts", F.lit(ts))
-        agg = [F.count("*").alias("n"), F.count_distinct("id").alias("nk")]
-        bad_pred = None
-        if not skip_dim_validation:
-            dim = int(meta["dimension"])
-            bad_pred = F.col("vector").isNull() | (F.size("vector") != dim)
-            agg.append(F.count(F.when(bad_pred, F.lit(1))).alias("nbad"))
-        counts = stamped.agg(*agg).first()
-        n = int(counts["n"])
-        if bad_pred is not None and int(counts["nbad"]) > 0:
-            sample = [r["id"] for r in stamped.filter(bad_pred)
-                      .select("id").limit(10).collect()]
+        per_part = None
+        if auto_id:
+            if "id" in batch.columns:
+                raise ValueError(
+                    "collection has an auto-assigned INT64 primary key; "
+                    "remove the 'id' column from the insert batch")
+            from pyspark import StorageLevel
+
+            pinned = tracked_persist(batch, StorageLevel.MEMORY_AND_DISK)
+            batch = pinned
+            per_part, n, nbad = auto_id_partition_counts(batch, bad_pred)
+            nk = n  # assigned ids are unique by construction
+        else:
+            agg = [F.count("*").alias("n"),
+                   F.count_distinct("id").alias("nk")]
+            if bad_pred is not None:
+                agg.append(F.count(F.when(bad_pred, F.lit(1))).alias("nbad"))
+            counts = batch.agg(*agg).first()
+            n, nk = int(counts["n"]), int(counts["nk"])
+            nbad = int(counts["nbad"]) if bad_pred is not None else 0
+        if nbad > 0:
+            key_expr = (F.lit("<auto>").alias("id") if auto_id
+                        else F.col("id"))
+            sample = [r["id"] for r in batch.filter(bad_pred)
+                      .select(key_expr).limit(10).collect()]
             raise ValueError(
                 f"vectors with dimension != {meta['dimension']} for "
-                f"{int(counts['nbad'])} rows, e.g. keys {sample}")
-        if int(counts["nk"]) != n:
+                f"{nbad} rows, e.g. keys {sample}")
+        if nk != n:
             raise ValueError("duplicate primary keys in batch")
-        root = meta["path"]
-        stage = os.path.join(root, f"{STAGE_PREFIX}{ts}")
-        stamped.write.mode("overwrite").parquet(stage)
-        # move part files into the CURRENT generation under the mw-<ts>-
-        # prefix (burned-batch cleanup is then a name glob, no footers);
-        # resolve the pointer at move time — flush cannot have moved it
-        # since the claim (it refuses while this claim is pending)
-        data_dir = resolve_data_dir(root)
-        os.makedirs(data_dir, exist_ok=True)
-        for fn in os.listdir(stage):
-            if fn.endswith(".parquet"):
-                os.replace(os.path.join(stage, fn),
-                           os.path.join(data_dir,
-                                        f"{FILE_PREFIX}{ts}-{fn}"))
-        shutil.rmtree(stage, ignore_errors=True)
-    except BaseException:
-        abort_append(catalog, tenant, model, ts)
-        raise
+        ts, id_start = claim_append(catalog, tenant, model, claim_stale_s,
+                                    n_auto_ids=n if auto_id else 0)
+        try:
+            out = batch
+            if auto_id:
+                out = assign_ids_from_counts(batch, per_part, id_start,
+                                             catalog.spark)
+            stamped = out.withColumn("batch_ts", F.lit(ts))
+            root = meta["path"]
+            stage = os.path.join(root, f"{STAGE_PREFIX}{ts}")
+            stamped.write.mode("overwrite").parquet(stage)
+            # move part files into the CURRENT generation under the
+            # mw-<ts>- prefix (burned-batch cleanup is then a name glob,
+            # no footers); resolve the pointer at move time — flush
+            # cannot have moved it since the claim (it refuses while
+            # this claim is pending)
+            data_dir = resolve_data_dir(root)
+            os.makedirs(data_dir, exist_ok=True)
+            for fn in os.listdir(stage):
+                if fn.endswith(".parquet"):
+                    os.replace(os.path.join(stage, fn),
+                               os.path.join(data_dir,
+                                            f"{FILE_PREFIX}{ts}-{fn}"))
+            shutil.rmtree(stage, ignore_errors=True)
+        except BaseException:
+            abort_append(catalog, tenant, model, ts)
+            raise
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
     row = commit_append(catalog, tenant, model, ts)
     return {"inserted": n, "batch_ts": ts,
+            "id_start": id_start,
             "visible_at_watermark":
                 int(row.get("last_complete_ts") or 0) >= ts}
 

@@ -82,6 +82,51 @@ def should_flush(batch_size: int, force_flush: bool = False,
     return batch_size >= auto_flush_min_batch
 
 
+def auto_id_partition_counts(stamped: DataFrame, bad_pred):
+    """ONE job: per-partition row counts (plus the wrong-dim count) via
+    groupBy(spark_partition_id()) — a scalars-only shuffle of
+    npartitions rows. Returns (per_part rows sorted by pid, n, nbad).
+    Shared by the single-writer allocator and multiwriter's range
+    reservation (which must know n BEFORE it can claim the range)."""
+    agg_cols = [F.count("*").alias("_cnt")]
+    if bad_pred is not None:
+        agg_cols.append(F.count(F.when(bad_pred, F.lit(1))).alias("_nbad"))
+    per_part = (stamped.groupBy(F.spark_partition_id().alias("_pid"))
+                .agg(*agg_cols).collect())
+    per_part.sort(key=lambda r: r["_pid"])
+    n = sum(int(r["_cnt"]) for r in per_part)
+    nbad = (sum(int(r["_nbad"]) for r in per_part)
+            if bad_pred is not None else 0)
+    return per_part, n, nbad
+
+
+def assign_ids_from_counts(stamped: DataFrame, per_part, start: int,
+                           spark) -> DataFrame:
+    """Zero-job half of the distributed auto-id allocator: prefix-sum
+    the per-partition counts into base offsets starting at `start`,
+    broadcast-join them back, id = base + low-33-bits of
+    monotonically_increasing_id (Spark's mono id IS
+    partitionId<<33 | rowIndexInPartition — dense, collision-free)."""
+    bases, acc = [], int(start)
+    for r in per_part:
+        bases.append((int(r["_pid"]), acc))
+        acc += int(r["_cnt"])
+    offsets = spark.createDataFrame(bases, "_pid int, _base long")
+    # pin pid AND row index in one projection BEFORE the join so both
+    # read the pre-join partition layout whatever the join strategy does
+    row_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    assigned = (
+        stamped.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_ridx", row_idx)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("id", (F.col("_base") + F.col("_ridx")).cast("long"))
+        .drop("_pid", "_base", "_ridx")
+    )
+    # keep the canonical column order (id first) for parquet appends
+    cols = ["id"] + [c for c in stamped.columns if c != "id"]
+    return assigned.select(*cols)
+
+
 def upsert(current: DataFrame, batch: DataFrame, key_col: str = "id",
            ts_col: str = "batch_ts") -> DataFrame:
     """Latest-wins merge: union current+batch, keep the newest row per key.
@@ -372,33 +417,9 @@ class CollectionWriter:
         (parquet scans, createDataFrame, validated JSONL) qualify.
         Returns (stamped-with-id, n, nbad)."""
         start = int(self.meta.get("auto_id_next", 0))
-        agg_cols = [F.count("*").alias("_cnt")]
-        if bad_pred is not None:
-            agg_cols.append(F.count(F.when(bad_pred, F.lit(1))).alias("_nbad"))
-        per_part = (stamped.groupBy(F.spark_partition_id().alias("_pid"))
-                    .agg(*agg_cols).collect())
-        per_part.sort(key=lambda r: r["_pid"])
-        n = sum(int(r["_cnt"]) for r in per_part)
-        nbad = sum(int(r["_nbad"]) for r in per_part) if bad_pred is not None else 0
-        bases, acc = [], start
-        for r in per_part:
-            bases.append((int(r["_pid"]), acc))
-            acc += int(r["_cnt"])
-        spark = self.catalog.spark
-        offsets = spark.createDataFrame(bases, "_pid int, _base long")
-        # pin pid AND row index in one projection BEFORE the join so both
-        # read the pre-join partition layout whatever the join strategy does
-        row_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
-        assigned = (
-            stamped.withColumn("_pid", F.spark_partition_id())
-            .withColumn("_ridx", row_idx)
-            .join(F.broadcast(offsets), "_pid")
-            .withColumn("id", (F.col("_base") + F.col("_ridx")).cast("long"))
-            .drop("_pid", "_base", "_ridx")
-        )
-        # keep the canonical column order (id first) for parquet appends
-        cols = ["id"] + [c for c in stamped.columns if c != "id"]
-        return assigned.select(*cols), n, nbad
+        per_part, n, nbad = auto_id_partition_counts(stamped, bad_pred)
+        return (assign_ids_from_counts(stamped, per_part, start,
+                                       self.catalog.spark), n, nbad)
 
     def _has_dense_index(self) -> bool:
         import os

@@ -76,7 +76,7 @@ def test_commit_blocked_by_earlier_pending_still_readable(spark,
     visible via the committed-ts filter; folding completes when the
     earlier claim resolves."""
     cat = _mk(spark, tmp_path_factory)
-    ts1 = mw.claim_append(cat, "mwt", "m")  # in-flight, never writes yet
+    ts1, _ = mw.claim_append(cat, "mwt", "m")  # in-flight, never writes
     r2 = mw.concurrent_insert(cat, "mwt", "m", _batch(spark, ["x1", "x2"]))
     assert not r2["visible_at_watermark"]  # blocked by ts1
     meta = cat.describe_collection("mwt", "m")
@@ -111,7 +111,7 @@ def test_crash_mid_move_orphan_invisible_and_swept(spark, tmp_path_factory):
     claim burns and flush deletes the orphan files by name prefix."""
     cat = _mk(spark, tmp_path_factory)
     mw.concurrent_insert(cat, "mwt", "m", _batch(spark, ["base"]))
-    ts = mw.claim_append(cat, "mwt", "m", claim_stale_s=0.0)
+    ts, _ = mw.claim_append(cat, "mwt", "m", claim_stale_s=0.0)
     meta = cat.describe_collection("mwt", "m")
     from flouds_vectordb_spark.catalog import resolve_data_dir
     stage = os.path.join(meta["path"], f"{mw.STAGE_PREFIX}{ts}")
@@ -128,7 +128,7 @@ def test_crash_mid_move_orphan_invisible_and_swept(spark, tmp_path_factory):
     assert {r["id"] for r in cat.read_collection("mwt", "m").collect()} == \
         {"base"}
     # the zero-second lease means the next claim evicts it to burned
-    ts2 = mw.claim_append(cat, "mwt", "m")
+    ts2, _ = mw.claim_append(cat, "mwt", "m")
     meta = cat.describe_collection("mwt", "m")
     assert ts in [int(t) for t in meta.get("mw_burned", [])]
     # a commit of a LATER batch must not fold past the burned ts
@@ -149,7 +149,7 @@ def test_crash_mid_move_orphan_invisible_and_swept(spark, tmp_path_factory):
 def test_flush_refuses_while_pending(spark, tmp_path_factory):
     cat = _mk(spark, tmp_path_factory)
     mw.concurrent_insert(cat, "mwt", "m", _batch(spark, ["a"]))
-    ts = mw.claim_append(cat, "mwt", "m")
+    ts, _ = mw.claim_append(cat, "mwt", "m")
     w = CollectionWriter(cat, "mwt", "m")
     with pytest.raises(mw.PendingAppendsError):
         w.flush()
@@ -162,7 +162,7 @@ def test_flush_refuses_while_pending(spark, tmp_path_factory):
 def test_single_writer_interplay_and_validation(spark, tmp_path_factory):
     """Claims advance last_batch_ts, so a subsequent exclusive
     insert_data must pick a larger ts; validation failures abort the
-    claim (burned, never visible); auto-id collections refuse."""
+    claim; validation rejects before claiming (nothing burned)."""
     cat = _mk(spark, tmp_path_factory)
     r1 = mw.concurrent_insert(cat, "mwt", "m", _batch(spark, ["k1"]))
     w = CollectionWriter(cat, "mwt", "m")
@@ -171,24 +171,25 @@ def test_single_writer_interplay_and_validation(spark, tmp_path_factory):
     w.insert_data(_batch(spark, ["k2"]), batch_ts=r1["batch_ts"] + 1)
     got = {r["id"] for r in cat.read_collection("mwt", "m").collect()}
     assert got == {"k1", "k2"}
-    # wrong-dim batch: loud error, claim aborted, nothing visible
+    # wrong-dim batch: loud error BEFORE any claim — nothing burned,
+    # nothing pending, nothing visible (r13: validation precedes claim)
     bad = spark.createDataFrame([("z", [1.0], "c", "{}")],
                                 "id string, vector array<double>, "
                                 "chunk string, meta string")
     with pytest.raises(ValueError, match="dimension"):
         mw.concurrent_insert(cat, "mwt", "m", bad)
     meta = cat.describe_collection("mwt", "m")
-    assert not meta.get("mw_pending") and len(meta.get("mw_burned", [])) == 1
+    assert not meta.get("mw_pending") and not meta.get("mw_burned")
     assert {r["id"] for r in cat.read_collection("mwt", "m").collect()} == \
         {"k1", "k2"}
     # duplicate keys in one batch: same loud contract as insert_data
     dup = _batch(spark, ["d", "d"])
     with pytest.raises(ValueError, match="duplicate"):
         mw.concurrent_insert(cat, "mwt", "m", dup)
-    # auto-id collections: explicit refusal
+    # auto-id collections: client-supplied ids rejected like insert_data
     cat.generate_schema(CollectionSpec("mwt", "mauto", dimension=4,
                                        primary_key_data_type="INT64"))
-    with pytest.raises(NotImplementedError, match="auto-id"):
+    with pytest.raises(ValueError, match="auto-assigned"):
         mw.concurrent_insert(cat, "mwt", "mauto", _batch(spark, ["q"]))
 
 
@@ -202,3 +203,61 @@ def test_latest_wins_across_concurrent_batches(spark, tmp_path_factory):
     w = CollectionWriter(cat, "mwt", "m")
     rows = w.read_latest().collect()
     assert len(rows) == 1 and rows[0]["vector"][0] == 2.0
+
+
+def _auto_batch(spark, n, dim=4, off=0.0):
+    return spark.createDataFrame(
+        [([float(k) + off + i for k in range(dim)], f"c{i}", "{}")
+         for i in range(n)],
+        "vector array<double>, chunk string, meta string")
+
+
+def test_concurrent_auto_id_ranges_disjoint(spark, tmp_path_factory):
+    """r13: auto-id concurrent appenders reserve disjoint INT64 ranges
+    at claim time — all ids unique, each batch dense within its range,
+    validation failures burn neither a ts nor a range."""
+    cat = _mk(spark, tmp_path_factory)
+    from flouds_vectordb_spark.catalog import CollectionSpec
+    cat.generate_schema(CollectionSpec("mwt", "ma", dimension=4,
+                                       primary_key_data_type="INT64"))
+    errs, res = [], {}
+    gate = threading.Barrier(2, timeout=120)
+    orig = mw.commit_append
+
+    def barrier_commit(*a, **k):
+        gate.wait()
+        return orig(*a, **k)
+
+    mw.commit_append = barrier_commit
+    try:
+        def run(tag, n, off):
+            try:
+                res[tag] = mw.concurrent_insert(
+                    cat, "mwt", "ma", _auto_batch(spark, n, off=off))
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        t1 = threading.Thread(target=run, args=("a", 7, 0.0))
+        t2 = threading.Thread(target=run, args=("b", 5, 100.0))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+    finally:
+        mw.commit_append = orig
+    assert not errs, errs
+    rows = cat.read_collection("mwt", "ma").collect()
+    ids = sorted(int(r["id"]) for r in rows)
+    assert len(ids) == 12 and len(set(ids)) == 12
+    meta = cat.describe_collection("mwt", "ma")
+    assert int(meta["auto_id_next"]) == 12
+    ra = set(range(res["a"]["id_start"], res["a"]["id_start"] + 7))
+    rb = set(range(res["b"]["id_start"], res["b"]["id_start"] + 5))
+    assert not (ra & rb) and ra | rb == set(ids)
+    # wrong-dim auto batch: rejected BEFORE any claim (no burned ts,
+    # no leaked range)
+    bad = spark.createDataFrame([([1.0], "c", "{}")],
+                                "vector array<double>, chunk string, "
+                                "meta string")
+    with pytest.raises(ValueError, match="dimension"):
+        mw.concurrent_insert(cat, "mwt", "ma", bad)
+    meta = cat.describe_collection("mwt", "ma")
+    assert int(meta["auto_id_next"]) == 12
+    assert not meta.get("mw_burned") and not meta.get("mw_pending")
