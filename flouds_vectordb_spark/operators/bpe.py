@@ -40,6 +40,84 @@ from flouds_vectordb_spark.lifecycle import tracked_persist
 
 EOW = "</w>"
 
+# DRIVER regime (r13 optimization): below this input estimate the merge
+# loop runs on the COLLECTED distinct-word table (subword-nmt's own
+# incremental algorithm: full pair count once, then per-merge updates
+# touching only the words that contain the merged pair). The distributed
+# loop costs ~3 scheduled jobs per merge round (pair agg + argmax collect
+# + cache churn) — at gate scale (5k docs, ~20k distinct words) that is
+# ~100% scheduling for ~200k driver-side integer ops. Above the bound the
+# distributed loop runs unchanged: its working set (distinct words) is
+# what scales, and the round cost is corpus-size independent.
+_BPE_DRIVER_INPUT_BYTES = 16 << 20
+_BPE_DRIVER_MAX_WORDS = 2_000_000
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _fold_word(syms: list, lhs: str, rhs: str) -> list:
+    """One merge applied left-to-right, non-overlapping — the driver twin
+    of _merge_fold (and bpe_encode's inner walk)."""
+    merged = lhs + rhs
+    out: list = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_driver(word_rows, n_merges: int) -> list[tuple]:
+    """The classic incremental BPE trainer over a collected (word, cnt)
+    table. Exact twin of the distributed loop: integer pair counts, ties
+    broken (count DESC, lhs ASC, rhs ASC) — Python tuple comparison on
+    str is code-point order, which equals Spark's UTF8-binary string
+    order because UTF-8 preserves code-point order."""
+    from collections import Counter, defaultdict
+
+    words: list = [(list(w) + [EOW], int(c)) for w, c in word_rows]
+    counts: Counter = Counter()
+    holders: dict = defaultdict(set)
+    for wi, (syms, cnt) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] += cnt
+            holders[p].add(wi)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        if not counts:
+            break
+        (lhs, rhs), c = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, lhs, rhs, int(c)))
+        # update only holder words; a stale holder (word no longer
+        # containing the pair) decrements and re-increments identically
+        for wi in list(holders.get((lhs, rhs), ())):
+            syms, cnt = words[wi]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] -= cnt
+                if counts[p] == 0:
+                    del counts[p]
+            new = _fold_word(syms, lhs, rhs)
+            words[wi] = (new, cnt)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                counts[p] += cnt
+                holders[p].add(wi)
+        holders.pop((lhs, rhs), None)
+    return merges
+
 
 def _chars_plus_eow(word):
     return F.concat(
@@ -82,6 +160,17 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
         raise ValueError("n_merges must be >= 1")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    if not df.isStreaming and _plan_size_bytes(df) <= _BPE_DRIVER_INPUT_BYTES:
+        word_rows = (
+            df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+            .groupBy("word").count()
+            .filter(F.col("count") >= min_count)
+            .collect()
+        )
+        if len(word_rows) <= _BPE_DRIVER_MAX_WORDS:
+            return _bpe_train_driver(
+                [(r[0], r[1]) for r in word_rows], n_merges)
+        # fall through: working set larger than the driver should hold
     words = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word").count().withColumnRenamed("count", "cnt")

@@ -62,6 +62,30 @@ _MINHASH_SMALL_INPUT_BYTES = 48 << 20
 # explicitly), the bar is driver/executor memory. Past this, keyed joins.
 _NEARDUP_CAND_BROADCAST_ROWS = 2_000_000
 
+# DRIVER regime (r13 optimization): below this input estimate the whole
+# candidate-generation + exact-verify tail runs on COLLECTED scalars. The
+# broadcast-join small regime still schedules 9-31 Spark jobs per call
+# (every broadcast exchange, dropDuplicates and persist materialization is
+# its own job under AQE) and at gate scale (5k docs ≈ 0.6 MB) that wall is
+# ~100% scheduling. One job collects (id, band hashes, verify-set hashes) —
+# all computed by the SAME Column expressions the distributed plan uses —
+# and bucketing/Jaccard/union-find are microseconds over bounded scalars.
+# The same collect bound as the frontier/sample collects elsewhere here;
+# above it (or when the bucket pre-flight predicts a candidate explosion)
+# the existing broadcast/shuffle regimes run unchanged.
+_MINHASH_DRIVER_INPUT_BYTES = 16 << 20
+_MINHASH_DRIVER_MAX_CAND_PAIRS = 20_000_000
+
+
+def _round6(x: float) -> float:
+    """Exactly Spark's round(col, 6) = BigDecimal(Double.toString(x))
+    .setScale(6, HALF_UP): Python repr() is the same shortest round-trip
+    decimal rendering, and Decimal quantize HALF_UP the same rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
 
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for df's optimized plan (file bytes for
@@ -243,6 +267,24 @@ def minhash_signatures(df: DataFrame, id_col: str = "id", text_col: str = "text"
     return base.select(*cols)
 
 
+def _band_hash_cols(n_sigs: int, n_bands: int) -> list[Column]:
+    """The per-band LSH bucket-hash expressions — ONE definition shared by
+    the distributed banding (_band_entries) and the driver-regime collect
+    (_driver_minhash_rows) so the two regimes cannot drift."""
+    rows_per_band = n_sigs // n_bands
+    cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        cols.append(hash64(F.concat_ws("|", *parts), seed=1000 + b))
+    return cols
+
+
+def _vset_col() -> Column:
+    return F.array_sort(F.array_distinct(
+        F.transform("shingles", lambda s: hash64(s))))
+
+
 def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
                   n_bands: int, shingle_n: int) -> tuple[DataFrame, DataFrame]:
     """((id, band_idx, band_hash) entries, (id, shingles) sets) — the
@@ -261,12 +303,8 @@ def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
     # is an engine divergence, not just noise (found in review).
     sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n) \
         .filter(F.size("shingles") > 0)
-    band_hashes = []
-    for b in range(n_bands):
-        parts = [F.col(f"sig{b * rows_per_band + r}").cast("string")
-                 for r in range(rows_per_band)]
-        band_hashes.append(hash64(F.concat_ws("|", *parts),
-                                  seed=1000 + b).alias(f"band{b}"))
+    band_hashes = [c.alias(f"band{b}") for b, c in
+                   enumerate(_band_hash_cols(n_sigs, n_bands))]
     banded = sigs.select("id", *band_hashes).transform(_persist)
     entries = banded.select(
         "id",
@@ -282,9 +320,73 @@ def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
     # ~3x vs ~25-byte 3-gram strings. Jaccard over the hash sets equals
     # Jaccard over the strings absent 64-bit collisions, and the SQL
     # twins hash identically (same hash64), so the engines cannot skew.
-    vsets = sigs.select("id", F.array_sort(F.array_distinct(
-        F.transform("shingles", lambda s: hash64(s)))).alias("vset"))
+    vsets = sigs.select("id", _vset_col().alias("vset"))
     return entries, vsets
+
+
+def _driver_minhash_rows(df: DataFrame, id_col: str, text_col: str,
+                         n_sigs: int, n_bands: int,
+                         shingle_n: int) -> list[tuple]:
+    """ONE collect: [(id, [band hashes], [verify-set hashes])] for every
+    doc with >= 1 shingle. Same Column expressions as _band_entries (the
+    signature table persists inside minhash_signatures, so the collect
+    computes tokenize/shingle/hash exactly once); the collected longs ARE
+    the values the distributed bucket join and verify join would ship."""
+    sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n) \
+        .filter(F.size("shingles") > 0)
+    combined = sigs.select(
+        "id", F.array(*_band_hash_cols(n_sigs, n_bands)).alias("_bands"),
+        _vset_col().alias("_vset"))
+    return [(r[0], r[1], r[2]) for r in combined.collect()]
+
+
+def _driver_minhash_edges(rows: list[tuple],
+                          threshold: float) -> list[tuple] | None:
+    """LSH bucketing + exact-Jaccard verification over collected rows:
+    candidates = same (band_idx, band_hash) in >= 1 band with id_a < id_b
+    (exactly the distributed self-join's rule), verified at
+    round(|A∩B| / (|A|+|B|-|A∩B|), 6) >= threshold with the identical
+    IEEE double division and HALF_UP rounding. Returns sorted
+    (id_a, id_b, jaccard_r) tuples, or None when the exact bucket
+    pre-flight (Σ K·(K-1)/2) predicts more candidate pairs than the
+    driver should enumerate — the caller falls back to the distributed
+    regimes, which share the same quadratic but spread it over tasks."""
+    from collections import defaultdict
+
+    buckets: dict = defaultdict(list)
+    vsets: dict = {}
+    sizes: dict = {}
+    for rid, bands, vset in rows:
+        vsets[rid] = frozenset(vset)
+        sizes[rid] = len(vset)
+        for bi, bh in enumerate(bands):
+            buckets[(bi, bh)].append(rid)
+    est = sum(len(v) * (len(v) - 1) // 2 for v in buckets.values())
+    if est > _MINHASH_DRIVER_MAX_CAND_PAIRS:
+        return None
+    cand: set = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cand.add((a, b))
+    th = float(threshold)
+    out = []
+    for a, b in cand:
+        inter = float(len(vsets[a] & vsets[b]))
+        union = float(sizes[a] + sizes[b]) - inter
+        j = _round6(inter / union)
+        if j >= th:
+            out.append((a, b, j))
+    out.sort()
+    return out
+
+
+def _driver_regime(df: DataFrame) -> bool:
+    return (not df.isStreaming
+            and _plan_size_bytes(df) <= _MINHASH_DRIVER_INPUT_BYTES)
 
 
 def _jaccard_filtered(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -426,6 +528,18 @@ def dedup_minhash(
                                         shingle_n)
     if output != "pairs":
         raise ValueError(f"unknown output mode {output!r}")
+    if _driver_regime(df):
+        from flouds_vectordb_spark.functions.local import local_df
+
+        rows = _driver_minhash_rows(df, id_col, text_col, n_sigs, n_bands,
+                                    shingle_n)
+        edges = _driver_minhash_edges(rows, jaccard_threshold)
+        if edges is not None:
+            idt = dict(df.dtypes)[id_col]
+            schema = f"id_a {idt}, id_b {idt}, jaccard_r double"
+            if not edges:
+                return df.sparkSession.createDataFrame([], schema)
+            return local_df(df.sparkSession, edges, schema)
     entries, sets = _band_entries(df, id_col, text_col, n_sigs, n_bands,
                                   shingle_n)
     small = _plan_size_bytes(df) <= _MINHASH_SMALL_INPUT_BYTES
@@ -582,7 +696,21 @@ def dedup_minhash_components(
     K-1 star edges per bucket and an ~empty phase 2 — linear where pair
     mode is quadratic. The adversarial worst case (buckets full of LSH
     false positives that all fail verification) degrades to pair mode's
-    pairwise volume plus the star overhead."""
+    pairwise volume plus the star overhead.
+
+    DRIVER regime (r13): at gate scale the star machinery exists to avoid
+    a quadratic the corpus cannot produce — candidates, verification and
+    union-find all run on one collected scalar table instead (exact: the
+    fusion's labels equal pair-mode labels by the case analysis above,
+    and the driver path computes pair mode literally)."""
+    if _driver_regime(df):
+        rows = _driver_minhash_rows(df, id_col, text_col, n_sigs, n_bands,
+                                    shingle_n)
+        edges = _driver_minhash_edges(rows, jaccard_threshold)
+        if edges is not None:
+            idt = dict(df.dtypes)[id_col]
+            return _driver_union_find([(a, b) for a, b, _ in edges], idt,
+                                      df.sparkSession)
     small = _plan_size_bytes(df) <= _MINHASH_SMALL_INPUT_BYTES
     entries, sets = _band_entries(df, id_col, text_col, n_sigs, n_bands,
                                   shingle_n)
@@ -808,6 +936,90 @@ def _shingle_hashes_sql(text_expr: str, shingle_n: int) -> str:
 _NGRAM_GUARD_MAX_PAIRS = 1_000_000_000
 
 
+def _driver_ngram_pairs(hrows, t: float, max_candidate_pairs: int,
+                        enforce_guard: bool) -> list[tuple] | None:
+    """Exact n-gram Jaccard pairs over collected (id, hset) rows, fully
+    vectorized: emit every within-hash-group doc pair once per shared
+    hash, so the pair's MULTIPLICITY (np.unique counts) IS the exact
+    intersection size — no per-pair set ops. Candidates are a superset
+    of the inverted-index plan's (every prefix collision is a collision)
+    and the operator is exact (output = all pairs with rounded J >= t,
+    which forces >= 1 shared hash), so the output is identical.
+
+    enforce_guard mirrors the distributed pre-flight exactly (same
+    prefix-frequency estimate, same error) — the caller passes
+    max_candidate_pairs > 0 AND not _small_corpus(df), so small corpora
+    never raise here either. Returns None (fall back to the distributed
+    plan) when total shared-hash pairs exceed the driver bound."""
+    import numpy as np
+
+    n_docs = len(hrows)
+    ids = [r[0] for r in hrows]
+    if n_docs < 2:
+        return []
+    sizes = np.array([len(r[1]) for r in hrows], dtype=np.int64)
+    nnz = int(sizes.sum())
+    if nnz == 0:
+        return []
+    hashes = np.concatenate(
+        [np.asarray(r[1], dtype=np.int64) for r in hrows if len(r[1])])
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    pos = np.arange(nnz, dtype=np.int64) - np.repeat(starts, sizes)
+    plen = sizes - np.ceil(t * sizes).astype(np.int64) + 1
+    in_prefix = pos < plen[doc_idx]
+    order = np.argsort(hashes, kind="stable")
+    hs, di, pf = hashes[order], doc_idx[order], in_prefix[order]
+    grp_start = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+    grp_sizes = np.diff(np.concatenate((grp_start, [nnz])))
+    if enforce_guard:
+        pf_counts = np.add.reduceat(pf.astype(np.int64), grp_start)
+        est = int((pf_counts * (pf_counts - 1) // 2).sum())
+        if est > max_candidate_pairs:
+            raise RuntimeError(
+                f"dedup_ngram_jaccard pre-flight: the prefix "
+                f"inverted-index join would produce ~{est:,} candidate "
+                f"rows (> max_candidate_pairs={max_candidate_pairs:,}). "
+                f"The corpus is clone-heavy and the exact pair output is "
+                f"quadratic by construction; use dedup_minhash_components "
+                f"(cluster output) instead, or raise max_candidate_pairs "
+                f"explicitly to force the run.")
+    if int((grp_sizes * (grp_sizes - 1) // 2).sum()) \
+            > _MINHASH_DRIVER_MAX_CAND_PAIRS:
+        return None
+    # all (earlier, later) element pairs within each hash group
+    eidx = np.arange(nnz, dtype=np.int64)
+    grp_end = np.repeat(grp_start + grp_sizes, grp_sizes)
+    reps = grp_end - eidx - 1
+    a_el = np.repeat(eidx, reps)
+    blk = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    b_el = np.arange(int(reps.sum()), dtype=np.int64) \
+        - np.repeat(blk, reps) + a_el + 1
+    ia, ib = di[a_el], di[b_el]
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    keys, inter = np.unique(lo * n_docs + hi, return_counts=True)
+    ja, jb = keys // n_docs, keys % n_docs
+    j = inter.astype(np.float64) \
+        / ((sizes[ja] + sizes[jb]).astype(np.float64)
+           - inter.astype(np.float64))
+    # conservative vector prefilter; exact scalar IEEE + HALF_UP on the
+    # handful of survivors (same ops as the Column plan)
+    m = j >= (t - 1e-6)
+    out = []
+    for a_i, b_i, it in zip(ja[m].tolist(), jb[m].tolist(),
+                            inter[m].tolist()):
+        fa = float(it)
+        un = float(int(sizes[a_i]) + int(sizes[b_i])) - fa
+        jj = _round6(fa / un)
+        if jj >= t:
+            ida, idb = ids[a_i], ids[b_i]
+            if idb < ida:
+                ida, idb = idb, ida
+            out.append((ida, idb, jj))
+    out.sort()
+    return out
+
+
 def dedup_ngram_jaccard(
     df: DataFrame,
     id_col: str = "id",
@@ -838,10 +1050,36 @@ def dedup_ngram_jaccard(
     operator raises with the number and points at
     dedup_minhash_components(cluster output) instead of dying mid-job.
     <= 0 disables the guard. Small corpora (the gate fixtures) skip the
-    check entirely — zero extra actions on the bench path."""
+    check entirely — zero extra actions on the bench path.
+
+    DRIVER regime (r13): the operator is EXACT — output depends only on
+    the full hash sets, not on how candidates were generated — so below
+    the collect bound the prefix inverted index, positional filter and
+    verification run over one collected (id, hset) table: one Spark job
+    instead of the 10 the broadcast-join plan schedules at gate scale.
+    The same pre-flight (Σ c_h·(c_h-1)/2 over prefix-hash frequencies,
+    computed exactly from the collected prefixes) bounds the driver
+    enumeration; past max_candidate_pairs it raises the same error."""
     from flouds_vectordb_spark.operators.sparse_search import _small_corpus
 
     t = float(jaccard_threshold)
+    if _driver_regime(df):
+        from flouds_vectordb_spark.functions.local import local_df
+
+        hrows = _spread(df).select(
+            F.col(id_col).alias("id"),
+            _shingle_hashes(F.col(text_col), shingle_n).alias("hset"),
+        ).collect()
+        out = _driver_ngram_pairs(
+            hrows, t, max_candidate_pairs,
+            enforce_guard=(max_candidate_pairs > 0
+                           and not _small_corpus(df)))
+        if out is not None:
+            idt = dict(df.dtypes)[id_col]
+            schema = f"id_a {idt}, id_b {idt}, jaccard_r double"
+            if not out:
+                return df.sparkSession.createDataFrame([], schema)
+            return local_df(df.sparkSession, out, schema)
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         _shingle_hashes(F.col(text_col), shingle_n).alias("hset"),

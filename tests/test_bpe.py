@@ -97,3 +97,21 @@ def test_bpe_exhaustion_and_validation(spark):
         bpe_train(df, n_merges=0)
     with pytest.raises(ValueError, match="min_count"):
         bpe_train(df, min_count=0)
+
+
+def test_bpe_driver_regime_equals_distributed(spark, tmp_path, monkeypatch):
+    """r13: the collected incremental merge loop must produce the exact
+    merge list (ranks, pairs, counts, tie-breaks) of the distributed
+    per-round aggregation."""
+    import flouds_vectordb_spark.operators.bpe as bp
+
+    rows = [(i, f"low lower lowest newer new wider wide word {i % 5}")
+            for i in range(30)]
+    rows.append((99, "aaa aaaa aa"))  # lhs == rhs overlap rule
+    pq = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "id long, text string").write.parquet(pq)
+    df = spark.read.parquet(pq)
+    drv = bp.bpe_train(df, n_merges=12)
+    monkeypatch.setattr(bp, "_BPE_DRIVER_INPUT_BYTES", -1)
+    dist = bp.bpe_train(df, n_merges=12)
+    assert drv == dist and len(drv) == 12

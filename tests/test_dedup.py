@@ -710,3 +710,70 @@ def test_minhash_components_equals_pair_mode_composition(spark, monkeypatch):
     import pytest
     with pytest.raises(ValueError, match="output"):
         dedup_minhash(corpus, output="graphml")
+
+
+# --- r13 driver regime: one-collect candidates/verify/union-find ------------
+
+@pytest.fixture()
+def parquet_docs(spark, tmp_path_factory):
+    """Parquet-backed near-dup corpus: createDataFrame plans report UNKNOWN
+    size, so engaging the size-gated driver regime needs a file scan."""
+    rows = []
+    for i in range(40):
+        base = f"document number {i} talks about topic {i % 7} in detail"
+        rows.append((i, base))
+        if i % 4 == 0:  # near-dup clusters
+            rows.append((1000 + i, base + " extra"))
+            rows.append((2000 + i, base + " extra more"))
+    rows.append((9000, ""))  # zero-shingle doc must not band or pair
+    pq = str(tmp_path_factory.mktemp("drv") / "docs.parquet")
+    spark.createDataFrame(rows, "id long, text string").write.parquet(pq)
+    return spark.read.parquet(pq)
+
+
+def test_minhash_driver_regime_equals_distributed(parquet_docs, monkeypatch):
+    """The r13 driver regime (one collect + driver bucketing/verify) must
+    be row-identical to the broadcast-join small regime AND the shuffle
+    regime on pairs and on component labels, at multiple thresholds."""
+    import flouds_vectordb_spark.operators.dedup as dd
+
+    assert dd._driver_regime(parquet_docs)  # the fixture engages it
+    for thr in (0.3, 0.5, 0.8):
+        drv_pairs = sorted(map(tuple, dedup_minhash(
+            parquet_docs, jaccard_threshold=thr).collect()))
+        drv_lbls = sorted(map(tuple, dedup_minhash(
+            parquet_docs, jaccard_threshold=thr,
+            output="components").collect()))
+        monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
+        dist_pairs = sorted(map(tuple, dedup_minhash(
+            parquet_docs, jaccard_threshold=thr).collect()))
+        dist_lbls = sorted(map(tuple, dedup_minhash(
+            parquet_docs, jaccard_threshold=thr,
+            output="components").collect()))
+        monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", 16 << 20)
+        assert drv_pairs == dist_pairs and drv_pairs, thr
+        assert drv_lbls == dist_lbls and drv_lbls, thr
+
+
+def test_minhash_driver_preflight_falls_back(parquet_docs, monkeypatch):
+    """Above the candidate-pair bound the driver regime must hand off to
+    the distributed plan, not enumerate."""
+    import flouds_vectordb_spark.operators.dedup as dd
+
+    want = sorted(map(tuple, dedup_minhash(parquet_docs).collect()))
+    monkeypatch.setattr(dd, "_MINHASH_DRIVER_MAX_CAND_PAIRS", 0)
+    got = sorted(map(tuple, dedup_minhash(parquet_docs).collect()))
+    assert got == want and got
+
+
+def test_ngram_driver_regime_equals_distributed(parquet_docs, monkeypatch):
+    import flouds_vectordb_spark.operators.dedup as dd
+
+    for thr in (0.3, 0.5, 0.8):
+        drv = sorted(map(tuple, dedup_ngram_jaccard(
+            parquet_docs, jaccard_threshold=thr).collect()))
+        monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
+        dist = sorted(map(tuple, dedup_ngram_jaccard(
+            parquet_docs, jaccard_threshold=thr).collect()))
+        monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", 16 << 20)
+        assert drv == dist and drv, thr
