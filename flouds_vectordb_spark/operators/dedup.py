@@ -1439,7 +1439,47 @@ def simhash_sql(tokens_expr: str) -> str:
 def dedup_simhash(df: DataFrame, id_col: str = "id", text_col: str = "text",
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs (id_a < id_b, hamming) via 16-bit band buckets +
-    bit_count(xor) verification."""
+    bit_count(xor) verification.
+
+    DRIVER regime (r13): below the collect bound, one job collects
+    (id, simhash) and the 4-band bucketing + bit_count(xor) verify run
+    on the driver — the banding self-join plan costs 7 scheduled jobs at
+    gate scale for work that is integer ops over |corpus| scalars."""
+    if _driver_regime(df):
+        from collections import defaultdict
+
+        from flouds_vectordb_spark.functions.local import local_df
+
+        srows = _spread(df).select(
+            F.col(id_col).alias("id"),
+            simhash_from_hashes(
+                F.transform(tokenize(F.col(text_col)),
+                            lambda t: hash64(t))).alias("simhash")
+        ).collect()
+        buckets: dict = defaultdict(list)
+        fp: dict = {}
+        for rid, sh in srows:
+            fp[rid] = sh
+            for b in range(SIMHASH_BANDS):
+                buckets[(b, (sh >> (16 * b)) & 0xFFFF)].append(rid)
+        if sum(len(v) * (len(v) - 1) // 2 for v in buckets.values()) \
+                <= _MINHASH_DRIVER_MAX_CAND_PAIRS:
+            cand: set = set()
+            for ids in buckets.values():
+                if len(ids) < 2:
+                    continue
+                ids.sort()
+                for i, a in enumerate(ids):
+                    for b2 in ids[i + 1:]:
+                        cand.add((a, b2))
+            out = sorted(
+                (a, b2, h) for a, b2 in cand
+                if (h := bin(fp[a] ^ fp[b2]).count("1")) <= max_hamming)
+            idt = dict(df.dtypes)[id_col]
+            schema = f"id_a {idt}, id_b {idt}, hamming int"
+            if not out:
+                return df.sparkSession.createDataFrame([], schema)
+            return local_df(df.sparkSession, out, schema)
     # two materialization boundaries: (1) token hashes, so the 60 per-bit
     # votes read one cached array instead of re-hashing 60x; (2) the
     # fingerprints, so the self-join reads them instead of recomputing
@@ -1579,6 +1619,69 @@ GROUP BY id HAVING count(DISTINCT tr._gh) >= {int(min_matches)}
 """
 
 
+def _driver_decon_neardup(train, test, id_col, text_col, t_id, t_text,
+                          jaccard_threshold, n_sigs, n_bands, shingle_n):
+    """Bipartite (train x test) LSH candidates + exact verify + per-train
+    aggregation over two collected scalar tables. None -> fall back."""
+    from collections import defaultdict
+
+    from flouds_vectordb_spark.functions.local import local_df
+
+    def _side(df, idc, txc, tag):
+        sigs = minhash_signatures(df, idc, txc, n_sigs, shingle_n) \
+            .filter(F.size("shingles") > 0)
+        return sigs.select(
+            F.lit(tag).alias("_tag"), "id",
+            F.array(*_band_hash_cols(n_sigs, n_bands)).alias("_bands"),
+            _vset_col().alias("_vset"))
+
+    # ONE collect for both sides (a per-side collect costs a job each);
+    # mismatched id types cannot union — collect per side then
+    if dict(train.dtypes)[id_col] == dict(test.dtypes)[t_id]:
+        both = _side(train, id_col, text_col, 0).unionByName(
+            _side(test, t_id, t_text, 1)).collect()
+        tr_rows = [(r[1], r[2], r[3]) for r in both if r[0] == 0]
+        te_rows = [(r[1], r[2], r[3]) for r in both if r[0] == 1]
+    else:
+        tr_rows = _driver_minhash_rows(train, id_col, text_col, n_sigs,
+                                       n_bands, shingle_n)
+        te_rows = _driver_minhash_rows(test, t_id, t_text, n_sigs,
+                                       n_bands, shingle_n)
+    te_buckets: dict = defaultdict(list)
+    te_sets: dict = {}
+    te_sizes: dict = {}
+    for rid, bands, vset in te_rows:
+        te_sets[rid] = frozenset(vset)
+        te_sizes[rid] = len(vset)
+        for bi, bh in enumerate(bands):
+            te_buckets[(bi, bh)].append(rid)
+    # candidate pre-flight: train entries x matching test-bucket sizes
+    cand: set = set()
+    for rid, bands, vset in tr_rows:
+        for bi, bh in enumerate(bands):
+            for tid in te_buckets.get((bi, bh), ()):
+                cand.add((rid, tid))
+                if len(cand) > _MINHASH_DRIVER_MAX_CAND_PAIRS:
+                    return None
+    th = float(jaccard_threshold)
+    agg: dict = {}
+    tr_sets = {rid: (frozenset(vset), len(vset)) for rid, _, vset in tr_rows}
+    for a, b in cand:
+        sa, na = tr_sets[a]
+        inter = float(len(sa & te_sets[b]))
+        union = float(na + te_sizes[b]) - inter
+        j = _round6(inter / union)
+        if j >= th:
+            mx, n = agg.get(a, (None, 0))
+            agg[a] = (j if mx is None or j > mx else mx, n + 1)
+    idt = dict(train.dtypes)[id_col]
+    schema = f"id {idt}, max_jaccard double, n_test_hits bigint"
+    rows = sorted((a, mx, n) for a, (mx, n) in agg.items())
+    if not rows:
+        return train.sparkSession.createDataFrame([], schema)
+    return local_df(train.sparkSession, rows, schema)
+
+
 def decontaminate_neardup(
     train: DataFrame,
     test: DataFrame,
@@ -1613,6 +1716,16 @@ def decontaminate_neardup(
     against the corpus to clean it."""
     t_id = test_id_col or id_col
     t_text = test_text_col or text_col
+    # DRIVER regime (r13): both sides under the collect bound -> two
+    # collects + driver bipartite bucketing/verify/aggregation replace
+    # the 13 scheduled jobs of the broadcast plan at gate scale. Same
+    # hashes, same verify arithmetic, same (max, count) aggregation.
+    if _driver_regime(train) and _driver_regime(test):
+        res = _driver_decon_neardup(train, test, id_col, text_col, t_id,
+                                    t_text, jaccard_threshold, n_sigs,
+                                    n_bands, shingle_n)
+        if res is not None:
+            return res
     tr_ent, tr_sets = _band_entries(train, id_col, text_col, n_sigs,
                                     n_bands, shingle_n)
     te_ent, te_sets = _band_entries(test, t_id, t_text, n_sigs,

@@ -43,6 +43,41 @@ from flouds_vectordb_spark.sources.tables import spread_small_input
 
 _DENOM_U = float((1 << 60) + 1)  # maps hash64's [0, 2^60) onto (0, 1)
 
+# DRIVER regime (r13 optimization): below this input estimate (both
+# corpora) the whole resample runs off ONE tagged-union collect — per-doc
+# bucket arrays + the target bucket counts + the raw id list — with the
+# log-ratio table, sorted-bucket fold, hash-Gumbel key and top-n on the
+# driver. The distributed plan pays 12 scheduled jobs at gate scale for
+# arithmetic over |docs| + B scalars. Bit-identical: hash64 is md5 (same
+# hex in hashlib), log is the same C libm ln the oracle calls, and the
+# fold order (ascending bucket) matches both engines.
+_DSIR_DRIVER_INPUT_BYTES = 16 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _py_hash64(s: str, seed: int = 0) -> int:
+    """Driver twin of functions.hashing.hash64: md5 over UTF-8, first 15
+    hex chars as a 60-bit integer."""
+    import hashlib
+
+    if seed:
+        s = f"{seed}|{s}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _round6(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
 
 def _features(text_col: str):
     """Word unigrams + bigrams of the pipeline tokenization, as one array.
@@ -139,6 +174,76 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame, n_buckets: int = 8192,
     return _ratios_from_counts(rc, tc, n_buckets, smoothing)
 
 
+def _dsir_resample_driver(raw: DataFrame, target: DataFrame, n_keep: int,
+                          n_buckets: int, id_col: str, text_col: str,
+                          a: int, seed: int) -> DataFrame:
+    """dsir_resample off ONE tagged-union collect (see _DSIR_DRIVER_
+    INPUT_BYTES): tag 0 = per-raw-doc (bucket, count) arrays, tag 1 =
+    target bucket counts packed into one array row, tag 2 = every raw id
+    (column-pruned scan — zero-token docs must still compete on Gumbel
+    noise). The heavy tokenize/bigram/md5 work stays distributed inside
+    the collect; ratios, sorted fold, Gumbel and top-n replicate the
+    Column plan op-for-op on the driver."""
+    from collections import Counter
+
+    spark = raw.sparkSession
+    idt = dict(raw.dtypes)[id_col]
+    # tag 0: MAP-ONLY per-doc bucket arrays (zero-token docs -> []), so
+    # every raw id arrives in this one branch; tag 1: target counts
+    # packed into one array row (the only shuffle inside the collect)
+    per_doc_arr = spread_small_input(raw).select(
+        F.lit(0).alias("_t"), F.col(id_col).alias("id"),
+        F.transform(_features(text_col),
+                    lambda f: F.pmod(hash64(f, seed=seed),
+                                     F.lit(n_buckets))).alias("_bs"))
+    tgt_arr = (
+        _bucket_counts(target, text_col, n_buckets, seed)
+        .agg(F.collect_list(F.struct(
+            F.col("_b"), F.col("_cnt").alias("_c"))).alias("_ps"))
+        .select(F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
+                # flat [b0, c0, b1, c1, ...] so both branches are
+                # array<bigint> for the union
+                F.flatten(F.transform("_ps", lambda p: F.array(
+                    p["_b"], p["_c"]))).alias("_bs")))
+    rows = per_doc_arr.unionByName(tgt_arr).collect()
+    t_counts: dict = {}
+    per_doc: dict = {}
+    all_ids: list = []
+    r_counts: Counter = Counter()
+    for r in rows:
+        if r["_t"] == 0:
+            c = Counter(r["_bs"])
+            per_doc[r["id"]] = c
+            all_ids.append(r["id"])
+            r_counts.update(c)
+        else:
+            flat = r["_bs"] or []
+            for k in range(0, len(flat), 2):
+                t_counts[int(flat[k])] = int(flat[k + 1])
+    if sum(r_counts.values()) == 0 or sum(t_counts.values()) == 0:
+        raise ValueError("raw and target corpora must both contain tokens")
+    r_den = float(sum(r_counts.values()) + a * n_buckets)
+    t_den = float(sum(t_counts.values()) + a * n_buckets)
+    lr = [math.log((t_counts.get(b, 0) + a) / t_den)
+          - math.log((r_counts.get(b, 0) + a) / r_den)
+          for b in range(n_buckets)]
+    scored = []
+    for rid in all_ids:
+        lw = 0.0
+        for b, c in sorted(per_doc[rid].items()):
+            lw = lw + (float(c) * lr[b])
+        u = (_py_hash64(str(rid), seed=seed + 1) + 1) / _DENOM_U
+        g = lw - math.log(-math.log(u))
+        scored.append((rid, lw, g))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    out = [(rid, _round6(lw), _round6(g))
+           for rid, lw, g in scored[:n_keep]]
+    schema = f"id {idt}, log_weight_r double, gumbel_key_r double"
+    if not out:
+        return spark.createDataFrame([], schema)
+    return local_df(spark, out, schema)
+
+
 def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
                   n_buckets: int = 8192, id_col: str = "id",
                   text_col: str = "text", smoothing: int = 1,
@@ -156,6 +261,11 @@ def dsir_resample(raw: DataFrame, target: DataFrame, n_keep: int,
         raise ValueError("smoothing must be >= 1")
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    if (not raw.isStreaming and not target.isStreaming
+            and _plan_size_bytes(raw) <= _DSIR_DRIVER_INPUT_BYTES
+            and _plan_size_bytes(target) <= _DSIR_DRIVER_INPUT_BYTES):
+        return _dsir_resample_driver(raw, target, n_keep, n_buckets,
+                                     id_col, text_col, int(smoothing), seed)
     # spread BEFORE the feature projection: the md5-heavy
     # tokenize+bigram+hash explode otherwise runs on however few splits
     # the input arrived in (one task for the single-file sf fixtures —

@@ -905,7 +905,13 @@ def _decon_test_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edited = docs.filter(F.col("doc_id") % 103 == 0).select(
         (F.col("doc_id") + 600000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" held out eval")).alias("text"))
-    fresh = spark.createDataFrame(
+    # local_df, not createDataFrame: a LogicalRDD reports UNKNOWN size
+    # (Long.Max), which would veto the dedup driver regime for the whole
+    # union; a LocalRelation has exact (tiny) stats. Same single row.
+    from flouds_vectordb_spark.functions.local import local_df
+
+    fresh = local_df(
+        spark,
         [(700000, "completely unrelated benchmark question nothing here")],
         "doc_id bigint, text string")
     return exact.unionByName(edited).unionByName(fresh)

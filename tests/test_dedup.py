@@ -777,3 +777,39 @@ def test_ngram_driver_regime_equals_distributed(parquet_docs, monkeypatch):
             parquet_docs, jaccard_threshold=thr).collect()))
         monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", 16 << 20)
         assert drv == dist and drv, thr
+
+
+def test_simhash_driver_regime_equals_distributed(parquet_docs, monkeypatch):
+    import flouds_vectordb_spark.operators.dedup as dd
+    from flouds_vectordb_spark.operators.dedup import dedup_simhash
+
+    drv = sorted(map(tuple, dedup_simhash(parquet_docs,
+                                          max_hamming=6).collect()))
+    monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
+    dist = sorted(map(tuple, dedup_simhash(parquet_docs,
+                                           max_hamming=6).collect()))
+    assert drv == dist and drv
+
+
+def test_decon_neardup_driver_regime_equals_distributed(spark, tmp_path,
+                                                        monkeypatch):
+    import flouds_vectordb_spark.operators.dedup as dd
+    from flouds_vectordb_spark.operators.dedup import decontaminate_neardup
+
+    tr_rows = [(i, f"train doc {i} about shared topic {i % 6} words")
+               for i in range(50)]
+    te_rows = [(100 + k, f"train doc {k * 6} about shared topic 0 words")
+               for k in range(4)]
+    te_rows.append((999, "nothing matching at all here"))
+    tr_pq, te_pq = str(tmp_path / "tr.parquet"), str(tmp_path / "te.parquet")
+    spark.createDataFrame(tr_rows, "id long, text string").write.parquet(tr_pq)
+    spark.createDataFrame(te_rows, "id long, text string").write.parquet(te_pq)
+    tr, te = spark.read.parquet(tr_pq), spark.read.parquet(te_pq)
+    for thr in (0.3, 0.8):
+        drv = sorted(map(tuple, decontaminate_neardup(
+            tr, te, jaccard_threshold=thr).collect()))
+        monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
+        dist = sorted(map(tuple, decontaminate_neardup(
+            tr, te, jaccard_threshold=thr).collect()))
+        monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", 16 << 20)
+        assert drv == dist and drv, thr

@@ -121,3 +121,26 @@ def test_persist_scope_releases_bm25_drop_ratio_intermediates(spark):
         assert len(tracked) >= 1
     assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk)
                for df in tracked)
+
+
+def test_dsir_driver_regime_equals_distributed(spark, tmp_path, monkeypatch):
+    """r13: the one-collect driver resample must reproduce the distributed
+    plan row-for-row (weights, Gumbel keys, selection order)."""
+    import flouds_vectordb_spark.operators.importance as imp
+    from flouds_vectordb_spark.operators.importance import dsir_resample
+
+    raw_rows = [(i, f"common words plus topic {i % 9} specific terms {i}")
+                for i in range(120)]
+    raw_rows.append((900, ""))  # zero-token doc competes on noise alone
+    tgt_rows = [(1000 + k, "common words plus topic 3 specific terms")
+                for k in range(10)]
+    rp, tp = str(tmp_path / "raw.parquet"), str(tmp_path / "tgt.parquet")
+    spark.createDataFrame(raw_rows, "id long, text string").write.parquet(rp)
+    spark.createDataFrame(tgt_rows, "id long, text string").write.parquet(tp)
+    raw, tgt = spark.read.parquet(rp), spark.read.parquet(tp)
+    drv = sorted(map(tuple, dsir_resample(
+        raw, tgt, n_keep=25, n_buckets=512, seed=7).collect()))
+    monkeypatch.setattr(imp, "_DSIR_DRIVER_INPUT_BYTES", -1)
+    dist = sorted(map(tuple, dsir_resample(
+        raw, tgt, n_keep=25, n_buckets=512, seed=7).collect()))
+    assert drv == dist and len(drv) == 25
