@@ -57,6 +57,24 @@ def persist_epoch() -> int:
     return _PERSIST_COUNT[0]
 
 
+# plan-cache veto (r13): some operators now compute their CANDIDATE SET
+# driver-side with zero Spark jobs (the HNSW driver beam) and embed the
+# result as a LocalRelation in the returned plan. Re-collecting such a
+# cached plan would NOT re-run the search — that is result caching, which
+# the bench contract forbids. Operators call veto_plan_cache() while
+# building such a frame; queries._memoized treats a veto like a persist:
+# the build is never cached, so every bench pass re-runs the live search.
+_VETO_COUNT = [0]
+
+
+def veto_plan_cache() -> None:
+    _VETO_COUNT[0] += 1
+
+
+def veto_epoch() -> int:
+    return _VETO_COUNT[0]
+
+
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() that registers with the innermost active persist_scope
     on THIS thread (no-op registration when no scope is active).

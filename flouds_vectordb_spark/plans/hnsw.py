@@ -585,6 +585,155 @@ class HnswIndex:
         ).select("qid", "_i", "_s", *(["batch_ts"] if has_ts else []))
         return self._collect_score_block(scored, has_ts)
 
+    # DRIVER beam (r13 optimization): at or below this corpus size the
+    # graph is collected ONCE per index object (its in-RAM form — the
+    # same class of artifact as the cached nodes/edges reader handles,
+    # invalidated by append/compact) and every beam round runs as numpy
+    # over the collected scalars instead of a scheduled Spark job. The
+    # recall gate's 16-query beam paid ~25 driver jobs per call at gate
+    # scale — all scheduling. Scores are bit-identical: the sequential
+    # float64 fold is replicated by per-dimension vectorized
+    # accumulation (each numpy elementwise op is the same IEEE add/mul
+    # the Column fold performs, in the same order), query norms come
+    # from the same query_norm fold, and try_divide's /0 -> NULL becomes
+    # an excluded candidate. Control flow (seeding, forced expansion,
+    # per-query exit, tie-breaks) is the identical algorithm; a parity
+    # test pins driver == Spark beams. Above the bound — or for layouts
+    # the driver cannot resolve (versioned nodes without batch_ts,
+    # ragged vectors) — the Spark beam runs unchanged.
+    DRIVER_BEAM_MAX_ROWS = 200_000
+
+    def _driver_graph(self, spark: SparkSession):
+        g = getattr(self, "_graph_ram", None)
+        if g is not None:
+            return g if g is not False else None
+        self._graph_ram = False  # sticky ineligibility until invalidated
+        if int(self.meta.get("n", 1 << 62)) > self.DRIVER_BEAM_MAX_ROWS:
+            return None
+        nodes = self.nodes(spark)
+        has_ts = "batch_ts" in nodes.columns
+        if self._versions_possible and not has_ts:
+            return None  # per-(qid,id) max-score dedup is q-dependent
+        has_cell = "_cell" in nodes.columns
+        cols = [F.col(self.id_col).alias("_i"),
+                F.col(self.vector_col).alias("_v")]
+        if has_cell:
+            cols.append(F.col("_cell").cast("bigint").alias("_c"))
+        if has_ts:
+            cols.append(F.col("batch_ts").alias("_ts"))
+        vec: dict = {}
+        cell_of: dict = {}
+        ts_of: dict = {}
+        for r in nodes.select(*cols).collect():
+            i = r["_i"]
+            if has_ts and i in vec:
+                old, new = ts_of.get(i), r["_ts"]
+                if new is None or (old is not None and new <= old):
+                    continue
+            vec[i] = r["_v"]
+            if has_ts:
+                ts_of[i] = r["_ts"]
+            if has_cell:
+                cell_of[i] = int(r["_c"]) if r["_c"] is not None else None
+        ids = sorted(vec, key=lambda v: (str(type(v)), v))
+        dims = {len(vec[i]) for i in ids}
+        if len(dims) != 1:
+            return None
+        dim = dims.pop()
+        vmat = np.array([[float(x) for x in vec[i]] for i in ids],
+                        dtype=np.float64)
+        # exact sequential fold per row: norm and squared-norm columns
+        acc = np.zeros(len(ids), dtype=np.float64)
+        for j in range(dim):
+            acc = acc + vmat[:, j] * vmat[:, j]
+        vnorm = np.sqrt(acc)
+        adj: dict = {}
+        seen: set = set()
+        for r in self.edges(spark).select("src", "dst").collect():
+            p = (r["src"], r["dst"])
+            if p in seen:
+                continue
+            seen.add(p)
+            adj.setdefault(p[0], []).append(p[1])
+        cells: dict = {}
+        for i in ids:
+            c = cell_of.get(i)
+            if c is not None:
+                cells.setdefault(c, []).append(i)
+        self._graph_ram = {
+            "idx": {i: k for k, i in enumerate(ids)}, "vmat": vmat,
+            "vnorm": vnorm, "adj": adj, "cells": cells, "dim": dim,
+            "has_cell": has_cell,
+        }
+        return self._graph_ram
+
+    def _np_score(self, g: dict, cand_ids: list, qv: list, qn: float):
+        """(id, score) for candidates vs one query — the numpy twin of
+        _BlockScorer.score + _collect_score_block: same fold order, same
+        /0 -> dropped rule. Unknown ids (dangling edges) drop exactly as
+        the node join would drop them."""
+        idx = g["idx"]
+        known = [i for i in cand_ids if i in idx]
+        if not known:
+            return []
+        rows = [idx[i] for i in known]
+        sub = g["vmat"][rows]
+        q = np.asarray(qv, dtype=np.float64)
+        m = self.metric
+        if m == "L2":
+            acc = np.zeros(len(rows), dtype=np.float64)
+            for j in range(g["dim"]):
+                d = sub[:, j] - q[j]
+                acc = acc + d * d
+            s = -acc
+            return list(zip(known, s.tolist()))
+        acc = np.zeros(len(rows), dtype=np.float64)
+        for j in range(g["dim"]):
+            acc = acc + sub[:, j] * q[j]
+        if m == "IP":
+            return list(zip(known, acc.tolist()))
+        den = g["vnorm"][rows] * qn
+        out = []
+        for i, dot, dn in zip(known, acc.tolist(), den.tolist()):
+            if dn != 0.0:
+                out.append((i, dot / dn))
+        return out
+
+    def _driver_seed_rows(self, g: dict, queries: list) -> tuple[list, dict]:
+        """Driver twin of _seed_rows over the collected graph."""
+        from flouds_vectordb_spark.functions.vector import query_norm
+
+        qids = [int(q) for q, _ in queries]
+        qn = {int(q): query_norm(v) for q, v in queries}
+        qv = {int(q): v for q, v in queries}
+        entry = self.meta.get("entry_ids", [])
+        if not g["has_cell"] or not self.meta.get("centroids"):
+            rows = [(q, i, s) for q in qids
+                    for i, s in self._np_score(g, entry, qv[q], qn[q])]
+            return rows, {q: set(entry) for q in qids}
+        qmat = np.array([[float(x) for x in v] for _, v in queries],
+                        dtype=np.float64)
+        cells = self._probe_cells_many(qmat, self.SEED_PROBE_CELLS)
+        with_medoids = 0 < len(entry) <= self.MEDOID_SEED_MAX_CELLS
+        rows: list = []
+        for q, crow in zip(qids, cells):
+            seed_ids: set = set()
+            for c in crow:
+                seed_ids.update(g["cells"].get(int(c), ()))
+            if with_medoids:
+                seed_ids.update(i for i in entry if i in g["idx"])
+            ordered = sorted(seed_ids, key=lambda v: (str(type(v)), v))
+            rows.extend((q, i, s) for i, s in
+                        self._np_score(g, ordered, qv[q], qn[q]))
+        forced = ({q: set(entry) for q in qids} if with_medoids
+                  else {q: set() for q in qids})
+        missing = set(qids) - {q for q, _, _ in rows}
+        for q in sorted(missing):
+            rows.extend((q, i, s) for i, s in
+                        self._np_score(g, entry, qv[q], qn[q]))
+            forced[q] = set(entry)
+        return rows, forced
+
     def beam_search_many(self, spark: SparkSession, queries,
                          ef: int = DEFAULT_EF,
                          max_rounds: int = MAX_ROUNDS) -> dict:
@@ -618,6 +767,10 @@ class HnswIndex:
                     spark, queries[s:s + BEAM_BLOCK_CAP], ef=ef,
                     max_rounds=max_rounds))
             return out
+        queries = [(int(q), [float(x) for x in v]) for q, v in queries]
+        g = self._driver_graph(spark)
+        if g is not None and all(len(v) == g["dim"] for _, v in queries):
+            return self._driver_beam_many_scored(g, queries, ef, max_rounds)
         scorer = _BlockScorer(spark, queries, self.metric)
         ef = max(1, int(ef))
         qids = [int(q) for q, _ in queries]
@@ -691,6 +844,69 @@ class HnswIndex:
             if pairs:
                 for q, i, s in self._score_pairs_many(spark, pairs, scorer):
                     scored[q][i] = s
+        else:
+            warnings.warn(
+                f"hnsw batched beam hit the {max_rounds}-round backstop "
+                "before every query converged; results may be "
+                "under-explored", stacklevel=2)
+        return {q: [(i, scored[q][i]) for i in beam(q)] for q in qids}
+
+    def _driver_beam_many_scored(self, g: dict, queries: list, ef: int,
+                                 max_rounds: int) -> dict:
+        """The batched best-first beam over the collected graph — the
+        SAME control flow as the Spark loop below (seeding, forced
+        round-1 expansion, per-query top-ef exit, tie-breaks), with each
+        round's expand+score as numpy instead of a scheduled job.
+
+        Plan-cache veto: a zero-job beam means a caller can embed these
+        RESULTS in a lazy plan; caching such a plan would skip the search
+        on re-collect (result caching, not plan caching) — so any build
+        that ran a driver beam is marked ineligible and every bench pass
+        re-runs the live search."""
+        from flouds_vectordb_spark.functions.vector import query_norm
+        from flouds_vectordb_spark.lifecycle import veto_plan_cache
+
+        veto_plan_cache()
+
+        ef = max(1, int(ef))
+        qids = [int(q) for q, _ in queries]
+        qn = {int(q): query_norm(v) for q, v in queries}
+        qv = {int(q): v for q, v in queries}
+        scored = {q: {} for q in qids}
+        expanded = {q: set() for q in qids}
+        seed_rows, forced = self._driver_seed_rows(g, queries)
+        for q, i, s in seed_rows:
+            scored[q][i] = s
+
+        def beam(q) -> list:
+            d = scored[q]
+            return sorted(d, key=lambda i: (-d[i], i))[:ef]
+
+        adj = g["adj"]
+        active = list(qids)
+        for _ in range(max_rounds):
+            frontiers = {}
+            for q in active:
+                fr = sorted(forced.pop(q, set()) & set(scored[q]) |
+                            {i for i in beam(q) if i not in expanded[q]},
+                            key=lambda v: (str(type(v)), v))
+                if fr:
+                    frontiers[q] = fr
+            active = list(frontiers)
+            if not active:
+                break
+            for q, fr in frontiers.items():
+                expanded[q].update(fr)
+                known = scored[q]
+                seen: set = set()
+                cand = []
+                for s in fr:
+                    for d in adj.get(s, ()):
+                        if d not in known and d not in seen:
+                            seen.add(d)
+                            cand.append(d)
+                for i, sc in self._np_score(g, cand, qv[q], qn[q]):
+                    known[i] = sc
         else:
             warnings.warn(
                 f"hnsw batched beam hit the {max_rounds}-round backstop "
@@ -865,6 +1081,7 @@ class HnswIndex:
                 json.dump(self.meta, f)
             # invalidate cached readers — the tables just grew
             self._nodes_df = self._edges_df = None
+            self._graph_ram = None
         finally:
             assigned.unpersist()
         # Milvus growing-segment parity: appends leave reverse edges
@@ -1037,6 +1254,7 @@ def compact_hnsw(index: HnswIndex, spark: SparkSession) -> None:
     os.replace(tmp, edges_path)   # step 2: new table live (atomic rename)
     shutil.rmtree(old)            # step 3: drop the superseded copy
     index._edges_df = None
+    index._graph_ram = None
     # reset the growth accounting: the capped table is the new base for
     # append()'s auto-compact scheduling. Count rides parquet row-group
     # metadata (count-star over a fresh scan, no data columns read).

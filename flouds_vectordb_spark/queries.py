@@ -184,7 +184,7 @@ _tables._INVALIDATION_HOOKS.append(_PLAN_CACHE.clear)
 
 
 def _memoized(name: str, q):
-    from flouds_vectordb_spark.lifecycle import persist_epoch
+    from flouds_vectordb_spark.lifecycle import persist_epoch, veto_epoch
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -195,10 +195,11 @@ def _memoized(name: str, q):
         ids = st.getJobIdsForGroup() or []
         before = max(ids) if ids else -1
         pe = persist_epoch()
+        ve = veto_epoch()
         df = q(spark, sf_dir)
         ids = st.getJobIdsForGroup() or []
         after = max(ids) if ids else -1
-        if after == before and persist_epoch() == pe:
+        if after == before and persist_epoch() == pe and veto_epoch() == ve:
             if len(_PLAN_CACHE) > 4096:  # dead-session plans after restarts
                 _PLAN_CACHE.clear()
             _PLAN_CACHE[key] = df

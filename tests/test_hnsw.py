@@ -572,3 +572,19 @@ def test_batched_big_corpus_two_scan_rounds_match(spark, built, monkeypatch):
     monkeypatch.setattr(HnswIndex, "SMALL_CORPUS_ROWS", -1)
     big = open_hnsw(idx.path).beam_search_many(spark, queries, ef=16)
     assert small == big
+
+
+def test_driver_beam_matches_spark_beam_paths(spark, built, monkeypatch):
+    """r13: the collected-graph driver beam (new default at gate scale)
+    must produce the IDENTICAL scored beams — ids, exact float scores,
+    order — as both Spark round shapes (fused one-job and two-scan)."""
+    df, q, idx = built
+    queries = [(0, q), (1, [x * 1.01 for x in q]), (2, [-x for x in q])]
+    drv = idx.beam_search_many_scored(spark, queries, ef=16)
+    assert getattr(idx, "_graph_ram", None) not in (None, False)
+    monkeypatch.setattr(HnswIndex, "DRIVER_BEAM_MAX_ROWS", -1)
+    fused = open_hnsw(idx.path).beam_search_many_scored(spark, queries, ef=16)
+    monkeypatch.setattr(HnswIndex, "SMALL_CORPUS_ROWS", -1)
+    twoscan = open_hnsw(idx.path).beam_search_many_scored(spark, queries,
+                                                          ef=16)
+    assert drv == fused == twoscan
