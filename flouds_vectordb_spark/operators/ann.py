@@ -319,20 +319,27 @@ def similarity_join(
     left_id: str = "id",
     right_id: str = "id",
     vector_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(left_id, right_id, cosine_r) pairs across TWO collections with
     cosine >= tau — the LSH approxSimilarityJoin analogue: bucket both sides
     on the SAME seeded hyperplane signature, join buckets, verify exactly.
-    Shuffles only bucket-colliding rows; never the cross product."""
-    planes = srp_planes_from(left, vector_col, bits)
+    Shuffles only bucket-colliding rows; never the cross product.
+
+    dim (r13): pass the vector dimension when the caller knows it — it
+    skips srp_planes_from's one-row probe job, which makes the build pure
+    plan construction (plan-cache-eligible: the returned frame embeds
+    only expressions, never results). Signatures use the JVM-parsed
+    expression form (one parse instead of ~1600 py4j Column calls)."""
+    planes = (srp_planes(int(dim), bits) if dim
+              else srp_planes_from(left, vector_col, bits))
     # bucket entries carry (id, sig) SCALARS only — the vectors never ride
     # the bucket shuffle (at corpus scale that ships every embedding
     # through an exchange); they join back for the small candidate set,
     # the same late-materialization contract as the MinHash band join
-    lsig = left.select(F.col(left_id).alias("lid"),
-                       srp_signature(F.col(vector_col), planes).alias("sig"))
-    rsig = right.select(F.col(right_id).alias("rid"),
-                        srp_signature(F.col(vector_col), planes).alias("sig"))
+    sig_expr = srp_signature_expr(quote_ident(vector_col), planes)
+    lsig = left.select(F.col(left_id).alias("lid"), sig_expr.alias("sig"))
+    rsig = right.select(F.col(right_id).alias("rid"), sig_expr.alias("sig"))
     cand = lsig.join(rsig, "sig").select("lid", "rid")
     lvec = left.select(F.col(left_id).alias("lid"), F.col(vector_col).alias("lv"))
     rvec = right.select(F.col(right_id).alias("rid"), F.col(vector_col).alias("rv"))
@@ -376,15 +383,19 @@ def dedup_embedding_cosine(
     bits: int = 12,
     id_col: str = "id",
     vector_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine_r) pairs with cosine >= tau, found via signature
     buckets (radius 0) then verified exactly. Contract: detects pairs whose
-    signatures agree — always true for exact/near-exact duplicates."""
-    planes_df = srp_planes_from(df, vector_col, bits)
+    signatures agree — always true for exact/near-exact duplicates.
+    dim: see similarity_join (zero-job build when given)."""
+    planes_df = (srp_planes(int(dim), bits) if dim
+                 else srp_planes_from(df, vector_col, bits))
     # (id, sig) scalars only through the bucket self-join; vectors join
     # back for the candidate set (see similarity_join)
     sigd = df.select(F.col(id_col).alias("id"),
-                     srp_signature(F.col(vector_col), planes_df).alias("sig"))
+                     srp_signature_expr(quote_ident(vector_col),
+                                        planes_df).alias("sig"))
     a = sigd.select(F.col("id").alias("id_a"), "sig")
     b = sigd.select(F.col("id").alias("id_b"), "sig")
     cand = (a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))

@@ -1568,6 +1568,47 @@ def decontaminate(
     short-document copies are still caught."""
     t_text = test_text_col or text_col
     grams = lambda c, nn: F.array_distinct(shingles(tokenize(c), n=nn))  # noqa: E731
+    # DRIVER regime (r13): one tagged-union collect — map-only per-train
+    # (id, distinct gram hashes) arrays + the test side's distinct hash
+    # set packed into one row — and the membership count on the driver.
+    # Exact: matched_ngrams = |doc's distinct grams ∩ test set| is set
+    # arithmetic over the same hash64 values.
+    if _driver_regime(train) and _driver_regime(test):
+        from flouds_vectordb_spark.functions.local import local_df
+
+        gh_arr = lambda c, nn: F.transform(  # noqa: E731
+            grams(c, nn), lambda g: hash64(g))
+        idt = dict(train.dtypes)[id_col]
+        tr_arr = _spread(train).select(
+            F.lit(0).alias("_t"), F.col(id_col).alias("id"),
+            gh_arr(F.col(text_col), n).alias("_gs"))
+        te_arr = (
+            test.select(F.explode(gh_arr(F.col(t_text), n)).alias("_gh"))
+            .distinct().agg(F.collect_list("_gh").alias("_gs"))
+            .select(F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
+                    "_gs"))
+        te_set: set = set()
+        by_id: dict = {}  # duplicate train ids merge like the groupBy
+        for r in tr_arr.unionByName(te_arr).collect():
+            if r["_t"] == 0:
+                s = by_id.get(r["id"])
+                if s is None:
+                    by_id[r["id"]] = set(r["_gs"])
+                else:
+                    s.update(r["_gs"])
+            else:
+                te_set = set(r["_gs"] or ())
+        out = []
+        mm = int(min_matches)
+        for rid, gs in by_id.items():
+            m = len(gs & te_set)
+            if m >= mm:
+                out.append((rid, m))
+        out.sort()
+        schema = f"id {idt}, matched_ngrams bigint"
+        if not out:
+            return train.sparkSession.createDataFrame([], schema)
+        return local_df(train.sparkSession, out, schema)
     tr = (
         _spread(train)
         .select(F.col(id_col).alias("id"),

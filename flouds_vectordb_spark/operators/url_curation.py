@@ -204,8 +204,16 @@ def _rule_df(spark, rules) -> DataFrame:
         # transient session failure) the slot keys must NOT already match
         # (appId, rules), or a retry would return the stale DataFrame
         # left in slot[2] by a previous session.
-        built = spark.createDataFrame(
-            [(nm, k, a, b, c) for nm, k, a, b, c in rules],
+        # local_df (VALUES LocalRelation), not createDataFrame: a
+        # LogicalRDD re-runs a defaultParallelism-task scan stage inside
+        # EVERY per-depth broadcast build on every execution (~5 x 32
+        # empty tasks per pass at gate scale); a LocalRelation broadcasts
+        # straight from driver memory with no task stage. Parse cost is
+        # once per session (the slot caches the frame).
+        from flouds_vectordb_spark.functions.local import local_df
+
+        built = local_df(
+            spark, [(nm, k, a, b, c) for nm, k, a, b, c in rules],
             "nm string, nl int, rn boolean, rw boolean, re boolean")
         _RULE_DF_SLOT[0] = app
         _RULE_DF_SLOT[1] = rules

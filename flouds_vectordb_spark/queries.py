@@ -1072,6 +1072,7 @@ _EMBS_DUPS_SQL = (
 
 def _dedup_emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_cosine(_embs_with_dups(spark, sf_dir), tau=0.95,
+                                  dim=64,
                                   id_col="vec_id")
 
 
@@ -1639,7 +1640,8 @@ def _simjoin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.filter(F.col("vec_id") % 23 == 0)
         .withColumn("vec_id", F.col("vec_id") + F.lit(900000))
     )
-    return similarity_join(embs, probes, tau=0.95, left_id="vec_id", right_id="vec_id")
+    return similarity_join(embs, probes, tau=0.95, left_id="vec_id",
+                           right_id="vec_id", dim=64)
 
 
 _register("similarity_join_collections", _simjoin_q,

@@ -813,3 +813,22 @@ def test_decon_neardup_driver_regime_equals_distributed(spark, tmp_path,
             tr, te, jaccard_threshold=thr).collect()))
         monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", 16 << 20)
         assert drv == dist and drv, thr
+
+
+def test_decontaminate_driver_regime_equals_distributed(spark, tmp_path,
+                                                        monkeypatch):
+    import flouds_vectordb_spark.operators.dedup as dd
+    from flouds_vectordb_spark.operators.dedup import decontaminate
+
+    tr_rows = [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta")
+               for i in range(40)]
+    te_rows = [(100, "alpha beta gamma delta 7 epsilon zeta eta theta"),
+               (101, "nothing shared here at all today friends")]
+    tr_pq, te_pq = str(tmp_path / "tr.parquet"), str(tmp_path / "te.parquet")
+    spark.createDataFrame(tr_rows, "id long, text string").write.parquet(tr_pq)
+    spark.createDataFrame(te_rows, "id long, text string").write.parquet(te_pq)
+    tr, te = spark.read.parquet(tr_pq), spark.read.parquet(te_pq)
+    drv = sorted(map(tuple, decontaminate(tr, te, n=5).collect()))
+    monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
+    dist = sorted(map(tuple, decontaminate(tr, te, n=5).collect()))
+    assert drv == dist and drv
