@@ -62,3 +62,16 @@ def shingles_sql(tokens_expr: str, n: int = 3) -> str:
     )
     return (f"(CASE WHEN len({tokens_expr}) > 0 THEN {grams} "
             f"ELSE []::VARCHAR[] END)")
+
+
+def py_hash64(s: str, seed: int = 0) -> int:
+    """Driver-side twin of hash64: md5 over the UTF-8 bytes, first 15 hex
+    chars as a 60-bit integer — bit-identical to both engines' columns
+    (same hashlib md5, same truncation). Used by the r13 driver regimes
+    to hash the handful of strings they synthesize (band keys, Gumbel
+    ids) without a round trip through a Spark expression."""
+    import hashlib
+
+    if seed:
+        s = f"{seed}|{s}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

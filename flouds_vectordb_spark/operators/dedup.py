@@ -327,17 +327,49 @@ def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
 def _driver_minhash_rows(df: DataFrame, id_col: str, text_col: str,
                          n_sigs: int, n_bands: int,
                          shingle_n: int) -> list[tuple]:
-    """ONE collect: [(id, [band hashes], [verify-set hashes])] for every
-    doc with >= 1 shingle. Same Column expressions as _band_entries (the
-    signature table persists inside minhash_signatures, so the collect
-    computes tokenize/shingle/hash exactly once); the collected longs ARE
-    the values the distributed bucket join and verify join would ship."""
-    sigs = minhash_signatures(df, id_col, text_col, n_sigs, shingle_n) \
-        .filter(F.size("shingles") > 0)
-    combined = sigs.select(
-        "id", F.array(*_band_hash_cols(n_sigs, n_bands)).alias("_bands"),
-        _vset_col().alias("_vset"))
-    return [(r[0], r[1], r[2]) for r in combined.collect()]
+    """ONE map-only collect of [(id, [shingle hash64s])], then signatures,
+    band keys and verify sets on the driver: [(id, bands, vset)] for
+    every doc with >= 1 shingle.
+
+    Only the md5s stay in the JVM (codegen scan work); the n_sigs
+    permutation-min folds — interpreted higher-order lambdas at ~1 µs per
+    element, the measured bulk of the old collect — become vectorized
+    int64 arithmetic (exact: x*a+b stays under 2^63 for h32 < 2^32 and
+    the largest perm multiplier, and numpy's % matches both engines'
+    positive-operand mod), and the band keys hash the same decimal
+    rendering of the sig values through the same md5 (py_hash64)."""
+    import numpy as np
+
+    from flouds_vectordb_spark.functions.hashing import py_hash64
+
+    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), n=shingle_n))
+    raw = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(sh, lambda s: hash64(s)).alias("_h64")).collect()
+    docs = [(r[0], r[1]) for r in raw if r[1]]
+    if not docs:
+        return []
+    sizes = np.array([len(h) for _, h in docs], dtype=np.int64)
+    all_h = np.concatenate([np.asarray(h, dtype=np.int64) for _, h in docs])
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    h32 = all_h & 0xFFFFFFFF
+    sig_mat = np.empty((len(docs), n_sigs), dtype=np.int64)
+    for i in range(n_sigs):
+        a, b = _perm_params(i)
+        sig_mat[:, i] = np.minimum.reduceat(
+            (h32 * a + b) % MINHASH_PRIME, starts)
+    rows_per_band = n_sigs // n_bands
+    out = []
+    for k, (rid, h64) in enumerate(docs):
+        srow = sig_mat[k]
+        bands = [
+            py_hash64("|".join(str(int(srow[b * rows_per_band + r]))
+                               for r in range(rows_per_band)),
+                      seed=1000 + b)
+            for b in range(n_bands)
+        ]
+        out.append((rid, bands, sorted(set(h64))))
+    return out
 
 
 def _driver_minhash_edges(rows: list[tuple],
@@ -1903,6 +1935,50 @@ def exact_substring_spans(
     n = F.size("_toks")
     pos_seq = F.when(n >= kk, F.sequence(F.lit(1), n - F.lit(kk - 1))) \
         .otherwise(F.array().cast("array<int>"))
+    # DRIVER regime (r13): one map-only collect of per-doc positioned
+    # window-hash ARRAYS; the global duplicate count and the per-doc
+    # gap-stitch are integer arithmetic on the driver. Same hashes, same
+    # >= min_occurrences rule (global count, within-doc repeats included),
+    # same "new span when pos > prev + k" stitch.
+    if _driver_regime(df):
+        from collections import Counter
+
+        from flouds_vectordb_spark.functions.local import local_df
+
+        gh_arr = F.when(n >= kk, F.transform(
+            F.sequence(F.lit(1), n - F.lit(kk - 1)),
+            lambda i: hash64(F.array_join(F.slice(F.col("_toks"), i, kk),
+                                          " ")))).otherwise(
+            F.array().cast("array<bigint>"))
+        rows = d.select("id", gh_arr.alias("_ghs")).collect()
+        freq: Counter = Counter()
+        for r in rows:
+            freq.update(r["_ghs"])
+        mo = int(min_occurrences)
+        out = []
+        for r in rows:
+            prev = None
+            start = None
+            for p0, h in enumerate(r["_ghs"]):
+                if freq[h] < mo:
+                    continue
+                pos = p0 + 1
+                if prev is None or pos > prev + kk:
+                    if start is not None:
+                        out.append((r["id"], start, prev + kk - 1,
+                                    prev + kk - start))
+                    start = pos
+                prev = pos
+            if start is not None:
+                out.append((r["id"], start, prev + kk - 1,
+                            prev + kk - start))
+        out.sort()
+        idt = dict(df.dtypes)[id_col]
+        schema = (f"id {idt}, span_start int, span_end int, "
+                  f"span_tokens int")
+        if not out:
+            return df.sparkSession.createDataFrame([], schema)
+        return local_df(df.sparkSession, out, schema)
     grams = (
         d.select("id", "_toks", F.explode(pos_seq).alias("pos"))
         .select("id", "pos",

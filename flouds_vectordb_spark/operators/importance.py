@@ -62,14 +62,7 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
-def _py_hash64(s: str, seed: int = 0) -> int:
-    """Driver twin of functions.hashing.hash64: md5 over UTF-8, first 15
-    hex chars as a 60-bit integer."""
-    import hashlib
-
-    if seed:
-        s = f"{seed}|{s}"
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+from flouds_vectordb_spark.functions.hashing import py_hash64 as _py_hash64
 
 
 def _round6(x: float) -> float:

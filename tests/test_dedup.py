@@ -832,3 +832,22 @@ def test_decontaminate_driver_regime_equals_distributed(spark, tmp_path,
     monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
     dist = sorted(map(tuple, decontaminate(tr, te, n=5).collect()))
     assert drv == dist and drv
+
+
+def test_substring_spans_driver_regime_equals_distributed(spark, tmp_path,
+                                                          monkeypatch):
+    import flouds_vectordb_spark.operators.dedup as dd
+    from flouds_vectordb_spark.operators.dedup import exact_substring_spans
+
+    boiler = " ".join(f"tok{j}" for j in range(25))
+    rows = [(i, f"unique head {i} " + (boiler if i % 3 == 0 else
+                                       f"own body {i} words here") +
+             f" tail {i}") for i in range(30)]
+    rows.append((99, boiler + " " + boiler))  # within-doc repeat
+    pq = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "id long, text string").write.parquet(pq)
+    df = spark.read.parquet(pq)
+    drv = sorted(map(tuple, exact_substring_spans(df, k=20).collect()))
+    monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
+    dist = sorted(map(tuple, exact_substring_spans(df, k=20).collect()))
+    assert drv == dist and drv
