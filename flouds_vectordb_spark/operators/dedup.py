@@ -338,15 +338,24 @@ def _driver_minhash_rows(df: DataFrame, id_col: str, text_col: str,
     the largest perm multiplier, and numpy's % matches both engines'
     positive-operand mod), and the band keys hash the same decimal
     rendering of the sig values through the same md5 (py_hash64)."""
-    import numpy as np
-
-    from flouds_vectordb_spark.functions.hashing import py_hash64
-
     sh = F.array_distinct(shingles(tokenize(F.col(text_col)), n=shingle_n))
     raw = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(sh, lambda s: hash64(s)).alias("_h64")).collect()
-    docs = [(r[0], r[1]) for r in raw if r[1]]
+    return _minhash_rows_from_h64([(r[0], r[1]) for r in raw],
+                                  n_sigs, n_bands)
+
+
+def _minhash_rows_from_h64(raw: list[tuple], n_sigs: int,
+                           n_bands: int) -> list[tuple]:
+    """(id, bands, vset) from collected (id, [shingle hash64s]) rows —
+    the numpy half of _driver_minhash_rows, shared with the bipartite
+    decontamination collect."""
+    import numpy as np
+
+    from flouds_vectordb_spark.functions.hashing import py_hash64
+
+    docs = [(rid, h) for rid, h in raw if h]
     if not docs:
         return []
     sizes = np.array([len(h) for _, h in docs], dtype=np.int64)
@@ -1480,18 +1489,37 @@ def dedup_simhash(df: DataFrame, id_col: str = "id", text_col: str = "text",
     if _driver_regime(df):
         from collections import defaultdict
 
+        import numpy as np
+
         from flouds_vectordb_spark.functions.local import local_df
 
+        # collect per-token hashes only (map-only md5 scan); the 60
+        # per-bit majority votes — 14.5M interpreted lambda evals at
+        # gate scale in the Column form — are vectorized bit arithmetic
+        # here (same integers: vote = popcount per bit position over the
+        # same hash64 values, bit set iff 2*votes > token count)
         srows = _spread(df).select(
             F.col(id_col).alias("id"),
-            simhash_from_hashes(
-                F.transform(tokenize(F.col(text_col)),
-                            lambda t: hash64(t))).alias("simhash")
-        ).collect()
-        buckets: dict = defaultdict(list)
+            F.transform(tokenize(F.col(text_col)),
+                        lambda t: hash64(t)).alias("_th")).collect()
         fp: dict = {}
-        for rid, sh in srows:
-            fp[rid] = sh
+        nonempty = [(r[0], r[1]) for r in srows if r[1]]
+        for rid, _ in srows:
+            fp.setdefault(rid, 0)  # zero-token docs: all votes 0 -> fp 0
+        if nonempty:
+            sizes = np.array([len(h) for _, h in nonempty], dtype=np.int64)
+            all_h = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for _, h in nonempty])
+            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            fps = np.zeros(len(nonempty), dtype=np.int64)
+            for b in range(_SIMHASH_NBITS):
+                votes = np.add.reduceat((all_h >> b) & 1, starts)
+                fps |= np.where(votes * 2 > sizes, np.int64(1) << b,
+                                np.int64(0))
+            for (rid, _), v in zip(nonempty, fps.tolist()):
+                fp[rid] = int(v)
+        buckets: dict = defaultdict(list)
+        for rid, sh in fp.items():
             for b in range(SIMHASH_BANDS):
                 buckets[(b, (sh >> (16 * b)) & 0xFFFF)].append(rid)
         if sum(len(v) * (len(v) - 1) // 2 for v in buckets.values()) \
@@ -1701,20 +1729,21 @@ def _driver_decon_neardup(train, test, id_col, text_col, t_id, t_text,
     from flouds_vectordb_spark.functions.local import local_df
 
     def _side(df, idc, txc, tag):
-        sigs = minhash_signatures(df, idc, txc, n_sigs, shingle_n) \
-            .filter(F.size("shingles") > 0)
-        return sigs.select(
-            F.lit(tag).alias("_tag"), "id",
-            F.array(*_band_hash_cols(n_sigs, n_bands)).alias("_bands"),
-            _vset_col().alias("_vset"))
+        sh = F.array_distinct(shingles(tokenize(F.col(txc)), n=shingle_n))
+        return _spread(df).select(
+            F.lit(tag).alias("_tag"), F.col(idc).alias("id"),
+            F.transform(sh, lambda s: hash64(s)).alias("_h64"))
 
-    # ONE collect for both sides (a per-side collect costs a job each);
-    # mismatched id types cannot union — collect per side then
+    # ONE md5-only collect for both sides (a per-side collect costs a
+    # job each), signatures/bands via the shared numpy half; mismatched
+    # id types cannot union — collect per side then
     if dict(train.dtypes)[id_col] == dict(test.dtypes)[t_id]:
         both = _side(train, id_col, text_col, 0).unionByName(
             _side(test, t_id, t_text, 1)).collect()
-        tr_rows = [(r[1], r[2], r[3]) for r in both if r[0] == 0]
-        te_rows = [(r[1], r[2], r[3]) for r in both if r[0] == 1]
+        tr_rows = _minhash_rows_from_h64(
+            [(r[1], r[2]) for r in both if r[0] == 0], n_sigs, n_bands)
+        te_rows = _minhash_rows_from_h64(
+            [(r[1], r[2]) for r in both if r[0] == 1], n_sigs, n_bands)
     else:
         tr_rows = _driver_minhash_rows(train, id_col, text_col, n_sigs,
                                        n_bands, shingle_n)
