@@ -1320,6 +1320,24 @@ def dedup_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     with microseconds — a 1k-node near-dup graph otherwise spends ~all
     its time in Spark scheduling. Pass driver_threshold=0 to force the
     distributed loop (tests pin both paths to identical output)."""
+    # LocalRelation fast path (r13): the dedup driver regimes hand this
+    # operator a pair list that already lives in the plan as literals —
+    # the persist/count/symmetrize machinery below would spend 2-3
+    # scheduled jobs re-deriving what one trivial collect reads back.
+    # Union-find needs no symmetrized edges (union(a,b) is symmetric).
+    if driver_threshold > 0:
+        try:
+            is_local = (pairs._jdf.queryExecution().optimizedPlan()
+                        .getClass().getSimpleName() == "LocalRelation")
+        except Exception:
+            is_local = False
+        if is_local:
+            rows = [(r[0], r[1])
+                    for r in pairs.select(id_a, id_b).collect()]
+            if len(rows) <= driver_threshold:
+                id_type = dict(pairs.dtypes)[id_a]
+                return _driver_union_find(rows, id_type,
+                                          pairs.sparkSession)
     # persist the INPUT pair list before symmetrizing: the union's two
     # branches evaluate their child independently, so an unpersisted
     # upstream (e.g. the whole MinHash-LSH lineage) would run TWICE —
