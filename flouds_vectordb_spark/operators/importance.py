@@ -181,25 +181,21 @@ def _dsir_resample_driver(raw: DataFrame, target: DataFrame, n_keep: int,
 
     spark = raw.sparkSession
     idt = dict(raw.dtypes)[id_col]
-    # tag 0: MAP-ONLY per-doc bucket arrays (zero-token docs -> []), so
-    # every raw id arrives in this one branch; tag 1: target counts
-    # packed into one array row (the only shuffle inside the collect)
+    # Both branches are MAP-ONLY per-doc bucket arrays (zero-token docs
+    # -> [], so every raw id arrives in tag 0); the whole collect is one
+    # shuffle-free job and both sides' bucket counts are driver Counters
+    # over the same integers the groupBy would sum.
+    bs_arr = F.transform(_features(text_col),
+                         lambda f: F.pmod(hash64(f, seed=seed),
+                                          F.lit(n_buckets)))
     per_doc_arr = spread_small_input(raw).select(
         F.lit(0).alias("_t"), F.col(id_col).alias("id"),
-        F.transform(_features(text_col),
-                    lambda f: F.pmod(hash64(f, seed=seed),
-                                     F.lit(n_buckets))).alias("_bs"))
-    tgt_arr = (
-        _bucket_counts(target, text_col, n_buckets, seed)
-        .agg(F.collect_list(F.struct(
-            F.col("_b"), F.col("_cnt").alias("_c"))).alias("_ps"))
-        .select(F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
-                # flat [b0, c0, b1, c1, ...] so both branches are
-                # array<bigint> for the union
-                F.flatten(F.transform("_ps", lambda p: F.array(
-                    p["_b"], p["_c"]))).alias("_bs")))
+        bs_arr.alias("_bs"))
+    tgt_arr = spread_small_input(target).select(
+        F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
+        bs_arr.alias("_bs"))
     rows = per_doc_arr.unionByName(tgt_arr).collect()
-    t_counts: dict = {}
+    t_counts: Counter = Counter()
     per_doc: dict = {}
     all_ids: list = []
     r_counts: Counter = Counter()
@@ -210,9 +206,7 @@ def _dsir_resample_driver(raw: DataFrame, target: DataFrame, n_keep: int,
             all_ids.append(r["id"])
             r_counts.update(c)
         else:
-            flat = r["_bs"] or []
-            for k in range(0, len(flat), 2):
-                t_counts[int(flat[k])] = int(flat[k + 1])
+            t_counts.update(r["_bs"])
     if sum(r_counts.values()) == 0 or sum(t_counts.values()) == 0:
         raise ValueError("raw and target corpora must both contain tokens")
     r_den = float(sum(r_counts.values()) + a * n_buckets)
