@@ -76,6 +76,16 @@ _NEARDUP_CAND_BROADCAST_ROWS = 2_000_000
 _MINHASH_DRIVER_INPUT_BYTES = 16 << 20
 _MINHASH_DRIVER_MAX_CAND_PAIRS = 20_000_000
 
+# task width for the driver regimes' one hashing+fetch job (r14): the
+# pandas-UDF md5 pass is ~0.4 core-s at the 16 MB gate bound, so 8 tasks
+# keep every task >= 50 ms while full defaultParallelism width (32) pays
+# more per-task overhead than it parallelizes (guide §2.6; measured
+# 0.55 s vs 0.58 s at sf0.1, and the narrower shuffle is cheaper). The
+# spread itself remains a no-op at scale (inputs arrive in >= cores
+# splits), and spread_small_input caps at defaultParallelism for
+# low-core sessions.
+_DRIVER_COLLECT_SPREAD = 8
+
 
 def _round6(x: float) -> float:
     """Exactly Spark's round(col, 6) = BigDecimal(Double.toString(x))
@@ -327,57 +337,89 @@ def _band_entries(df: DataFrame, id_col: str, text_col: str, n_sigs: int,
 def _driver_minhash_rows(df: DataFrame, id_col: str, text_col: str,
                          n_sigs: int, n_bands: int,
                          shingle_n: int) -> list[tuple]:
-    """ONE map-only collect of [(id, [shingle hash64s])], then signatures,
-    band keys and verify sets on the driver: [(id, bands, vset)] for
-    every doc with >= 1 shingle.
+    """ONE map-only Arrow fetch of (id, [shingle hash64s]), then
+    signatures, band keys and verify sets on the driver: [(id, bands,
+    vset)] for every doc with >= 1 shingle.
 
-    Only the md5s stay in the JVM (codegen scan work); the n_sigs
-    permutation-min folds — interpreted higher-order lambdas at ~1 µs per
-    element, the measured bulk of the old collect — become vectorized
-    int64 arithmetic (exact: x*a+b stays under 2^63 for h32 < 2^32 and
-    the largest perm multiplier, and numpy's % matches both engines'
-    positive-operand mod), and the band keys hash the same decimal
-    rendering of the sig values through the same md5 (py_hash64)."""
-    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), n=shingle_n))
-    raw = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(sh, lambda s: hash64(s)).alias("_h64")).collect()
-    return _minhash_rows_from_h64([(r[0], r[1]) for r in raw],
-                                  n_sigs, n_bands)
+    r14 (guide §4.2/§4.3): the tokenize/shingle/md5 pipeline runs as a
+    pandas UDF (native hashlib md5 per batch) instead of interpreted JVM
+    HOF lambdas, the fetch is Arrow IPC (toArrow) instead of per-row
+    pickling, and the hash arrays land as ONE flat int64 ndarray that the
+    vectorized signature half consumes directly — measured 0.84 -> 0.58 s
+    per fetch at sf0.1 plus the eliminated per-element int conversion.
+    Exactness is pinned by tests/test_pyhash.py (bit-identical hashes on
+    a mixed-script corpus) and the regime-equivalence tests."""
+    from flouds_vectordb_spark.functions.pyhash import (
+        fetch_id_lists,
+        shingle_hash64_udf,
+    )
+
+    ids, values, offsets, _ = fetch_id_lists(
+        _spread(df, target=_DRIVER_COLLECT_SPREAD).select(
+            F.col(id_col).alias("id"),
+            shingle_hash64_udf(shingle_n)(F.col(text_col)).alias("_h64")))
+    return _minhash_rows_from_flat(ids, values, offsets, n_sigs, n_bands)
 
 
 def _minhash_rows_from_h64(raw: list[tuple], n_sigs: int,
                            n_bands: int) -> list[tuple]:
     """(id, bands, vset) from collected (id, [shingle hash64s]) rows —
-    the numpy half of _driver_minhash_rows, shared with the bipartite
-    decontamination collect."""
+    the list-of-rows wrapper over the flat-array core below."""
+    import numpy as np
+
+    ids = [rid for rid, _ in raw]
+    sizes = np.array([0 if h is None else len(h) for _, h in raw],
+                     dtype=np.int64)
+    nonempty = [np.asarray(h, dtype=np.int64) for _, h in raw if h]
+    values = (np.concatenate(nonempty) if nonempty
+              else np.empty(0, dtype=np.int64))
+    offsets = np.concatenate(([0], np.cumsum(sizes)))
+    return _minhash_rows_from_flat(ids, values, offsets, n_sigs, n_bands)
+
+
+def _minhash_rows_from_flat(ids, values, offsets, n_sigs: int,
+                            n_bands: int) -> list[tuple]:
+    """(id, bands, vset) from the flat (values, offsets) hash layout —
+    the numpy half shared by every minhash-family driver regime. Docs
+    with zero shingles are dropped (they never band — see _band_entries).
+    Exact: the permutation-min folds are int64 arithmetic with products
+    < 2^56 (no overflow), numpy's % matches both engines' positive-
+    operand mod, and the band keys hash the same decimal rendering of
+    the sig values through the same md5 (py_hash64)."""
     import numpy as np
 
     from flouds_vectordb_spark.functions.hashing import py_hash64
 
-    docs = [(rid, h) for rid, h in raw if h]
-    if not docs:
+    sizes = np.diff(offsets)
+    nz = sizes > 0
+    n_docs = int(nz.sum())
+    if n_docs == 0:
         return []
-    sizes = np.array([len(h) for _, h in docs], dtype=np.int64)
-    all_h = np.concatenate([np.asarray(h, dtype=np.int64) for _, h in docs])
-    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-    h32 = all_h & 0xFFFFFFFF
-    sig_mat = np.empty((len(docs), n_sigs), dtype=np.int64)
+    starts = offsets[:-1][nz]
+    h32 = values & 0xFFFFFFFF
+    sig_mat = np.empty((n_docs, n_sigs), dtype=np.int64)
     for i in range(n_sigs):
         a, b = _perm_params(i)
         sig_mat[:, i] = np.minimum.reduceat(
             (h32 * a + b) % MINHASH_PRIME, starts)
     rows_per_band = n_sigs // n_bands
+    sig_list = sig_mat.tolist()  # one bulk int64 -> int conversion
     out = []
-    for k, (rid, h64) in enumerate(docs):
-        srow = sig_mat[k]
+    k = 0
+    ends = offsets[1:]
+    for j, rid in enumerate(ids):
+        if not nz[j]:
+            continue
+        srow = sig_list[k]
         bands = [
-            py_hash64("|".join(str(int(srow[b * rows_per_band + r]))
+            py_hash64("|".join(str(srow[b * rows_per_band + r])
                                for r in range(rows_per_band)),
                       seed=1000 + b)
             for b in range(n_bands)
         ]
-        out.append((rid, bands, sorted(set(h64))))
+        vset = np.unique(values[offsets[j]:ends[j]]).tolist()
+        out.append((rid, bands, vset))
+        k += 1
     return out
 
 
@@ -391,13 +433,22 @@ def _driver_minhash_edges(rows: list[tuple],
     (id_a, id_b, jaccard_r) tuples, or None when the exact bucket
     pre-flight (Σ K·(K-1)/2) predicts more candidate pairs than the
     driver should enumerate — the caller falls back to the distributed
-    regimes, which share the same quadratic but spread it over tasks."""
+    regimes, which share the same quadratic but spread it over tasks.
+
+    UNIQUE-ID contract (r14, ADVICE): duplicate ids would collapse in
+    the vsets dict (the distributed plan keeps each row's own shingle
+    set and can emit one pair per row combination), so duplicate-id
+    inputs return None — the distributed plan adjudicates them. The
+    a == b skip below also drops the self-pair a positional i<j
+    enumeration would otherwise emit for two same-id rows."""
     from collections import defaultdict
 
     buckets: dict = defaultdict(list)
     vsets: dict = {}
     sizes: dict = {}
     for rid, bands, vset in rows:
+        if rid in vsets:  # duplicate ids: distributed semantics differ
+            return None
         vsets[rid] = frozenset(vset)
         sizes[rid] = len(vset)
         for bi, bh in enumerate(bands):
@@ -977,40 +1028,69 @@ def _shingle_hashes_sql(text_expr: str, shingle_n: int) -> str:
 _NGRAM_GUARD_MAX_PAIRS = 1_000_000_000
 
 
-def _driver_ngram_pairs(hrows, t: float, max_candidate_pairs: int,
+def _within_group_pairs(keys, n_items):
+    """(a_el, b_el): every (earlier, later) index pair within each run of
+    equal values in the SORTED array `keys` — the shared enumeration core
+    of the driver ngram regime (collision pairs, then prefix-candidate
+    pairs)."""
+    import numpy as np
+
+    grp_start = np.flatnonzero(
+        np.concatenate(([True], keys[1:] != keys[:-1])))
+    grp_sizes = np.diff(np.concatenate((grp_start, [n_items])))
+    eidx = np.arange(n_items, dtype=np.int64)
+    grp_end = np.repeat(grp_start + grp_sizes, grp_sizes)
+    reps = grp_end - eidx - 1
+    a_el = np.repeat(eidx, reps)
+    blk = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    b_el = np.arange(int(reps.sum()), dtype=np.int64) \
+        - np.repeat(blk, reps) + a_el + 1
+    return a_el, b_el
+
+
+def _driver_ngram_pairs(ids, values, offsets, t: float,
+                        max_candidate_pairs: int,
                         enforce_guard: bool) -> list[tuple] | None:
-    """Exact n-gram Jaccard pairs over collected (id, hset) rows, fully
-    vectorized: emit every within-hash-group doc pair once per shared
-    hash, so the pair's MULTIPLICITY (np.unique counts) IS the exact
-    intersection size — no per-pair set ops. Candidates are a superset
-    of the inverted-index plan's (every prefix collision is a collision)
-    and the operator is exact (output = all pairs with rounded J >= t,
-    which forces >= 1 shared hash), so the output is identical.
+    """Exact n-gram Jaccard pairs over the flat (id, hset) hash layout,
+    fully vectorized: emit every within-hash-group doc pair once per
+    shared hash, so the pair's MULTIPLICITY (np.unique counts) IS the
+    exact intersection size — no per-pair set ops.
+
+    CANDIDATE SHAPE == the distributed plan's (r14, ADVICE): a pair is a
+    candidate only when some shared hash lies in BOTH docs' prefixes AND
+    that collision passes the size-ratio and PPJoin positional bounds —
+    the same double arithmetic, same 1e-9 slack. (The r13 any-shared-hash
+    superset could, on a rounding knife edge — true J < t but
+    round6(J) >= t — emit a pair the inverted-index plan never sees.)
 
     enforce_guard mirrors the distributed pre-flight exactly (same
     prefix-frequency estimate, same error) — the caller passes
     max_candidate_pairs > 0 AND not _small_corpus(df), so small corpora
     never raise here either. Returns None (fall back to the distributed
-    plan) when total shared-hash pairs exceed the driver bound."""
+    plan) when total shared-hash pairs exceed the driver bound, or when
+    ids are not unique (the distributed plan keeps per-row sets and its
+    id_a < id_b filter drops same-id row pairs; see
+    _driver_minhash_edges)."""
     import numpy as np
 
-    n_docs = len(hrows)
-    ids = [r[0] for r in hrows]
+    n_docs = len(ids)
     if n_docs < 2:
         return []
-    sizes = np.array([len(r[1]) for r in hrows], dtype=np.int64)
+    if len(set(ids)) != n_docs:
+        return None
+    sizes = np.diff(offsets)
     nnz = int(sizes.sum())
     if nnz == 0:
         return []
-    hashes = np.concatenate(
-        [np.asarray(r[1], dtype=np.int64) for r in hrows if len(r[1])])
+    hashes = values
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
-    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    starts = offsets[:-1]
     pos = np.arange(nnz, dtype=np.int64) - np.repeat(starts, sizes)
     plen = sizes - np.ceil(t * sizes).astype(np.int64) + 1
     in_prefix = pos < plen[doc_idx]
     order = np.argsort(hashes, kind="stable")
-    hs, di, pf = hashes[order], doc_idx[order], in_prefix[order]
+    hs, di, pf, po = (hashes[order], doc_idx[order], in_prefix[order],
+                      pos[order])
     grp_start = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
     grp_sizes = np.diff(np.concatenate((grp_start, [nnz])))
     if enforce_guard:
@@ -1028,27 +1108,36 @@ def _driver_ngram_pairs(hrows, t: float, max_candidate_pairs: int,
     if int((grp_sizes * (grp_sizes - 1) // 2).sum()) \
             > _MINHASH_DRIVER_MAX_CAND_PAIRS:
         return None
-    # all (earlier, later) element pairs within each hash group
-    eidx = np.arange(nnz, dtype=np.int64)
-    grp_end = np.repeat(grp_start + grp_sizes, grp_sizes)
-    reps = grp_end - eidx - 1
-    a_el = np.repeat(eidx, reps)
-    blk = np.concatenate(([0], np.cumsum(reps)[:-1]))
-    b_el = np.arange(int(reps.sum()), dtype=np.int64) \
-        - np.repeat(blk, reps) + a_el + 1
+    # intersection sizes from ALL collision pairs (multiplicity trick)
+    a_el, b_el = _within_group_pairs(hs, nnz)
     ia, ib = di[a_el], di[b_el]
     lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
     keys, inter = np.unique(lo * n_docs + hi, return_counts=True)
-    ja, jb = keys // n_docs, keys % n_docs
+    # candidate keys from PREFIX collisions passing the distributed
+    # plan's size-ratio + positional filters (a pair survives if ANY of
+    # its prefix collisions passes — the dropDuplicates semantics)
+    pe = np.flatnonzero(pf)
+    pa_el, pb_el = _within_group_pairs(hs[pe], len(pe))
+    pia, pib = di[pe][pa_el], di[pe][pb_el]
+    ppa, ppb = po[pe][pa_el], po[pe][pb_el]
+    na, nb = sizes[pia], sizes[pib]
+    keep = (np.minimum(na, nb).astype(np.float64)
+            >= t * np.maximum(na, nb).astype(np.float64))
+    reach = 1 + np.minimum(na - ppa - 1, nb - ppb - 1)
+    alpha = (t / (1.0 + t)) * (na + nb).astype(np.float64)
+    keep &= reach.astype(np.float64) >= alpha - 1e-9
+    cand_keys = np.unique(
+        np.minimum(pia, pib)[keep] * n_docs + np.maximum(pia, pib)[keep])
+    is_cand = np.isin(keys, cand_keys, assume_unique=True)
     j = inter.astype(np.float64) \
-        / ((sizes[ja] + sizes[jb]).astype(np.float64)
+        / ((sizes[keys // n_docs] + sizes[keys % n_docs]).astype(np.float64)
            - inter.astype(np.float64))
     # conservative vector prefilter; exact scalar IEEE + HALF_UP on the
     # handful of survivors (same ops as the Column plan)
-    m = j >= (t - 1e-6)
+    m = is_cand & (j >= (t - 1e-6))
+    ja, jb = keys[m] // n_docs, keys[m] % n_docs
     out = []
-    for a_i, b_i, it in zip(ja[m].tolist(), jb[m].tolist(),
-                            inter[m].tolist()):
+    for a_i, b_i, it in zip(ja.tolist(), jb.tolist(), inter[m].tolist()):
         fa = float(it)
         un = float(int(sizes[a_i]) + int(sizes[b_i])) - fa
         jj = _round6(fa / un)
@@ -1106,13 +1195,18 @@ def dedup_ngram_jaccard(
     t = float(jaccard_threshold)
     if _driver_regime(df):
         from flouds_vectordb_spark.functions.local import local_df
+        from flouds_vectordb_spark.functions.pyhash import (
+            fetch_id_lists,
+            sorted_shingle_hash64_udf,
+        )
 
-        hrows = _spread(df).select(
-            F.col(id_col).alias("id"),
-            _shingle_hashes(F.col(text_col), shingle_n).alias("hset"),
-        ).collect()
+        ids, values, offsets, _ = fetch_id_lists(
+            _spread(df, target=_DRIVER_COLLECT_SPREAD).select(
+                F.col(id_col).alias("id"),
+                sorted_shingle_hash64_udf(shingle_n)(F.col(text_col))
+                .alias("hset")))
         out = _driver_ngram_pairs(
-            hrows, t, max_candidate_pairs,
+            ids, values, offsets, t, max_candidate_pairs,
             enforce_guard=(max_candidate_pairs > 0
                            and not _small_corpus(df)))
         if out is not None:
@@ -1510,54 +1604,68 @@ def dedup_simhash(df: DataFrame, id_col: str = "id", text_col: str = "text",
         import numpy as np
 
         from flouds_vectordb_spark.functions.local import local_df
+        from flouds_vectordb_spark.functions.pyhash import (
+            fetch_id_lists,
+            token_hash64_udf,
+        )
 
-        # collect per-token hashes only (map-only md5 scan); the 60
-        # per-bit majority votes — 14.5M interpreted lambda evals at
-        # gate scale in the Column form — are vectorized bit arithmetic
-        # here (same integers: vote = popcount per bit position over the
-        # same hash64 values, bit set iff 2*votes > token count)
-        srows = _spread(df).select(
-            F.col(id_col).alias("id"),
-            F.transform(tokenize(F.col(text_col)),
-                        lambda t: hash64(t)).alias("_th")).collect()
-        fp: dict = {}
-        nonempty = [(r[0], r[1]) for r in srows if r[1]]
-        for rid, _ in srows:
-            fp.setdefault(rid, 0)  # zero-token docs: all votes 0 -> fp 0
-        if nonempty:
-            sizes = np.array([len(h) for _, h in nonempty], dtype=np.int64)
-            all_h = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for _, h in nonempty])
-            starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-            fps = np.zeros(len(nonempty), dtype=np.int64)
-            for b in range(_SIMHASH_NBITS):
-                votes = np.add.reduceat((all_h >> b) & 1, starts)
-                fps |= np.where(votes * 2 > sizes, np.int64(1) << b,
-                                np.int64(0))
-            for (rid, _), v in zip(nonempty, fps.tolist()):
-                fp[rid] = int(v)
-        buckets: dict = defaultdict(list)
-        for rid, sh in fp.items():
-            for b in range(SIMHASH_BANDS):
-                buckets[(b, (sh >> (16 * b)) & 0xFFFF)].append(rid)
-        if sum(len(v) * (len(v) - 1) // 2 for v in buckets.values()) \
-                <= _MINHASH_DRIVER_MAX_CAND_PAIRS:
-            cand: set = set()
-            for ids in buckets.values():
-                if len(ids) < 2:
-                    continue
-                ids.sort()
-                for i, a in enumerate(ids):
-                    for b2 in ids[i + 1:]:
-                        cand.add((a, b2))
-            out = sorted(
-                (a, b2, h) for a, b2 in cand
-                if (h := bin(fp[a] ^ fp[b2]).count("1")) <= max_hamming)
-            idt = dict(df.dtypes)[id_col]
-            schema = f"id_a {idt}, id_b {idt}, hamming int"
-            if not out:
-                return df.sparkSession.createDataFrame([], schema)
-            return local_df(df.sparkSession, out, schema)
+        # ONE Arrow fetch of per-token hashes (pandas-UDF md5 — guide
+        # §4.2; see _driver_minhash_rows); the 60 per-bit majority votes
+        # — 14.5M interpreted lambda evals at gate scale in the Column
+        # form — are vectorized bit arithmetic here (same integers:
+        # vote = popcount per bit position over the same hash64 values,
+        # bit set iff 2*votes > token count)
+        rids, all_h, offsets, valid = fetch_id_lists(
+            _spread(df, target=_DRIVER_COLLECT_SPREAD).select(
+                F.col(id_col).alias("id"),
+                token_hash64_udf()(F.col(text_col)).alias("_th")))
+        # NULL-text rows (NULL token-hash array) produce a NULL simhash
+        # in the distributed plan, whose band_val never equi-joins — drop
+        # them here instead of defaulting to fp 0 (r14, ADVICE). Rows
+        # with ZERO tokens keep fp 0 legitimately (aggregate([]) = 0).
+        if valid is not None:
+            rids = [r for r, v in zip(rids, valid) if v]
+            keep = np.repeat(valid, np.diff(offsets))
+            all_h = all_h[keep]
+            offsets = np.concatenate(
+                ([0], np.cumsum(np.diff(offsets)[valid])))
+        # duplicate ids collapse in the fp dict (the distributed plan
+        # keeps each row's own fingerprint) — fall back (ADVICE)
+        if len(set(rids)) == len(rids):
+            sizes = np.diff(offsets)
+            starts = offsets[:-1]
+            fps = np.zeros(len(rids), dtype=np.int64)
+            if len(all_h):
+                for b in range(_SIMHASH_NBITS):
+                    votes = np.zeros(len(rids), dtype=np.int64)
+                    nz = sizes > 0
+                    votes[nz] = np.add.reduceat(
+                        (all_h >> b) & 1, starts[nz])
+                    fps |= np.where(votes * 2 > sizes, np.int64(1) << b,
+                                    np.int64(0))
+            fp: dict = dict(zip(rids, fps.tolist()))
+            buckets: dict = defaultdict(list)
+            for rid, sh in fp.items():
+                for b in range(SIMHASH_BANDS):
+                    buckets[(b, (sh >> (16 * b)) & 0xFFFF)].append(rid)
+            if sum(len(v) * (len(v) - 1) // 2 for v in buckets.values()) \
+                    <= _MINHASH_DRIVER_MAX_CAND_PAIRS:
+                cand: set = set()
+                for ids in buckets.values():
+                    if len(ids) < 2:
+                        continue
+                    ids.sort()
+                    for i, a in enumerate(ids):
+                        for b2 in ids[i + 1:]:
+                            cand.add((a, b2))
+                out = sorted(
+                    (a, b2, h) for a, b2 in cand
+                    if (h := bin(fp[a] ^ fp[b2]).count("1")) <= max_hamming)
+                idt = dict(df.dtypes)[id_col]
+                schema = f"id_a {idt}, id_b {idt}, hamming int"
+                if not out:
+                    return df.sparkSession.createDataFrame([], schema)
+                return local_df(df.sparkSession, out, schema)
     # two materialization boundaries: (1) token hashes, so the 60 per-bit
     # votes read one cached array instead of re-hashing 60x; (2) the
     # fingerprints, so the self-join reads them instead of recomputing
@@ -1646,42 +1754,66 @@ def decontaminate(
     short-document copies are still caught."""
     t_text = test_text_col or text_col
     grams = lambda c, nn: F.array_distinct(shingles(tokenize(c), n=nn))  # noqa: E731
-    # DRIVER regime (r13): one tagged-union collect — map-only per-train
-    # (id, distinct gram hashes) arrays + the test side's distinct hash
-    # set packed into one row — and the membership count on the driver.
-    # Exact: matched_ngrams = |doc's distinct grams ∩ test set| is set
-    # arithmetic over the same hash64 values.
+    # DRIVER regime (r13, reshaped r14): ONE map-only tagged-union Arrow
+    # fetch — per-train (id, distinct gram hashes) arrays AND per-test
+    # gram-hash arrays, hashed in the shared pandas UDF — with the test
+    # set's distinct union and the membership count on the driver. The
+    # r13 shape ran the test side's explode -> distinct -> collect_list
+    # as 3 extra scheduled shuffle stages per pass (5 jobs total, the
+    # family's slowest row at 2.1 s); dropping the test distinct into
+    # the driver set() makes the whole fetch one map-only job after the
+    # shared spread (3 jobs, the family shape). Exact: matched_ngrams =
+    # |doc's distinct grams ∩ test set| is set arithmetic over the same
+    # hash64 values either way.
     if _driver_regime(train) and _driver_regime(test):
-        from flouds_vectordb_spark.functions.local import local_df
+        import numpy as np
 
-        gh_arr = lambda c, nn: F.transform(  # noqa: E731
-            grams(c, nn), lambda g: hash64(g))
+        from flouds_vectordb_spark.functions.local import local_df
+        from flouds_vectordb_spark.functions.pyhash import (
+            fetch_tagged_lists,
+            shingle_hash64_udf,
+        )
+
+        u = shingle_hash64_udf(n)
         idt = dict(train.dtypes)[id_col]
-        tr_arr = _spread(train).select(
-            F.lit(0).alias("_t"), F.col(id_col).alias("id"),
-            gh_arr(F.col(text_col), n).alias("_gs"))
-        te_arr = (
-            test.select(F.explode(gh_arr(F.col(t_text), n)).alias("_gh"))
-            .distinct().agg(F.collect_list("_gh").alias("_gs"))
-            .select(F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
-                    "_gs"))
-        te_set: set = set()
-        by_id: dict = {}  # duplicate train ids merge like the groupBy
-        for r in tr_arr.unionByName(te_arr).collect():
-            if r["_t"] == 0:
-                s = by_id.get(r["id"])
-                if s is None:
-                    by_id[r["id"]] = set(r["_gs"])
-                else:
-                    s.update(r["_gs"])
-            else:
-                te_set = set(r["_gs"] or ())
-        out = []
+        both = (
+            train.select(F.lit(0).alias("_t"), F.col(id_col).alias("id"),
+                         F.col(text_col).alias("_tx"))
+            .unionByName(test.select(
+                F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
+                F.col(t_text).alias("_tx")))
+        )
+        tags, rids, values, offsets, _ = fetch_tagged_lists(
+            _spread(both, target=_DRIVER_COLLECT_SPREAD).select(
+                "_t", "id", u(F.col("_tx")).alias("_gs")))
+        sizes = np.diff(offsets)
+        elem_tr = np.repeat(tags == 0, sizes)
+        te_set = np.unique(values[~elem_tr])
+        tr_vals = values[elem_tr]
+        tr_ids = [r for r, tg in zip(rids, tags) if tg == 0]
+        tr_sizes = sizes[tags == 0]
         mm = int(min_matches)
-        for rid, gs in by_id.items():
-            m = len(gs & te_set)
-            if m >= mm:
-                out.append((rid, m))
+        out = []
+        if len(set(tr_ids)) == len(tr_ids):
+            hits = np.isin(tr_vals, te_set).astype(np.int64)
+            counts = np.zeros(len(tr_ids), dtype=np.int64)
+            nz = tr_sizes > 0
+            tr_starts = np.concatenate(([0], np.cumsum(tr_sizes)[:-1]))
+            if len(tr_vals):
+                counts[nz] = np.add.reduceat(hits, tr_starts[nz])
+            out = [(rid, int(m)) for rid, m in zip(tr_ids, counts.tolist())
+                   if m >= mm]
+        else:
+            # duplicate train ids merge like the distributed groupBy
+            te_pyset = set(te_set.tolist())
+            by_id: dict = {}
+            pos = 0
+            for rid, s in zip(tr_ids, tr_sizes.tolist()):
+                gs = by_id.setdefault(rid, set())
+                gs.update(tr_vals[pos:pos + s].tolist())
+                pos += s
+            out = [(rid, m) for rid, gs in by_id.items()
+                   if (m := len(gs & te_pyset)) >= mm]
         out.sort()
         schema = f"id {idt}, matched_ngrams bigint"
         if not out:
@@ -1744,24 +1876,43 @@ def _driver_decon_neardup(train, test, id_col, text_col, t_id, t_text,
     aggregation over two collected scalar tables. None -> fall back."""
     from collections import defaultdict
 
+    import numpy as np
+
     from flouds_vectordb_spark.functions.local import local_df
+    from flouds_vectordb_spark.functions.pyhash import (
+        fetch_tagged_lists,
+        shingle_hash64_udf,
+    )
 
-    def _side(df, idc, txc, tag):
-        sh = F.array_distinct(shingles(tokenize(F.col(txc)), n=shingle_n))
-        return _spread(df).select(
-            F.lit(tag).alias("_tag"), F.col(idc).alias("id"),
-            F.transform(sh, lambda s: hash64(s)).alias("_h64"))
-
-    # ONE md5-only collect for both sides (a per-side collect costs a
-    # job each), signatures/bands via the shared numpy half; mismatched
-    # id types cannot union — collect per side then
+    # ONE md5-only Arrow fetch for both sides (a per-side fetch costs a
+    # job each; hashing in the shared pandas UDF — see
+    # _driver_minhash_rows), signatures/bands via the shared numpy half;
+    # mismatched id types cannot union — fetch per side then
     if dict(train.dtypes)[id_col] == dict(test.dtypes)[t_id]:
-        both = _side(train, id_col, text_col, 0).unionByName(
-            _side(test, t_id, t_text, 1)).collect()
-        tr_rows = _minhash_rows_from_h64(
-            [(r[1], r[2]) for r in both if r[0] == 0], n_sigs, n_bands)
-        te_rows = _minhash_rows_from_h64(
-            [(r[1], r[2]) for r in both if r[0] == 1], n_sigs, n_bands)
+        u = shingle_hash64_udf(shingle_n)
+        both = (
+            train.select(F.lit(0).alias("_tag"),
+                         F.col(id_col).alias("id"),
+                         F.col(text_col).alias("_tx"))
+            .unionByName(test.select(F.lit(1).alias("_tag"),
+                                     F.col(t_id).alias("id"),
+                                     F.col(t_text).alias("_tx")))
+        )
+        tags, rids, values, offsets, _ = fetch_tagged_lists(
+            _spread(both, target=_DRIVER_COLLECT_SPREAD).select(
+                "_tag", "id", u(F.col("_tx")).alias("_h64")))
+        sizes = np.diff(offsets)
+
+        def _split(tag):
+            m = tags == tag
+            ids_k = [r for r, tg in zip(rids, tags) if tg == tag]
+            vals_k = values[np.repeat(m, sizes)]
+            offs_k = np.concatenate(([0], np.cumsum(sizes[m])))
+            return _minhash_rows_from_flat(ids_k, vals_k, offs_k,
+                                           n_sigs, n_bands)
+
+        tr_rows = _split(0)
+        te_rows = _split(1)
     else:
         tr_rows = _driver_minhash_rows(train, id_col, text_col, n_sigs,
                                        n_bands, shingle_n)
@@ -1988,37 +2139,45 @@ def exact_substring_spans(
     # >= min_occurrences rule (global count, within-doc repeats included),
     # same "new span when pos > prev + k" stitch.
     if _driver_regime(df):
-        from collections import Counter
+        import numpy as np
 
         from flouds_vectordb_spark.functions.local import local_df
+        from flouds_vectordb_spark.functions.pyhash import (
+            fetch_id_lists,
+            window_hash64_udf,
+        )
 
-        gh_arr = F.when(n >= kk, F.transform(
-            F.sequence(F.lit(1), n - F.lit(kk - 1)),
-            lambda i: hash64(F.array_join(F.slice(F.col("_toks"), i, kk),
-                                          " ")))).otherwise(
-            F.array().cast("array<bigint>"))
-        rows = d.select("id", gh_arr.alias("_ghs")).collect()
-        freq: Counter = Counter()
-        for r in rows:
-            freq.update(r["_ghs"])
+        # ONE Arrow fetch of positioned window hashes (pandas-UDF md5 —
+        # see _driver_minhash_rows); the global >= min_occurrences rule
+        # is one np.unique + searchsorted over the flat hash array, and
+        # the per-doc gap-stitch walks FLAGGED positions only.
+        rids, values, offsets, _ = fetch_id_lists(
+            _spread(df, target=_DRIVER_COLLECT_SPREAD).select(
+                F.col(id_col).alias("id"),
+                window_hash64_udf(kk)(F.col(text_col)).alias("_ghs")))
         mo = int(min_occurrences)
         out = []
-        for r in rows:
+        if len(values):
+            uniq, cnt = np.unique(values, return_counts=True)
+            flagged = (cnt >= mo)[np.searchsorted(uniq, values)]
+        else:
+            flagged = np.zeros(0, dtype=bool)
+        ends = offsets[1:]
+        for j, rid in enumerate(rids):
+            fpos = np.flatnonzero(flagged[offsets[j]:ends[j]])
+            if not len(fpos):
+                continue
             prev = None
             start = None
-            for p0, h in enumerate(r["_ghs"]):
-                if freq[h] < mo:
-                    continue
+            for p0 in fpos.tolist():
                 pos = p0 + 1
                 if prev is None or pos > prev + kk:
                     if start is not None:
-                        out.append((r["id"], start, prev + kk - 1,
+                        out.append((rid, start, prev + kk - 1,
                                     prev + kk - start))
                     start = pos
                 prev = pos
-            if start is not None:
-                out.append((r["id"], start, prev + kk - 1,
-                            prev + kk - start))
+            out.append((rid, start, prev + kk - 1, prev + kk - start))
         out.sort()
         idt = dict(df.dtypes)[id_col]
         schema = (f"id {idt}, span_start int, span_end int, "
@@ -2114,7 +2273,58 @@ def remove_exact_substrings(
     (bounded: spans are maximal and disjoint, so there are at most
     n_tokens/k of them) and join back; the token filter is a nested
     higher-order expression (no UDF). Documents without spans pass
-    through with n_tokens_removed = 0."""
+    through with n_tokens_removed = 0.
+
+    DRIVER regime (r14): when the corpus is under the collect bound AND
+    the spans frame is already driver-built literals (the spans driver
+    regime's LocalRelation — reading it back runs no job), one Arrow
+    fetch of (id, text) replaces the groupBy-shuffle + join plan (6
+    scheduled jobs at gate scale): tokenization is the pinned py_tokens
+    twin, the span cut is integer arithmetic, and ' '.join == array_join.
+    Exactness pinned by test_remove_substrings_driver_regime_equals_
+    distributed."""
+    if _driver_regime(df):
+        try:
+            spans_local = (spans._jdf.queryExecution().optimizedPlan()
+                           .getClass().getSimpleName() == "LocalRelation")
+        except Exception:
+            spans_local = False
+        if spans_local:
+            from flouds_vectordb_spark.functions.pyhash import py_tokens
+
+            by_id: dict = {}
+            for r in spans.select("id", "span_start",
+                                  "span_end").collect():
+                by_id.setdefault(r[0], []).append((r[1], r[2]))
+            tbl = df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("text")).toArrow()
+            out = []
+            for rid, txt in zip(tbl.column(0).to_pylist(),
+                                tbl.column(1).to_pylist()):
+                toks_py = py_tokens(txt)
+                if toks_py is None:
+                    out.append((rid, None, None))
+                    continue
+                sp = by_id.get(rid)
+                if not sp:
+                    out.append((rid, " ".join(toks_py), 0))
+                    continue
+                kept = [t for i, t in enumerate(toks_py, start=1)
+                        if not any(s <= i <= e for s, e in sp)]
+                out.append((rid, " ".join(kept),
+                            len(toks_py) - len(kept)))
+            idt = dict(df.dtypes)[id_col]
+            schema = (f"id {idt}, text_clean string, "
+                      f"n_tokens_removed int")
+            spark = df.sparkSession
+            if not out:
+                return spark.createDataFrame([], schema)
+            import pandas as pd
+
+            pdf = pd.DataFrame(out,
+                               columns=["id", "text_clean",
+                                        "n_tokens_removed"])
+            return spark.createDataFrame(pdf, schema)
     toks = tokenize(F.col(text_col))
     d = _spread(df).select(F.col(id_col).alias("id"), toks.alias("_toks"))
     sp = spans.groupBy("id").agg(

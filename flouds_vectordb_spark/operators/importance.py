@@ -177,43 +177,65 @@ def _dsir_resample_driver(raw: DataFrame, target: DataFrame, n_keep: int,
     noise). The heavy tokenize/bigram/md5 work stays distributed inside
     the collect; ratios, sorted fold, Gumbel and top-n replicate the
     Column plan op-for-op on the driver."""
-    from collections import Counter
+    import numpy as np
+
+    from flouds_vectordb_spark.functions.pyhash import (
+        fetch_tagged_lists,
+        feature_bucket_udf,
+    )
 
     spark = raw.sparkSession
     idt = dict(raw.dtypes)[id_col]
     # Both branches are MAP-ONLY per-doc bucket arrays (zero-token docs
-    # -> [], so every raw id arrives in tag 0); the whole collect is one
-    # shuffle-free job and both sides' bucket counts are driver Counters
-    # over the same integers the groupBy would sum.
-    bs_arr = F.transform(_features(text_col),
-                         lambda f: F.pmod(hash64(f, seed=seed),
-                                          F.lit(n_buckets)))
-    per_doc_arr = spread_small_input(raw).select(
-        F.lit(0).alias("_t"), F.col(id_col).alias("id"),
-        bs_arr.alias("_bs"))
-    tgt_arr = spread_small_input(target).select(
-        F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
-        bs_arr.alias("_bs"))
-    rows = per_doc_arr.unionByName(tgt_arr).collect()
-    t_counts: Counter = Counter()
+    # -> [], so every raw id arrives in tag 0); the whole fetch is one
+    # job after the shared spread. r14: the tokenize/bigram/md5 pipeline
+    # runs in the shared pandas UDF (guide §4.2 — native hashlib instead
+    # of interpreted HOF lambdas) and the fetch is Arrow IPC; bucket
+    # counts are np.bincount over the same integers the groupBy would
+    # sum. NULL-text rows arrive as empty arrays — the same lw=0,
+    # still-competes-on-Gumbel semantics the distributed plan gives them.
+    both = (
+        spread_small_input(
+            raw.select(F.lit(0).alias("_t"), F.col(id_col).alias("id"),
+                       F.col(text_col).alias("_tx"))
+            .unionByName(target.select(
+                F.lit(1).alias("_t"), F.lit(None).cast(idt).alias("id"),
+                F.col(text_col).alias("_tx"))), target=8)
+        .select("_t", "id",
+                feature_bucket_udf(n_buckets, seed)(F.col("_tx"))
+                .alias("_bs"))
+    )
+    tags, rids, values, offsets, _ = fetch_tagged_lists(both)
+    sizes = np.diff(offsets)
+    elem_raw = np.repeat(tags == 0, sizes)
+    r_counts = np.bincount(values[elem_raw], minlength=n_buckets)
+    t_counts = np.bincount(values[~elem_raw], minlength=n_buckets)
+    r_tot = int(r_counts.sum())
+    t_tot = int(t_counts.sum())
+    if r_tot == 0 or t_tot == 0:
+        raise ValueError("raw and target corpora must both contain tokens")
+    r_den = float(r_tot + a * n_buckets)
+    t_den = float(t_tot + a * n_buckets)
+    # math.log (C libm), NOT np.log: numpy's SIMD log can differ by ULPs
+    # from the libm ln the oracle calls — the fold must stay bit-exact
+    lr = [math.log((int(t_counts[b]) + a) / t_den)
+          - math.log((int(r_counts[b]) + a) / r_den)
+          for b in range(n_buckets)]
     per_doc: dict = {}
     all_ids: list = []
-    r_counts: Counter = Counter()
-    for r in rows:
-        if r["_t"] == 0:
-            c = Counter(r["_bs"])
-            per_doc[r["id"]] = c
-            all_ids.append(r["id"])
-            r_counts.update(c)
+    ends = offsets[1:]
+    for j in np.flatnonzero(tags == 0).tolist():
+        rid = rids[j]
+        b, c = np.unique(values[offsets[j]:ends[j]], return_counts=True)
+        all_ids.append(rid)
+        prev = per_doc.get(rid)
+        if prev is None:
+            per_doc[rid] = dict(zip(b.tolist(), c.tolist()))
         else:
-            t_counts.update(r["_bs"])
-    if sum(r_counts.values()) == 0 or sum(t_counts.values()) == 0:
-        raise ValueError("raw and target corpora must both contain tokens")
-    r_den = float(sum(r_counts.values()) + a * n_buckets)
-    t_den = float(sum(t_counts.values()) + a * n_buckets)
-    lr = [math.log((t_counts.get(b, 0) + a) / t_den)
-          - math.log((r_counts.get(b, 0) + a) / r_den)
-          for b in range(n_buckets)]
+            # duplicate raw ids merge like the distributed groupBy(id, _b)
+            # (r14, ADVICE — the r13 dict assignment overwrote them)
+            for bb, cc in zip(b.tolist(), c.tolist()):
+                prev[bb] = prev.get(bb, 0) + cc
     scored = []
     for rid in all_ids:
         lw = 0.0

@@ -2771,15 +2771,20 @@ _LANGID_FIXTURE: list[tuple[int, str, str]] = [
 
 
 def _langid_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flouds_vectordb_spark.functions.local import local_df
     from flouds_vectordb_spark.sources.tables import spread_small_input
 
-    fix = spark.createDataFrame(
-        [(i, t) for i, _, t in _LANGID_FIXTURE], "id bigint, text string")
-    # spread the docs BRANCH: the union's partition COUNT passes the
-    # spread_small_input check (createDataFrame contributes `cores` mostly
-    # empty partitions) while 98% of rows sit in the single parquet split,
-    # which would run the whole classify UDF on one core
-    docs = spread_small_input(load(spark, sf_dir, "documents")).select(
+    # local_df, not createDataFrame (r14): the LogicalRDD fixture branch
+    # contributed `cores` near-empty parallelize partitions, so the UDF
+    # stage fanned 64 tasks over 0.6 MB (guide §2.6). A LocalRelation
+    # adds ONE partition; the docs branch's spread is capped at 8 — the
+    # vectorized classify (see langid._ranked_packed_grams) is ~0.8
+    # core-s at sf0.1, so 8 tasks keep each >= 100 ms while 32+ paid
+    # more scheduling than they parallelized. No-op at scale as always.
+    fix = local_df(spark, [(i, t) for i, _, t in _LANGID_FIXTURE],
+                   "id bigint, text string")
+    docs = spread_small_input(load(spark, sf_dir, "documents"),
+                              target=8).select(
         (F.col("doc_id") + F.lit(10000)).alias("id"), "text")
     return fix.unionByName(docs)
 

@@ -851,3 +851,33 @@ def test_substring_spans_driver_regime_equals_distributed(spark, tmp_path,
     monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
     dist = sorted(map(tuple, exact_substring_spans(df, k=20).collect()))
     assert drv == dist and drv
+
+
+def test_remove_substrings_driver_regime_equals_distributed(spark, tmp_path,
+                                                            monkeypatch):
+    """r14: the remove-step driver regime (LocalRelation spans + one Arrow
+    text fetch + py_tokens cut) must match the distributed join plan
+    row-for-row, including docs with no spans and NULL-text docs."""
+    import flouds_vectordb_spark.operators.dedup as dd
+    from flouds_vectordb_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_exact_substrings,
+    )
+
+    boiler = " ".join(f"tok{j}" for j in range(25))
+    rows = [(i, f"unique head {i} " + (boiler if i % 3 == 0 else
+                                       f"own body {i} words here") +
+             f" tail {i}") for i in range(30)]
+    rows.append((98, None))  # NULL text passes through as NULLs
+    rows.append((99, boiler + " " + boiler))  # within-doc repeat
+    pq = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "id long, text string").write.parquet(pq)
+    df = spark.read.parquet(pq)
+    spans = exact_substring_spans(df, k=20)
+    drv = sorted(map(tuple, remove_exact_substrings(df, spans).collect()))
+    monkeypatch.setattr(dd, "_MINHASH_DRIVER_INPUT_BYTES", -1)
+    spans_dist = exact_substring_spans(df, k=20)
+    dist = sorted(map(tuple,
+                      remove_exact_substrings(df, spans_dist).collect()))
+    assert drv == dist and drv
+    assert any(r[2] and r[2] > 0 for r in drv)  # something was removed

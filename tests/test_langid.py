@@ -208,3 +208,46 @@ def test_local_df_is_local_relation_and_exact(spark):
 def test_local_df_empty_falls_back(spark):
     df = local_df(spark, [], "id bigint, s string")
     assert df.count() == 0 and df.columns == ["id", "s"]
+
+
+def test_classify_vectorized_equals_reference():
+    """r14: the packed-gram vectorized classify_text must return the exact
+    (lang, distance) integers of the pure-Python reference on every
+    training snippet, mixed scripts, and degenerate inputs."""
+    from flouds_vectordb_spark.functions.langid import (
+        _TRAIN,
+        classify_text,
+        classify_text_ref,
+    )
+
+    cases = list(_TRAIN.values())
+    cases += [
+        None, "", "   ", "12345 67.89 --", "a",
+        "MIXED Case İstanbul ΟΔΥΣΣΕΥΣ straße",
+        "nbsp inside and tabs\tare\nnot letters",
+        "中文字符 mixed with english words здесь",
+        "combining áccents ètoile works",
+        "x " * 300,  # long repetitive doc (DOC_TOP truncation ties)
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    for t in cases:
+        assert classify_text(t) == classify_text_ref(t), repr(t)
+
+
+def test_classify_vectorized_equals_reference_on_fixture(spark):
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+        pytest.skip("testdata missing")
+    from flouds_vectordb_spark.functions.langid import (
+        classify_text,
+        classify_text_ref,
+    )
+
+    texts = [r[0] for r in
+             spark.read.parquet(f"{sf}/documents.parquet")
+             .select("text").collect()]
+    for t in texts:
+        assert classify_text(t) == classify_text_ref(t)
