@@ -124,6 +124,25 @@ def srp_signature_expr(vec_sql: str, planes: list[list[float]]) -> Column:
     return F.expr("CAST((" + " + ".join(terms) + ") AS BIGINT)")
 
 
+def _srp_signature_expr_checked(vec_sql: str, planes: list[list[float]],
+                                dim: int) -> Column:
+    """srp_signature_expr plus a cheap runtime dim assertion (r14,
+    ADVICE): a WRONG `dim` argument used to be silently absorbed —
+    zip_with pads the mismatched plane/vector arrays with NULLs, every
+    dot folds to NULL, every signature collapses to 0 and the bucket
+    join degrades to the full cross product with correct-but-quadratic
+    output. size() per row is noise next to the bits x dim fold; NULL
+    vectors keep their pre-existing sig-0 behavior (the guard only fires
+    on a real length mismatch)."""
+    sig = srp_signature_expr(vec_sql, planes)
+    d = int(dim)
+    return F.expr(
+        f"CASE WHEN {vec_sql} IS NULL OR size({vec_sql}) = {d} "
+        f"THEN 0L ELSE CAST(raise_error(concat("
+        f"'srp signature: expected dim {d}, got vector of size ', "
+        f"CAST(size({vec_sql}) AS STRING))) AS BIGINT) END") + sig
+
+
 def query_srp_signature(vec, planes: list[list[float]]) -> int:
     """Driver-side twin of srp_signature_expr for ONE query vector — the
     same sequential float64 left fold per plane (0.0 + x0*w0 + x1*w1 ...,
@@ -336,8 +355,12 @@ def similarity_join(
     # bucket entries carry (id, sig) SCALARS only — the vectors never ride
     # the bucket shuffle (at corpus scale that ships every embedding
     # through an exchange); they join back for the small candidate set,
-    # the same late-materialization contract as the MinHash band join
-    sig_expr = srp_signature_expr(quote_ident(vector_col), planes)
+    # the same late-materialization contract as the MinHash band join.
+    # With caller-supplied dim the signature carries the runtime dim
+    # assertion (see _srp_signature_expr_checked).
+    sig_expr = (_srp_signature_expr_checked(quote_ident(vector_col),
+                                            planes, int(dim)) if dim
+                else srp_signature_expr(quote_ident(vector_col), planes))
     lsig = left.select(F.col(left_id).alias("lid"), sig_expr.alias("sig"))
     rsig = right.select(F.col(right_id).alias("rid"), sig_expr.alias("sig"))
     cand = lsig.join(rsig, "sig").select("lid", "rid")
@@ -392,10 +415,12 @@ def dedup_embedding_cosine(
     planes_df = (srp_planes(int(dim), bits) if dim
                  else srp_planes_from(df, vector_col, bits))
     # (id, sig) scalars only through the bucket self-join; vectors join
-    # back for the candidate set (see similarity_join)
-    sigd = df.select(F.col(id_col).alias("id"),
-                     srp_signature_expr(quote_ident(vector_col),
-                                        planes_df).alias("sig"))
+    # back for the candidate set (see similarity_join); caller-supplied
+    # dim carries the runtime assertion (_srp_signature_expr_checked)
+    sig_e = (_srp_signature_expr_checked(quote_ident(vector_col),
+                                         planes_df, int(dim)) if dim
+             else srp_signature_expr(quote_ident(vector_col), planes_df))
+    sigd = df.select(F.col(id_col).alias("id"), sig_e.alias("sig"))
     a = sigd.select(F.col("id").alias("id_a"), "sig")
     b = sigd.select(F.col("id").alias("id_b"), "sig")
     cand = (a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))

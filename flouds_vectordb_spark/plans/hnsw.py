@@ -610,29 +610,28 @@ class HnswIndex:
         self._graph_ram = False  # sticky ineligibility until invalidated
         if int(self.meta.get("n", 1 << 62)) > self.DRIVER_BEAM_MAX_ROWS:
             return None
+        if self._versions_possible:
+            # APPENDED indexes are driver-ineligible (r14, ADVICE): the
+            # Spark seed scan buckets EVERY node row by its own _cell and
+            # resolves latest-by-ts only among the rows the cell filter
+            # kept, so an id whose stale row sits in a probed cell seeds
+            # the Spark beam (at the stale row's score) while a
+            # latest-version-only driver graph would miss it — and
+            # replicating per-version cells/scores here is not worth the
+            # rare small-appended-index case. The Spark beam (whose
+            # per-round version dedup owns these layouts) runs unchanged.
+            return None
         nodes = self.nodes(spark)
-        has_ts = "batch_ts" in nodes.columns
-        if self._versions_possible and not has_ts:
-            return None  # per-(qid,id) max-score dedup is q-dependent
         has_cell = "_cell" in nodes.columns
         cols = [F.col(self.id_col).alias("_i"),
                 F.col(self.vector_col).alias("_v")]
         if has_cell:
             cols.append(F.col("_cell").cast("bigint").alias("_c"))
-        if has_ts:
-            cols.append(F.col("batch_ts").alias("_ts"))
         vec: dict = {}
         cell_of: dict = {}
-        ts_of: dict = {}
         for r in nodes.select(*cols).collect():
             i = r["_i"]
-            if has_ts and i in vec:
-                old, new = ts_of.get(i), r["_ts"]
-                if new is None or (old is not None and new <= old):
-                    continue
             vec[i] = r["_v"]
-            if has_ts:
-                ts_of[i] = r["_ts"]
             if has_cell:
                 cell_of[i] = int(r["_c"]) if r["_c"] is not None else None
         ids = sorted(vec, key=lambda v: (str(type(v)), v))

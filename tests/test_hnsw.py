@@ -588,3 +588,28 @@ def test_driver_beam_matches_spark_beam_paths(spark, built, monkeypatch):
     twoscan = open_hnsw(idx.path).beam_search_many_scored(spark, queries,
                                                           ef=16)
     assert drv == fused == twoscan
+
+
+def test_driver_beam_ineligible_after_append(spark, tmp_path_factory,
+                                             monkeypatch):
+    """r14 (ADVICE): appended (multi-version-capable) indexes must NOT
+    take the driver beam — the Spark seed scan buckets every node row by
+    its own _cell and dedups latest-by-ts after the cell filter, which a
+    latest-version-only driver graph cannot replicate. The Spark paths
+    must still agree with each other on the appended index."""
+    df, q = _clustered_df(spark, seed=23)
+    path = str(tmp_path_factory.mktemp("hnsw_app") / "idx")
+    idx = build_hnsw(df, path, m=8, metric="COSINE", cell_target=64)
+    rng = np.random.RandomState(3)
+    extra = spark.createDataFrame(
+        [(int(5000 + i), [float(x) for x in rng.uniform(-1, 1, DIM)])
+         for i in range(12)], "id bigint, vector array<double>")
+    idx.append(extra)
+    assert idx._versions_possible
+    queries = [(0, q), (1, [-x for x in q])]
+    drv_attempt = idx.beam_search_many_scored(spark, queries, ef=16)
+    assert getattr(idx, "_graph_ram", None) is False  # driver declined
+    monkeypatch.setattr(HnswIndex, "SMALL_CORPUS_ROWS", -1)
+    twoscan = open_hnsw(idx.path).beam_search_many_scored(spark, queries,
+                                                          ef=16)
+    assert drv_attempt == twoscan
