@@ -215,13 +215,23 @@ def _flatten_list_col(col):
     return values, offsets, valid
 
 
+def _to_arrow_no_aqe(df: DataFrame):
+    """df.toArrow() with AQE disabled for just this action (see
+    lifecycle.no_aqe: the fetch is a fixed tiny repartition + UDF/collect
+    pair that AQE can only slow down with a stage-barrier job)."""
+    from flouds_vectordb_spark.lifecycle import no_aqe
+
+    with no_aqe(df.sparkSession):
+        return df.toArrow()
+
+
 def fetch_id_lists(df: DataFrame):
     """One Arrow-IPC fetch of a two-column (id, array<bigint>) frame:
     (ids list, values int64 ndarray, offsets int64 ndarray, valid bool
     ndarray | None). `values[offsets[i]:offsets[i+1]]` is row i's array.
     The flat layout is zero-copy out of Arrow and feeds the vectorized
     driver halves directly — no per-element Python int conversion."""
-    tbl = df.toArrow()
+    tbl = _to_arrow_no_aqe(df)
     ids = tbl.column(0).to_pylist()
     values, offsets, valid = _flatten_list_col(tbl.column(1))
     return ids, values, offsets, valid
@@ -230,7 +240,7 @@ def fetch_id_lists(df: DataFrame):
 def fetch_tagged_lists(df: DataFrame):
     """fetch_id_lists for a three-column (tag, id, array<bigint>) frame:
     returns (tags ndarray, ids list, values, offsets, valid)."""
-    tbl = df.toArrow()
+    tbl = _to_arrow_no_aqe(df)
     tags = tbl.column(0).to_numpy(zero_copy_only=False)
     ids = tbl.column(1).to_pylist()
     values, offsets, valid = _flatten_list_col(tbl.column(2))

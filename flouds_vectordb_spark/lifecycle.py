@@ -103,3 +103,21 @@ def persist_scope() -> Iterator[list[DataFrame]]:
         stack.pop()
         for df in tracked:
             df.unpersist()
+
+
+@contextmanager
+def no_aqe(spark) -> Iterator[None]:
+    """Disable AQE for one bounded driver-regime action (r14). The driver
+    regimes' fetch/argmax queries are fixed tiny two-stage plans (a small
+    repartition or aggregation feeding one collect) that AQE cannot
+    improve — nothing to coalesce or skew-split — but AQE materializes
+    each shuffle stage as its OWN job, a pure scheduling barrier worth
+    ~0.1-0.2 s per action at gate scale (measured 2 jobs -> 1 on the
+    minhash fetch). Always scoped: the callers sit behind the <= 16 MB
+    input guards, so every at-scale plan keeps AQE."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

@@ -542,17 +542,23 @@ def late_interaction_topk(
     return _li_fold_topk(maxsim, k)
 
 
-def _li_fold_topk(maxsim: DataFrame, k: int) -> DataFrame:
-    """Shared tail of every late-interaction variant: the qpos-sorted
-    float fold of the (qid, doc_id, _qpos, _ms) MaxSim table + the
-    per-qid rank window. One implementation so the exact operator, the
-    pruned re-rank and the recall grading harness rank IDENTICAL
-    doubles with identical tie-breaks."""
-    from pyspark.sql import Window
-
-    scored = maxsim.groupBy("qid", "doc_id").agg(
+def _li_scored(maxsim: DataFrame) -> DataFrame:
+    """(qid, doc_id, _s): the qpos-sorted float fold of the (qid, doc_id,
+    _qpos, _ms) MaxSim table — the aggregate half of _li_fold_topk, split
+    out (r14) so the recall harness can compute it ONCE and feed both the
+    exact and the candidate-restricted rankings (restricting whole
+    (qid, doc_id) groups commutes with the per-group fold, so the doubles
+    are bit-identical either way)."""
+    return maxsim.groupBy("qid", "doc_id").agg(
         F.aggregate(F.array_sort(F.collect_list(F.struct("_qpos", "_ms"))),
                     F.lit(0.0), lambda acc, e: acc + e["_ms"]).alias("_s"))
+
+
+def _li_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Per-qid rank window + k-cut over a (qid, doc_id, _s) table — the
+    ranking half of _li_fold_topk."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
                                           F.col("doc_id").asc())
     return (
@@ -560,6 +566,15 @@ def _li_fold_topk(maxsim: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= int(k))
         .select("qid", "doc_id", "rank", F.round("_s", 6).alias("score_r"))
     )
+
+
+def _li_fold_topk(maxsim: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every late-interaction variant: the qpos-sorted
+    float fold of the (qid, doc_id, _qpos, _ms) MaxSim table + the
+    per-qid rank window. One implementation so the exact operator, the
+    pruned re-rank and the recall grading harness rank IDENTICAL
+    doubles with identical tie-breaks."""
+    return _li_rank(_li_scored(maxsim), k)
 
 
 def late_interaction_topk_pruned(
@@ -840,11 +855,15 @@ def late_interaction_recall_pair(
         small=small)
     if small:
         return _li_recall_pair_small(maxsim, cand, k)
-    maxsim = tracked_persist(maxsim)
-    exact = _li_fold_topk(maxsim, k).withColumn("_src", F.lit("exact"))
-    pruned = _li_fold_topk(maxsim.join(F.broadcast(cand),
-                                       ["qid", "doc_id"]), k) \
-        .withColumn("_src", F.lit("pruned"))
+    # fold ONCE, restrict after (r14): the candidate join drops whole
+    # (qid, doc_id) groups, which commutes with the per-group fold — so
+    # both rankings read one shared scored aggregate instead of
+    # re-executing the MaxSim subtree per side (same doubles, pinned by
+    # test_li_recall_pair_matches_operators)
+    scored = tracked_persist(_li_scored(maxsim))
+    exact = _li_rank(scored, k).withColumn("_src", F.lit("exact"))
+    pruned = _li_rank(scored.join(F.broadcast(cand), ["qid", "doc_id"]),
+                      k).withColumn("_src", F.lit("pruned"))
     return exact.unionByName(pruned)
 
 
@@ -875,9 +894,13 @@ def late_interaction_recall_df(
     pruned/fetched operator: both top-k lists fold from one MaxSim
     definition M (the pruned side is M restricted to the candidate
     pairs — recall_pair's equivalence argument), then
-    recall = sum_q |exact_q ∩ fetched_q| / sum_q |exact_q|. Without a
-    persist the two folds re-execute M's aggregate; its exchange is
-    identical in both branches, which AQE's ReusedExchange dedupes.
+    recall = sum_q |exact_q ∩ fetched_q| / sum_q |exact_q|. r14: the
+    candidate restriction joins ABOVE one shared scored fold (dropping
+    whole (qid, doc_id) groups commutes with the per-group fold — same
+    doubles), so the MaxSim crossJoin subtree appears ONCE in the plan
+    and its aggregate exchange is shared by both rankings instead of
+    re-executing per side (the r13 shape scheduled 17 jobs per pass on
+    the SRP gate; the single-subtree shape runs the crossJoin once).
     `candidates` as in late_interaction_recall_pair."""
     if dim is None:
         raise ValueError(
@@ -902,18 +925,35 @@ def late_interaction_recall_df(
     if candidates is None:
         candidates = _li_srp_candidates(doc_tokens, qt, planes, radius,
                                         id_col, vector_col, sig_table)
-    ex = _li_fold_topk(maxsim, k)
-    pr = _li_fold_topk(
-        maxsim.join(F.broadcast(candidates), ["qid", "doc_id"]), k)
-    return (
-        ex.join(pr.select("qid", "doc_id").withColumn("_hit", F.lit(1)),
-                ["qid", "doc_id"], "left")
-        .agg(F.count_distinct("qid").cast("int").alias("n_queries"),
-             F.coalesce(
-                 F.try_divide(F.count("_hit"), F.count(F.lit(1)))
-                 >= F.lit(float(min_recall)),
-                 F.lit(False)).alias("recall_ge_095"))
-    )
+    from pyspark.sql import Window
+
+    # ONE tagged union + ONE rank window + direct hit aggregation (r14):
+    # ranking both sides in a single (qid, _src)-partitioned window and
+    # counting hits per (qid, doc_id) group replaces the r13 tail's two
+    # windows + sort-merge LeftOuter join — 3 fewer scheduled exchange
+    # stages at gate scale, identical numbers: rank within each _src
+    # partition is each side's own ranking, and (hits, exact-count,
+    # distinct qids) are the same counts the join computed.
+    scored = _li_scored(maxsim)
+    both = scored.withColumn("_src", F.lit("e")).unionByName(
+        scored.join(F.broadcast(candidates), ["qid", "doc_id"])
+        .withColumn("_src", F.lit("p")))
+    w = Window.partitionBy("qid", "_src").orderBy(F.col("_s").desc(),
+                                                  F.col("doc_id").asc())
+    ranked = (both.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= int(k)))
+    pairs = ranked.groupBy("qid", "doc_id").agg(
+        F.max(F.col("_src") == F.lit("e")).alias("_he"),
+        F.max(F.col("_src") == F.lit("p")).alias("_hp"))
+    return pairs.agg(
+        F.count_distinct(F.when(F.col("_he"), F.col("qid")))
+        .cast("int").alias("n_queries"),
+        F.coalesce(
+            F.try_divide(
+                F.count(F.when(F.col("_he") & F.col("_hp"), F.lit(1))),
+                F.count(F.when(F.col("_he"), F.lit(1))))
+            >= F.lit(float(min_recall)),
+            F.lit(False)).alias("recall_ge_095"))
 
 
 def _li_recall_pair_small(maxsim: DataFrame, cand: DataFrame,

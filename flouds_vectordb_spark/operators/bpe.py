@@ -161,12 +161,15 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     if not df.isStreaming and _plan_size_bytes(df) <= _BPE_DRIVER_INPUT_BYTES:
-        word_rows = (
-            df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
-            .groupBy("word").count()
-            .filter(F.col("count") >= min_count)
-            .collect()
-        )
+        from flouds_vectordb_spark.lifecycle import no_aqe
+
+        with no_aqe(df.sparkSession):  # one job, not agg-stage + result
+            word_rows = (
+                df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+                .groupBy("word").count()
+                .filter(F.col("count") >= min_count)
+                .collect()
+            )
         if len(word_rows) <= _BPE_DRIVER_MAX_WORDS:
             return _bpe_train_driver(
                 [(r[0], r[1]) for r in word_rows], n_merges)

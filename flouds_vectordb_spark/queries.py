@@ -1757,8 +1757,13 @@ def _li_clustered_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [float(vec[j])
                  + ((i * 31 + pos * 17 + j * 13) % 101 - 50) / 5000.0
                  for j in range(64)]))
+    # coalesce(1): a LocalTableScan executes with min(rows, cores)
+    # partitions, so the 320-row clone block added 32 near-empty tasks to
+    # EVERY stage scanning the union (guide §2.6) — the real compute sits
+    # in the single-split parquet branch either way
     injected = local_df(spark, rows,
-                        "doc_id bigint, pos bigint, vector array<double>")
+                        "doc_id bigint, pos bigint, vector array<double>") \
+        .coalesce(1)
     df = base.unionByName(injected)
     if len(_LI_FIXTURE_CACHE) > 256:
         _LI_FIXTURE_CACHE.clear()
@@ -2782,7 +2787,7 @@ def _langid_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core-s at sf0.1, so 8 tasks keep each >= 100 ms while 32+ paid
     # more scheduling than they parallelized. No-op at scale as always.
     fix = local_df(spark, [(i, t) for i, _, t in _LANGID_FIXTURE],
-                   "id bigint, text string")
+                   "id bigint, text string").coalesce(1)
     docs = spread_small_input(load(spark, sf_dir, "documents"),
                               target=8).select(
         (F.col("doc_id") + F.lit(10000)).alias("id"), "text")
