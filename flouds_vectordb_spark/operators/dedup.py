@@ -2324,7 +2324,9 @@ def remove_exact_substrings(
             pdf = pd.DataFrame(out,
                                columns=["id", "text_clean",
                                         "n_tokens_removed"])
-            return spark.createDataFrame(pdf, schema)
+            # coalesce: the Arrow createDataFrame splits into cores
+            # slices; 32 near-empty tasks per downstream stage otherwise
+            return spark.createDataFrame(pdf, schema).coalesce(8)
     toks = tokenize(F.col(text_col))
     d = _spread(df).select(F.col(id_col).alias("id"), toks.alias("_toks"))
     sp = spans.groupBy("id").agg(

@@ -953,10 +953,13 @@ class HnswIndex:
             shortlist = (shortlist.withColumn("_rn", F.row_number().over(wv))
                          .filter(F.col("_rn") == 1).drop("_rn"))
         if req.metric.upper() == self.metric:
+            # coalesce(1): LocalTableScan executes with min(rows, cores)
+            # partitions — at ef x |block| rows the shortlist block fanned
+            # 32 near-empty map tasks into the ranking shuffle (r14)
             cand = local_df(
                 spark, [(int(q), i, float(s)) for q, pairs in beams.items()
                         for i, s in pairs],
-                f"qid bigint, _id {id_t}, _score double")
+                f"qid bigint, _id {id_t}, _score double").coalesce(1)
         else:
             mdf = local_df(
                 spark, [(int(q), i) for q, i in members],

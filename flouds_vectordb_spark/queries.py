@@ -1343,8 +1343,12 @@ def _hnsw_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits += len(ann.get(qid, set()) & exact[qid])
         total += len(exact[qid])
     recall = hits / total if total else 0.0
-    return spark.createDataFrame(
-        [(int(_HNSW_RECALL_NQ), bool(recall >= _HNSW_RECALL_MIN))],
+    # local_df, not createDataFrame (r14): the one-row verdict through a
+    # LogicalRDD schedules a 32-slice parallelize stage per noop pass
+    from flouds_vectordb_spark.functions.local import local_df
+
+    return local_df(
+        spark, [(int(_HNSW_RECALL_NQ), bool(recall >= _HNSW_RECALL_MIN))],
         "n_queries int, recall_ge_090 boolean")
 
 
