@@ -48,12 +48,7 @@ def text_stats(df: DataFrame, id_col: str = "id", text_col: str = "text") -> Dat
     """(id, n_tokens, n_chars_norm, avg_token_len_r, stopword_ratio_r,
     distinct_ratio_r, quality_r, lang_guess, fingerprint)."""
     toks = tokenize(F.col(text_col))
-    # spread capped at 8 (r14, guide §2.6): the per-doc map work is 1-2
-    # core-s at the 16 MB gate bound, so full core-width fan-out pays more
-    # task-launch overhead than it parallelizes (measured on
-    # repetition_full at sf0.1: w32 0.75 s, w8 0.58, w4 0.49); the spread
-    # stays a no-op at scale (inputs arrive in >= cores splits).
-    d = spread_small_input(df, target=8).select(
+    d = spread_small_input(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
         toks.alias("_toks"))
     n_tokens = F.size("_toks")
@@ -208,7 +203,7 @@ def repetition_stats(df: DataFrame, id_col: str = "id",
     from flouds_vectordb_spark.functions.hashing import shingles
 
     toks = tokenize(F.col(text_col))
-    d = spread_small_input(df, target=8).select(
+    d = spread_small_input(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
         toks.alias("_toks"))
     lines = F.filter(
@@ -585,7 +580,7 @@ def gopher_quality(df: DataFrame, id_col: str = "id",
     hits from the 8-word function-word list. Alphabetic = [a-z] after the
     tokenizer's lowercasing (documented ASCII approximation)."""
     toks = tokenize(F.col(text_col))
-    d = spread_small_input(df, target=8).select(
+    d = spread_small_input(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
         toks.alias("_toks"))
     n_words = F.size("_toks")
@@ -777,7 +772,7 @@ def repetition_stats_full(df: DataFrame, id_col: str = "id",
     from flouds_vectordb_spark.functions.hashing import shingles
 
     toks = tokenize(F.col(text_col))
-    d = spread_small_input(df, target=8).select(
+    d = spread_small_input(df).select(
         F.col(id_col).alias("id"), toks.alias("_toks"))
     d = d.select(
         "id", F.size("_toks").alias("_n"),
@@ -908,7 +903,7 @@ def c4_clean(df: DataFrame, id_col: str = "id", text_col: str = "text",
     keep_page): C4's line filter + page-drop rules. text_clean joins the
     retained lines with newlines; keep_page is False for pages with
     lorem ipsum / '{' / a badword / fewer than 3 sentences retained."""
-    d = spread_small_input(df, target=8).select(
+    d = spread_small_input(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     lines = F.filter(
         F.transform(F.split(F.col("_t"), "\n"), lambda t: F.trim(t)),
